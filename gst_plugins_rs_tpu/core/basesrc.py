@@ -1,0 +1,148 @@
+"""BaseSrc / BaseSink: push-model source and sink base classes."""
+from __future__ import annotations
+
+import itertools
+from typing import Optional
+
+from .buffer import Buffer
+from .caps import Caps
+from .element import (
+    Element,
+    FlowError,
+    FlowReturn,
+    Pad,
+    PadDirection,
+    PadPresence,
+    PadTemplate,
+)
+from .events import Event, EventType, Message, MessageType, Query, QueryType, Segment
+
+_stream_id_counter = itertools.count()
+
+
+class BaseSrc(Element):
+    """Push source: negotiate caps then produce buffers via create()."""
+
+    SRC_CAPS: Caps = Caps.new_any()
+    IS_LIVE: bool = False
+    #: sentinel create() may return meaning "no data right now, not EOS"
+    RETRY = object()
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self.srcpad = self.add_pad(
+            Pad("src", PadDirection.SRC, PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS, self.SRC_CAPS))
+        )
+        self.srcpad.query_function = self._src_query
+        self.out_caps: Optional[Caps] = None
+        self._started_stream = False
+        self._eos_sent = False
+
+    # -- subclass hooks -----------------------------------------------------
+    def start(self) -> None: ...
+    def stop(self) -> None: ...
+
+    def fixate(self, caps: Caps) -> Caps:
+        return caps.fixate()
+
+    def negotiated(self, caps: Caps) -> None:
+        """Called with the final fixed caps before streaming."""
+
+    def create(self) -> Optional[Buffer]:
+        """Produce the next buffer; None signals EOS."""
+        raise NotImplementedError
+
+    # -- state --------------------------------------------------------------
+    def on_ready_to_paused(self) -> None:
+        self._started_stream = False
+        self._eos_sent = False
+        self.start()
+
+    def on_paused_to_ready(self) -> None:
+        self.stop()
+        self.out_caps = None
+
+    # -- streaming ----------------------------------------------------------
+    def negotiate(self) -> Caps:
+        tmpl = self.srcpad.pad_template_caps()
+        peer = self.srcpad.peer_query_caps(tmpl)
+        caps = tmpl.intersect(peer)
+        if caps.is_empty():
+            raise FlowError(FlowReturn.NOT_NEGOTIATED, f"{self.name}: no common caps with peer")
+        caps = self.fixate(caps)
+        return caps
+
+    def send_stream_start(self) -> None:
+        sid = f"{self.name}-{next(_stream_id_counter)}"
+        self.srcpad.push_event(Event.new_stream_start(sid))
+        caps = self.negotiate()
+        self.out_caps = caps
+        self.negotiated(caps)
+        self.srcpad.current_caps = caps
+        self.srcpad.push_event(Event.new_caps(caps))
+        self.srcpad.push_event(Event.new_segment(Segment()))
+        self._started_stream = True
+
+    def iterate(self) -> FlowReturn:
+        """Produce and push one buffer; push EOS when exhausted."""
+        if self._eos_sent:
+            return FlowReturn.EOS
+        if not self._started_stream:
+            self.send_stream_start()
+        buf = self.create()
+        if buf is BaseSrc.RETRY:
+            return FlowReturn.OK
+        if buf is None:
+            self.srcpad.push_event(Event.new_eos())
+            self._eos_sent = True
+            return FlowReturn.EOS
+        return self.srcpad.push(buf)
+
+    def _src_query(self, pad: Pad, query: Query) -> bool:
+        if query.type == QueryType.CAPS:
+            filter_ = query.fields.get("filter")
+            caps = self.SRC_CAPS if filter_ is None else filter_.intersect(self.SRC_CAPS)
+            query.result["caps"] = caps
+            return True
+        if query.type == QueryType.LATENCY:
+            query.result.update(live=self.IS_LIVE, min_latency=0, max_latency=None)
+            return True
+        return False
+
+
+class BaseSink(Element):
+    """Sink base: receives buffers via render(), posts EOS on the bus."""
+
+    SINK_CAPS: Caps = Caps.new_any()
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self.sinkpad = self.add_pad(
+            Pad("sink", PadDirection.SINK, PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS, self.SINK_CAPS))
+        )
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = self._event
+        self.caps: Optional[Caps] = None
+        self.eos = False
+
+    def render(self, buffer: Buffer) -> FlowReturn:
+        return FlowReturn.OK
+
+    def on_caps(self, caps: Caps) -> None: ...
+    def on_event(self, event: Event) -> None: ...
+
+    def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        return self.render(buf)
+
+    def _event(self, pad: Pad, event: Event) -> bool:
+        if event.type == EventType.CAPS:
+            self.caps = event.get("caps")
+            self.on_caps(self.caps)
+        elif event.type == EventType.EOS:
+            self.eos = True
+            self.post_message(Message(MessageType.EOS))
+        self.on_event(event)
+        return True
+
+
+__all__ = ["BaseSrc", "BaseSink"]

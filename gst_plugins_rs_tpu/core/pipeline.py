@@ -1,0 +1,84 @@
+"""Pipeline: element container + scheduler + bus.
+
+The reference delegates the pipeline graph and threading to the external
+GStreamer C core (SURVEY.md §1).  Here the host control plane drives sources
+round-robin on one thread — the cooperative "many elements, few threads"
+stance of the in-repo threadshare runtime
+(generic/threadshare/src/runtime/mod.rs:9-49) — while all hot compute runs as
+batched device dispatches.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+from .basesrc import BaseSrc
+from .bus import Bus
+from .element import Element, State
+from .events import MessageType
+
+
+class Pipeline:
+    def __init__(self, name: str = "pipeline0"):
+        self.name = name
+        self.bus = Bus()
+        self.elements: List[Element] = []
+        self.tracers: List = []  # utils.tracers hooks
+        self.parent = None
+
+    def add(self, *elements: Element) -> None:
+        for e in elements:
+            if e.parent is not None:
+                raise ValueError(f"{e.name} already in a pipeline")
+            e.parent = self
+            self.elements.append(e)
+
+    def by_name(self, name: str) -> Element:
+        for e in self.elements:
+            if e.name == name:
+                return e
+        raise KeyError(f"no element {name!r} in {self.name}")
+
+    def add_tracer(self, tracer) -> None:
+        self.tracers.append(tracer)
+
+    # -- state ---------------------------------------------------------------
+    def set_state(self, target: State) -> None:
+        # Sinks first on upward changes (like the C core), sources first on down.
+        order = list(reversed(self.elements)) if target > State.NULL else self.elements
+        for e in order:
+            e.set_state(target)
+
+    # -- scheduling ----------------------------------------------------------
+    def sources(self) -> List[BaseSrc]:
+        return [e for e in self.elements if isinstance(e, BaseSrc)]
+
+    def run(self, max_iterations: Optional[int] = None) -> None:
+        """Drive all sources round-robin until every source hit EOS.
+
+        Must be called with the pipeline in PLAYING state."""
+        from .element import FlowReturn
+
+        active = {id(s): s for s in self.sources()}
+        if not active:
+            raise RuntimeError(f"{self.name}: no sources to drive")
+        iters = 0
+        while active:
+            for key, src in list(active.items()):
+                ret = src.iterate()
+                if ret == FlowReturn.EOS:
+                    del active[key]
+                elif ret == FlowReturn.ERROR:
+                    raise RuntimeError(f"{src.name}: flow error")
+            iters += 1
+            if max_iterations is not None and iters >= max_iterations:
+                break
+
+    def play_until_eos(self, max_iterations: Optional[int] = None) -> None:
+        self.set_state(State.PLAYING)
+        try:
+            self.run(max_iterations)
+        finally:
+            self.set_state(State.NULL)
+
+
+__all__ = ["Pipeline"]

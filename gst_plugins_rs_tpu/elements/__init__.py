@@ -1,0 +1,4 @@
+"""Element library. Importing this package registers all elements."""
+from . import sinks, sources  # noqa: F401
+from .audiofx import audioecho  # noqa: F401
+from .generic import basic  # noqa: F401
