@@ -2,3 +2,4 @@
 from . import sinks, sources  # noqa: F401
 from .audiofx import audioecho  # noqa: F401
 from .generic import basic  # noqa: F401
+from .video import colorlut, hsv  # noqa: F401

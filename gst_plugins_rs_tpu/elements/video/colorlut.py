@@ -1,0 +1,83 @@
+"""colorlut: Adobe .cube LUT color-grade element.
+
+Parity target: video/colorlut/src/colorlut/imp.rs (543 LoC) + parser.rs.
+Caps RGBA / RGBA64LE / RGBA64BE; NeverInPlace; LUT parsed at start() from
+`location`; alpha preserved (imp.rs:262,291-294).  The d3d12colorlut GPU
+variant in the reference proves device offload — here the LUT sampling always
+runs on device (ops/colorlut.py).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+
+from ...core import (
+    Buffer,
+    Prop,
+    TransformMode,
+    VideoFilter,
+    register,
+    video_caps_template,
+)
+from ...ops.colorlut import CubeLut, lut1d_apply, lut3d_apply
+
+_FORMATS = ("RGBA", "RGBA64LE", "RGBA64BE")
+
+
+@register
+class ColorLut(VideoFilter):
+    ELEMENT_NAME = "colorlut"
+    ELEMENT_CLASS = "Filter/Effect/Video"
+    ELEMENT_DESCRIPTION = "Applies .cube LUT (Look-Up Table) to video frames"
+    MODE = TransformMode.NEVER_IN_PLACE
+    PASSTHROUGH_ON_SAME_CAPS = False
+    TRANSFORM_IP_ON_PASSTHROUGH = False
+    SINK_CAPS = video_caps_template(_FORMATS)
+    SRC_CAPS = video_caps_template(_FORMATS)
+    PROPERTIES = [
+        Prop("location", None, type="str", mutable="ready", doc="Path of the .cube file"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._lut: Optional[CubeLut] = None
+        self._table = None
+        self._scale = None
+        self._offset = None
+
+    def start(self) -> None:
+        location = self.get_property("location")
+        if location is None:
+            raise RuntimeError(f"{self.name}: no .cube file location set")
+        self._lut = CubeLut.parse_file(location)
+        self._table = jnp.asarray(self._lut.table)
+        self._scale = [float(v) for v in self._lut.domain_scale]
+        self._offset = [float(v) for v in self._lut.domain_offset]
+
+    def stop(self) -> None:
+        self._lut = None
+        self._table = None
+
+    def transform(self, inbuf: Buffer) -> Buffer:
+        info = self.video_info
+        lut = self._lut
+        assert info is not None and lut is not None
+        r, g, b, _a = info.rgb_offsets
+        bits = 8 if info.format == "RGBA" else 16
+        fn = lut3d_apply if lut.is_3d else lut1d_apply
+        out_data = fn(
+            inbuf.data,
+            self._table,
+            self._scale,
+            self._offset,
+            size=lut.size,
+            offsets=(r, g, b),
+            bits=bits,
+        )
+        out = Buffer(out_data)
+        out.copy_metadata_from(inbuf)
+        return out
+
+
+__all__ = ["ColorLut"]
