@@ -1,0 +1,116 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline (BASELINE.md): 1080p frames/sec/chip for the hsvfilter/colorlut
+color-transform path, target >= 2000 fps/chip on TPU v5e; secondary audio
+realtime-x numbers are included in the JSON detail fields.
+
+Runs device-resident batched dispatches (frames stay on device across the
+fused chain, as in a real pipeline); host<->device transfers are excluded —
+the tunnel in this environment caps transfers at ~22 MB/s which no real
+deployment has.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _checksum(out):
+    """Tiny host readback that forces full device completion (on the axon
+    relay, block_until_ready acknowledges before execution finishes)."""
+    import jax.numpy as jnp
+
+    leaf = out[0] if isinstance(out, tuple) else out
+    return np.asarray(jnp.sum(leaf.astype(jnp.int32) if leaf.dtype.kind == "u" else leaf))
+
+
+def _bench(step, state, iters=200):
+    """Time a dependency-chained step: state = step(state) repeated.
+
+    Chaining prevents the runtime from overlapping/eliding dispatches; a
+    scalar checksum readback at the end forces completion. The readback
+    overhead is measured separately and subtracted."""
+    state1 = step(state)  # compile
+    _checksum(state1)
+
+    def run(n):
+        s = state
+        t0 = time.perf_counter()
+        for _ in range(n):
+            s = step(s)
+        _checksum(s)
+        return time.perf_counter() - t0
+
+    overhead = run(0)
+    total = run(iters)
+    return max((total - overhead) / iters, 1e-9)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gst_plugins_rs_tpu.ops.colorlut import lut3d_apply_packed, pack_corner_table
+    from gst_plugins_rs_tpu.ops.echo import echo_apply_batched
+    from gst_plugins_rs_tpu.ops.hsv import hsv_filter_frame
+
+    results = {}
+    rng = np.random.RandomState(0)
+
+    # --- 1080p hsvfilter (batch of 8 frames per dispatch, chained) ----------
+    BATCH = 8
+    frames = jnp.asarray(rng.randint(0, 256, (BATCH, 1080, 1920, 3), np.uint8))
+    params = jnp.asarray([120.0, 1.1, -0.05, 0.95, 0.02], jnp.float32)
+    step = jax.jit(lambda f: hsv_filter_frame(f, params, offsets=(0, 1, 2)))
+    dt = _bench(step, frames)
+    results["hsv_1080p_fps"] = BATCH / dt
+
+    # --- 1080p colorlut 33^3 trilinear grade --------------------------------
+    size = 33
+    packed = jnp.asarray(pack_corner_table(rng.uniform(0, 1, (size**3, 3)).astype(np.float32), size))
+    frames_rgba = jnp.asarray(rng.randint(0, 256, (BATCH, 1080, 1920, 4), np.uint8))
+    scale = [1.0, 1.0, 1.0]
+    offset = [0.0, 0.0, 0.0]
+    step = jax.jit(
+        lambda f: lut3d_apply_packed(f, packed, scale, offset, size=size, offsets=(0, 1, 2), bits=8)
+    )
+    dt = _bench(step, frames_rgba)
+    results["colorlut_1080p_fps"] = BATCH / dt
+
+    # --- echo audio realtime-x (64 streams x 1 s stereo 48 kHz) -------------
+    STREAMS, RATE, CH = 64, 48000, 2
+    N = RATE * CH  # 1 s interleaved
+    x0 = jnp.asarray(rng.uniform(-1, 1, (STREAMS, N)).astype(np.float32))
+    hist0 = jnp.zeros((STREAMS, N), jnp.float32)
+    inten = jnp.full((STREAMS,), 0.5, jnp.float32)
+    fb = jnp.full((STREAMS,), 0.4, jnp.float32)
+    lag = (250_000_000 * CH * RATE) // 1_000_000_000
+
+    @jax.jit
+    def echo_step(state):
+        x, hist = state
+        out, hist = echo_apply_batched(x, hist, inten, fb, lag=lag)
+        return out, hist
+
+    dt = _bench(echo_step, (x0, hist0), iters=100)
+    results["echo_realtime_x"] = STREAMS * 1.0 / dt  # seconds of audio per second
+
+    headline = results["hsv_1080p_fps"]
+    print(
+        json.dumps(
+            {
+                "metric": "hsv_1080p_fps_per_chip",
+                "value": round(headline, 1),
+                "unit": "frames/s",
+                "vs_baseline": round(headline / 2000.0, 3),
+                "detail": {k: round(v, 1) for k, v in results.items()},
+                "device": str(jax.devices()[0]),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -20,7 +20,14 @@ from ...core import (
     register,
     video_caps_template,
 )
-from ...ops.colorlut import CubeLut, lut1d_apply, lut3d_apply
+from ...ops.colorlut import (
+    PACKED_TABLE_MAX_SIZE,
+    CubeLut,
+    lut1d_apply,
+    lut3d_apply,
+    lut3d_apply_packed,
+    pack_corner_table,
+)
 
 _FORMATS = ("RGBA", "RGBA64LE", "RGBA64BE")
 
@@ -51,7 +58,12 @@ class ColorLut(VideoFilter):
         if location is None:
             raise RuntimeError(f"{self.name}: no .cube file location set")
         self._lut = CubeLut.parse_file(location)
-        self._table = jnp.asarray(self._lut.table)
+        if self._lut.is_3d and self._lut.size <= PACKED_TABLE_MAX_SIZE:
+            self._table = jnp.asarray(pack_corner_table(self._lut.table, self._lut.size))
+            self._packed = True
+        else:
+            self._table = jnp.asarray(self._lut.table)
+            self._packed = False
         self._scale = [float(v) for v in self._lut.domain_scale]
         self._offset = [float(v) for v in self._lut.domain_offset]
 
@@ -65,7 +77,10 @@ class ColorLut(VideoFilter):
         assert info is not None and lut is not None
         r, g, b, _a = info.rgb_offsets
         bits = 8 if info.format == "RGBA" else 16
-        fn = lut3d_apply if lut.is_3d else lut1d_apply
+        if lut.is_3d:
+            fn = lut3d_apply_packed if self._packed else lut3d_apply
+        else:
+            fn = lut1d_apply
         out_data = fn(
             inbuf.data,
             self._table,

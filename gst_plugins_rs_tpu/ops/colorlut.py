@@ -149,6 +149,87 @@ def lut1d_apply(frame, table, scale, offset, *, size: int, offsets: Tuple[int, i
     return out
 
 
+def pack_corner_table(table: np.ndarray, size: int) -> np.ndarray:
+    """Precompute, per 3D cell index, all 8 corner RGB values as one row.
+
+    TPU gathers run at ~1 element/cycle, so the naive 8 scattered gathers per
+    pixel are latency-bound.  Packing the 8 corners (with the reference's
+    x1=min(x0+1,size-1) clamping baked in) into one [size^3, 24] row turns
+    sampling into a single wide-row gather per pixel — bandwidth-bound
+    instead of gather-op-bound.  Row layout: corners ordered
+    (z1,y1,x1) bits = (0..7), each corner 3 floats RGB."""
+    t = table.reshape(size, size, size, 3)  # [z, y, x, 3] flat order x fastest
+    # build clamped shifted views
+    def sh(a, axis):
+        idx = np.minimum(np.arange(size) + 1, size - 1)
+        return np.take(a, idx, axis=axis)
+
+    corners = []
+    for zb in (0, 1):
+        for yb in (0, 1):
+            for xb in (0, 1):
+                c = t
+                if zb:
+                    c = sh(c, 0)
+                if yb:
+                    c = sh(c, 1)
+                if xb:
+                    c = sh(c, 2)
+                corners.append(c)
+    packed = np.stack(corners, axis=3)  # [z, y, x, 8, 3]
+    return packed.reshape(size**3, 24).astype(np.float32)
+
+
+@partial(jax.jit, static_argnames=("size", "offsets", "bits"))
+def lut3d_apply_packed(
+    frame, packed, scale, offset, *, size: int, offsets: Tuple[int, int, int], bits: int
+):
+    """Trilinear 3D LUT via the packed corner table (one gather per pixel).
+
+    packed: [size^3, 24] from pack_corner_table. Bit-identical lerp order to
+    lut3d_apply / the reference (imp.rs:494-534)."""
+    maxval = float(2**bits - 1)
+    dtype = frame.dtype
+    r = frame[..., offsets[0]].astype(jnp.float32) / maxval
+    g = frame[..., offsets[1]].astype(jnp.float32) / maxval
+    b = frame[..., offsets[2]].astype(jnp.float32) / maxval
+
+    x = _norm(r, scale[0], offset[0], size)
+    y = _norm(g, scale[1], offset[1], size)
+    z = _norm(b, scale[2], offset[2], size)
+
+    def fl(v):
+        v0 = jnp.minimum(jnp.floor(v).astype(jnp.int32), size - 1)
+        return v0, v - v0.astype(jnp.float32)
+
+    x0, tx = fl(x)
+    y0, ty = fl(y)
+    z0, tz = fl(z)
+
+    rows = packed[x0 + y0 * size + z0 * size * size]  # [..., 24]
+    c = rows.reshape(rows.shape[:-1] + (8, 3))
+    tx = tx[..., None]
+    ty = ty[..., None]
+    tz = tz[..., None]
+    c00 = c[..., 0, :] + (c[..., 1, :] - c[..., 0, :]) * tx
+    c10 = c[..., 2, :] + (c[..., 3, :] - c[..., 2, :]) * tx
+    c01 = c[..., 4, :] + (c[..., 5, :] - c[..., 4, :]) * tx
+    c11 = c[..., 6, :] + (c[..., 7, :] - c[..., 6, :]) * tx
+    c0 = c00 + (c10 - c00) * ty
+    c1 = c01 + (c11 - c01) * ty
+    cc = c0 + (c1 - c0) * tz
+
+    out = frame
+    for comp, off in enumerate(offsets):
+        q = jnp.round(jnp.clip(cc[..., comp], 0.0, 1.0) * maxval).astype(dtype)
+        out = out.at[..., off].set(q)
+    return out
+
+
+# Above this size the packed table gets large (size^3 * 96 B); 65^3 ~ 26 MB.
+PACKED_TABLE_MAX_SIZE = 65
+
+
 @partial(jax.jit, static_argnames=("size", "offsets", "bits"))
 def lut3d_apply(frame, table, scale, offset, *, size: int, offsets: Tuple[int, int, int], bits: int):
     """Trilinear 3D LUT grade; alpha/extra channels preserved.
@@ -194,4 +275,12 @@ def lut3d_apply(frame, table, scale, offset, *, size: int, offsets: Tuple[int, i
     return out
 
 
-__all__ = ["CubeLut", "CubeParseError", "lut1d_apply", "lut3d_apply"]
+__all__ = [
+    "CubeLut",
+    "CubeParseError",
+    "lut1d_apply",
+    "lut3d_apply",
+    "lut3d_apply_packed",
+    "pack_corner_table",
+    "PACKED_TABLE_MAX_SIZE",
+]
