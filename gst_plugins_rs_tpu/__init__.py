@@ -9,6 +9,23 @@ device kernels.  See SURVEY.md for the reference layer map this is built to.
 
 __version__ = "0.1.0"
 
+import os as _os
+
+import jax as _jax
+
+# Persistent compilation cache, opt-in via GSTPU_JAX_CACHE=<dir>: the big scan
+# kernels (loudnorm limiter FSM, K-weighting associative scans) then compile
+# once per machine.  Opt-in only — a cache entry AOT-compiled for a different
+# host target can load with WRONG numerics on CPU (observed here), so it is
+# only safe for single-backend TPU runs (bench.py enables it).
+_cache_dir = _os.environ.get("GSTPU_JAX_CACHE")
+if _cache_dir:
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # noqa: BLE001 - older jax without these options
+        pass
+
 from . import elements  # noqa: F401  (registers the element library)
 from .core import (  # noqa: F401
     Buffer,

@@ -20,11 +20,19 @@ class Adapter:
         self._chunks: deque = deque()  # (array, pts, offset)
         self._head = 0  # frames consumed from the first chunk
         self._available = 0
+        # pts/offset of the most recent chunk data was consumed from, plus
+        # frames consumed past its start (gst Adapter prev_pts semantics)
+        self._last_pts: Optional[int] = None
+        self._last_offset: Optional[int] = None
+        self._consumed_since = 0
 
     def clear(self) -> None:
         self._chunks.clear()
         self._head = 0
         self._available = 0
+        self._last_pts = None
+        self._last_offset = None
+        self._consumed_since = 0
 
     def push(self, buf: Buffer) -> None:
         if buf.data is None or buf.data.shape[0] == 0:
@@ -42,15 +50,16 @@ class Adapter:
         return self._available
 
     def prev_pts(self) -> Tuple[Optional[int], int]:
-        """(pts of the chunk containing the head, frames from its start)."""
+        """(pts of the chunk containing/last-containing the head, frames from
+        its start).  Keeps returning the trailing position after full drain."""
         if not self._chunks:
-            return None, 0
+            return self._last_pts, self._consumed_since
         _, pts, _ = self._chunks[0]
         return pts, self._head
 
     def prev_offset(self) -> Tuple[Optional[int], int]:
         if not self._chunks:
-            return None, 0
+            return self._last_offset, self._consumed_since
         _, _, off = self._chunks[0]
         return off, self._head
 
@@ -65,6 +74,9 @@ class Adapter:
             left = int(data.shape[0]) - self._head
             use = min(left, need)
             pieces.append(data[self._head : self._head + use])
+            self._last_pts = pts
+            self._last_offset = off
+            self._consumed_since = self._head + use
             need -= use
             if use == left:
                 self._chunks.popleft()

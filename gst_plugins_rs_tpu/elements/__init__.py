@@ -1,5 +1,11 @@
 """Element library. Importing this package registers all elements."""
 from . import sinks, sources  # noqa: F401
-from .audiofx import audioecho, ebur128level  # noqa: F401
+from .audiofx import (  # noqa: F401
+    agingradio,
+    audioecho,
+    audioloudnorm,
+    ebur128level,
+    hrtfrender,
+)
 from .generic import basic  # noqa: F401
 from .video import colorlut, hsv  # noqa: F401

@@ -74,14 +74,95 @@ def k_weighting_coeffs(rate: int) -> Tuple[np.ndarray, np.ndarray]:
     return np.stack([b1, b2]), np.stack([a1, a2])
 
 
-def biquad_apply(x, b, a, zi):
-    """Apply one biquad along the leading axis via associative scan.
+def _pick_block(n: int, target: int = 2048) -> int:
+    """Largest divisor of n that is <= target (static, trace-time)."""
+    best = 1
+    d = 1
+    while d * d <= n:
+        if n % d == 0:
+            if d <= target:
+                best = max(best, d)
+            q = n // d
+            if q <= target:
+                best = max(best, q)
+        d += 1
+    return best
 
-    x: [N, ...]; zi: [2, ...] direct-form-II-transposed state.
-    Returns (y [N, ...], zf [2, ...]).  The recurrence
-        s[n] = A s[n-1] + B x[n],  y[n] = s1[n-1] + b0 x[n]
-    with A = [[-a1, 1], [-a2, 0]] is evaluated with an associative scan over
-    (A^n, cumulative input) pairs — log-depth, fully vectorized."""
+
+_BLOCK_MATS_CACHE: dict = {}
+
+
+def _biquad_block_mats(b, a, block: int):
+    """Precompute (host, f64) the blocked-IIR operator matrices.
+
+    With state recurrence s[n] = A s[n-1] + Bv x[n], y[n] = C s[n-1] + b0 x[n]
+    (A = [[-a1,1],[-a2,0]], Bv = [b1-a1*b0, b2-a2*b0], C = [1,0]):
+
+      y_block = T @ x_block + S0 @ s_in       T: [B,B] lower Toeplitz
+      s_out   = AB @ s_in  + G @ x_block      AB = A^B, G: [2,B]
+
+    All powers computed exactly in f64 then cast — the recurrence over blocks
+    is contractive (|eig(AB)| = r^B < 1), so f32 error does NOT accumulate,
+    unlike a full-axis associative scan (which squares sub-noise tail entries
+    of A^n into garbage for near-unit poles)."""
+    b = np.asarray(b, np.float64)
+    a = np.asarray(a, np.float64)
+    key = (b.tobytes(), a.tobytes(), block)
+    hit = _BLOCK_MATS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    b0, b1_, b2_ = b
+    _, a1_, a2_ = a
+    A = np.array([[-a1_, 1.0], [-a2_, 0.0]])
+    Bv = np.array([b1_ - a1_ * b0, b2_ - a2_ * b0])
+    # powers A^0 .. A^block
+    pows = [np.eye(2)]
+    for _ in range(block):
+        pows.append(A @ pows[-1])
+    f = np.array([(p @ Bv)[0] for p in pows])  # f[m] = C A^m Bv
+    T = np.zeros((block, block))
+    idx = np.arange(block)
+    T[idx, idx] = b0
+    for n in range(1, block):
+        T[n, :n] = f[n - 1 - np.arange(n)]  # row n: [f[n-1], ..., f[0]]
+    S0 = np.stack([pows[n][0, :] for n in range(block)])  # [B, 2]
+    G = np.stack([pows[block - 1 - k] @ Bv for k in range(block)], axis=1)  # [2, B]
+    AB = pows[block]
+    out = (T, S0, G, AB)
+    _BLOCK_MATS_CACHE[key] = out
+    return out
+
+
+def biquad_apply(x, b, a, zi, block_target: int = 512):
+    """Apply one biquad along the leading axis (blocked-IIR matmul form).
+
+    x: [N, ch]; zi: [2, ch] direct-form-II-transposed state.  Per block the
+    output is one [B,B]x[B,ch] matmul (MXU) plus tiny state terms; blocks
+    advance via lax.scan.  Matmuls run at HIGHEST precision — bf16 MXU passes
+    would reintroduce the instability this formulation removes."""
+    N = x.shape[0]
+    dtype = x.dtype
+    block = _pick_block(N, block_target)
+    T, S0, G, AB = _biquad_block_mats(np.asarray(b), np.asarray(a), block)
+    Tj = jnp.asarray(T, dtype)
+    S0j = jnp.asarray(S0, dtype)
+    Gj = jnp.asarray(G, dtype)
+    ABj = jnp.asarray(AB, dtype)
+    hp = jax.lax.Precision.HIGHEST
+
+    nb = N // block
+    xb = x.reshape((nb, block) + x.shape[1:])
+
+    def step(s, xi):
+        y = jnp.dot(Tj, xi, precision=hp) + jnp.dot(S0j, s, precision=hp)
+        s_next = jnp.dot(ABj, s, precision=hp) + jnp.dot(Gj, xi, precision=hp)
+        return s_next, y
+
+    zf, yb = jax.lax.scan(step, zi, xb)
+    return yb.reshape(x.shape), zf
+
+
+def _biquad_assoc(x, b, a, zi):
     b0, b1_, b2_ = b[0], b[1], b[2]
     a1_, a2_ = a[1], a[2]
     dtype = x.dtype
@@ -191,8 +272,10 @@ class R128Params:
     engine instances (array shapes are rate-independent)."""
 
     def __init__(self, coeffs_b, coeffs_a, weights, energies, boundaries, tp_filter, n100, tp_factor):
-        self.coeffs_b = coeffs_b  # [2, 3]
-        self.coeffs_a = coeffs_a  # [2, 3]
+        # filter coefficients are STATIC (rate-derived): the blocked-IIR
+        # operator matrices are precomputed from concrete values at trace time
+        self.coeffs_b = tuple(map(tuple, np.asarray(coeffs_b, np.float64)))  # ((3,), (3,))
+        self.coeffs_a = tuple(map(tuple, np.asarray(coeffs_a, np.float64)))
         self.weights = weights  # [ch]
         self.energies = energies  # [1000] histogram bin centers
         self.boundaries = boundaries  # [1001]
@@ -201,13 +284,12 @@ class R128Params:
         self.tp_factor = tp_factor  # oversample factor (static)
 
     def tree_flatten(self):
-        children = (self.coeffs_b, self.coeffs_a, self.weights, self.energies,
-                    self.boundaries, self.tp_filter)
-        return children, (self.n100, self.tp_factor)
+        children = (self.weights, self.energies, self.boundaries, self.tp_filter)
+        return children, (self.n100, self.tp_factor, self.coeffs_b, self.coeffs_a)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, n100=aux[0], tp_factor=aux[1])
+        return cls(aux[2], aux[3], *children, n100=aux[0], tp_factor=aux[1])
 
 
 TP_TAPS = 49
@@ -240,8 +322,8 @@ def r128_params(rate: int, positions: Sequence[str], dtype=jnp.float64) -> R128P
         factor = 1
     tp = _true_peak_filter(factor) if factor > 1 else np.ones((1, 1))
     return R128Params(
-        coeffs_b=jnp.asarray(b, dtype),
-        coeffs_a=jnp.asarray(a, dtype),
+        coeffs_b=b,
+        coeffs_a=a,
         weights=jnp.asarray(channel_weights(positions), dtype),
         energies=energies,
         boundaries=boundaries,
