@@ -8,5 +8,6 @@ from .audiofx import (  # noqa: F401
     ebur128level,
     hrtfrender,
 )
+from .analytics import meta, yoloxinference, yoloxtensordec  # noqa: F401
 from .generic import basic  # noqa: F401
 from .video import colorlut, hsv  # noqa: F401
