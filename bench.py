@@ -97,6 +97,39 @@ def main():
     dt = _bench(echo_step, (x0, hist0), iters=100)
     results["echo_realtime_x"] = STREAMS * 1.0 / dt  # seconds of audio per second
 
+    # --- audioloudnorm realtime-x (single stream, 16 frames per dispatch) ---
+    from gst_plugins_rs_tpu.ops import loudnorm as LN
+
+    ln_params = LN.loudnorm_params(-24.0, 7.0, -2.0, 2, jnp.float32)
+    ln_state = LN.loudnorm_init(ln_params, 2, 0.0, jnp.float32)
+    sig3 = jnp.asarray(rng.uniform(-0.5, 0.5, (LN.GAIN_LOOKAHEAD, 2)).astype(np.float32))
+    ln_state, _ = LN.first_frame_step_jit(ln_state, ln_params, sig3)
+    K = 16
+    srcs = jnp.asarray(rng.uniform(-0.5, 0.5, (K, LN.FRAME, 2)).astype(np.float32))
+
+    def ln_step(state):
+        s, outs = LN.inner_frames_scan_jit(state, ln_params, srcs)
+        return s
+
+    dt = _bench(ln_step, ln_state, iters=20)
+    results["loudnorm_realtime_x"] = (K * 0.1) / dt
+
+    # --- YOLOX-tiny 640x640 inference fps -----------------------------------
+    from gst_plugins_rs_tpu.models.yolox import Yolox
+
+    model = Yolox.from_variant("tiny")
+    img = jnp.asarray(rng.randint(0, 256, (1, 640, 640, 3), np.uint8), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(0), img)
+    fwd = jax.jit(lambda im: model.apply(variables, im))
+
+    def yolox_step(im):
+        out = fwd(im)
+        # chain dependency through a no-op image perturbation
+        return im + 0.0 * jnp.mean(out)
+
+    dt = _bench(yolox_step, img, iters=20)
+    results["yolox_tiny_640_fps"] = 1.0 / dt
+
     headline = results["hsv_1080p_fps"]
     print(
         json.dumps(

@@ -1,5 +1,6 @@
 """Core runtime: buffers, caps, events, pads, elements, pipeline, harness."""
 from .adapter import Adapter
+from .aggregator import Aggregator, AggregatorPad
 from .audio import AudioInfo, AudioLayout, ChannelPosition, audio_caps_template
 from .basesrc import BaseSink, BaseSrc
 from .basetransform import AudioFilter, BaseTransform, TransformMode, VideoFilter
@@ -41,6 +42,8 @@ from .video import VideoInfo, video_caps_template
 
 __all__ = [
     "Adapter",
+    "Aggregator",
+    "AggregatorPad",
     "AudioFilter",
     "AudioInfo",
     "AudioLayout",

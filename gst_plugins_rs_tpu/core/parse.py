@@ -89,41 +89,90 @@ def parse_caps(text: str) -> Caps:
     return Caps(structures)
 
 
-def parse_launch(description: str) -> Pipeline:
-    pipeline = Pipeline()
-    chains = description.split("!")
-    prev = None
-    for chunk in chains:
-        tokens = shlex.split(chunk.strip())
-        if not tokens:
-            raise ValueError(f"empty element in pipeline: {description!r}")
-        head = tokens[0]
-        if _MEDIA_TYPE_RE.match(head) and not factory_exists(head):
-            # caps filter shorthand
-            elem = element_factory_make("capsfilter")
-            elem.set_property("caps", parse_caps(chunk.strip()))
+def _make_element(head: str, prop_tokens) -> "object":
+    if _MEDIA_TYPE_RE.match(head) and not factory_exists(head):
+        # caps filter shorthand: media-type optionally followed by
+        # comma-joined fields already merged into `head`
+        elem = element_factory_make("capsfilter")
+        elem.set_property("caps", parse_caps(head))
+        if prop_tokens:
+            raise ValueError(f"caps filter cannot take properties: {prop_tokens}")
+        return elem
+    instance_name = None
+    props = []
+    for tok in prop_tokens:
+        if "=" not in tok:
+            raise ValueError(f"bad property token {tok!r}")
+        k, v = tok.split("=", 1)
+        if k == "name":
+            instance_name = v
         else:
-            instance_name = None
-            props = []
-            for tok in tokens[1:]:
-                if "=" not in tok:
-                    raise ValueError(f"bad property token {tok!r} in {description!r}")
-                k, v = tok.split("=", 1)
-                if k == "name":
-                    instance_name = v
-                else:
-                    props.append((k, v))
-            elem = element_factory_make(head, instance_name)
-            for k, v in props:
-                spec = elem._prop_specs.get(k)
-                if spec is not None and spec.type == "object" and k == "caps":
-                    elem.set_property(k, parse_caps(v.strip('"')))
-                else:
-                    elem.set_property(k, parse_value(v))
+            props.append((k, v))
+    elem = element_factory_make(head, instance_name)
+    for k, v in props:
+        spec = elem._prop_specs.get(k)
+        if spec is not None and spec.type == "object" and k == "caps":
+            elem.set_property(k, parse_caps(v.strip('"')))
+        else:
+            elem.set_property(k, parse_value(v))
+    return elem
+
+
+def parse_launch(description: str) -> Pipeline:
+    """gst-launch grammar subset: chains of `elem prop=v ! elem ! ...`;
+    several chains in one description; a trailing `name.` (or `name.pad`)
+    token links the chain into the named element's (request) sink pad."""
+    tokens = shlex.split(description)
+    if not tokens:
+        raise ValueError("empty pipeline description")
+
+    pipeline = Pipeline()
+    prev = None  # last element of the current chain
+    expect_element = True  # True right after "!" or at a chain start
+
+    i = 0
+    while i < len(tokens):
+        tok = tokens[i]
+        if tok == "!":
+            if prev is None or expect_element:
+                raise ValueError(f"empty element in pipeline: {description!r}")
+            expect_element = True
+            i += 1
+            continue
+
+        if not expect_element:
+            # a bare element token right after a finished element: new chain
+            prev = None
+            expect_element = True
+            continue
+
+        # reference to a named element: "name." or "name.padname"
+        m = re.fullmatch(r"([A-Za-z_][\w-]*)\.([\w%]+)?", tok)
+        if m and not _MEDIA_TYPE_RE.match(tok):
+            target = pipeline.by_name(m.group(1))
+            if prev is None:
+                raise ValueError(f"dangling pad reference {tok!r}")
+            prev.link(target)
+            prev = target
+            expect_element = False
+            i += 1
+            continue
+
+        head = tok
+        props = []
+        j = i + 1
+        while j < len(tokens) and tokens[j] not in ("!",) and "=" in tokens[j] and not tokens[j].endswith("."):
+            props.append(tokens[j])
+            j += 1
+        elem = _make_element(head, props)
         pipeline.add(elem)
         if prev is not None:
             prev.link(elem)
         prev = elem
+        expect_element = False
+        i = j
+    if expect_element:
+        raise ValueError(f"empty element in pipeline: {description!r}")
     return pipeline
 
 

@@ -10,4 +10,4 @@ from .audiofx import (  # noqa: F401
 )
 from .analytics import meta, yoloxinference, yoloxtensordec  # noqa: F401
 from .generic import basic  # noqa: F401
-from .video import colorlut, hsv  # noqa: F401
+from .video import colordetect, colorlut, hsv, videocompare  # noqa: F401
