@@ -67,7 +67,21 @@ class Aggregator(Element):
         pad = AggregatorPad(name, self._sink_template)
         pad.chain_function = self._sink_chain
         pad.event_function = self._sink_event
+        pad.query_function = self._sink_query
         return self.add_pad(pad)  # type: ignore[return-value]
+
+    def _sink_query(self, pad: Pad, query) -> bool:
+        from .events import QueryType
+
+        if query.type == QueryType.CAPS:
+            # sink caps are independent of the (batch-format) src side
+            filter_ = query.fields.get("filter")
+            caps = self.SINK_TEMPLATE_CAPS
+            if filter_ is not None:
+                caps = filter_.intersect(caps)
+            query.result["caps"] = caps
+            return True
+        return self._default_query(pad, query)
 
     def request_pad(self, template_name: str = "sink_%u") -> AggregatorPad:
         return self.request_sink_pad()

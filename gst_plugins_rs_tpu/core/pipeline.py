@@ -24,6 +24,10 @@ class Pipeline:
         self.elements: List[Element] = []
         self.tracers: List = []  # utils.tracers hooks
         self.parent = None
+        # GSTPU_TRACERS env activation (utils/tracers analog)
+        from ..utils.tracers import install_from_env
+
+        install_from_env(self)
 
     def add(self, *elements: Element) -> None:
         for e in elements:

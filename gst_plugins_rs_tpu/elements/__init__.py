@@ -8,6 +8,6 @@ from .audiofx import (  # noqa: F401
     ebur128level,
     hrtfrender,
 )
-from .analytics import meta, yoloxinference, yoloxtensordec  # noqa: F401
+from .analytics import combiner, meta, yoloxinference, yoloxtensordec  # noqa: F401
 from .generic import basic  # noqa: F401
 from .video import colordetect, colorlut, hsv, videocompare  # noqa: F401

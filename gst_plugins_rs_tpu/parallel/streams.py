@@ -1,0 +1,113 @@
+"""Multi-stream batching: many independent streams per device dispatch.
+
+The TPU-native analog of the reference's threadshare runtime
+(generic/threadshare/src/runtime/ — "many elements, few threads",
+runtime/mod.rs:9-49) and of analyticscombiner's batch-across-streams strategy
+(SURVEY.md §2.3): instead of amortizing OS wakeups across hundreds of
+streams, a StreamBank amortizes *device dispatches* — N streams' element
+state rides a leading batch axis, one vmapped jit processes a buffer for
+every stream at once, and a jax.sharding.Mesh spreads the stream axis over
+chips (collectives ride ICI).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_stream_mesh(n_devices: Optional[int] = None, axis: str = "stream") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+class StreamBank:
+    """N parallel instances of a pure streaming step, one dispatch per tick.
+
+    step_fn: (state, x) -> (state, y) for ONE stream.
+    init_state: per-stream initial state pytree (replicated to N streams).
+    With a mesh, the stream axis of both state and data is sharded over it.
+    """
+
+    def __init__(
+        self,
+        step_fn: Callable,
+        init_state: Any,
+        n_streams: int,
+        mesh: Optional[Mesh] = None,
+        axis: str = "stream",
+    ):
+        self.n = n_streams
+        self.mesh = mesh
+        self.axis = axis
+        self.states = jax.tree_util.tree_map(
+            lambda a: jnp.broadcast_to(a[None], (n_streams,) + a.shape), init_state
+        )
+        if mesh is not None:
+            sharding = NamedSharding(mesh, P(axis))
+            self.states = jax.tree_util.tree_map(
+                lambda a: jax.device_put(a, sharding), self.states
+            )
+        self._step = jax.jit(jax.vmap(step_fn))
+
+    def shard(self, x):
+        """Place a [n_streams, ...] batch with the bank's stream sharding."""
+        if self.mesh is None:
+            return x
+        return jax.device_put(x, NamedSharding(self.mesh, P(self.axis)))
+
+    def process(self, x):
+        """x: [n_streams, ...] one buffer per stream -> [n_streams, ...]."""
+        self.states, y = self._step(self.states, x)
+        return y
+
+
+def loudnorm_bank(n_streams: int, channels: int = 2, mesh: Optional[Mesh] = None,
+                  loudness_target: float = -24.0, dtype=jnp.float32) -> StreamBank:
+    """A bank of audioloudnorm engines: every tick consumes one 100 ms frame
+    per stream in a single dispatch (after per-stream first-frame init)."""
+    from ..ops import loudnorm as LN
+
+    params = LN.loudnorm_params(loudness_target, 7.0, -2.0, channels, dtype)
+    init = LN.loudnorm_init(params, channels, 0.0, dtype)
+
+    def step(state, frame):
+        return LN.inner_frame_step(state, params, frame)
+
+    bank = StreamBank(step, init, n_streams, mesh)
+
+    _first = jax.jit(jax.vmap(lambda s, x: LN.first_frame_step(s, params, x)))
+
+    def first_frame(first3s):
+        """Run the 3 s first frame for every stream in one dispatch.
+        first3s: [n_streams, 3 s, ch] -> [n_streams, 100 ms, ch]."""
+        bank.states, outs = _first(bank.states, bank.shard(first3s))
+        return outs
+
+    bank.first_frame = first_frame  # type: ignore[attr-defined]
+    return bank
+
+
+def echo_bank(n_streams: int, rate: int = 48000, channels: int = 2,
+              delay_ns: int = 250_000_000, intensity: float = 0.5,
+              feedback: float = 0.4, mesh: Optional[Mesh] = None) -> StreamBank:
+    from ..ops.echo import echo_apply_flat, echo_lag_samples, echo_ring_size
+
+    S = echo_ring_size(1_000_000_000, rate, channels)
+    lag = echo_lag_samples(delay_ns, 1_000_000_000, rate, channels)
+    init = jnp.zeros((S,), jnp.float32)
+
+    def step(hist, x):
+        out, hist = echo_apply_flat(
+            x, hist, jnp.float32(intensity), jnp.float32(feedback), lag=lag
+        )
+        return hist, out
+
+    return StreamBank(step, init, n_streams, mesh)
+
+
+__all__ = ["StreamBank", "make_stream_mesh", "echo_bank", "loudnorm_bank"]

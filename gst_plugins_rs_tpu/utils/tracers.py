@@ -1,0 +1,184 @@
+"""Tracers: observability hooks activated by environment variable.
+
+Rebuild of utils/tracers (SURVEY.md §5; 11 tracer modules activated by
+GST_TRACERS, utils/tracers/src/lib.rs:17-55).  Here the env var is
+GSTPU_TRACERS with the same mini-language:
+
+    GSTPU_TRACERS='queue-levels(file=/tmp/q.csv);pad-push-timings(file=/tmp/p.csv)'
+
+Tracers hook buffer pushes on every pad (core Element._trace_buffer) and are
+installed automatically on every Pipeline.
+
+- queue-levels:      CSV of adapter/queue fill levels over time
+                     (utils/tracers/src/queue_levels/imp.rs analog)
+- pad-push-timings:  CSV of per-pad buffer push wall-clock timings
+- buffer-lateness:   CSV of buffer PTS vs pipeline wall-clock lateness
+- pipeline-snapshot: writes a graphviz .dot of the pipeline graph on demand
+                     (dot_file property; SIGUSR1-on-unix analog via snapshot())
+"""
+from __future__ import annotations
+
+import os
+import re
+import time
+from typing import Dict, List, Optional
+
+from ..core.buffer import Buffer
+
+
+class Tracer:
+    name = "tracer"
+
+    def __init__(self, **params: str):
+        self.params = params
+
+    def on_buffer(self, element, pad, buffer: Buffer) -> None: ...
+
+    def close(self) -> None: ...
+
+
+class PadPushTimingsTracer(Tracer):
+    name = "pad-push-timings"
+
+    def __init__(self, **params):
+        super().__init__(**params)
+        self._file = open(params.get("file", "pad_push_timings.csv"), "w")
+        self._file.write("wallclock,element,pad,pts,frames\n")
+        self._t0 = time.monotonic()
+
+    def on_buffer(self, element, pad, buffer: Buffer) -> None:
+        frames = buffer.n_frames if buffer.data is not None else 0
+        self._file.write(
+            f"{time.monotonic() - self._t0:.6f},{element.name},{pad.name},"
+            f"{'' if buffer.pts is None else buffer.pts},{frames}\n"
+        )
+
+    def close(self) -> None:
+        self._file.close()
+
+
+class QueueLevelsTracer(Tracer):
+    name = "queue-levels"
+
+    def __init__(self, **params):
+        super().__init__(**params)
+        self._file = open(params.get("file", "queue_levels.csv"), "w")
+        self._file.write("wallclock,element,queue,level_frames\n")
+        self._t0 = time.monotonic()
+
+    def on_buffer(self, element, pad, buffer: Buffer) -> None:
+        # sample every adapter-like attribute the element exposes
+        t = time.monotonic() - self._t0
+        for attr in ("_adapter", "adapter"):
+            a = getattr(element, attr, None)
+            if a is not None and hasattr(a, "available"):
+                self._file.write(f"{t:.6f},{element.name},{attr},{a.available()}\n")
+        state = getattr(element, "_state", None)
+        if state is not None and hasattr(state, "adapter"):
+            self._file.write(f"{t:.6f},{element.name},state.adapter,{state.adapter.available()}\n")
+
+    def close(self) -> None:
+        self._file.close()
+
+
+class BufferLatenessTracer(Tracer):
+    name = "buffer-lateness"
+
+    def __init__(self, **params):
+        super().__init__(**params)
+        self._file = open(params.get("file", "buffer_lateness.csv"), "w")
+        self._file.write("wallclock,element,pad,pts,lateness\n")
+        self._t0 = time.monotonic()
+
+    def on_buffer(self, element, pad, buffer: Buffer) -> None:
+        t = time.monotonic() - self._t0
+        if buffer.pts is None:
+            return
+        lateness = t - buffer.pts / 1e9
+        self._file.write(f"{t:.6f},{element.name},{pad.name},{buffer.pts},{lateness:.6f}\n")
+
+    def close(self) -> None:
+        self._file.close()
+
+
+class PipelineSnapshotTracer(Tracer):
+    name = "pipeline-snapshot"
+
+    def __init__(self, **params):
+        super().__init__(**params)
+        self.dot_file = params.get("dot-file", "pipeline.dot")
+        self._pipeline = None
+
+    def attach(self, pipeline) -> None:
+        self._pipeline = pipeline
+
+    def snapshot(self, path: Optional[str] = None) -> str:
+        """Write the current pipeline graph as graphviz dot; returns the path."""
+        p = self._pipeline
+        lines = ["digraph pipeline {", "  rankdir=LR;"]
+        for e in p.elements:
+            lines.append(f'  "{e.name}" [label="{e.ELEMENT_NAME}\\n{e.name}"];')
+        for e in p.elements:
+            for pad in e.src_pads():
+                if pad.peer is not None and pad.peer.element is not None:
+                    lines.append(
+                        f'  "{e.name}" -> "{pad.peer.element.name}" '
+                        f'[label="{pad.name}->{pad.peer.name}"];'
+                    )
+        lines.append("}")
+        out = path or self.dot_file
+        with open(out, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        return out
+
+
+TRACER_CLASSES = {
+    cls.name: cls
+    for cls in (PadPushTimingsTracer, QueueLevelsTracer, BufferLatenessTracer, PipelineSnapshotTracer)
+}
+
+_SPEC_RE = re.compile(r"([a-z-]+)(?:\(([^)]*)\))?")
+
+
+def parse_tracer_spec(spec: str) -> List[Tracer]:
+    """Parse 'name(key=val,key=val);name2' into tracer instances."""
+    tracers: List[Tracer] = []
+    for part in spec.split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        m = _SPEC_RE.fullmatch(part)
+        if not m:
+            raise ValueError(f"bad tracer spec {part!r}")
+        name, args = m.group(1), m.group(2)
+        if name not in TRACER_CLASSES:
+            raise ValueError(f"unknown tracer {name!r} (known: {sorted(TRACER_CLASSES)})")
+        params: Dict[str, str] = {}
+        if args:
+            for kv in args.split(","):
+                k, v = kv.split("=", 1)
+                params[k.strip()] = v.strip()
+        tracers.append(TRACER_CLASSES[name](**params))
+    return tracers
+
+
+def install_from_env(pipeline, env: str = "GSTPU_TRACERS") -> None:
+    spec = os.environ.get(env)
+    if not spec:
+        return
+    for tracer in parse_tracer_spec(spec):
+        if isinstance(tracer, PipelineSnapshotTracer):
+            tracer.attach(pipeline)
+        pipeline.add_tracer(tracer)
+
+
+__all__ = [
+    "Tracer",
+    "PadPushTimingsTracer",
+    "QueueLevelsTracer",
+    "BufferLatenessTracer",
+    "PipelineSnapshotTracer",
+    "TRACER_CLASSES",
+    "parse_tracer_spec",
+    "install_from_env",
+]

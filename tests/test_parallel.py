@@ -1,0 +1,77 @@
+"""Multi-stream batching + mesh sharding tests (runs on the 8-device virtual
+CPU mesh from conftest)."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gst_plugins_rs_tpu.parallel.streams import StreamBank, echo_bank, loudnorm_bank, make_stream_mesh
+
+
+def test_stream_bank_matches_individual():
+    # a bank of 4 echo streams must match 4 independent runs
+    from gst_plugins_rs_tpu.ops.echo import echo_apply_flat, echo_lag_samples, echo_ring_size
+
+    rng = np.random.RandomState(0)
+    xs = rng.uniform(-1, 1, (4, 9600)).astype(np.float32)
+    bank = echo_bank(4, rate=48000, channels=2)
+    out = np.asarray(bank.process(jnp.asarray(xs)))
+
+    S = echo_ring_size(1_000_000_000, 48000, 2)
+    lag = echo_lag_samples(250_000_000, 1_000_000_000, 48000, 2)
+    for i in range(4):
+        ref, _ = echo_apply_flat(
+            jnp.asarray(xs[i]), jnp.zeros((S,), jnp.float32),
+            jnp.float32(0.5), jnp.float32(0.4), lag=lag,
+        )
+        np.testing.assert_allclose(out[i], np.asarray(ref), atol=1e-7)
+
+
+def test_stream_bank_state_advances():
+    bank = echo_bank(2, rate=8000, channels=1, delay_ns=100_000_000)
+    x = np.zeros((2, 800), np.float32)
+    x[:, 0] = 1.0
+    _ = bank.process(jnp.asarray(x))
+    out2 = np.asarray(bank.process(jnp.zeros((2, 800), jnp.float32)))
+    # echo of the impulse arrives exactly at 100 ms = sample 0 of buffer 2
+    assert out2[0, 0] == pytest.approx(0.5)
+
+
+def test_mesh_sharded_bank():
+    mesh = make_stream_mesh(8)
+    bank = echo_bank(16, mesh=mesh)
+    x = bank.shard(jnp.asarray(np.random.RandomState(1).uniform(-1, 1, (16, 9600)).astype(np.float32)))
+    out = bank.process(x)
+    assert out.shape == (16, 9600)
+    # states live sharded over the mesh
+    leaf = jax.tree_util.tree_leaves(bank.states)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
+def test_loudnorm_bank_normalizes_all_streams():
+    from gst_plugins_rs_tpu.ops import loudnorm as LN
+    from gst_plugins_rs_tpu.ops.ebur128 import EbuR128
+
+    n_streams = 3
+    rng = np.random.RandomState(2)
+    rate = 192_000
+    amps = [0.8, 0.2, 0.05]
+    t = np.arange(8 * rate) / rate
+    sigs = np.stack(
+        [np.repeat((a * np.sin(2 * np.pi * 440 * t))[:, None], 2, axis=1) for a in amps]
+    ).astype(np.float32)
+
+    bank = loudnorm_bank(n_streams, channels=2)
+    outs = [np.asarray(bank.first_frame(jnp.asarray(sigs[:, : 3 * rate])))]
+    pos = 3 * rate
+    while pos + LN.FRAME <= sigs.shape[1]:
+        outs.append(np.asarray(bank.process(jnp.asarray(sigs[:, pos : pos + LN.FRAME]))))
+        pos += LN.FRAME
+    full = np.concatenate(outs, axis=1)
+
+    # all three streams converge toward -24 LUFS over the last seconds
+    for i in range(n_streams):
+        r = EbuR128(2, rate)
+        r.add_frames(full[i, 2 * rate :])
+        assert abs(r.loudness_global() + 24.0) < 2.0, f"stream {i}: {r.loudness_global()}"
