@@ -7,6 +7,7 @@ from .audiofx import (  # noqa: F401
     audiornnoise,
     ebur128level,
     hrtfrender,
+    sofalizer,
 )
 from .analytics import combiner, meta, yoloxinference, yoloxtensordec  # noqa: F401
 from .generic import basic  # noqa: F401

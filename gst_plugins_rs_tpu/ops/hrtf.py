@@ -136,11 +136,13 @@ def hrtf_convolve_block(x, hrirs, gains, tails, *, block_len: int, steps: int):
     n = steps * B
     fft_len = _next_pow2(B + L - 1)
 
+    from .rfft import cmul_pair, irfft_pair, rfft_pair
+
     segs = x.reshape(C, steps, B) * gains[:, :, None]  # [C, S, B]
-    X = jnp.fft.rfft(segs, fft_len, axis=-1)  # [C, S, F]
-    H = jnp.fft.rfft(hrirs, fft_len, axis=-1)  # [C, S, 2, F]
-    Y = X[:, :, None, :] * H  # [C, S, 2, F]
-    y = jnp.fft.irfft(Y, fft_len, axis=-1)[..., : B + L - 1]  # [C, S, 2, B+L-1]
+    Xr, Xi = rfft_pair(segs, fft_len)  # [C, S, F]
+    Hr, Hi = rfft_pair(hrirs, fft_len)  # [C, S, 2, F]
+    Yr, Yi = cmul_pair(Xr[:, :, None, :], Xi[:, :, None, :], Hr, Hi)  # [C, S, 2, F]
+    y = irfft_pair(Yr, Yi, fft_len)[..., : B + L - 1]  # [C, S, 2, B+L-1]
 
     # overlap-add across steps: place each segment at offset s*B
     full = jnp.zeros((C, 2, n + L - 1), y.dtype)

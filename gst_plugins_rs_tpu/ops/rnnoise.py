@@ -190,17 +190,23 @@ _DCT = jnp.asarray(_dct_matrix())
 
 
 def _forward_transform(buf):
-    """buf: [C, WINDOW] -> X [C, FREQ] complex (windowed rfft)."""
-    return jnp.fft.rfft(buf * _WINDOW, WINDOW_SIZE, axis=-1) / WINDOW_SIZE
+    """buf: [C, WINDOW] -> (Xr, Xi) [C, FREQ] (windowed rfft as real pairs;
+    see ops/rfft.py for why complex dtypes are avoided)."""
+    from .rfft import rfft_pair
+
+    Xr, Xi = rfft_pair(buf * _WINDOW, WINDOW_SIZE)
+    return Xr / WINDOW_SIZE, Xi / WINDOW_SIZE
 
 
-def _inverse_transform(X):
-    y = jnp.fft.irfft(X, WINDOW_SIZE, axis=-1) * WINDOW_SIZE
+def _inverse_transform(Xr, Xi):
+    from .rfft import irfft_pair
+
+    y = irfft_pair(Xr, Xi, WINDOW_SIZE) * WINDOW_SIZE
     return y * _WINDOW
 
 
-def _band_energy(X):
-    return (_BANDS @ (jnp.abs(X) ** 2).T).T + 1e-2  # [C, NB_BANDS]
+def _band_energy(Xr, Xi):
+    return (_BANDS @ (Xr * Xr + Xi * Xi).T).T + 1e-2  # [C, NB_BANDS]
 
 
 def _interp_band_gain(g):
@@ -211,11 +217,14 @@ def _interp_band_gain(g):
 def _pitch_search(pitch_buf):
     """FFT autocorrelation pitch: period in [PITCH_MIN, PITCH_MAX] and
     normalized correlation gain.  pitch_buf: [C, PITCH_BUF]."""
+    from .rfft import irfft_pair, rfft_pair
+
     x = pitch_buf - jnp.mean(pitch_buf, axis=-1, keepdims=True)
     n = PITCH_BUF_SIZE
     fft_len = 4096
-    F = jnp.fft.rfft(x, fft_len, axis=-1)
-    ac = jnp.fft.irfft(F * jnp.conj(F), fft_len, axis=-1)[:, :n]
+    Fr, Fi = rfft_pair(x, fft_len)
+    # F * conj(F) = |F|^2 (real) -> autocorrelation
+    ac = irfft_pair(Fr * Fr + Fi * Fi, jnp.zeros_like(Fr), fft_len)[:, :n]
     lags = jnp.arange(n)
     valid = (lags >= PITCH_MIN_PERIOD) & (lags <= PITCH_MAX_PERIOD)
     score = jnp.where(valid[None, :], ac, -jnp.inf)
@@ -245,8 +254,8 @@ def denoise_frame(state: DenoiseState, weights: dict, x):
 
     # analysis
     buf = jnp.concatenate([state.analysis_mem, xf], axis=-1)  # [C, WINDOW]
-    X = _forward_transform(buf)
-    Ex = _band_energy(X)
+    Xr, Xi = _forward_transform(buf)
+    Ex = _band_energy(Xr, Xi)
 
     # pitch buffer shift + features
     pitch_buf = jnp.concatenate([state.pitch_buf[:, FRAME_SIZE:], xf], axis=-1)
@@ -301,10 +310,11 @@ def denoise_frame(state: DenoiseState, weights: dict, x):
     noise_h = jnp.where(silence[:, None], state.rnn.noise_h, noise_h)
     denoise_h = jnp.where(silence[:, None], state.rnn.denoise_h, denoise_h)
     gain_bins = _interp_band_gain(gains)  # [C, FREQ]
-    Xout = jnp.where(silence[:, None], X, X * gain_bins)
+    Xor = jnp.where(silence[:, None], Xr, Xr * gain_bins)
+    Xoi = jnp.where(silence[:, None], Xi, Xi * gain_bins)
 
     # synthesis: overlap-add
-    y = _inverse_transform(Xout)  # [C, WINDOW]
+    y = _inverse_transform(Xor, Xoi)  # [C, WINDOW]
     out = y[:, :FRAME_SIZE] + state.synthesis_mem
     new_state = DenoiseState(
         analysis_mem=xf,
