@@ -99,8 +99,10 @@ class Buffer:
 
     @property
     def n_frames(self) -> int:
-        """Leading-axis length of the payload (audio frames / 1 for video)."""
-        return int(self.data.shape[0]) if self.data is not None else 0
+        """Leading-axis length of the payload (audio frames / 1 for video);
+        0 for non-array payloads (text, batch containers)."""
+        shape = getattr(self.data, "shape", None)
+        return int(shape[0]) if shape else 0
 
     def __repr__(self):
         def t(v):
