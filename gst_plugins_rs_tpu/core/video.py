@@ -32,7 +32,13 @@ RGB_FORMATS = {
     "GRAY8": (1, np.uint8, (0, 0, 0, None)),
 }
 
-PLANAR_FORMATS = {"I420", "A420", "NV12"}
+# planar YUV formats: list of (h_subsampling, w_subsampling) per plane.
+# Payload convention: a tuple of [H/sh, W/sw] uint8 arrays.
+PLANAR_FORMATS = {
+    "I420": ((1, 1), (2, 2), (2, 2)),
+    "A420": ((1, 1), (2, 2), (2, 2), (1, 1)),
+    "NV12": ((1, 1), (2, 1)),
+}
 
 
 class VideoInfo:
@@ -54,7 +60,18 @@ class VideoInfo:
 
     @property
     def dtype(self):
-        return RGB_FORMATS[self.format][1]
+        return RGB_FORMATS[self.format][1] if self.format in RGB_FORMATS else np.uint8
+
+    @property
+    def is_planar(self) -> bool:
+        return self.format in PLANAR_FORMATS
+
+    def plane_dims(self):
+        """[(h, w), ...] for planar formats."""
+        return [
+            (self.height // sh, self.width // sw)
+            for (sh, sw) in PLANAR_FORMATS[self.format]
+        ]
 
     @property
     def rgb_offsets(self):

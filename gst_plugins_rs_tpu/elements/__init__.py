@@ -9,8 +9,8 @@ from .audiofx import (  # noqa: F401
     hrtfrender,
     sofalizer,
 )
-from .analytics import combiner, meta, yoloxinference, yoloxtensordec  # noqa: F401
+from .analytics import combiner, handdetection, meta, yoloxinference, yoloxtensordec  # noqa: F401
 from .generic import basic, buffers, io  # noqa: F401
 from .text import elements as text_elements  # noqa: F401
 from .utilsfx import switching  # noqa: F401
-from .video import colordetect, colorlut, hsv, videocompare  # noqa: F401
+from .video import colordetect, colorlut, hsv, roundedcorners, videocompare  # noqa: F401
