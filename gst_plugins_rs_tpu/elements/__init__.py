@@ -4,6 +4,7 @@ from .audiofx import (  # noqa: F401
     agingradio,
     audioecho,
     audioloudnorm,
+    audiomixer,
     audiornnoise,
     ebur128level,
     hrtfrender,
