@@ -30,8 +30,9 @@ def _bench(step, state, iters=200):
     """Time a dependency-chained step: state = step(state) repeated.
 
     Chaining prevents the runtime from overlapping/eliding dispatches; a
-    scalar checksum readback at the end forces completion. The readback
-    overhead is measured separately and subtracted."""
+    scalar checksum readback at the end forces completion.  Differential
+    timing (t(3n) - t(n)) cancels the readback/dispatch fixed costs, which
+    vary too much on this relay for subtract-a-zero-run to be reliable."""
     state1 = step(state)  # compile
     _checksum(state1)
 
@@ -43,9 +44,9 @@ def _bench(step, state, iters=200):
         _checksum(s)
         return time.perf_counter() - t0
 
-    overhead = run(0)
-    total = run(iters)
-    return max((total - overhead) / iters, 1e-9)
+    t1 = run(iters)
+    t3 = run(3 * iters)
+    return max((t3 - t1) / (2 * iters), 1e-9)
 
 
 def main():

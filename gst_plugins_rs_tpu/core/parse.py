@@ -151,9 +151,11 @@ def parse_launch(description: str) -> Pipeline:
         if m and not _MEDIA_TYPE_RE.match(tok):
             target = pipeline.by_name(m.group(1))
             if prev is None:
-                raise ValueError(f"dangling pad reference {tok!r}")
-            prev.link(target)
-            prev = target
+                # chain STARTS at the named element ("t. ! sink")
+                prev = target
+            else:
+                prev.link(target)
+                prev = target
             expect_element = False
             i += 1
             continue

@@ -28,23 +28,32 @@ def rgb_to_hsv(r, g, b):
     value = jnp.maximum(jnp.maximum(r, g), b)
     minv = jnp.minimum(jnp.minimum(r, g), b)
     chroma = value - minv
-    csafe = jnp.where(chroma == 0.0, 1.0, chroma)
-    hue = jnp.where(
-        chroma == 0.0,
-        0.0,
+    # one reciprocal instead of three divisions (VPU-compute-bound kernel);
+    # numerator selected by the same EPSILON sextant chain as the reference
+    inv_c = 1.0 / jnp.where(chroma == 0.0, 1.0, chroma)
+    num = jnp.where(
+        jnp.abs(value - r) < EPSILON,
+        g - b,
         jnp.where(
-            jnp.abs(value - r) < EPSILON,
-            60.0 * (g - b) / csafe,
-            jnp.where(
-                jnp.abs(value - g) < EPSILON,
-                60.0 * (2.0 + (b - r) / csafe),
-                jnp.where(jnp.abs(value - b) < EPSILON, 60.0 * (4.0 + (r - g) / csafe), 0.0),
-            ),
+            jnp.abs(value - g) < EPSILON,
+            b - r,
+            jnp.where(jnp.abs(value - b) < EPSILON, r - g, 0.0),
         ),
     )
+    base = jnp.where(
+        jnp.abs(value - r) < EPSILON,
+        0.0,
+        jnp.where(
+            jnp.abs(value - g) < EPSILON,
+            2.0,
+            jnp.where(jnp.abs(value - b) < EPSILON, 4.0, 0.0),
+        ),
+    )
+    hue = jnp.where(chroma == 0.0, 0.0, 60.0 * (base + num * inv_c))
     hue = jnp.where(hue < 0.0, hue + 360.0, hue)
     hue = jnp.mod(hue, 360.0)
-    sat = jnp.where(value == 0.0, 0.0, chroma / jnp.where(value == 0.0, 1.0, value))
+    sat = chroma * (1.0 / jnp.where(value == 0.0, 1.0, value))
+    sat = jnp.where(value == 0.0, 0.0, sat)
     return hue, jnp.clip(sat, 0.0, 1.0), jnp.clip(value, 0.0, 1.0)
 
 
