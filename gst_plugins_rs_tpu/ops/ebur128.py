@@ -493,6 +493,20 @@ def loudness_range(state: R128State, params: R128Params):
     return jnp.where((total > 0) & (n > 0), lra, 0.0)
 
 
+def merged_loudness_global(states_batched: R128State, params: R128Params):
+    """Integrated loudness of MANY streams measured as ONE logical program.
+
+    states_batched: an R128State whose leaves carry a leading stream axis
+    (e.g. a parallel.StreamBank of analyzers).  The gated-block histograms
+    are summed over the stream axis — when that axis is sharded over a
+    jax.sharding.Mesh, XLA lowers the reduction to a psum over ICI (the
+    SURVEY.md §2.3/§5 north-star collective) — and the absolute+relative
+    gating then runs once on the merged histogram."""
+    merged_hist = jnp.sum(states_batched.block_hist, axis=0)
+    merged = states_batched._replace(block_hist=merged_hist)
+    return loudness_global(merged, params)
+
+
 # module-level jits: shared cache across all engine instances
 _jit_add_full_subblocks = jax.jit(r128_add_full_subblocks)
 _jit_update_peaks = jax.jit(r128_update_peaks)
@@ -615,6 +629,7 @@ __all__ = [
     "loudness_momentary",
     "loudness_range",
     "loudness_shortterm",
+    "merged_loudness_global",
     "r128_add_full_subblocks",
     "r128_init",
     "r128_params",

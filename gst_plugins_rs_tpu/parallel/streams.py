@@ -92,6 +92,48 @@ def loudnorm_bank(n_streams: int, channels: int = 2, mesh: Optional[Mesh] = None
     return bank
 
 
+def r128_bank(n_streams: int, channels: int = 2, rate: int = 48000,
+              mesh: Optional[Mesh] = None, dtype=jnp.float32):
+    """A bank of EBU R-128 analyzers (one per stream) with a merged
+    integrated-loudness query: the per-stream gating histograms reduce over
+    the (possibly mesh-sharded) stream axis — the shared-histogram psum of
+    SURVEY.md §2.3."""
+    from ..core.audio import default_channel_positions
+    from ..ops.ebur128 import (
+        loudness_global,
+        merged_loudness_global,
+        r128_add_full_subblocks,
+        r128_init,
+        r128_params,
+    )
+
+    params = r128_params(rate, default_channel_positions(channels), dtype)
+    init = r128_init(params, channels, dtype)
+
+    def step(state, x):
+        return r128_add_full_subblocks(state, params, x), x
+
+    bank = StreamBank(step, init, n_streams, mesh)
+
+    _merged = jax.jit(lambda s: merged_loudness_global(s, params))
+    _per_stream = jax.jit(jax.vmap(lambda s: loudness_global(s, params)))
+
+    def add_frames(x):
+        """x: [n_streams, k*n100, ch] whole subblocks per stream."""
+        bank.process(bank.shard(x))
+
+    def merged_loudness() -> float:
+        return float(_merged(bank.states))
+
+    def per_stream_loudness():
+        return np.asarray(_per_stream(bank.states))
+
+    bank.add_frames = add_frames  # type: ignore[attr-defined]
+    bank.merged_loudness = merged_loudness  # type: ignore[attr-defined]
+    bank.per_stream_loudness = per_stream_loudness  # type: ignore[attr-defined]
+    return bank
+
+
 def echo_bank(n_streams: int, rate: int = 48000, channels: int = 2,
               delay_ns: int = 250_000_000, intensity: float = 0.5,
               feedback: float = 0.4, mesh: Optional[Mesh] = None) -> StreamBank:
@@ -110,4 +152,4 @@ def echo_bank(n_streams: int, rate: int = 48000, channels: int = 2,
     return StreamBank(step, init, n_streams, mesh)
 
 
-__all__ = ["StreamBank", "make_stream_mesh", "echo_bank", "loudnorm_bank"]
+__all__ = ["StreamBank", "make_stream_mesh", "echo_bank", "loudnorm_bank", "r128_bank"]
