@@ -71,26 +71,25 @@ class ColorLut(VideoFilter):
         self._lut = None
         self._table = None
 
-    def transform(self, inbuf: Buffer) -> Buffer:
+    def pure_kernel(self):
+        """Pure device fn over the loaded LUT/negotiated caps, for chain
+        fusion (parallel/fuse.py)."""
         info = self.video_info
         lut = self._lut
-        assert info is not None and lut is not None
+        assert info is not None and lut is not None, f"{self.name}: pure_kernel before caps"
         r, g, b, _a = info.rgb_offsets
         bits = 8 if info.format == "RGBA" else 16
         if lut.is_3d:
             fn = lut3d_apply_packed if self._packed else lut3d_apply
         else:
             fn = lut1d_apply
-        out_data = fn(
-            inbuf.data,
-            self._table,
-            self._scale,
-            self._offset,
-            size=lut.size,
-            offsets=(r, g, b),
-            bits=bits,
+        table, scale, offset, size = self._table, self._scale, self._offset, lut.size
+        return lambda data: fn(
+            data, table, scale, offset, size=size, offsets=(r, g, b), bits=bits
         )
-        out = Buffer(out_data)
+
+    def transform(self, inbuf: Buffer) -> Buffer:
+        out = Buffer(self.pure_kernel()(inbuf.data))
         out.copy_metadata_from(inbuf)
         return out
 

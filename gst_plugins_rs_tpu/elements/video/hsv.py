@@ -47,11 +47,8 @@ class HsvFilter(VideoFilter):
         Prop("value-off", 0.0, mutable="playing"),
     ]
 
-    def transform_ip(self, buf: Buffer) -> Buffer:
-        info = self.video_info
-        assert info is not None
-        r, g, b, _a = info.rgb_offsets
-        params = jnp.asarray(
+    def _params(self):
+        return jnp.asarray(
             [
                 self.get_property("hue-shift"),
                 self.get_property("saturation-mul"),
@@ -61,8 +58,22 @@ class HsvFilter(VideoFilter):
             ],
             jnp.float32,
         )
-        buf.data = hsv_filter_frame(buf.data, params, offsets=(r, g, b))
+
+    def transform_ip(self, buf: Buffer) -> Buffer:
+        info = self.video_info
+        assert info is not None
+        r, g, b, _a = info.rgb_offsets
+        buf.data = hsv_filter_frame(buf.data, self._params(), offsets=(r, g, b))
         return buf
+
+    def pure_kernel(self):
+        """Pure device fn over the negotiated caps/current properties, for
+        chain fusion (parallel/fuse.py)."""
+        info = self.video_info
+        assert info is not None, f"{self.name}: pure_kernel before caps"
+        r, g, b, _a = info.rgb_offsets
+        params = self._params()
+        return lambda data: hsv_filter_frame(data, params, offsets=(r, g, b))
 
 
 @register
