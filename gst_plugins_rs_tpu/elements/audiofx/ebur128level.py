@@ -52,8 +52,12 @@ class EbuR128Level(AudioFilter):
     PASSTHROUGH_ON_SAME_CAPS = True
     TRANSFORM_IP_ON_PASSTHROUGH = True
 
-    SINK_CAPS = audio_caps_template(formats=("S16", "S32", "F32", "F64"))
-    SRC_CAPS = audio_caps_template(formats=("S16", "S32", "F32", "F64"))
+    SINK_CAPS = audio_caps_template(
+        formats=("S16", "S32", "F32", "F64"), layouts=("interleaved", "non-interleaved")
+    )
+    SRC_CAPS = audio_caps_template(
+        formats=("S16", "S32", "F32", "F64"), layouts=("interleaved", "non-interleaved")
+    )
 
     PROPERTIES = [
         Prop("mode", MODE_ALL, type="uint", mutable="playing",
@@ -97,6 +101,10 @@ class EbuR128Level(AudioFilter):
         r128 = self._r128
         assert info is not None and r128 is not None
         data = self._to_float(buf.data)
+        from ...core.audio import AudioLayout
+
+        if info.layout == AudioLayout.NON_INTERLEAVED:
+            data = data.T  # planar [ch, frames] -> [frames, ch] for analysis
         pos = 0
         n = data.shape[0]
         timestamp = buf.pts

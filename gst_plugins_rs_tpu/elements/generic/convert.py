@@ -81,14 +81,20 @@ _A_FORMATS = ("F64", "F32", "S32", "S16")
 _SCALES = {"S16": 32768.0, "S32": 2147483648.0}
 
 
+_LAYOUTS = ("interleaved", "non-interleaved")
+
+
 @register
 class AudioConvert(BaseTransform):
+    """Converts sample formats AND layouts.  Non-interleaved (planar)
+    payloads are [channels, frames]; interleaved are [frames, channels]."""
+
     ELEMENT_NAME = "audioconvert"
     ELEMENT_CLASS = "Filter/Converter/Audio"
-    ELEMENT_DESCRIPTION = "Converts audio sample formats"
+    ELEMENT_DESCRIPTION = "Converts audio sample formats and layouts"
     MODE = TransformMode.NEVER_IN_PLACE
-    SINK_CAPS = audio_caps_template(formats=_A_FORMATS)
-    SRC_CAPS = audio_caps_template(formats=_A_FORMATS)
+    SINK_CAPS = audio_caps_template(formats=_A_FORMATS, layouts=_LAYOUTS)
+    SRC_CAPS = audio_caps_template(formats=_A_FORMATS, layouts=_LAYOUTS)
 
     def transform_caps(self, direction: PadDirection, caps: Caps, filter_: Optional[Caps]) -> Caps:
         out = caps.copy()
@@ -96,19 +102,24 @@ class AudioConvert(BaseTransform):
             out = (self.SRC_CAPS if direction == PadDirection.SINK else self.SINK_CAPS).copy()
         for s in out.structures:
             s["format"] = ValueList(_A_FORMATS)
+            s["layout"] = ValueList(_LAYOUTS)
         if filter_ is not None:
             out = filter_.intersect(out)
         return out
 
     def fixate_caps(self, direction, caps, othercaps):
-        # prefer keeping the input format
-        in_fmt = caps.structure(0).get("format")
-        return othercaps.fixate({"format": in_fmt})
+        # prefer keeping the input format and layout
+        s = caps.structure(0)
+        return othercaps.fixate({"format": s.get("format"), "layout": s.get("layout")})
 
     def transform(self, inbuf: Buffer) -> Buffer:
         in_fmt = self.in_caps.structure(0)["format"]
         out_fmt = self.out_caps.structure(0)["format"]
+        in_layout = self.in_caps.structure(0).get("layout", "interleaved")
+        out_layout = self.out_caps.structure(0).get("layout", "interleaved")
         x = inbuf.data
+        if in_layout != out_layout:
+            x = x.T
         if in_fmt != out_fmt:
             # normalize to float
             if in_fmt in _SCALES:

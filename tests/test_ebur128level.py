@@ -116,3 +116,22 @@ def test_reset_action():
     # reset restarts the interval countdown: 1 s before reset -> 2 msgs,
     # 1 s after -> 2 more
     assert len(msgs) == 4
+
+
+def test_non_interleaved_layout_via_audioconvert():
+    # mirror the reference's non-interleaved matrix entries
+    # (tests/ebur128level.rs run_test with layout=non-interleaved)
+    p = parse_launch(
+        "audiotestsrc num-buffers=2 samplesperbuffer=48000 wave=sine freq=440 "
+        "! audio/x-raw,format=F32,channels=2,rate=48000 "
+        "! audioconvert "
+        "! audio/x-raw,format=F32,channels=2,rate=48000,layout=non-interleaved "
+        "! ebur128level interval=500000000 ! fakesink"
+    )
+    p.play_until_eos()
+    msgs = [
+        m for m in p.bus.messages(MessageType.ELEMENT) if m.structure.name == "ebur128-level"
+    ]
+    assert len(msgs) == 4
+    # loudness must match the interleaved measurement of the same signal
+    assert msgs[-1].structure["momentary-loudness"] == pytest.approx(-2.9, abs=0.5)
