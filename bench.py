@@ -77,7 +77,7 @@ def main():
     step = jax.jit(
         lambda f: lut3d_apply_packed(f, packed, scale, offset, size=size, offsets=(0, 1, 2), bits=8)
     )
-    dt = _bench(step, frames_rgba)
+    dt = _bench(step, frames_rgba, iters=20)  # gather-bound: ~80 ms/dispatch
     results["colorlut_1080p_fps"] = BATCH / dt
 
     # --- echo audio realtime-x (64 streams x 1 s stereo 48 kHz) -------------
@@ -128,7 +128,7 @@ def main():
         # chain dependency through a no-op image perturbation
         return im + 0.0 * jnp.mean(out)
 
-    dt = _bench(yolox_step, img, iters=20)
+    dt = _bench(yolox_step, img, iters=150)
     results["yolox_tiny_640_fps"] = 1.0 / dt
 
     headline = results["hsv_1080p_fps"]
