@@ -55,6 +55,7 @@ class Aggregator(Element):
         )
         self._pad_counter = 0
         self._sent_stream_start = False
+        self._eos_sent = False
         self._sink_template = PadTemplate(
             "sink_%u", PadDirection.SINK, PadPresence.REQUEST, self.SINK_TEMPLATE_CAPS
         )
@@ -99,6 +100,10 @@ class Aggregator(Element):
 
     def negotiated_src_caps(self, caps: Caps) -> None: ...
 
+    def drain(self) -> None:
+        """Hook: flush pending output right before EOS goes downstream
+        (the gst_base::Aggregator EOS-drain contract muxers rely on)."""
+
     def finish_buffer(self, buf: Buffer) -> FlowReturn:
         return self.srcpad.push(buf)
 
@@ -122,7 +127,10 @@ class Aggregator(Element):
             active = [p for p in pads if not p.is_inactive()]
             if not active:
                 # everything EOS and drained
-                self.srcpad.push_event(Event.new_eos())
+                if not self._eos_sent:
+                    self._eos_sent = True
+                    self.drain()
+                    self.srcpad.push_event(Event.new_eos())
                 return ret
             if all(p.has_buffer() for p in active):
                 ret = self.aggregate(timeout=False)
@@ -149,7 +157,8 @@ class Aggregator(Element):
             pad.eos = True
             self.sink_event(pad, event)
             self._try_aggregate()
-            if all(p.is_inactive() for p in self.agg_pads()):
+            if not self._eos_sent and all(p.is_inactive() for p in self.agg_pads()):
+                self._eos_sent = True
                 return self.srcpad.push_event(event)
             return True
         return self.sink_event(pad, event)

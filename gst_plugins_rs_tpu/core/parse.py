@@ -129,6 +129,7 @@ def parse_launch(description: str) -> Pipeline:
     pipeline = Pipeline()
     prev = None  # last element of the current chain
     expect_element = True  # True right after "!" or at a chain start
+    deferred = []  # (src_element, target_name) forward references
 
     i = 0
     while i < len(tokens):
@@ -149,7 +150,19 @@ def parse_launch(description: str) -> Pipeline:
         # reference to a named element: "name." or "name.padname"
         m = re.fullmatch(r"([A-Za-z_][\w-]*)\.([\w%]+)?", tok)
         if m and not _MEDIA_TYPE_RE.match(tok):
-            target = pipeline.by_name(m.group(1))
+            try:
+                target = pipeline.by_name(m.group(1))
+            except KeyError:
+                # forward reference to a name defined later in the
+                # description (gst-launch allows this); only a chain END
+                # ("... ! mux.") can be deferred
+                if prev is None:
+                    raise
+                deferred.append((prev, m.group(1)))
+                prev = None
+                expect_element = False
+                i += 1
+                continue
             if prev is None:
                 # chain STARTS at the named element ("t. ! sink")
                 prev = target
@@ -175,6 +188,8 @@ def parse_launch(description: str) -> Pipeline:
         i = j
     if expect_element:
         raise ValueError(f"empty element in pipeline: {description!r}")
+    for src, name in deferred:
+        src.link(pipeline.by_name(name))
     return pipeline
 
 

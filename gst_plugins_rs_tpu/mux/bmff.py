@@ -1,0 +1,435 @@
+"""ISO-BMFF box serialization (ISO/IEC 14496-12).
+
+From-scratch writer covering the boxes the reference muxers emit:
+- movie header: ftyp/styp, moov(mvhd, trak(tkhd, mdia(mdhd, hdlr,
+  minf(smhd|vmhd, dinf(dref(url)), stbl(stsd, stts, stsc, stsz, stco,
+  stss)))), mvex(mehd, trex))  — reference mux/isobmff/src/isobmff/boxes.rs
+- fragments: moof(mfhd, traf(tfhd, tfdt, trun)) + mdat, mfra(tfra, mfro)
+  — reference mux/isobmff/src/isobmff/fmp4mux/boxes.rs
+- sample entries: raw PCM audio as ipcm/fpcm + pcmC (ISO/IEC 23003-5;
+  reference boxes.rs:1458-1463, create_pcmc boxes.rs:2537-2563) and
+  uncompressed video as uncv + uncC/cmpd (ISO/IEC 23001-17; reference
+  uncompressed.rs:256-318, profile table uncompressed.rs:552-574).
+
+All multi-byte integers are big-endian per the spec.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+U32_MAX = 0xFFFFFFFF
+
+
+def box(fourcc: bytes, payload: bytes) -> bytes:
+    """size(u32) + type(4cc) + payload; 64-bit largesize when needed."""
+    assert len(fourcc) == 4, fourcc
+    size = 8 + len(payload)
+    if size <= U32_MAX:
+        return struct.pack(">I", size) + fourcc + payload
+    return struct.pack(">I", 1) + fourcc + struct.pack(">Q", size + 8) + payload
+
+
+def full_box(fourcc: bytes, version: int, flags: int, payload: bytes) -> bytes:
+    return box(fourcc, struct.pack(">B", version) + struct.pack(">I", flags)[1:] + payload)
+
+
+# ---------------------------------------------------------------------------
+# Sample entries
+# ---------------------------------------------------------------------------
+def pcm_sample_entry(fmt: str, channels: int, rate: int) -> bytes:
+    """AudioSampleEntry 'ipcm' (integer) / 'fpcm' (float) with a pcmC child.
+
+    Reference picks fpcm for float formats, ipcm otherwise
+    (boxes.rs:1458-1463); pcmC carries endianness flag + sample width
+    (boxes.rs:2537-2563, ISO/IEC 23003-5).
+    """
+    widths = {"S16": 16, "S32": 32, "F32": 32, "F64": 64, "U8": 8}
+    width = widths[fmt]
+    fourcc = b"fpcm" if fmt.startswith("F") else b"ipcm"
+    pcmc = full_box(b"pcmC", 0, 0, struct.pack(">BB", 1, width))  # 1 = little-endian
+    body = (
+        b"\x00" * 6  # reserved
+        + struct.pack(">H", 1)  # data_reference_index
+        + b"\x00" * 8  # reserved
+        + struct.pack(">HH", channels, 16)  # channelcount, samplesize
+        + struct.pack(">HH", 0, 0)  # pre_defined, reserved
+        # 16.16 fixed-point; rates >= 2^16 (192 kHz) can't be represented here,
+        # the authoritative rate is the mdhd timescale (ISO/IEC 23003-5 §5)
+        + struct.pack(">I", rate << 16 if rate < 0x10000 else 0)
+        + pcmc
+    )
+    return box(fourcc, body)
+
+
+# ISO/IEC 23001-17:2024 Table 5 profiles the reference maps video formats to
+# (uncompressed.rs:552-574).  v1 uncC (profile only) is used for the
+# zero-padding packed RGB family (uncompressed.rs:263-272).
+UNCC_V1_PROFILES = {"RGB": b"rgb3", "RGBA": b"rgba", "ABGR": b"abgr"}
+# component types per 23001-17: 4=red 5=green 6=blue 7=alpha
+_COMPONENT_TYPES = {"R": 4, "G": 5, "B": 6, "A": 7}
+
+
+def uncv_sample_entry(fmt: str, width: int, height: int) -> bytes:
+    """VisualSampleEntry 'uncv' with uncC (+cmpd) children.
+
+    v1 profile-only form for RGB/RGBA/ABGR, v0 component-list form for the
+    other packed RGB orders (reference uncompressed.rs:256-318).
+    """
+    if fmt in UNCC_V1_PROFILES:
+        children = full_box(b"uncC", 1, 0, UNCC_V1_PROFILES[fmt])
+    else:
+        # packed formats like BGR / BGRA / ARGB: describe components
+        # (component values match the reference's ComponentType enum,
+        # uncompressed.rs:366-377: R=4 G=5 B=6 A=7, monochrome=0)
+        if fmt == "GRAY8":
+            types = [0]
+        elif all(c in _COMPONENT_TYPES for c in fmt):
+            types = [_COMPONENT_TYPES[c] for c in fmt]
+        else:
+            raise ValueError(f"no uncC mapping for video format {fmt!r}")
+        n = len(types)
+        cmpd = box(
+            b"cmpd",
+            struct.pack(">I", n) + b"".join(struct.pack(">H", t) for t in types),
+        )
+        comp_entries = b"".join(
+            struct.pack(">HBBB", i, 7, 0, 0)  # index, bit_depth_minus_one=7, fmt=0, align=0
+            for i in range(n)
+        )
+        uncc = full_box(
+            b"uncC",
+            0,
+            0,
+            b"\x00\x00\x00\x00"  # profile: none
+            + struct.pack(">I", n)
+            + comp_entries
+            + struct.pack(">BB", 0, 1)  # sampling_type=0 (4:4:4), interleave=1 (pixel)
+            + struct.pack(">BB", 0, 0)  # block_size, flag_bits
+            + struct.pack(">I", n)  # pixel_size (bytes/pixel for interleave=1)
+            + struct.pack(">I", 0)  # row_align_size
+            + struct.pack(">III", 0, 0, 0),  # tile align / cols-1 / rows-1
+        )
+        children = cmpd + uncc
+    body = (
+        b"\x00" * 6
+        + struct.pack(">H", 1)  # data_reference_index
+        + struct.pack(">HH", 0, 0)  # pre_defined, reserved
+        + struct.pack(">III", 0, 0, 0)  # pre_defined[3]
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)  # frame_count
+        + b"\x00" * 32  # compressorname
+        + struct.pack(">Hh", 0x0018, -1)  # depth, pre_defined
+        + children
+    )
+    return box(b"uncv", body)
+
+
+# ---------------------------------------------------------------------------
+# Track / movie configuration
+# ---------------------------------------------------------------------------
+@dataclass
+class TrackConfig:
+    track_id: int
+    timescale: int
+    handler: str  # "soun" | "vide"
+    sample_entry: bytes
+    width: int = 0
+    height: int = 0
+    default_sample_duration: int = 0  # in track timescale, for trex
+
+
+@dataclass
+class SampleTable:
+    """Accumulated stbl data for non-fragmented muxing."""
+
+    durations: List[int] = field(default_factory=list)  # per sample, track ts
+    sizes: List[int] = field(default_factory=list)
+    sync: List[bool] = field(default_factory=list)
+    # chunks: (file_offset, n_samples) runs in mdat order
+    chunks: List[Tuple[int, int]] = field(default_factory=list)
+
+    @property
+    def total_duration(self) -> int:
+        return sum(self.durations)
+
+
+def ftyp(major: bytes, minor: int, compatible: Sequence[bytes]) -> bytes:
+    return box(b"ftyp", major + struct.pack(">I", minor) + b"".join(compatible))
+
+
+def styp(major: bytes, minor: int, compatible: Sequence[bytes]) -> bytes:
+    return box(b"styp", major + struct.pack(">I", minor) + b"".join(compatible))
+
+
+def _mvhd(movie_timescale: int, duration: int, next_track_id: int) -> bytes:
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    payload = (
+        struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", movie_timescale, duration)
+        + struct.pack(">iH", 0x00010000, 0x0100)  # rate 1.0, volume 1.0
+        + b"\x00" * 10
+        + matrix
+        + b"\x00" * 24  # pre_defined
+        + struct.pack(">I", next_track_id)
+    )
+    return full_box(b"mvhd", 0, 0, payload)
+
+
+def _tkhd(t: TrackConfig, duration_movie_ts: int) -> bytes:
+    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    volume = 0x0100 if t.handler == "soun" else 0
+    payload = (
+        struct.pack(">II", 0, 0)
+        + struct.pack(">I", t.track_id)
+        + struct.pack(">I", 0)  # reserved
+        + struct.pack(">I", duration_movie_ts)
+        + b"\x00" * 8
+        + struct.pack(">hhHH", 0, 0, volume, 0)
+        + matrix
+        + struct.pack(">II", t.width << 16, t.height << 16)
+    )
+    return full_box(b"tkhd", 0, 3, payload)  # flags: enabled | in_movie
+
+
+def _mdhd(timescale: int, duration: int) -> bytes:
+    # language 'und' packed as 5-bit letters
+    lang = ((ord("u") - 0x60) << 10) | ((ord("n") - 0x60) << 5) | (ord("d") - 0x60)
+    payload = (
+        struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, duration)
+        + struct.pack(">HH", lang, 0)
+    )
+    return full_box(b"mdhd", 0, 0, payload)
+
+
+def _hdlr(handler: str) -> bytes:
+    names = {"soun": b"SoundHandler\x00", "vide": b"VideoHandler\x00"}
+    payload = struct.pack(">I", 0) + handler.encode() + b"\x00" * 12 + names[handler]
+    return full_box(b"hdlr", 0, 0, payload)
+
+
+def _dinf() -> bytes:
+    url = full_box(b"url ", 0, 1, b"")  # flag 1: data in same file
+    dref = full_box(b"dref", 0, 0, struct.pack(">I", 1) + url)
+    return box(b"dinf", dref)
+
+
+def _stbl(entry: bytes, table: Optional[SampleTable]) -> bytes:
+    stsd = full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+    if table is None or not table.sizes:
+        # empty tables (fragmented init segment)
+        stts = full_box(b"stts", 0, 0, struct.pack(">I", 0))
+        stsc = full_box(b"stsc", 0, 0, struct.pack(">I", 0))
+        stsz = full_box(b"stsz", 0, 0, struct.pack(">II", 0, 0))
+        stco = full_box(b"stco", 0, 0, struct.pack(">I", 0))
+        return box(b"stbl", stsd + stts + stsc + stsz + stco)
+
+    # stts: run-length encode (count, duration)
+    runs: List[Tuple[int, int]] = []
+    for d in table.durations:
+        if runs and runs[-1][1] == d:
+            runs[-1] = (runs[-1][0] + 1, d)
+        else:
+            runs.append((1, d))
+    stts = full_box(
+        b"stts",
+        0,
+        0,
+        struct.pack(">I", len(runs)) + b"".join(struct.pack(">II", c, d) for c, d in runs),
+    )
+    # stsc: runs of samples-per-chunk
+    stsc_entries: List[Tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+    for i, (_off, n) in enumerate(table.chunks):
+        if not stsc_entries or stsc_entries[-1][1] != n:
+            stsc_entries.append((i + 1, n))
+    stsc = full_box(
+        b"stsc",
+        0,
+        0,
+        struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", fc, n, 1) for fc, n in stsc_entries),
+    )
+    stsz = full_box(
+        b"stsz",
+        0,
+        0,
+        struct.pack(">II", 0, len(table.sizes))
+        + b"".join(struct.pack(">I", s) for s in table.sizes),
+    )
+    stco = full_box(
+        b"stco",
+        0,
+        0,
+        struct.pack(">I", len(table.chunks))
+        + b"".join(struct.pack(">I", off) for off, _n in table.chunks),
+    )
+    body = stsd + stts + stsc + stsz + stco
+    if not all(table.sync):
+        idx = [i + 1 for i, k in enumerate(table.sync) if k]
+        body += full_box(
+            b"stss", 0, 0, struct.pack(">I", len(idx)) + b"".join(struct.pack(">I", i) for i in idx)
+        )
+    return box(b"stbl", body)
+
+
+def _trak(t: TrackConfig, movie_timescale: int, table: Optional[SampleTable]) -> bytes:
+    duration_ts = table.total_duration if table else 0
+    duration_movie = (
+        duration_ts * movie_timescale // t.timescale if t.timescale else 0
+    )
+    mdia = box(
+        b"mdia",
+        _mdhd(t.timescale, duration_ts)
+        + _hdlr(t.handler)
+        + box(
+            b"minf",
+            (
+                full_box(b"smhd", 0, 0, struct.pack(">hH", 0, 0))
+                if t.handler == "soun"
+                else full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
+            )
+            + _dinf()
+            + _stbl(t.sample_entry, table),
+        ),
+    )
+    return box(b"trak", _tkhd(t, duration_movie) + mdia)
+
+
+def moov(
+    tracks: Sequence[TrackConfig],
+    movie_timescale: int,
+    *,
+    fragmented: bool = False,
+    duration: int = 0,
+    write_mehd: bool = False,
+    tables: Optional[Sequence[Optional[SampleTable]]] = None,
+) -> bytes:
+    """Movie box. For fragmented files the sample tables are empty and an
+    mvex with one trex per track is appended (fmp4mux/boxes.rs)."""
+    if tables is None:
+        tables = [None] * len(tracks)
+    body = _mvhd(movie_timescale, duration, max(t.track_id for t in tracks) + 1)
+    for t, table in zip(tracks, tables):
+        body += _trak(t, movie_timescale, table)
+    if fragmented:
+        mvex = b""
+        if write_mehd:
+            mvex += full_box(b"mehd", 1, 0, struct.pack(">Q", duration))
+        for t in tracks:
+            mvex += full_box(
+                b"trex",
+                0,
+                0,
+                struct.pack(">IIIII", t.track_id, 1, t.default_sample_duration, 0, 0x02000000),
+            )
+        body += box(b"mvex", mvex)
+    return box(b"moov", body)
+
+
+# ---------------------------------------------------------------------------
+# Fragments
+# ---------------------------------------------------------------------------
+@dataclass
+class FragmentSample:
+    size: int
+    duration: int  # track timescale
+    sync: bool
+
+
+@dataclass
+class TrackFragment:
+    track_id: int
+    decode_time: int  # track timescale (tfdt baseMediaDecodeTime)
+    samples: List[FragmentSample]
+    data: bytes  # this track's mdat slice
+
+
+SAMPLE_FLAG_SYNC = 0x02000000  # sample_depends_on=2 (independent)
+SAMPLE_FLAG_NON_SYNC = 0x01010000  # depends_on=1 + non_sync_sample
+
+
+def moof(sequence_number: int, fragments: Sequence[TrackFragment]) -> bytes:
+    """moof + mdat bytes for one fragment.
+
+    tfhd uses default-base-is-moof (0x020000) so trun data offsets are
+    relative to the moof start, like the reference
+    (fmp4mux/boxes.rs tfhd flags).
+    """
+    mfhd = full_box(b"mfhd", 0, 0, struct.pack(">I", sequence_number))
+
+    # First pass with zero data offsets to learn the moof size.
+    def build(data_offsets: List[int]) -> bytes:
+        body = mfhd
+        for frag, off in zip(fragments, data_offsets):
+            tfhd = full_box(b"tfhd", 0, 0x020000, struct.pack(">I", frag.track_id))
+            tfdt = full_box(b"tfdt", 1, 0, struct.pack(">Q", frag.decode_time))
+            # trun flags: data-offset | sample-duration | sample-size | sample-flags
+            flags = 0x000001 | 0x000100 | 0x000200 | 0x000400
+            entries = b"".join(
+                struct.pack(
+                    ">III",
+                    s.duration,
+                    s.size,
+                    SAMPLE_FLAG_SYNC if s.sync else SAMPLE_FLAG_NON_SYNC,
+                )
+                for s in frag.samples
+            )
+            trun = full_box(
+                b"trun", 0, flags, struct.pack(">Ii", len(frag.samples), off) + entries
+            )
+            body += box(b"traf", tfhd + tfdt + trun)
+        return box(b"moof", body)
+
+    probe = build([0] * len(fragments))
+    moof_size = len(probe)
+    offsets, acc = [], moof_size + 8  # + mdat header
+    for frag in fragments:
+        offsets.append(acc)
+        acc += len(frag.data)
+    out = build(offsets)
+    assert len(out) == moof_size
+    mdat = box(b"mdat", b"".join(f.data for f in fragments))
+    return out + mdat
+
+
+@dataclass
+class MfraEntry:
+    time: int  # track timescale
+    moof_offset: int  # from file start
+
+
+def mfra(track_entries: Sequence[Tuple[int, List[MfraEntry]]]) -> bytes:
+    """Movie fragment random access box (write-mfra property,
+    fmp4mux/imp.rs DEFAULT_WRITE_MFRA)."""
+    body = b""
+    for track_id, entries in track_entries:
+        payload = struct.pack(">I", track_id) + struct.pack(">I", 0)  # all lengths 1 byte
+        payload += struct.pack(">I", len(entries))
+        for e in entries:
+            payload += struct.pack(">QQ", e.time, e.moof_offset) + bytes([1, 1, 1])
+        body += full_box(b"tfra", 1, 0, payload)
+    total = len(body) + 8 + 16  # + mfra hdr + mfro
+    body += full_box(b"mfro", 0, 0, struct.pack(">I", total))
+    return box(b"mfra", body)
+
+
+__all__ = [
+    "box",
+    "full_box",
+    "ftyp",
+    "styp",
+    "moov",
+    "moof",
+    "mfra",
+    "MfraEntry",
+    "pcm_sample_entry",
+    "uncv_sample_entry",
+    "TrackConfig",
+    "SampleTable",
+    "TrackFragment",
+    "FragmentSample",
+]

@@ -1,0 +1,238 @@
+"""ISO-BMFF muxer tests.
+
+Oracle = the independent parser in gst_plugins_rs_tpu.mux.reader (written
+against ISO/IEC 14496-12, not against the writer): re-extract samples from
+the muxed bytes and require them bit-equal to the source payloads, the
+analog of the reference's mux tests running output back through qtdemux.
+"""
+import numpy as np
+import pytest
+
+import gst_plugins_rs_tpu as fx
+from gst_plugins_rs_tpu.mux import bmff, reader
+
+
+def mux_bytes(sink) -> bytes:
+    return b"".join(np.asarray(s.buffer.data).tobytes() for s in sink.samples)
+
+
+def run(desc: str) -> bytes:
+    p = fx.parse_launch(desc)
+    p.play_until_eos()
+    return mux_bytes(p.by_name("sink")), p
+
+
+SRC_AUDIO = (
+    "audiotestsrc wave=sine num-buffers=20 samplesperbuffer=4800 "
+    "! audio/x-raw,format=F32,rate=48000,channels=2 "
+)
+
+
+def source_audio_bytes() -> bytes:
+    p = fx.parse_launch(SRC_AUDIO + "! appsink name=sink")
+    p.play_until_eos()
+    return p.by_name("sink").concat_audio().astype(np.float32).tobytes()
+
+
+class TestCMAF:
+    def test_roundtrip(self):
+        data, _ = run(SRC_AUDIO + "! cmafmux fragment-duration=500000000 ! appsink name=sink")
+        types = reader.box_types(data)
+        assert types[0] == "ftyp"
+        assert types[1] == "moov"
+        # 2 s of audio at 0.5 s fragments -> 4 moof+mdat pairs
+        assert types[2:] == ["moof", "mdat"] * 4
+
+        tree = reader.parse_boxes(data)
+        ftyp = tree[0].payload
+        assert ftyp[:4] == b"cmf2"  # CMAF major brand (brands.rs:330-332)
+        assert b"cmfc" in ftyp
+
+        # init segment: fpcm sample entry (float PCM), empty stbl, mvex/trex
+        tracks = reader.decode_tracks(tree)
+        assert len(tracks) == 1
+        t = tracks[0]
+        assert t.sample_entry_type == "fpcm"
+        assert t.timescale == 48000
+        assert t.channels == 2
+        assert not t.sample_sizes
+        assert tree[1].find(b"mvex", b"trex") is not None
+
+        # fragment runs: tfdt chain + bit-exact payload reassembly
+        frags = reader.decode_fragments(data, tree)
+        assert [f.sequence_number for f in frags] == [1, 2, 3, 4]
+        decode = 0
+        payload = b""
+        for f in frags:
+            assert f.decode_time == decode
+            decode += sum(f.sample_durations)
+            payload += f.data
+        assert decode == 96000  # 2 s @ 48 kHz
+        assert payload == source_audio_bytes()
+
+    def test_single_stream_enforced(self):
+        mux = fx.element_factory_make("cmafmux")
+        with pytest.raises(ValueError):
+            mux.request_sink_pad()
+
+    def test_write_mfra_and_header_update(self):
+        data, _ = run(
+            SRC_AUDIO
+            + "! cmafmux fragment-duration=1000000000 write-mfra=true write-mehd=true "
+            "header-update-mode=update ! appsink name=sink"
+        )
+        types = reader.box_types(data)
+        # final header re-sent after mfra (header-update-mode=update)
+        assert types[-3:] == ["mfra", "ftyp", "moov"]
+        final_moov = reader.parse_boxes(data)[-1]
+        mvhd = final_moov.find(b"mvhd")
+        ts, dur = reader.movie_timescale([final_moov, final_moov])
+        assert ts == 1000 and dur == 2000  # 2 s in movie timescale
+        assert final_moov.find(b"mvex", b"mehd") is not None
+
+    def test_fragment_buffer_timing(self):
+        p = fx.parse_launch(
+            SRC_AUDIO + "! cmafmux fragment-duration=500000000 name=mux ! appsink name=sink"
+        )
+        p.play_until_eos()
+        samples = p.by_name("sink").samples
+        hdr = samples[0].buffer
+        assert hdr.has_flag(fx.BufferFlags.HEADER)
+        frag_bufs = [s.buffer for s in samples[1:]]
+        assert [b.pts for b in frag_bufs] == [0, 500_000_000, 1_000_000_000, 1_500_000_000]
+        assert all(b.duration == 500_000_000 for b in frag_bufs)
+
+
+class TestDASH:
+    def test_styp_per_segment(self):
+        data, _ = run(SRC_AUDIO + "! dashmp4mux fragment-duration=1000000000 ! appsink name=sink")
+        types = reader.box_types(data)
+        assert types[0] == "ftyp"
+        assert reader.parse_boxes(data)[0].payload[:4] == b"msdh"
+        assert types[2:] == ["styp", "moof", "mdat"] * 2
+
+
+class TestISOFMP4:
+    def test_audio_video_two_tracks(self):
+        p = fx.parse_launch(
+            "videotestsrc pattern=smpte num-buffers=20 "
+            "! video/x-raw,format=RGB,width=64,height=32,framerate=10/1 ! mux. "
+            "audiotestsrc wave=sine num-buffers=20 samplesperbuffer=4800 "
+            "! audio/x-raw,format=S16,rate=48000,channels=1 ! mux. "
+            "isofmp4mux name=mux fragment-duration=1000000000 ! appsink name=sink"
+        )
+        p.play_until_eos()
+        data = mux_bytes(p.by_name("sink"))
+        tree = reader.parse_boxes(data)
+        tracks = reader.decode_tracks(tree)
+        assert len(tracks) == 2
+        by_handler = {t.handler: t for t in tracks}
+        vt, at = by_handler["vide"], by_handler["soun"]
+        assert vt.sample_entry_type == "uncv"
+        assert (vt.width, vt.height) == (64, 32)
+        assert at.sample_entry_type == "ipcm"  # integer PCM for S16
+
+        frags = reader.decode_fragments(data, tree)
+        video = [f for f in frags if f.track_id == vt.track_id]
+        audio = [f for f in frags if f.track_id == at.track_id]
+        assert sum(len(f.sample_sizes) for f in video) == 20
+        assert all(s == 64 * 32 * 3 for f in video for s in f.sample_sizes)
+        assert sum(sum(f.sample_durations) for f in audio) == 96000
+
+    def test_video_payload_roundtrip(self):
+        p = fx.parse_launch(
+            "videotestsrc pattern=smpte num-buffers=4 "
+            "! video/x-raw,format=RGB,width=64,height=32,framerate=4/1 ! appsink name=sink"
+        )
+        p.play_until_eos()
+        frames = [np.asarray(s.buffer.data) for s in p.by_name("sink").samples]
+
+        data, _ = run(
+            "videotestsrc pattern=smpte num-buffers=4 "
+            "! video/x-raw,format=RGB,width=64,height=32,framerate=4/1 "
+            "! isofmp4mux fragment-duration=1000000000 ! appsink name=sink"
+        )
+        frags = reader.decode_fragments(data)
+        got = b"".join(f.data for f in frags)
+        assert got == b"".join(f.tobytes() for f in frames)
+
+    def test_chunking(self):
+        data, _ = run(
+            SRC_AUDIO + "! isofmp4mux fragment-duration=1000000000 "
+            "chunk-duration=250000000 ! appsink name=sink"
+        )
+        frags = reader.decode_fragments(data)
+        # chunk cuts happen at buffer granularity: 100 ms buffers with a
+        # 250 ms chunk target -> 300 ms chunks, fragment boundary at 1 s
+        assert len(frags) == 8
+        assert [sum(f.sample_durations) for f in frags] == [14400, 14400, 14400, 4800] * 2
+        assert sum(sum(f.sample_durations) for f in frags) == 96000
+        assert [f.sequence_number for f in frags] == list(range(1, 9))
+
+
+class TestISOMP4:
+    def test_tables_roundtrip(self):
+        data, _ = run(SRC_AUDIO + "! isomp4mux ! appsink name=sink")
+        types = reader.box_types(data)
+        assert types == ["ftyp", "mdat", "moov"]
+        tree = reader.parse_boxes(data)
+        assert tree[0].payload[:4] == b"iso4"  # brands.rs:338-339
+        tracks = reader.decode_tracks(tree)
+        assert len(tracks) == 1
+        t = tracks[0]
+        assert t.sample_entry_type == "fpcm"
+        assert len(t.sample_sizes) == 20
+        assert sum(t.sample_durations) == 96000
+        assert t.duration == 96000
+        assert reader.extract_samples(data, t) == source_audio_bytes()
+        ts, dur = reader.movie_timescale(tree)
+        assert ts == 1000 and dur == 2000
+
+    def test_av_interleaved(self):
+        p = fx.parse_launch(
+            "videotestsrc pattern=gradient num-buffers=10 "
+            "! video/x-raw,format=RGBA,width=32,height=32,framerate=5/1 ! mux. "
+            "audiotestsrc wave=white-noise num-buffers=20 samplesperbuffer=4800 "
+            "! audio/x-raw,format=F64,rate=48000,channels=2 ! mux. "
+            "isomp4mux name=mux ! appsink name=sink"
+        )
+        p.play_until_eos()
+        data = mux_bytes(p.by_name("sink"))
+        tracks = reader.decode_tracks(reader.parse_boxes(data))
+        by_handler = {t.handler: t for t in tracks}
+        vt, at = by_handler["vide"], by_handler["soun"]
+        assert len(vt.sample_sizes) == 10
+        assert all(s == 32 * 32 * 4 for s in vt.sample_sizes)
+        assert len(at.sample_sizes) == 20
+        # both payloads reassemble exactly from the interleaved mdat
+        assert len(reader.extract_samples(data, vt)) == 10 * 32 * 32 * 4
+        assert len(reader.extract_samples(data, at)) == 20 * 4800 * 2 * 8
+
+    def test_onvif_alias(self):
+        data, _ = run(SRC_AUDIO + "! onvifmp4mux ! appsink name=sink")
+        assert reader.box_types(data) == ["ftyp", "mdat", "moov"]
+
+
+class TestBoxWriter:
+    def test_largesize(self):
+        b = bmff.box(b"test", b"x" * 10)
+        assert len(b) == 18
+        assert b[:4] == (18).to_bytes(4, "big")
+
+    def test_uncv_v1_profiles(self):
+        for fmt, profile in [("RGB", b"rgb3"), ("RGBA", b"rgba"), ("ABGR", b"abgr")]:
+            entry = bmff.uncv_sample_entry(fmt, 16, 8)
+            assert profile in entry
+            assert b"cmpd" not in entry
+
+    def test_uncv_v0_components(self):
+        entry = bmff.uncv_sample_entry("BGRA", 16, 8)
+        assert b"cmpd" in entry and b"uncC" in entry
+
+    def test_unknown_format_raises(self):
+        with pytest.raises(ValueError):
+            bmff.uncv_sample_entry("RGBx", 4, 4)  # padded component unsupported
+
+    def test_reader_rejects_corrupt(self):
+        with pytest.raises(ValueError):
+            reader.parse_boxes(b"\x00\x00\x00\x30abcd")  # size beyond end
