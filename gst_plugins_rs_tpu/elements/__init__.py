@@ -13,6 +13,7 @@ from .audiofx import (  # noqa: F401
 from .analytics import combiner, handdetection, meta, yoloxinference, yoloxtensordec  # noqa: F401
 from .generic import basic, buffers, convert, gopbuffer, io  # noqa: F401
 from .mux import isobmff  # noqa: F401
+from .net import codecs as net_codecs, rtppay, udp  # noqa: F401
 from .text import elements as text_elements  # noqa: F401
 from .utilsfx import switching  # noqa: F401
 from .video import colordetect, colorlut, hsv, roundedcorners, videocompare  # noqa: F401

@@ -1,0 +1,131 @@
+"""RFC 3550 RTP packet serialization/parsing.
+
+From-scratch equivalent of the rtp-types crate the reference builds on
+(net/rtp/src/basepay/mod.rs:84-88 uses rtp_types::RtpPacketBuilder).
+Fixed 12-byte header + CSRCs + optional one-/two-byte header extensions.
+"""
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+VERSION = 2
+HEADER_LEN = 12
+U32 = 0xFFFFFFFF
+U16 = 0xFFFF
+
+
+@dataclass
+class RtpPacket:
+    payload_type: int
+    sequence_number: int
+    timestamp: int
+    ssrc: int
+    payload: bytes = b""
+    marker: bool = False
+    csrcs: Tuple[int, ...] = ()
+    extension: Optional[Tuple[int, bytes]] = None  # (profile id, data, 32-bit padded)
+    padding: int = 0  # trailing pad bytes incl. count byte
+
+    def to_bytes(self) -> bytes:
+        if not 0 <= self.payload_type <= 127:
+            raise ValueError(f"payload type {self.payload_type} out of range")
+        b0 = (VERSION << 6) | (0x20 if self.padding else 0)
+        b0 |= 0x10 if self.extension is not None else 0
+        b0 |= len(self.csrcs)
+        b1 = (0x80 if self.marker else 0) | self.payload_type
+        out = struct.pack(
+            ">BBHII",
+            b0,
+            b1,
+            self.sequence_number & U16,
+            self.timestamp & U32,
+            self.ssrc & U32,
+        )
+        out += b"".join(struct.pack(">I", c & U32) for c in self.csrcs)
+        if self.extension is not None:
+            profile, data = self.extension
+            if len(data) % 4:
+                data = data + b"\x00" * (4 - len(data) % 4)
+            out += struct.pack(">HH", profile, len(data) // 4) + data
+        out += self.payload
+        if self.padding:
+            out += b"\x00" * (self.padding - 1) + bytes([self.padding])
+        return out
+
+    @staticmethod
+    def parse(data: bytes) -> "RtpPacket":
+        if len(data) < HEADER_LEN:
+            raise ValueError(f"RTP packet too short: {len(data)}")
+        b0, b1, seq, ts, ssrc = struct.unpack_from(">BBHII", data, 0)
+        if b0 >> 6 != VERSION:
+            raise ValueError(f"bad RTP version {b0 >> 6}")
+        cc = b0 & 0x0F
+        pos = HEADER_LEN
+        if len(data) < pos + 4 * cc:
+            raise ValueError("truncated CSRC list")
+        csrcs = struct.unpack_from(f">{cc}I", data, pos) if cc else ()
+        pos += 4 * cc
+        extension = None
+        if b0 & 0x10:
+            profile, words = struct.unpack_from(">HH", data, pos)
+            pos += 4
+            extension = (profile, data[pos : pos + 4 * words])
+            pos += 4 * words
+        end = len(data)
+        padding = 0
+        if b0 & 0x20:
+            padding = data[-1]
+            if padding == 0 or padding > end - pos:
+                raise ValueError(f"bad RTP padding count {padding}")
+            end -= padding
+        return RtpPacket(
+            payload_type=b1 & 0x7F,
+            sequence_number=seq,
+            timestamp=ts,
+            ssrc=ssrc,
+            payload=data[pos:end],
+            marker=bool(b1 & 0x80),
+            csrcs=tuple(csrcs),
+            extension=extension,
+            padding=padding,
+        )
+
+
+class SeqnumTracker:
+    """Extends 16-bit seqnums to a monotonic 64-bit count and flags gaps."""
+
+    def __init__(self) -> None:
+        self.ext: Optional[int] = None
+
+    def update(self, seq: int) -> Tuple[int, int]:
+        """Returns (extended_seqnum, gap) where gap==1 for in-order flow."""
+        if self.ext is None:
+            self.ext = seq
+            return seq, 1
+        delta = (seq - self.ext) & U16
+        if delta >= 0x8000:  # reordered/old packet
+            delta -= 0x10000
+        self.ext += delta
+        return self.ext, delta
+
+
+class TimestampTracker:
+    """Extends 32-bit RTP timestamps past wraparound."""
+
+    def __init__(self) -> None:
+        self.ext: Optional[int] = None
+
+    def update(self, ts: int) -> int:
+        if self.ext is None:
+            self.ext = ts
+            return ts
+        delta = (ts - self.ext) & U32
+        if delta >= 0x80000000:
+            delta -= 0x100000000
+        self.ext += delta
+        return self.ext
+
+
+__all__ = ["RtpPacket", "SeqnumTracker", "TimestampTracker", "HEADER_LEN"]
