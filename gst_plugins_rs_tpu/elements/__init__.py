@@ -14,6 +14,7 @@ from .analytics import combiner, handdetection, meta, yoloxinference, yoloxtenso
 from .generic import basic, buffers, convert, gopbuffer, io  # noqa: F401
 from .mux import isobmff  # noqa: F401
 from .net import codecs as net_codecs, rtppay, udp  # noqa: F401
+from .cc import elements as cc_elements, files as cc_files, overlay as cc_overlay  # noqa: F401
 from .text import elements as text_elements  # noqa: F401
 from .utilsfx import switching  # noqa: F401
 from .video import colordetect, colorlut, hsv, roundedcorners, videocompare  # noqa: F401

@@ -1,0 +1,155 @@
+"""cea608overlay: render CEA-608 captions onto video frames on device.
+
+Parity target: video/closedcaption/src/cea608overlay/imp.rs (pango-rendered
+caption box composited over video).  TPU-native design: glyphs are
+rasterized ONCE on the host into a device-resident atlas (PIL bitmap font),
+then each caption becomes a [rows*glyph_h, cols*glyph_w] alpha mask built by
+gathering atlas tiles; compositing (black box + white text over the frame)
+is one fused jitted kernel — the frame never leaves the device.
+
+Pad layout follows the reference: video sink pad + cc sink pad
+(closedcaption/x-cea-608), video src pad.
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import (
+    Buffer,
+    Caps,
+    Element,
+    Event,
+    EventType,
+    FlowReturn,
+    Pad,
+    PadDirection,
+    PadPresence,
+    PadTemplate,
+    Prop,
+    register,
+    video_caps_template,
+)
+from ...core.video import RGB_FORMATS
+from ...ops import cea608
+
+GLYPH_W, GLYPH_H = 8, 12
+_ATLAS_CHARS = [chr(c) for c in range(0x20, 0x7F)]
+
+
+def _build_atlas() -> np.ndarray:
+    """[n_chars, GLYPH_H, GLYPH_W] float32 alpha atlas from PIL's bitmap font."""
+    from PIL import Image, ImageDraw, ImageFont
+
+    font = ImageFont.load_default()
+    atlas = np.zeros((len(_ATLAS_CHARS), GLYPH_H, GLYPH_W), np.float32)
+    for i, ch in enumerate(_ATLAS_CHARS):
+        img = Image.new("L", (GLYPH_W, GLYPH_H), 0)
+        ImageDraw.Draw(img).text((0, 0), ch, fill=255, font=font)
+        atlas[i] = np.asarray(img, np.float32) / 255.0
+    return atlas
+
+
+@jax.jit
+def _composite(frame: jnp.ndarray, mask: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
+    """White text (mask) over a dimmed black box region, fused elementwise."""
+    f = frame.astype(jnp.float32)
+    boxed = f * (1.0 - 0.7 * box[..., None])
+    out = boxed * (1.0 - mask[..., None]) + 255.0 * mask[..., None]
+    return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
+
+
+@register
+class Cea608Overlay(Element):
+    ELEMENT_NAME = "cea608overlay"
+    ELEMENT_CLASS = "Video/Overlay/Subtitle"
+    ELEMENT_DESCRIPTION = "Renders CEA-608 captions over video on device"
+    PROPERTIES = [
+        Prop("scale", 2, type="uint", minimum=1, maximum=8, doc="glyph upscale factor"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        vid_caps = video_caps_template(tuple(f for f in RGB_FORMATS if RGB_FORMATS[f][1] == np.uint8))
+        self.sinkpad = self.add_pad(
+            Pad("sink", PadDirection.SINK, PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS, vid_caps))
+        )
+        cc_caps = Caps.builder("closedcaption/x-cea-608", format="raw")
+        self.ccpad = self.add_pad(
+            Pad("cc_sink", PadDirection.SINK, PadTemplate("cc_sink", PadDirection.SINK, PadPresence.ALWAYS, cc_caps))
+        )
+        self.srcpad = self.add_pad(
+            Pad("src", PadDirection.SRC, PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS, vid_caps))
+        )
+        self.sinkpad.chain_function = self._video_chain
+        self.sinkpad.event_function = self._video_event
+        self.ccpad.chain_function = self._cc_chain
+        self.ccpad.event_function = lambda pad, ev: True  # cc stream is auxiliary
+        self._dec = cea608.Cea608Decoder()
+        self._lines: List[str] = []
+        self._atlas: Optional[jnp.ndarray] = None
+        self._mask_cache: Dict[tuple, tuple] = {}
+
+    def on_ready_to_paused(self) -> None:
+        if self._atlas is None:
+            self._atlas = jnp.asarray(_build_atlas())
+        self._dec = cea608.Cea608Decoder()
+        self._lines = []
+        self._mask_cache.clear()
+
+    # -- caption stream ---------------------------------------------------------
+    def _cc_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        for hi, lo in np.asarray(buf.data, np.uint8).reshape(-1, 2):
+            self._dec.push_pair(int(hi), int(lo))
+        for ev in self._dec.take_events():
+            self._lines = [] if ev is None else ev.lines
+        return FlowReturn.OK
+
+    # -- video stream ------------------------------------------------------------
+    def _render_mask(self, lines: tuple, h: int, w: int):
+        """Build (mask, box) [h, w] alpha arrays for the caption lines;
+        cached per (lines, h, w) since captions persist across many frames."""
+        key = (lines, h, w)
+        if key in self._mask_cache:
+            return self._mask_cache[key]
+        scale = self.get_property("scale")
+        gw, gh = GLYPH_W * scale, GLYPH_H * scale
+        atlas = np.asarray(self._atlas)
+        mask = np.zeros((h, w), np.float32)
+        box = np.zeros((h, w), np.float32)
+        n = len(lines)
+        for li, line in enumerate(lines):
+            line = line[: w // gw]
+            y0 = h - (n - li + 1) * gh
+            x0 = (w - len(line) * gw) // 2
+            if y0 < 0 or not line:
+                continue
+            box[y0 : y0 + gh, max(x0 - gw // 2, 0) : x0 + len(line) * gw + gw // 2] = 1.0
+            for ci, ch in enumerate(line):
+                idx = ord(ch) - 0x20
+                if not 0 <= idx < len(_ATLAS_CHARS):
+                    idx = 0
+                tile = atlas[idx].repeat(scale, 0).repeat(scale, 1)
+                mask[y0 : y0 + gh, x0 + ci * gw : x0 + (ci + 1) * gw] = tile
+        out = (jnp.asarray(mask), jnp.asarray(box))
+        self._mask_cache[key] = out
+        return out
+
+    def _video_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        if self._lines:
+            frame = jnp.asarray(buf.data)
+            h, w = frame.shape[0], frame.shape[1]
+            mask, box = self._render_mask(tuple(self._lines), h, w)
+            out = Buffer(_composite(frame, mask, box))
+            out.copy_metadata_from(buf)
+            return self.srcpad.push(out)
+        return self.srcpad.push(buf)
+
+    def _video_event(self, pad: Pad, event: Event) -> bool:
+        return self.srcpad.push_event(event)
+
+
+__all__ = ["Cea608Overlay"]
