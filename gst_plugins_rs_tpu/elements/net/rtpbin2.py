@@ -1,0 +1,354 @@
+"""RTP session elements: rtpsend, rtprecv, ts-jitterbuffer.
+
+Parity targets: reference net/rtp/src/rtpbin2 (rtpsend.rs, rtprecv.rs,
+session.rs, jitterbuffer.rs) and threadshare's ts-jitterbuffer.
+
+rtpsend: request `rtp_sink_%u` -> always-paired `rtp_src_%u` plus
+`rtcp_src_%u`; forwards RTP while tracking per-SSRC packet/octet counts and
+emits compound RTCP SR+SDES on the rtcp pad every rtcp-interval of stream
+time (the reference schedules RTCP on a timer thread; this synchronous
+runtime keys the schedule off buffer pts).
+
+rtprecv: request `rtp_sink_%u`; demuxes SSRCs to sometimes-pads named
+`rtp_src_%u_%ssrc_%pt` (rtprecv.rs pad naming), reordering each SSRC
+through a latency-windowed jitterbuffer; emits RTCP RR per interval on
+`rtcp_src_%u`; accepts RTCP SR on `rtcp_sink_%u` to fill LSR fields.
+"""
+from __future__ import annotations
+
+import time as _time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ...core import (
+    Buffer,
+    Caps,
+    Element,
+    Event,
+    EventType,
+    FlowReturn,
+    Pad,
+    PadDirection,
+    PadPresence,
+    PadTemplate,
+    Prop,
+    SECOND,
+    register,
+)
+from ...core.events import Segment
+from ...net import rtcp
+from ...net.jitterbuffer import JitterBuffer
+from ...net.rtp import RtpPacket
+
+RTP_CAPS = Caps.builder("application/x-rtp")
+RTCP_CAPS = Caps.builder("application/x-rtcp")
+DEFAULT_RTCP_INTERVAL = 5 * SECOND  # RFC 3550 §6.2 nominal
+
+
+class _SendStream:
+    def __init__(self) -> None:
+        self.packet_count = 0
+        self.octet_count = 0
+        self.last_rtp_ts = 0
+        self.last_pts: Optional[int] = None
+        self.next_rtcp_pts = 0
+
+
+@register
+class RtpSend(Element):
+    ELEMENT_NAME = "rtpsend"
+    ELEMENT_CLASS = "Network/RTP/Session"
+    ELEMENT_DESCRIPTION = "RTP session sender: forwards RTP, generates RTCP SRs"
+    PROPERTIES = [
+        Prop("rtcp-interval", DEFAULT_RTCP_INTERVAL, type="uint64"),
+        Prop("cname", "", type="str", doc="SDES CNAME ('' = element name)"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._streams: Dict[int, _SendStream] = {}  # ssrc -> stats
+        self._rtcp_started: Dict[str, bool] = {}
+
+    def request_pad(self, template_name: str = "rtp_sink_%u") -> Pad:
+        n = sum(1 for p in self.pads if p.startswith("rtp_sink_"))
+        return self.request_sink_pad(f"rtp_sink_{n}")
+
+    def request_sink_pad(self, name: Optional[str] = None) -> Pad:
+        if name is None:
+            name = f"rtp_sink_{sum(1 for p in self.pads if p.startswith('rtp_sink_'))}"
+        idx = name.rsplit("_", 1)[1]
+        sink = Pad(name, PadDirection.SINK,
+                   PadTemplate("rtp_sink_%u", PadDirection.SINK, PadPresence.REQUEST, RTP_CAPS))
+        sink.chain_function = lambda pad, buf, i=idx: self._rtp_chain(pad, buf, i)
+        sink.event_function = lambda pad, ev, i=idx: self._rtp_event(pad, ev, i)
+        self.add_pad(sink)
+        src = Pad(f"rtp_src_{idx}", PadDirection.SRC,
+                  PadTemplate("rtp_src_%u", PadDirection.SRC, PadPresence.SOMETIMES, RTP_CAPS))
+        self.add_pad(src)
+        rtcp_src = Pad(f"rtcp_src_{idx}", PadDirection.SRC,
+                       PadTemplate("rtcp_src_%u", PadDirection.SRC, PadPresence.SOMETIMES, RTCP_CAPS))
+        self.add_pad(rtcp_src)
+        return sink
+
+    # first free rtp sink pad for `!`-style linking
+    def link(self, downstream) -> None:
+        src = next((p for p in self.src_pads()
+                    if p.peer is None and p.name.startswith("rtp_src_")), None)
+        if src is None:
+            raise ValueError(f"{self.name}: no free rtp_src pad")
+        sink = next((p for p in downstream.sink_pads() if p.peer is None), None)
+        if sink is None and hasattr(downstream, "request_sink_pad"):
+            sink = downstream.request_sink_pad()
+        src.link(sink)
+
+    def _rtp_event(self, pad: Pad, event: Event, idx: str) -> bool:
+        return self.pad(f"rtp_src_{idx}").push_event(event)
+
+    def _ensure_rtcp_stream(self, idx: str) -> Pad:
+        pad = self.pad(f"rtcp_src_{idx}")
+        if not self._rtcp_started.get(idx) and pad.peer is not None:
+            self._rtcp_started[idx] = True
+            pad.push_event(Event.new_stream_start(f"{self.name}-rtcp-{idx}"))
+            pad.push_event(Event.new_caps(RTCP_CAPS))
+            pad.push_event(Event.new_segment(Segment()))
+        return pad
+
+    def _rtp_chain(self, pad: Pad, buf: Buffer, idx: str) -> FlowReturn:
+        pkt = RtpPacket.parse(np.asarray(buf.data).tobytes())
+        st = self._streams.setdefault(pkt.ssrc, _SendStream())
+        st.packet_count += 1
+        st.octet_count += len(pkt.payload)
+        st.last_rtp_ts = pkt.timestamp
+        st.last_pts = buf.pts
+        ret = self.pad(f"rtp_src_{idx}").push(buf)
+        if ret != FlowReturn.OK:
+            return ret
+        if buf.pts is not None and buf.pts >= st.next_rtcp_pts:
+            st.next_rtcp_pts = buf.pts + self.get_property("rtcp-interval")
+            self._send_sr(idx, pkt.ssrc, st, buf.pts)
+        return ret
+
+    def _send_sr(self, idx: str, ssrc: int, st: _SendStream, pts: int) -> None:
+        rtcp_pad = self._ensure_rtcp_stream(idx)
+        if rtcp_pad.peer is None:
+            return
+        sr = rtcp.SenderReport(
+            ssrc=ssrc,
+            ntp_timestamp=rtcp.ntp_from_ns(_time.time_ns()),
+            rtp_timestamp=st.last_rtp_ts,
+            packet_count=st.packet_count,
+            octet_count=st.octet_count,
+        )
+        cname = self.get_property("cname") or self.name
+        data = sr.to_bytes() + rtcp.Sdes(ssrc, cname).to_bytes()
+        rtcp_pad.push(Buffer(np.frombuffer(data, np.uint8), pts=pts))
+
+    def on_paused_to_ready(self) -> None:
+        self._streams.clear()
+        self._rtcp_started.clear()
+
+
+class _RecvStream:
+    def __init__(self, latency: int) -> None:
+        self.jb = JitterBuffer(latency)
+        self.pad: Optional[Pad] = None
+        self.packets = 0
+        self.highest_seq = 0
+        self.last_sr_ntp_middle = 0
+        self.next_rtcp_pts = 0
+
+
+@register
+class RtpRecv(Element):
+    ELEMENT_NAME = "rtprecv"
+    ELEMENT_CLASS = "Network/RTP/Session"
+    ELEMENT_DESCRIPTION = "RTP session receiver: SSRC demux + jitterbuffer + RTCP RRs"
+    PROPERTIES = [
+        Prop("latency", 0, type="uint64", doc="jitterbuffer latency in ns"),
+        Prop("rtcp-interval", DEFAULT_RTCP_INTERVAL, type="uint64"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._streams: Dict[int, _RecvStream] = {}  # ssrc -> state
+        self._idx_for_ssrc: Dict[int, str] = {}
+        self._rtcp_started: Dict[str, bool] = {}
+        self._ssrc_recv = 0x0F0F0F0F  # our receiver SSRC in RRs
+
+    def request_pad(self, template_name: str = "rtp_sink_%u") -> Pad:
+        return self.request_sink_pad()
+
+    def request_sink_pad(self, name: Optional[str] = None) -> Pad:
+        if name is None:
+            name = f"rtp_sink_{sum(1 for p in self.pads if p.startswith('rtp_sink_'))}"
+        idx = name.rsplit("_", 1)[1]
+        sink = Pad(name, PadDirection.SINK,
+                   PadTemplate("rtp_sink_%u", PadDirection.SINK, PadPresence.REQUEST, RTP_CAPS))
+        sink.chain_function = lambda pad, buf, i=idx: self._rtp_chain(pad, buf, i)
+        sink.event_function = lambda pad, ev, i=idx: self._rtp_event(pad, ev, i)
+        self.add_pad(sink)
+        rtcp_sink = Pad(f"rtcp_sink_{idx}", PadDirection.SINK,
+                        PadTemplate("rtcp_sink_%u", PadDirection.SINK, PadPresence.REQUEST, RTCP_CAPS))
+        rtcp_sink.chain_function = self._rtcp_chain
+        rtcp_sink.event_function = lambda pad, ev: True
+        self.add_pad(rtcp_sink)
+        rtcp_src = Pad(f"rtcp_src_{idx}", PadDirection.SRC,
+                       PadTemplate("rtcp_src_%u", PadDirection.SRC, PadPresence.SOMETIMES, RTCP_CAPS))
+        self.add_pad(rtcp_src)
+        return sink
+
+    def _stream_pad(self, idx: str, pkt: RtpPacket, caps: Optional[Caps]) -> Pad:
+        st = self._streams[pkt.ssrc]
+        if st.pad is None:
+            # sometimes-pad per (session, ssrc, pt) like rtprecv.rs
+            name = f"rtp_src_{idx}_{pkt.ssrc}_{pkt.payload_type}"
+            pad = Pad(name, PadDirection.SRC,
+                      PadTemplate("rtp_src_%u_%u_%u", PadDirection.SRC,
+                                  PadPresence.SOMETIMES, RTP_CAPS))
+            self.add_pad(pad)
+            # auto-link to a free downstream-style pad if the element was
+            # linked before the ssrc appeared
+            if self._pending_peer is not None and self._pending_peer.peer is None:
+                pad.link(self._pending_peer)
+            if pad.peer is not None:
+                pad.push_event(Event.new_stream_start(f"{self.name}-{pkt.ssrc}"))
+                pad.push_event(Event.new_caps(caps or RTP_CAPS))
+                pad.push_event(Event.new_segment(Segment()))
+            st.pad = pad
+        return st.pad
+
+    _pending_peer: Optional[Pad] = None
+
+    def link(self, downstream) -> None:
+        """`rtprecv ! elem` defers linking until the first SSRC pad appears."""
+        sink = next((p for p in downstream.sink_pads() if p.peer is None), None)
+        if sink is None and hasattr(downstream, "request_sink_pad"):
+            sink = downstream.request_sink_pad()
+        self._pending_peer = sink
+
+    def _rtp_event(self, pad: Pad, event: Event, idx: str) -> bool:
+        if event.type == EventType.EOS:
+            for ssrc, st in self._streams.items():
+                for item in st.jb.flush():
+                    if st.pad is not None and st.pad.peer is not None:
+                        st.pad.push(item)
+            ok = True
+            for ssrc, st in self._streams.items():
+                if st.pad is not None and st.pad.peer is not None:
+                    ok = st.pad.push_event(event) and ok
+            return ok
+        if event.type in (EventType.STREAM_START, EventType.CAPS, EventType.SEGMENT):
+            return True  # per-ssrc pads get their own
+        ok = True
+        for st in self._streams.values():
+            if st.pad is not None and st.pad.peer is not None:
+                ok = st.pad.push_event(event) and ok
+        return ok
+
+    def _rtp_chain(self, pad: Pad, buf: Buffer, idx: str) -> FlowReturn:
+        pkt = RtpPacket.parse(np.asarray(buf.data).tobytes())
+        if pkt.ssrc not in self._streams:
+            self._streams[pkt.ssrc] = _RecvStream(self.get_property("latency"))
+            self._idx_for_ssrc[pkt.ssrc] = idx
+        st = self._streams[pkt.ssrc]
+        st.packets += 1
+        out_pad = self._stream_pad(idx, pkt, pad.current_caps)
+        ret = FlowReturn.OK
+        for item in st.jb.insert(pkt.sequence_number, buf, buf.pts):
+            if out_pad.peer is not None:
+                r = out_pad.push(item)
+                if r != FlowReturn.OK:
+                    ret = r
+        if buf.pts is not None and buf.pts >= st.next_rtcp_pts:
+            st.next_rtcp_pts = buf.pts + self.get_property("rtcp-interval")
+            self._send_rr(idx, pkt.ssrc, st, buf.pts)
+        return ret
+
+    def _send_rr(self, idx: str, ssrc: int, st: _RecvStream, pts: int) -> None:
+        pad = self.pads.get(f"rtcp_src_{idx}")
+        if pad is None or pad.peer is None:
+            return
+        if not self._rtcp_started.get(idx):
+            self._rtcp_started[idx] = True
+            pad.push_event(Event.new_stream_start(f"{self.name}-rtcp-{idx}"))
+            pad.push_event(Event.new_caps(RTCP_CAPS))
+            pad.push_event(Event.new_segment(Segment()))
+        expected = st.packets + st.jb.num_lost
+        frac = min(255, st.jb.num_lost * 256 // max(expected, 1))
+        rr = rtcp.ReceiverReport(
+            self._ssrc_recv,
+            [rtcp.ReportBlock(
+                ssrc, frac, st.jb.num_lost,
+                st.jb._tracker.ext or 0, 0, st.last_sr_ntp_middle, 0,
+            )],
+        )
+        pad.push(Buffer(np.frombuffer(rr.to_bytes(), np.uint8), pts=pts))
+
+    def _rtcp_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        for pkt in rtcp.parse_compound(np.asarray(buf.data).tobytes()):
+            if isinstance(pkt, rtcp.SenderReport) and pkt.ssrc in self._streams:
+                self._streams[pkt.ssrc].last_sr_ntp_middle = (
+                    (pkt.ntp_timestamp >> 16) & 0xFFFFFFFF
+                )
+            elif isinstance(pkt, rtcp.Bye):
+                for ssrc in pkt.ssrcs:
+                    st = self._streams.get(ssrc)
+                    if st is not None and st.pad is not None and st.pad.peer is not None:
+                        for item in st.jb.flush():
+                            st.pad.push(item)
+                        st.pad.push_event(Event.new_eos())
+        return FlowReturn.OK
+
+    def on_paused_to_ready(self) -> None:
+        self._streams.clear()
+        self._idx_for_ssrc.clear()
+        self._rtcp_started.clear()
+
+
+@register
+class TsJitterBuffer(Element):
+    """Standalone jitterbuffer element (threadshare ts-jitterbuffer analog,
+    generic/threadshare/src/jitterbuffer/)."""
+
+    ELEMENT_NAME = "ts-jitterbuffer"
+    ELEMENT_CLASS = "Network/RTP"
+    ELEMENT_DESCRIPTION = "Reorders RTP packets by seqnum within a latency window"
+    PROPERTIES = [
+        Prop("latency", 200_000_000, type="uint64", doc="reorder window in ns"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self.sinkpad = self.add_pad(
+            Pad("sink", PadDirection.SINK,
+                PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS, RTP_CAPS))
+        )
+        self.srcpad = self.add_pad(
+            Pad("src", PadDirection.SRC,
+                PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS, RTP_CAPS))
+        )
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = self._event
+        self._jb = JitterBuffer(self.get_property("latency"))
+
+    def on_ready_to_paused(self) -> None:
+        self._jb = JitterBuffer(self.get_property("latency"))
+
+    def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        pkt = RtpPacket.parse(np.asarray(buf.data).tobytes())
+        ret = FlowReturn.OK
+        for item in self._jb.insert(pkt.sequence_number, buf, buf.pts):
+            r = self.srcpad.push(item)
+            if r != FlowReturn.OK:
+                ret = r
+        return ret
+
+    def _event(self, pad: Pad, event: Event) -> bool:
+        if event.type == EventType.EOS:
+            for item in self._jb.flush():
+                self.srcpad.push(item)
+        return self.srcpad.push_event(event)
+
+
+__all__ = ["RtpSend", "RtpRecv", "TsJitterBuffer"]
