@@ -12,8 +12,9 @@ from .audiofx import (  # noqa: F401
 )
 from .analytics import combiner, handdetection, meta, yoloxinference, yoloxtensordec  # noqa: F401
 from .generic import basic, buffers, convert, gopbuffer, io  # noqa: F401
-from .mux import isobmff  # noqa: F401
+from .mux import flv, isobmff  # noqa: F401
 from .net import codecs as net_codecs, rtppay, udp  # noqa: F401
+from .image import cdg as image_cdg, codecs as image_codecs, overlay as image_overlay  # noqa: F401
 from .cc import elements as cc_elements, files as cc_files, overlay as cc_overlay  # noqa: F401
 from .text import elements as text_elements  # noqa: F401
 from .utilsfx import switching  # noqa: F401

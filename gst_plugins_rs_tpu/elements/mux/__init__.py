@@ -1,1 +1,1 @@
-from . import isobmff  # noqa: F401
+from . import flv, isobmff  # noqa: F401
