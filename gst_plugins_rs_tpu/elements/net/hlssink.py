@@ -1,0 +1,380 @@
+"""HLS sink elements: hlscmafsink, hlssink3, hlswebvttsink,
+hlsmultivariantsink.
+
+Parity targets: net/hlssink3 (hlsbasesink.rs + hlscmafsink/ + hlssink3/ +
+hlswebvttsink/) and net/hlsmultivariantsink.  Defaults from
+hlsbasesink.rs:23-29 (playlist.m3u8, max-files 10, playlist-length 5,
+endlist on).
+
+hlscmafsink embeds a CMAFMux exactly like the reference embeds cmafmux:
+raw audio/video goes in, the muxer's HEADER buffer becomes the init
+segment (init-location) and each fragment becomes one media segment
+(location pattern), with the playlist rewritten atomically after every
+segment and an `hls-segment-added` element message posted
+(hlsbasesink.rs:658).
+
+hlssink3 diverges from the reference (which muxes MPEG-TS): there is no
+MPEG-TS muxer in this framework yet, so it accepts a pre-muxed byte
+stream (HEADER-flagged init + fragment buffers, e.g. from any fmp4 muxer)
+and segments it; same playlist machinery.
+"""
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from ...core import (
+    Buffer,
+    BufferFlags,
+    Caps,
+    Element,
+    Event,
+    EventType,
+    FlowReturn,
+    Pad,
+    PadDirection,
+    PadPresence,
+    PadTemplate,
+    Prop,
+    SECOND,
+    register,
+)
+from ...core.caps import Structure
+from ...core.events import Message, MessageType
+from ...net import hls
+from ..mux.isobmff import _SINK_CAPS as MUX_SINK_CAPS, CMAFMux
+
+DEFAULT_TARGET_DURATION = 15  # hlssink3 target-duration default (seconds)
+
+
+class _HlsBase(Element):
+    """Shared segment/playlist machinery (hlsbasesink.rs analog)."""
+
+    PROPERTIES = [
+        Prop("playlist-location", "playlist.m3u8", type="str"),
+        Prop("playlist-root", None, type="str"),
+        Prop("location", "segment%05d.m4s", type="str"),
+        Prop("target-duration", DEFAULT_TARGET_DURATION, type="uint", minimum=1),
+        Prop("playlist-length", 5, type="uint"),
+        Prop("max-files", 10, type="uint"),
+        Prop("enable-endlist", True, type="bool"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._playlist: Optional[hls.MediaPlaylist] = None
+        self._seg_index = 0
+
+    def _uri(self, path: str) -> str:
+        root = self.get_property("playlist-root")
+        base = os.path.basename(path)
+        return f"{root.rstrip('/')}/{base}" if root else base
+
+    def _init_playlist(self, init_uri: Optional[str]) -> None:
+        self._playlist = hls.MediaPlaylist(
+            target_duration=self.get_property("target-duration"),
+            playlist_length=self.get_property("playlist-length"),
+            max_files=self.get_property("max-files"),
+            init_uri=init_uri,
+            enable_endlist=self.get_property("enable-endlist"),
+        )
+        self._seg_index = 0
+
+    def _write_segment(self, data: bytes, duration_ns: int) -> None:
+        path = self.get_property("location") % self._seg_index
+        self._seg_index += 1
+        with open(path, "wb") as f:
+            f.write(data)
+        assert self._playlist is not None
+        evicted = self._playlist.add_segment(
+            hls.Segment(self._uri(path), duration_ns / SECOND, path)
+        )
+        for old in evicted:
+            try:
+                os.remove(old)
+            except OSError:
+                pass
+        self._write_playlist()
+        self.post_message(
+            Message(
+                MessageType.ELEMENT,
+                structure=Structure(
+                    "hls-segment-added",
+                    location=path,
+                    running_time=None,
+                    duration=duration_ns,
+                ),
+            )
+        )
+
+    def _write_playlist(self) -> None:
+        hls.write_atomic(self.get_property("playlist-location"), self._playlist.render())
+
+    def _finish_playlist(self) -> None:
+        if self._playlist is not None:
+            self._playlist.end()
+            self._write_playlist()
+
+
+@register
+class HlsCmafSink(_HlsBase):
+    ELEMENT_NAME = "hlscmafsink"
+    ELEMENT_CLASS = "Sink/Muxer"
+    ELEMENT_DESCRIPTION = "HLS sink writing CMAF segments (embeds cmafmux)"
+    PROPERTIES = [
+        Prop("init-location", "init%05d.mp4", type="str"),
+        Prop("location", "segment%05d.m4s", type="str"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._mux = CMAFMux(f"{self.name}-mux")
+        mux_sink = self._mux.pad("sink")
+        # our public sink pad proxies straight into the embedded muxer
+        self.sinkpad = self.add_pad(
+            Pad("sink", PadDirection.SINK,
+                PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS, MUX_SINK_CAPS))
+        )
+        self.sinkpad.chain_function = lambda pad, buf: mux_sink.chain(buf)
+        self.sinkpad.event_function = lambda pad, ev: mux_sink.send_event(ev)
+        self.sinkpad.query_function = lambda pad, q: mux_sink.query(q)
+        # collect the muxer output on an internal pad
+        inner = Pad("inner_sink", PadDirection.SINK,
+                    PadTemplate("inner", PadDirection.SINK, PadPresence.ALWAYS, Caps.new_any()))
+        inner.chain_function = self._mux_output
+        inner.event_function = self._mux_event
+        inner.element = self
+        self._mux.srcpad.peer = inner
+        inner.peer = self._mux.srcpad
+        self._frag_acc = bytearray()
+        self._frag_dur = 0
+
+    def on_null_to_ready(self) -> None:
+        from ...core.element import State
+
+        self._mux.set_property(
+            "fragment-duration", self.get_property("target-duration") * SECOND
+        )
+        self._mux.set_state(State.READY)
+
+    def on_ready_to_paused(self) -> None:
+        from ...core.element import State
+
+        self._mux.set_state(State.PAUSED)
+        self._init_playlist(None)
+        self._frag_acc = bytearray()
+        self._frag_dur = 0
+
+    def on_paused_to_playing(self) -> None:
+        from ...core.element import State
+
+        self._mux.set_state(State.PLAYING)
+
+    def on_paused_to_ready(self) -> None:
+        from ...core.element import State
+
+        self._mux.set_state(State.READY)
+
+    def on_ready_to_null(self) -> None:
+        from ...core.element import State
+
+        self._mux.set_state(State.NULL)
+
+    def _mux_output(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        data = np.asarray(buf.data, np.uint8).tobytes()
+        if buf.has_flag(BufferFlags.HEADER):
+            path = self.get_property("init-location") % 0
+            with open(path, "wb") as f:
+                f.write(data)
+            self._playlist.init_uri = self._uri(path)
+            self._write_playlist()
+            return FlowReturn.OK
+        self._frag_acc += data
+        self._frag_dur += buf.duration or 0
+        if not buf.has_flag(BufferFlags.DELTA_UNIT):
+            # fragment boundary: moof-starting buffer closes a segment
+            self._write_segment(bytes(self._frag_acc), self._frag_dur)
+            self._frag_acc = bytearray()
+            self._frag_dur = 0
+        return FlowReturn.OK
+
+    def _mux_event(self, pad: Pad, event: Event) -> bool:
+        if event.type == EventType.EOS:
+            if self._frag_acc:
+                self._write_segment(bytes(self._frag_acc), self._frag_dur)
+                self._frag_acc = bytearray()
+            self._finish_playlist()
+            self.post_message(Message(MessageType.EOS))
+        return True
+
+
+class _ByteStreamHlsSink(_HlsBase):
+    """Segments a pre-muxed byte stream at non-DELTA boundaries."""
+
+    STREAM_CAPS = Caps.new_any()
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self.sinkpad = self.add_pad(
+            Pad("sink", PadDirection.SINK,
+                PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS, self.STREAM_CAPS))
+        )
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = self._event
+        self._acc = bytearray()
+        self._dur = 0
+
+    def on_ready_to_paused(self) -> None:
+        self._init_playlist(None)
+        self._acc = bytearray()
+        self._dur = 0
+
+    def _flush_segment(self) -> None:
+        if self._acc:
+            self._write_segment(bytes(self._acc), self._dur or self.get_property("target-duration") * SECOND)
+            self._acc = bytearray()
+            self._dur = 0
+
+    def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        data = self._payload(buf)
+        if buf.has_flag(BufferFlags.HEADER):
+            path = self.get_property("init-location") % 0 if "init-location" in self._props else None
+            if path:
+                with open(path, "wb") as f:
+                    f.write(data)
+                self._playlist.init_uri = self._uri(path)
+            return FlowReturn.OK
+        if not buf.has_flag(BufferFlags.DELTA_UNIT):
+            self._flush_segment()
+        self._acc += data
+        self._dur += buf.duration or 0
+        return FlowReturn.OK
+
+    def _payload(self, buf: Buffer) -> bytes:
+        d = buf.data
+        return d.encode() if isinstance(d, str) else np.asarray(d, np.uint8).tobytes()
+
+    def _event(self, pad: Pad, event: Event) -> bool:
+        if event.type == EventType.EOS:
+            self._flush_segment()
+            self._finish_playlist()
+            self.post_message(Message(MessageType.EOS))
+        return True
+
+
+@register
+class HlsSink3(_ByteStreamHlsSink):
+    ELEMENT_NAME = "hlssink3"
+    ELEMENT_CLASS = "Sink/Muxer"
+    ELEMENT_DESCRIPTION = "HLS sink segmenting a pre-muxed stream"
+    PROPERTIES = [
+        Prop("location", "segment%05d.ts", type="str"),
+        Prop("init-location", "init%05d.mp4", type="str"),
+    ]
+    STREAM_CAPS = Caps(
+        [Structure("video/quicktime"), Structure("video/mpegts"),
+         Structure("application/octet-stream")]
+    )
+
+
+@register
+class HlsWebVttSink(_ByteStreamHlsSink):
+    ELEMENT_NAME = "hlswebvttsink"
+    ELEMENT_CLASS = "Sink/Subtitle"
+    ELEMENT_DESCRIPTION = "HLS sink writing WebVTT subtitle segments"
+    PROPERTIES = [
+        Prop("location", "segment%05d.vtt", type="str"),
+    ]
+    STREAM_CAPS = Caps.builder("application/x-subtitle-vtt")
+
+    def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        # one VTT cue buffer per segment
+        self._acc += self._payload(buf)
+        self._dur += buf.duration or 0
+        self._flush_segment()
+        return FlowReturn.OK
+
+
+@register
+class HlsMultivariantSink(Element):
+    """Master playlist over N variant streams (net/hlsmultivariantsink).
+
+    Each request sink pad takes a pre-muxed variant stream; per-variant
+    segment/playlist state reuses the hlssink3 machinery.  Variant
+    attributes come from pad-name-indexed properties set before PLAYING.
+    """
+
+    ELEMENT_NAME = "hlsmultivariantsink"
+    ELEMENT_CLASS = "Sink/Muxer"
+    ELEMENT_DESCRIPTION = "HLS multivariant (master) playlist sink"
+    PROPERTIES = [
+        Prop("playlist-location", "master.m3u8", type="str"),
+        Prop("variant-playlist-pattern", "variant%u.m3u8", type="str"),
+        Prop("segment-pattern", "variant%u_segment%%05d.m4s", type="str"),
+        Prop("target-duration", DEFAULT_TARGET_DURATION, type="uint", minimum=1),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._variants: List[hls.Variant] = []
+        self._sinks: List[HlsSink3] = []
+        self._pad_count = 0
+
+    def request_sink_pad(self, name: Optional[str] = None, *, bandwidth: int = 0,
+                         width: int = 0, height: int = 0, codecs: str = "") -> Pad:
+        idx = self._pad_count
+        self._pad_count += 1
+        inner = HlsSink3(f"{self.name}-variant{idx}")
+        pattern = self.get_property("variant-playlist-pattern")
+        inner.set_property("playlist-location", pattern.replace("%u", str(idx)))
+        # segment-pattern escapes the per-segment %05d as %%05d
+        inner.set_property(
+            "location",
+            self.get_property("segment-pattern").replace("%u", str(idx)).replace("%%", "%"),
+        )
+        inner.set_property("target-duration", self.get_property("target-duration"))
+        inner.parent = self.parent
+        self._sinks.append(inner)
+        self._variants.append(
+            hls.Variant(pattern.replace("%u", str(idx)), bandwidth or 1_000_000,
+                        width, height, codecs)
+        )
+        pad = Pad(name or f"sink_{idx}", PadDirection.SINK,
+                  PadTemplate("sink_%u", PadDirection.SINK, PadPresence.REQUEST,
+                              HlsSink3.STREAM_CAPS))
+        pad.chain_function = lambda p, buf, s=inner: s.sinkpad.chain(buf)
+        pad.event_function = lambda p, ev, s=inner: s.sinkpad.send_event(ev)
+        return self.add_pad(pad)
+
+    def request_pad(self, template_name: str = "sink_%u") -> Pad:
+        return self.request_sink_pad()
+
+    def _write_master(self) -> None:
+        hls.write_atomic(
+            self.get_property("playlist-location"), hls.master_playlist(self._variants)
+        )
+
+    def on_ready_to_paused(self) -> None:
+        from ...core.element import State
+
+        for s in self._sinks:
+            s.parent = self.parent
+            s.set_state(State.PAUSED)
+        self._write_master()
+
+    def on_paused_to_playing(self) -> None:
+        from ...core.element import State
+
+        for s in self._sinks:
+            s.set_state(State.PLAYING)
+
+    def on_paused_to_ready(self) -> None:
+        from ...core.element import State
+
+        for s in self._sinks:
+            s.set_state(State.READY)
+
+
+__all__ = ["HlsCmafSink", "HlsSink3", "HlsWebVttSink", "HlsMultivariantSink"]

@@ -1,0 +1,113 @@
+"""HLS media playlist (m3u8) writer with sliding-window semantics.
+
+From-scratch equivalent of the m3u8-rs usage in the reference hlssink3
+(net/hlssink3/src/playlist.rs): EXTM3U/EXT-X-VERSION/TARGETDURATION/
+MEDIA-SEQUENCE/EXT-X-MAP/EXTINF entries, playlist-length window, max-files
+segment deletion, optional ENDLIST (hlsbasesink.rs defaults:
+playlist-length 5, max-files 10, endlist on).
+"""
+from __future__ import annotations
+
+import math
+import os
+from dataclasses import dataclass
+from typing import List, Optional
+
+
+@dataclass
+class Segment:
+    uri: str
+    duration_s: float
+    path: Optional[str] = None  # on-disk path for max-files deletion
+
+
+class MediaPlaylist:
+    def __init__(
+        self,
+        *,
+        target_duration: int,
+        playlist_length: int = 5,
+        max_files: int = 10,
+        init_uri: Optional[str] = None,
+        enable_endlist: bool = True,
+    ):
+        self.target_duration = target_duration
+        self.playlist_length = playlist_length
+        self.max_files = max_files
+        self.init_uri = init_uri
+        self.enable_endlist = enable_endlist
+        self.segments: List[Segment] = []
+        self.media_sequence = 0
+        self.ended = False
+
+    def add_segment(self, seg: Segment) -> List[str]:
+        """Add a segment; returns paths of segments evicted past max-files."""
+        self.segments.append(seg)
+        evicted: List[str] = []
+        # window: playlist shows the last `playlist_length` segments, files
+        # beyond `max_files` get deleted (hlsbasesink.rs)
+        while len(self.segments) > max(self.max_files, self.playlist_length):
+            old = self.segments.pop(0)
+            self.media_sequence += 1
+            if old.path:
+                evicted.append(old.path)
+        return evicted
+
+    def end(self) -> None:
+        self.ended = True
+
+    def render(self) -> str:
+        visible = self.segments[-self.playlist_length :] if self.playlist_length else self.segments
+        seq = self.media_sequence + (len(self.segments) - len(visible))
+        target = max(
+            self.target_duration,
+            int(math.ceil(max((s.duration_s for s in visible), default=0))),
+        )
+        lines = [
+            "#EXTM3U",
+            f"#EXT-X-VERSION:{6 if self.init_uri else 3}",
+            f"#EXT-X-TARGETDURATION:{target}",
+            f"#EXT-X-MEDIA-SEQUENCE:{seq}",
+        ]
+        if self.init_uri:
+            lines.append(f'#EXT-X-MAP:URI="{self.init_uri}"')
+        for s in visible:
+            lines.append(f"#EXTINF:{s.duration_s:.3f},")
+            lines.append(s.uri)
+        if self.ended and self.enable_endlist:
+            lines.append("#EXT-X-ENDLIST")
+        return "\n".join(lines) + "\n"
+
+
+@dataclass
+class Variant:
+    uri: str
+    bandwidth: int
+    width: int = 0
+    height: int = 0
+    codecs: str = ""
+    is_audio_only: bool = False
+
+
+def master_playlist(variants: List[Variant]) -> str:
+    """Multivariant (master) playlist (hlsmultivariantsink analog)."""
+    lines = ["#EXTM3U", "#EXT-X-VERSION:6"]
+    for v in variants:
+        attrs = [f"BANDWIDTH={v.bandwidth}"]
+        if v.width and v.height:
+            attrs.append(f"RESOLUTION={v.width}x{v.height}")
+        if v.codecs:
+            attrs.append(f'CODECS="{v.codecs}"')
+        lines.append("#EXT-X-STREAM-INF:" + ",".join(attrs))
+        lines.append(v.uri)
+    return "\n".join(lines) + "\n"
+
+
+def write_atomic(path: str, content: str) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(content)
+    os.replace(tmp, path)
+
+
+__all__ = ["MediaPlaylist", "Segment", "Variant", "master_playlist", "write_atomic"]
