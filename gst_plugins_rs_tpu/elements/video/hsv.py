@@ -50,7 +50,9 @@ class HsvFilter(VideoFilter):
     def _params(self):
         return jnp.asarray(
             [
-                self.get_property("hue-shift"),
+                # pre-reduce mod 360 so the kernel's sextant-unit hue path
+                # only needs conditional subtracts (ops/hsv.py)
+                self.get_property("hue-shift") % 360.0,
                 self.get_property("saturation-mul"),
                 self.get_property("saturation-off"),
                 self.get_property("value-mul"),

@@ -101,13 +101,55 @@ def hsv_filter_frame(frame, params, *, offsets: Tuple[int, int, int]):
 
     frame: [..., C] uint8; params: [5] f32 (hue_shift, sat_mul, sat_off,
     val_mul, val_off); offsets: (r,g,b) channel positions.
-    Returns a frame of identical shape/dtype (non-RGB channels preserved)."""
+    Returns a frame of identical shape/dtype (non-RGB channels preserved).
+
+    VPU-optimized form: hue never leaves *sextant units* (h/60).  The
+    reference's degrees round trip (x60, mod 360, +shift, mod 360, /60)
+    collapses to one add and two conditional subtracts, since
+    base+num/chroma is in (-1, 5] and shift/60 in [0, 6).  This kernel is
+    compute-bound (PERF_NOTES.md), so removing the two mods and two
+    scalings is a direct throughput win; outputs stay within the
+    documented <=1 u8 LSB of the strict-order reference math."""
     r, g, b = _split_rgb(frame, offsets)
-    h, s, v = rgb_to_hsv(r, g, b)
-    h = jnp.mod(h + params[0], 360.0)
-    s = jnp.clip(params[1] * s + params[2], 0.0, 1.0)
-    v = jnp.clip(params[3] * v + params[4], 0.0, 1.0)
-    r2, g2, b2 = hsv_to_rgb(h, s, v)
+    value = jnp.maximum(jnp.maximum(r, g), b)
+    minv = jnp.minimum(jnp.minimum(r, g), b)
+    chroma = value - minv
+    inv_c = 1.0 / jnp.where(chroma == 0.0, 1.0, chroma)
+    is_r = jnp.abs(value - r) < EPSILON
+    is_g = jnp.abs(value - g) < EPSILON
+    is_b = jnp.abs(value - b) < EPSILON
+    num = jnp.where(is_r, g - b, jnp.where(is_g, b - r, jnp.where(is_b, r - g, 0.0)))
+    base = jnp.where(is_r, 0.0, jnp.where(is_g, 2.0, jnp.where(is_b, 4.0, 0.0)))
+    hp = jnp.where(chroma == 0.0, 0.0, base + num * inv_c)  # (-1, 5]
+    hp = hp + params[0] * (1.0 / 60.0)  # shift already reduced mod 360 host-side
+    hp = jnp.where(hp < 0.0, hp + 6.0, hp)
+    hp = jnp.where(hp >= 6.0, hp - 6.0, hp)
+
+    sat = chroma * (1.0 / jnp.where(value == 0.0, 1.0, value))
+    sat = jnp.where(value == 0.0, 0.0, sat)
+    s = jnp.clip(params[1] * sat + params[2], 0.0, 1.0)
+    v = jnp.clip(params[3] * value + params[4], 0.0, 1.0)
+
+    c = v * s
+    x = c * (1.0 - jnp.abs(hp - 2.0 * jnp.floor(hp * 0.5) - 1.0))
+    zero = jnp.zeros_like(c)
+
+    def sel(c0, c1, c2, c3, c4, c5):
+        return jnp.where(
+            hp <= 1.0,
+            c0,
+            jnp.where(
+                hp <= 2.0,
+                c1,
+                jnp.where(hp <= 3.0, c2,
+                          jnp.where(hp <= 4.0, c3, jnp.where(hp <= 5.0, c4, c5))),
+            ),
+        )
+
+    m = v - c
+    r2 = sel(c, x, zero, zero, x, c) + m
+    g2 = sel(x, c, c, x, zero, zero) + m
+    b2 = sel(zero, zero, x, c, c, x) + m
     out = frame
     # reference quantization: clamp then `as u8` truncation
     # (hsvutils::to_rgb).  Exact u8 values at truncation boundaries are
