@@ -1,0 +1,155 @@
+"""dashsink2, reqwesthttpsrc (loopback http.server), icecastsink (fake
+icecast server) tests."""
+import os
+import socket
+import threading
+import xml.etree.ElementTree as ET
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+import pytest
+
+import gst_plugins_rs_tpu as fx
+from gst_plugins_rs_tpu.mux import reader
+
+
+class TestDashSink:
+    def test_two_representations_and_mpd(self, tmp_path):
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        sink = fx.element_factory_make("dashsink2")
+        sink.set_property("mpd-root-path", str(tmp_path))
+        sink.set_property("target-duration", 1)
+        p = fx.Pipeline()
+        p.add(sink)
+        # audio representation
+        asrc = fx.element_factory_make("audiotestsrc")
+        asrc.set_property("wave", "sine"); asrc.set_property("num-buffers", 20)
+        asrc.set_property("samplesperbuffer", 4800)
+        acaps = fx.element_factory_make("capsfilter")
+        acaps.set_property("caps", parse_caps("audio/x-raw,format=S16,rate=48000,channels=2"))
+        # video representation
+        vsrc = fx.element_factory_make("videotestsrc")
+        vsrc.set_property("pattern", "gradient"); vsrc.set_property("num-buffers", 20)
+        vcaps = fx.element_factory_make("capsfilter")
+        vcaps.set_property("caps", parse_caps("video/x-raw,format=RGB,width=64,height=32,framerate=10/1"))
+        for e in (asrc, acaps, vsrc, vcaps):
+            p.add(e)
+        asrc.link(acaps); acaps.pad("src").link(sink.request_sink_pad())
+        vsrc.link(vcaps); vcaps.pad("src").link(sink.request_sink_pad())
+        p.play_until_eos()
+
+        files = sorted(os.listdir(tmp_path))
+        assert "manifest.mpd" in files
+        assert "init_0.mp4" in files and "init_1.mp4" in files
+        # 2 s of content at 1 s segments -> 2 segments per representation
+        assert "seg_0_1.m4s" in files and "seg_0_2.m4s" in files
+        assert "seg_1_1.m4s" in files and "seg_1_2.m4s" in files
+        # init segments parse as valid fMP4 headers
+        assert reader.box_types((tmp_path / "init_0.mp4").read_bytes()) == ["ftyp", "moov"]
+
+        root = ET.parse(tmp_path / "manifest.mpd").getroot()
+        ns = {"mpd": "urn:mpeg:dash:schema:mpd:2011"}
+        sets = root.findall(".//mpd:AdaptationSet", ns)
+        assert {s.get("mimeType") for s in sets} == {"audio/mp4", "video/mp4"}
+        reps = root.findall(".//mpd:Representation", ns)
+        assert len(reps) == 2
+        tmpl = root.find(".//mpd:SegmentTemplate", ns)
+        assert tmpl.get("startNumber") == "1"
+        timeline = root.findall(".//mpd:SegmentTimeline/mpd:S", ns)
+        assert len(timeline) == 4  # 2 per representation
+
+
+class _Handler(BaseHTTPRequestHandler):
+    payload = b"0123456789" * 5000  # 50 kB
+
+    def do_GET(self):
+        if self.path == "/auth" and self.headers.get("Authorization") != "Basic dXNlcjpwdw==":
+            self.send_response(401); self.end_headers(); return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/x-test")
+        self.send_header("Content-Length", str(len(self.payload)))
+        self.end_headers()
+        self.wfile.write(self.payload)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def http_server():
+    srv = HTTPServer(("127.0.0.1", 0), _Handler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+class TestReqwestHttpSrc:
+    def test_fetch_and_caps(self, http_server):
+        p = fx.parse_launch(f"reqwesthttpsrc location={http_server}/file ! appsink name=sink")
+        p.play_until_eos()
+        sink = p.by_name("sink")
+        data = b"".join(np.asarray(s.buffer.data).tobytes() for s in sink.samples)
+        assert data == _Handler.payload
+        assert sink.caps.structure(0).name == "application/x-test"
+
+    def test_basic_auth(self, http_server):
+        p = fx.parse_launch(
+            f"reqwesthttpsrc location={http_server}/auth user-id=user user-pw=pw "
+            "! appsink name=sink"
+        )
+        p.play_until_eos()
+        data = b"".join(np.asarray(s.buffer.data).tobytes()
+                        for s in p.by_name("sink").samples)
+        assert data == _Handler.payload
+
+
+class _FakeIcecast(threading.Thread):
+    def __init__(self):
+        super().__init__(daemon=True)
+        self.sock = socket.socket()
+        self.sock.bind(("127.0.0.1", 0))
+        self.sock.listen(1)
+        self.port = self.sock.getsockname()[1]
+        self.request = b""
+        self.body = b""
+
+    def run(self):
+        conn, _ = self.sock.accept()
+        data = b""
+        while b"\r\n\r\n" not in data:
+            data += conn.recv(4096)
+        self.request, _, rest = data.partition(b"\r\n\r\n")
+        conn.sendall(b"HTTP/1.1 100 Continue\r\n\r\n")
+        self.body = rest
+        conn.settimeout(1.0)
+        try:
+            while True:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    break
+                self.body += chunk
+        except socket.timeout:
+            pass
+        conn.close()
+
+
+class TestIcecast:
+    def test_stream_to_fake_server(self):
+        srv = _FakeIcecast()
+        srv.start()
+        p = fx.parse_launch(
+            "audiotestsrc wave=sine num-buffers=3 samplesperbuffer=480 "
+            "! audio/x-raw,format=S16,rate=8000,channels=1 "
+            "! mulawenc ! icecastsink name=ice "
+            f"port={srv.port} mount=/radio stream-name=TestRadio content-type=audio/basic"
+        )
+        p.play_until_eos()
+        srv.join(timeout=3)
+        req = srv.request.decode()
+        assert req.startswith("PUT /radio HTTP/1.1")
+        assert "Ice-Name: TestRadio" in req
+        assert "Authorization: Basic" in req
+        assert "Content-Type: audio/basic" in req
+        assert len(srv.body) == 3 * 480  # mu-law bytes streamed
