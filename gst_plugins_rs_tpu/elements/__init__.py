@@ -3,6 +3,7 @@ from . import sinks, sources  # noqa: F401
 from .audiofx import (  # noqa: F401
     agingradio,
     audioecho,
+    claxondec,
     audioloudnorm,
     audiomixer,
     audiornnoise,
