@@ -11,7 +11,7 @@ from .audiofx import (  # noqa: F401
     hrtfrender,
     sofalizer,
 )
-from .analytics import combiner, handdetection, meta, yoloxinference, yoloxtensordec  # noqa: F401
+from .analytics import combiner, handdetection, meta, onvif as analytics_onvif, yoloxinference, yoloxtensordec  # noqa: F401
 from .generic import basic, buffers, convert, gopbuffer, io, misc, sodium  # noqa: F401
 from .mux import flv, isobmff  # noqa: F401
 from .net import codecs as net_codecs, rtppay, udp  # noqa: F401
