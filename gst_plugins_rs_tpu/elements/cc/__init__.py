@@ -1,1 +1,1 @@
-from . import elements, files, overlay  # noqa: F401
+from . import elements, files, overlay, st2038  # noqa: F401
