@@ -4,6 +4,7 @@ from .audiofx import (  # noqa: F401
     agingradio,
     audioecho,
     claxondec,
+    demucs as demucs_element,
     audioloudnorm,
     audiomixer,
     audiornnoise,
