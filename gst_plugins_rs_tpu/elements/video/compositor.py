@@ -1,0 +1,163 @@
+"""skiacompositor: N-input video compositor on device.
+
+Parity target: video/skia (skiacompositor, compositor/mod.rs:26) — a
+VideoAggregator with per-pad xpos/ypos/width/height/alpha placing each
+input onto an output canvas (compositor/imp.rs:126-170).  The reference
+rasterizes through Skia; here placement/scaling/alpha-blending compile to
+one fused XLA program per (geometry, formats) configuration: resize via
+jax.image nearest, paste + alpha blend via slice updates — frames stay on
+device through the whole composite.
+
+Per-pad properties are set via `pad.props` (xpos, ypos, width, height,
+alpha), mirroring the reference's pad property names.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...core import (
+    Buffer,
+    Caps,
+    FlowReturn,
+    Prop,
+    register,
+    video_caps_template,
+)
+from ...core.aggregator import Aggregator, AggregatorPad
+from ...core.events import Event, Segment
+from ...core.video import RGB_FORMATS, VideoInfo
+
+_U8_FORMATS = tuple(f for f in RGB_FORMATS if RGB_FORMATS[f][1] == np.uint8)
+VIDEO_CAPS = video_caps_template(_U8_FORMATS)
+
+
+@partial(jax.jit, static_argnames=("placements", "out_h", "out_w", "channels"))
+def _composite(frames: Tuple[jnp.ndarray, ...], alphas: jnp.ndarray,
+               *, placements: Tuple[Tuple[int, int, int, int], ...],
+               out_h: int, out_w: int, channels: int) -> jnp.ndarray:
+    """frames: per-pad [h, w, c]; placements: (x, y, w, h) per pad (already
+    clipped); alphas: [n] f32.  One fused program: resize -> blend -> paste."""
+    canvas = jnp.zeros((out_h, out_w, channels), jnp.float32)
+    for i, (frame, (x, y, w, h)) in enumerate(zip(frames, placements)):
+        img = frame.astype(jnp.float32)
+        if img.shape[-1] != channels:
+            rgb = img[..., :3]
+            if channels == 4:
+                img = jnp.concatenate([rgb, jnp.full(rgb.shape[:2] + (1,), 255.0)], -1)
+            else:
+                img = rgb
+        if (img.shape[0], img.shape[1]) != (h, w):
+            img = jax.image.resize(img, (h, w, channels), method="nearest")
+        region = jax.lax.dynamic_slice(canvas, (y, x, 0), (h, w, channels))
+        blended = region * (1.0 - alphas[i]) + img * alphas[i]
+        canvas = jax.lax.dynamic_update_slice(canvas, blended, (y, x, 0))
+    return jnp.clip(canvas, 0.0, 255.0).astype(jnp.uint8)
+
+
+class CompositorPad(AggregatorPad):
+    def __init__(self, name, template):
+        super().__init__(name, template)
+        # per-pad properties (compositor/imp.rs pad property names)
+        self.props = {"xpos": 0, "ypos": 0, "width": 0, "height": 0, "alpha": 1.0}
+
+
+@register
+class SkiaCompositor(Aggregator):
+    ELEMENT_NAME = "skiacompositor"
+    ELEMENT_CLASS = "Filter/Editor/Video/Compositor"
+    ELEMENT_DESCRIPTION = "Composites video streams on device"
+    SINK_TEMPLATE_CAPS = VIDEO_CAPS
+    SRC_TEMPLATE_CAPS = VIDEO_CAPS
+    PROPERTIES = [
+        Prop("width", 0, type="uint", doc="output width (0 = first input's)"),
+        Prop("height", 0, type="uint", doc="output height (0 = first input's)"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._out_info: Optional[VideoInfo] = None
+        self._sent_caps = False
+
+    def request_sink_pad(self, name: Optional[str] = None) -> CompositorPad:
+        if name is None:
+            name = f"sink_{self._pad_counter}"
+        self._pad_counter += 1
+        pad = CompositorPad(name, self._sink_template)
+        pad.chain_function = self._sink_chain
+        pad.event_function = self._sink_event
+        pad.query_function = self._sink_query
+        return self.add_pad(pad)  # type: ignore[return-value]
+
+    def on_paused_to_ready(self) -> None:
+        self._out_info = None
+        self._sent_caps = False
+
+    def _ensure_output(self) -> bool:
+        if self._out_info is not None:
+            return True
+        first = next((p for p in self.agg_pads() if p.current_caps is not None), None)
+        if first is None:
+            return False
+        info = VideoInfo.from_caps(first.current_caps)
+        w = self.get_property("width") or info.width
+        h = self.get_property("height") or info.height
+        self._out_info = VideoInfo(info.format, w, h, info.fps)
+        return True
+
+    def _send_caps(self) -> None:
+        if not self._sent_caps:
+            self._sent_caps = True
+            self.srcpad.push_event(Event.new_caps(self._out_info.to_caps()))
+            self.srcpad.push_event(Event.new_segment(Segment()))
+
+    def aggregate(self, timeout: bool) -> FlowReturn:
+        if not self._ensure_output():
+            return FlowReturn.OK
+        self._send_caps()
+        out = self._out_info
+        frames, placements, alphas = [], [], []
+        pts = None
+        duration = None
+        for pad in self.agg_pads():
+            buf = pad.pop_buffer()
+            if buf is None:
+                continue
+            if pts is None or (buf.pts or 0) < pts:
+                pts = buf.pts or 0
+                duration = buf.duration
+            frame = jnp.asarray(buf.data)
+            info = VideoInfo.from_caps(pad.current_caps)
+            w = pad.props["width"] or info.width
+            h = pad.props["height"] or info.height
+            x, y = pad.props["xpos"], pad.props["ypos"]
+            # clip to the canvas (host-side so the kernel stays static)
+            x0, y0 = max(x, 0), max(y, 0)
+            x1, y1 = min(x + w, out.width), min(y + h, out.height)
+            if x1 <= x0 or y1 <= y0:
+                continue
+            if (x0, y0, x1, y1) != (x, y, x + w, y + h):
+                # crop the source proportionally for out-of-bounds placement
+                sx0 = (x0 - x) * info.width // w
+                sy0 = (y0 - y) * info.height // h
+                sx1 = (x1 - x) * info.width // w
+                sy1 = (y1 - y) * info.height // h
+                frame = frame[sy0:sy1, sx0:sx1]
+            frames.append(frame)
+            placements.append((x0, y0, x1 - x0, y1 - y0))
+            alphas.append(pad.props["alpha"])
+        if not frames:
+            return FlowReturn.OK
+        canvas = _composite(
+            tuple(frames), jnp.asarray(alphas, jnp.float32),
+            placements=tuple(placements),
+            out_h=out.height, out_w=out.width, channels=out.components,
+        )
+        return self.finish_buffer(Buffer(canvas, pts=pts, duration=duration))
+
+
+__all__ = ["SkiaCompositor", "CompositorPad"]
