@@ -1,0 +1,263 @@
+"""CEA-708 (DTVCC) closed-caption codec: cc_data triplets, DTVCC packets,
+service blocks, a basic caption-channel command set, and CDP framing.
+
+From-scratch equivalent of the cea708-types usage in the reference
+(video/closedcaption/src/cea708utils.rs and the cea708mux/tttocea708/
+cea708overlay elements).  Covers the interop core:
+
+- cc_data triplets (cc_valid/cc_type marker byte + 2 bytes): type 0/1 =
+  CEA-608 field 1/2 compatibility bytes, type 3 = DTVCC packet start,
+  type 2 = continuation.
+- DTVCC caption channel packets (2-bit sequence + 6-bit size in words)
+  containing service blocks (3-bit service number + 5-bit block size).
+- Service-level commands needed for pop-on text: RST, DeleteWindows,
+  DefineWindow, SetPenLocation, G0 text, CR, DisplayWindows.
+- CDP (caption distribution packet, SMPTE 334-2): 0x9669 framing with
+  ccdata section 0x72, optional service-info 0x73, footer 0x74 with a
+  packet checksum.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+# C1 command opcodes (CEA-708 §7.1.4)
+CW0 = 0x80  # SetCurrentWindow 0..7 = 0x80..0x87
+CLW = 0x88  # ClearWindows
+DSW = 0x89  # DisplayWindows
+HDW = 0x8A  # HideWindows
+TGW = 0x8B  # ToggleWindows
+DLW = 0x8C  # DeleteWindows
+DLY = 0x8D
+DLC = 0x8E
+RST = 0x8F
+SPA = 0x90  # SetPenAttributes (+2 operands)
+SPC = 0x91  # SetPenColor (+3)
+SPL = 0x92  # SetPenLocation (+2)
+SWA = 0x97  # SetWindowAttributes (+4)
+DF0 = 0x98  # DefineWindow 0..7 = 0x98..0x9F (+6)
+CR = 0x0D
+ETX = 0x03
+
+_C1_OPERANDS = {SPA: 2, SPC: 3, SPL: 2, SWA: 4, CLW: 1, DSW: 1, HDW: 1,
+                TGW: 1, DLW: 1, DLY: 1}
+for _i in range(8):
+    _C1_OPERANDS[DF0 + _i] = 6
+
+
+# ---------------------------------------------------------------------------
+# cc_data triplets
+# ---------------------------------------------------------------------------
+def cc_data_triplet(cc_type: int, b1: int, b2: int, valid: bool = True) -> bytes:
+    return bytes([0xF8 | (0x04 if valid else 0) | cc_type, b1, b2])
+
+
+def parse_cc_data(data: bytes):
+    """-> [(cc_valid, cc_type, b1, b2)] from packed triplets."""
+    out = []
+    for i in range(0, len(data) - 2, 3):
+        marker = data[i]
+        out.append((bool(marker & 0x04), marker & 0x03, data[i + 1], data[i + 2]))
+    return out
+
+
+def pack_dtvcc_packet(service_blocks: bytes, sequence: int = 0) -> List[bytes]:
+    """DTVCC packet -> cc_data triplets (type 3 start + type 2 continuation).
+
+    packet_size field is in 2-byte words including the header byte pair."""
+    size_words = (1 + len(service_blocks) + 1) // 2
+    header = ((sequence & 0x3) << 6) | (size_words & 0x3F)
+    payload = bytes([header]) + service_blocks
+    if len(payload) % 2:
+        payload += b"\x00"
+    out = []
+    for i in range(0, len(payload), 2):
+        out.append(cc_data_triplet(3 if i == 0 else 2, payload[i], payload[i + 1]))
+    return out
+
+
+def service_block(service: int, data: bytes) -> bytes:
+    if not 0 < service <= 6:
+        raise ValueError("extended service numbers not supported yet")
+    if len(data) > 31:
+        raise ValueError("service block limited to 31 bytes")
+    return bytes([(service << 5) | len(data)]) + data
+
+
+def encode_pop_on_text(lines: Sequence[str], service: int = 1,
+                       window: int = 0) -> List[bytes]:
+    """Pop-on caption as a list of service blocks (chunked <=31 bytes):
+    DLW, DefineWindow (anchor bottom-center, row count), per line
+    SetPenLocation + G0 text, DSW."""
+    stream = bytearray()
+    stream.append(DLW)
+    stream.append(0xFF)  # delete all windows
+    rows = max(len(lines) - 1, 0)
+    cols = max((len(l) for l in lines), default=0)
+    stream += bytes([
+        DF0 + window,
+        0x18,  # visible=0, row lock/col lock, priority 0
+        0x7A,  # relative=0, anchor vertical 122? -> use fixed anchor point
+        0x00,  # anchor horizontal
+        rows & 0x0F,
+        min(cols, 41) & 0x3F,
+        0x00,  # anchor id / pen style / window style
+    ])
+    for i, line in enumerate(lines):
+        stream += bytes([SPL, i & 0x0F, 0x00])
+        stream += line.encode("ascii", "replace")
+        if i != len(lines) - 1:
+            stream.append(CR)
+    stream += bytes([DSW, 1 << window])
+    blocks = []
+    for i in range(0, len(stream), 31):
+        blocks.append(service_block(service, bytes(stream[i : i + 31])))
+    return blocks
+
+
+@dataclass
+class ServiceDecoder:
+    """Minimal DTVCC service decoder: reconstructs window text.
+
+    Tracks the current window's rows; emits captions on DisplayWindows."""
+
+    rows: Dict[int, str] = field(default_factory=dict)
+    current_row: int = 0
+    captions: List[List[str]] = field(default_factory=list)
+
+    def feed(self, data: bytes) -> None:
+        i = 0
+        while i < len(data):
+            b = data[i]
+            if b == 0x00 or b == ETX:
+                i += 1
+            elif b == CR:
+                self.current_row += 1
+                i += 1
+            elif 0x20 <= b <= 0x7F:
+                self.rows[self.current_row] = self.rows.get(self.current_row, "") + chr(b)
+                i += 1
+            elif b == RST:
+                self.rows = {}
+                self.current_row = 0
+                i += 1
+            elif b == DLW:
+                self.rows = {}
+                self.current_row = 0
+                i += 2
+            elif b == DSW:
+                lines = [self.rows[r] for r in sorted(self.rows) if self.rows[r]]
+                if lines:
+                    self.captions.append(lines)
+                i += 2
+            elif b == SPL:
+                self.current_row = data[i + 1] & 0x0F
+                i += 3
+            elif 0x80 <= b <= 0x9F:
+                i += 1 + _C1_OPERANDS.get(b, 0)
+            else:
+                i += 1  # C0/extended: skip
+
+    def take_captions(self) -> List[List[str]]:
+        out, self.captions = self.captions, []
+        return out
+
+
+def decode_dtvcc(triplets, decoders: Optional[Dict[int, ServiceDecoder]] = None
+                 ) -> Dict[int, ServiceDecoder]:
+    """Assemble DTVCC packets from (valid, type, b1, b2) triplets and feed
+    per-service decoders."""
+    decoders = decoders if decoders is not None else {}
+    packet = bytearray()
+    for valid, cc_type, b1, b2 in triplets:
+        if not valid:
+            continue
+        if cc_type == 3:
+            if packet:
+                _dispatch_packet(bytes(packet), decoders)
+            packet = bytearray([b1, b2])
+        elif cc_type == 2 and packet:
+            packet += bytes([b1, b2])
+    if packet:
+        _dispatch_packet(bytes(packet), decoders)
+    return decoders
+
+
+def _dispatch_packet(packet: bytes, decoders: Dict[int, ServiceDecoder]) -> None:
+    pos = 1  # skip sequence/size header
+    while pos < len(packet):
+        hdr = packet[pos]
+        service = hdr >> 5
+        size = hdr & 0x1F
+        if service == 0 or size == 0:
+            break
+        data = packet[pos + 1 : pos + 1 + size]
+        decoders.setdefault(service, ServiceDecoder()).feed(data)
+        pos += 1 + size
+
+
+# ---------------------------------------------------------------------------
+# CDP framing (SMPTE 334-2)
+# ---------------------------------------------------------------------------
+_CDP_RATES = {24: 0x1, 25: 0x2, 30: 0x3, 50: 0x4, 60: 0x5}  # 23.98~24 etc.
+
+
+def build_cdp(cc_data: bytes, *, sequence: int = 0, fps: int = 30,
+              service_info: Optional[bytes] = None) -> bytes:
+    cc_count = len(cc_data) // 3
+    body = bytearray()
+    body += bytes([0x96, 0x69])
+    body.append(0)  # length placeholder
+    body.append((_CDP_RATES.get(fps, 0x3) << 4) | 0x0F)
+    body.append(0x43)  # ccdata_present | caption_service_active | reserved
+    body += sequence.to_bytes(2, "big")
+    body.append(0x72)
+    body.append(0xE0 | cc_count)
+    body += cc_data
+    if service_info is not None:
+        body.append(0x73)
+        body += service_info
+    body.append(0x74)
+    body += sequence.to_bytes(2, "big")
+    body.append(0)  # checksum placeholder
+    body[2] = len(body)
+    checksum = (256 - (sum(body) - body[-1])) & 0xFF
+    body[-1] = checksum
+    return bytes(body)
+
+
+def parse_cdp(data: bytes) -> Tuple[bytes, int]:
+    """-> (cc_data bytes, sequence); validates framing + checksum."""
+    if len(data) < 8 or data[0] != 0x96 or data[1] != 0x69:
+        raise ValueError("not a CDP")
+    length = data[2]
+    if length > len(data):
+        raise ValueError("truncated CDP")
+    pkt = data[:length]
+    if sum(pkt) & 0xFF:
+        raise ValueError("CDP checksum mismatch")
+    sequence = int.from_bytes(pkt[5:7], "big")
+    pos = 7
+    cc_data = b""
+    while pos < len(pkt):
+        section = pkt[pos]
+        if section == 0x72:
+            count = pkt[pos + 1] & 0x1F
+            cc_data = pkt[pos + 2 : pos + 2 + 3 * count]
+            pos += 2 + 3 * count
+        elif section == 0x73:
+            svc_count = pkt[pos + 1] & 0x0F
+            pos += 2 + 7 * svc_count
+        elif section == 0x74:
+            break
+        else:
+            pos += 1
+    return cc_data, sequence
+
+
+__all__ = [
+    "cc_data_triplet", "parse_cc_data", "pack_dtvcc_packet", "service_block",
+    "encode_pop_on_text", "ServiceDecoder", "decode_dtvcc",
+    "build_cdp", "parse_cdp",
+    "RST", "DLW", "DSW", "SPL", "CR", "DF0",
+]
