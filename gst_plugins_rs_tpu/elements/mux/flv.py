@@ -74,6 +74,11 @@ class FlvDemux(Element):
         if self._pending_peer is not None and self._pending_peer.peer is None:
             if caps.can_intersect(self._pending_peer.pad_template_caps()):
                 pad.link(self._pending_peer)
+        elif self._pending_element is not None and hasattr(self._pending_element, "request_sink_pad"):
+            # downstream muxer-style element: one request pad per stream
+            peer = self._pending_element.request_sink_pad()
+            if caps.can_intersect(peer.pad_template_caps()):
+                pad.link(peer)
         if pad.peer is not None:
             pad.push_event(Event.new_stream_start(f"{self.name}-{kind}"))
             pad.push_event(Event.new_caps(caps))
@@ -82,12 +87,16 @@ class FlvDemux(Element):
         return pad
 
     _pending_peer: Optional[Pad] = None
+    _pending_element = None
 
     def link(self, downstream) -> None:
-        sink = next((p for p in downstream.sink_pads() if p.peer is None), None)
-        if sink is None and hasattr(downstream, "request_sink_pad"):
-            sink = downstream.request_sink_pad()
-        self._pending_peer = sink
+        if hasattr(downstream, "request_sink_pad"):
+            # defer: request one pad per demuxed stream as it appears
+            self._pending_element = downstream
+            return
+        self._pending_peer = next(
+            (p for p in downstream.sink_pads() if p.peer is None), None
+        )
 
     # -- parsing -----------------------------------------------------------------
     def _audio_caps(self, flags: int, codec_data: Optional[bytes]) -> Caps:

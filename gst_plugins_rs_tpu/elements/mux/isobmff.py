@@ -66,6 +66,12 @@ _SINK_CAPS = Caps(
             width=IntRange(1, 16384),
             height=IntRange(1, 16384),
         ),
+        # compressed inputs (boxes.rs get_audio_fourcc/get_video_fourcc)
+        Structure("video/x-h264", **{"stream-format": "avc"}),
+        Structure("video/x-av1"),
+        Structure("video/x-vp9"),
+        Structure("audio/mpeg", mpegversion=4),
+        Structure("audio/x-opus"),
     ]
 )
 
@@ -91,6 +97,42 @@ class _Stream:
 
     def configure(self, caps: Caps) -> None:
         s = caps.structure(0)
+        if s.name in ("video/x-h264", "video/x-av1", "video/x-vp9"):
+            self.kind = "cvideo"
+            w, h = s.get("width", 0), s.get("height", 0)
+            fps = s.get("framerate")
+            self.timescale = 90000
+            self.frame_dur_ts = 0  # per-buffer durations
+            if fps is not None:
+                self.frame_dur_ts = 90000 * fps.denominator // fps.numerator
+            codec_data = s.get("codec_data", b"")
+            if s.name == "video/x-h264":
+                entry = bmff.avc1_sample_entry(w, h, codec_data)
+            elif s.name == "video/x-av1":
+                entry = bmff.av01_sample_entry(w, h, codec_data)
+            else:
+                entry = bmff.vp09_sample_entry(w, h)
+            self.track = bmff.TrackConfig(
+                self.track_id, self.timescale, "vide", entry, width=w, height=h,
+                default_sample_duration=self.frame_dur_ts,
+            )
+            return
+        if s.name in ("audio/mpeg", "audio/x-opus"):
+            self.kind = "caudio"
+            rate = s.get("rate", 48000)
+            ch = s.get("channels", 2)
+            self.timescale = rate
+            if s.name == "audio/mpeg":
+                entry = bmff.mp4a_sample_entry(ch, rate, s.get("codec_data", b""))
+                self.frame_dur_ts = 1024  # AAC frame
+            else:
+                entry = bmff.opus_sample_entry(ch, rate)
+                self.frame_dur_ts = rate * 20 // 1000  # 20 ms default
+            self.track = bmff.TrackConfig(
+                self.track_id, self.timescale, "soun", entry,
+                default_sample_duration=self.frame_dur_ts,
+            )
+            return
         if s.name == "audio/x-raw":
             self.kind = "audio"
             self.ainfo = AudioInfo.from_caps(caps)
@@ -130,6 +172,14 @@ class _Stream:
             if arr.dtype != self.ainfo.dtype:
                 arr = arr.astype(self.ainfo.dtype)
             return arr.tobytes(), arr.shape[0], True  # dur = frames (ts = rate)
+        if self.kind in ("caudio", "cvideo"):
+            data = np.asarray(buf.data, np.uint8).tobytes()
+            if buf.duration is not None:
+                dur = buf.duration * self.timescale // SECOND
+            else:
+                dur = self.frame_dur_ts or self.timescale // 30
+            sync = not buf.has_flag(BufferFlags.DELTA_UNIT)
+            return data, dur, sync
         arr = np.asarray(buf.data)
         if arr.dtype != np.uint8:
             arr = np.clip(arr, 0, 255).astype(np.uint8)

@@ -129,6 +129,81 @@ def uncv_sample_entry(fmt: str, width: int, height: int) -> bytes:
 
 
 # ---------------------------------------------------------------------------
+# Compressed-codec sample entries (reference boxes.rs get_audio_fourcc /
+# get_video_fourcc: h264->avc1+avcC, aac->mp4a+esds, opus->Opus+dOps,
+# av1->av01+av1C, vp9->vp09+vpcC)
+# ---------------------------------------------------------------------------
+def _audio_entry_body(channels: int, rate: int, children: bytes) -> bytes:
+    return (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + b"\x00" * 8
+        + struct.pack(">HH", channels, 16)
+        + struct.pack(">HH", 0, 0)
+        + struct.pack(">I", rate << 16 if rate < 0x10000 else 0)
+        + children
+    )
+
+
+def _visual_entry_body(width: int, height: int, children: bytes) -> bytes:
+    return (
+        b"\x00" * 6
+        + struct.pack(">H", 1)
+        + struct.pack(">HH", 0, 0)
+        + struct.pack(">III", 0, 0, 0)
+        + struct.pack(">HH", width, height)
+        + struct.pack(">II", 0x00480000, 0x00480000)
+        + struct.pack(">I", 0)
+        + struct.pack(">H", 1)
+        + b"\x00" * 32
+        + struct.pack(">Hh", 0x0018, -1)
+        + children
+    )
+
+
+def avc1_sample_entry(width: int, height: int, avcc: bytes) -> bytes:
+    """'avc1' with the AVCDecoderConfigurationRecord verbatim in avcC."""
+    return box(b"avc1", _visual_entry_body(width, height, box(b"avcC", avcc)))
+
+
+def av01_sample_entry(width: int, height: int, av1c: bytes) -> bytes:
+    return box(b"av01", _visual_entry_body(width, height, box(b"av1C", av1c)))
+
+
+def vp09_sample_entry(width: int, height: int) -> bytes:
+    # vpcC: version 1, profile 0, level 10, 8-bit 4:2:0, no codec init
+    vpcc = full_box(b"vpcC", 1, 0, bytes([0, 10, (8 << 4) | (1 << 1), 2, 2, 2]) + b"\x00\x00")
+    return box(b"vp09", _visual_entry_body(width, height, vpcc))
+
+
+def mp4a_sample_entry(channels: int, rate: int, audio_specific_config: bytes) -> bytes:
+    """'mp4a' with an esds carrying the AudioSpecificConfig (ISO 14496-1)."""
+
+    def descriptor(tag: int, payload: bytes) -> bytes:
+        # expandable length, single-byte form is fine at these sizes
+        return bytes([tag, len(payload)]) + payload
+
+    dec_specific = descriptor(0x05, audio_specific_config)
+    dec_config = descriptor(
+        0x04,
+        bytes([0x40, 0x15]) + b"\x00\x00\x00" + struct.pack(">II", 0, 0) + dec_specific,
+    )
+    sl_config = descriptor(0x06, b"\x02")
+    es = descriptor(0x03, struct.pack(">HB", 1, 0) + dec_config + sl_config)
+    esds = full_box(b"esds", 0, 0, es)
+    return box(b"mp4a", _audio_entry_body(channels, rate, esds))
+
+
+def opus_sample_entry(channels: int, rate: int, pre_skip: int = 312) -> bytes:
+    """'Opus' with dOps (Opus-in-ISOBMFF spec, mapping family 0)."""
+    dops = box(
+        b"dOps",
+        bytes([0, channels]) + struct.pack(">HIhB", pre_skip, rate, 0, 0),
+    )
+    return box(b"Opus", _audio_entry_body(channels, rate, dops))
+
+
+# ---------------------------------------------------------------------------
 # Track / movie configuration
 # ---------------------------------------------------------------------------
 @dataclass

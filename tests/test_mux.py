@@ -236,3 +236,89 @@ class TestBoxWriter:
     def test_reader_rejects_corrupt(self):
         with pytest.raises(ValueError):
             reader.parse_boxes(b"\x00\x00\x00\x30abcd")  # size beyond end
+
+
+class TestCompressedEntries:
+    def test_flv_to_fmp4_remux(self):
+        """FLV with AVC video + AAC audio remuxes into fMP4 with avc1/mp4a
+        sample entries carrying the codec data (avcC / esds)."""
+        import struct as _struct
+
+        from test_image_flv import make_flv
+
+        avcc = bytes([1, 0x64, 0x00, 0x28, 0xFF, 0xE1])
+        asc = bytes([0x12, 0x10])  # AAC-LC 44.1 stereo AudioSpecificConfig
+        nalus = [b"IDR0" * 30, b"P001" * 20, b"P002" * 20]
+        aacs = [bytes([i]) * 64 for i in range(4)]
+        tags = [(9, 0, bytes([0x17, 0x00, 0, 0, 0]) + avcc)]
+        tags += [(8, 0, bytes([0xAF, 0x00]) + asc)]
+        for i, n in enumerate(nalus):
+            ft = 0x17 if i == 0 else 0x27
+            tags.append((9, i * 33, bytes([ft, 0x01, 0, 0, 0]) + n))
+        for i, a in enumerate(aacs):
+            tags.append((8, i * 23, bytes([0xAF, 0x01]) + a))
+        flv = make_flv(tags)
+
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("video/x-flv"))
+        demux = fx.element_factory_make("rsflvdemux")
+        mux = fx.element_factory_make("isofmp4mux")
+        mux.set_property("fragment-duration", 10_000_000_000)
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        for e in (src, demux, mux, sink):
+            p.add(e)
+        src.link(demux)
+        # pre-request mux pads and let the demuxer's deferred link find one,
+        # the other is linked when the pad appears
+        demux.link(mux)
+        mux.srcpad.link(sink.pad("sink"))
+        src.push_buffer(fx.Buffer(np.frombuffer(flv, np.uint8)))
+        src.end_of_stream()
+        p.play_until_eos()
+
+        data = mux_bytes(sink)
+        tree = reader.parse_boxes(data)
+        tracks = reader.decode_tracks(tree)
+        assert len(tracks) == 2  # both demuxed streams remuxed
+        entries = {t.sample_entry_type for t in tracks}
+        assert entries == {"avc1", "mp4a"}
+        frags = reader.decode_fragments(data, tree)
+        by_track = {}
+        for f in frags:
+            by_track.setdefault(f.track_id, b"")
+            by_track[f.track_id] += f.data
+        payloads = set(by_track.values())
+        assert b"".join(nalus) in payloads
+        assert b"".join(aacs) in payloads
+        # codec data rides in the sample entries
+        init = data[: tree[2].start]
+        assert avcc in init and asc in init
+
+    def test_opus_sample_entry(self):
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        src = fx.element_factory_make("appsrc")
+        src.set_property(
+            "caps", parse_caps("audio/x-opus,rate=48000,channels=2,channel-mapping-family=0")
+        )
+        mux = fx.element_factory_make("cmafmux")
+        mux.set_property("fragment-duration", 1_000_000_000)
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        for e in (src, mux, sink):
+            p.add(e)
+        src.link(mux); mux.link(sink)
+        for i in range(10):
+            src.push_buffer(fx.Buffer(np.frombuffer(bytes([0xFC, i]) * 20, np.uint8),
+                                      pts=i * 20_000_000, duration=20_000_000))
+        src.end_of_stream()
+        p.play_until_eos()
+        data = mux_bytes(sink)
+        tracks = reader.decode_tracks(reader.parse_boxes(data))
+        assert tracks[0].sample_entry_type == "Opus"
+        assert tracks[0].timescale == 48000
+        frags = reader.decode_fragments(data)
+        assert sum(sum(f.sample_durations) for f in frags) == 10 * 960  # 20 ms @48k
