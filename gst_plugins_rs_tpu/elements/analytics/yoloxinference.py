@@ -62,6 +62,11 @@ class YoloxInference(VideoFilter):
              doc="PyTorch .pth checkpoint (official YOLOX state_dict)"),
         Prop("backend-type", "tpu", type="str", mutable="ready",
              doc="Accepted for API parity; inference always runs on the JAX device"),
+        Prop("precision", "f32", type="enum", choices=["f32", "bf16"],
+             mutable="ready",
+             doc="bf16 halves weight memory; throughput is NOT better than "
+                 "f32 here because XLA already runs f32 convs through bf16 "
+                 "MXU passes (PERF_NOTES.md measurement)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -90,7 +95,16 @@ class YoloxInference(VideoFilter):
         path = self.get_property("weights-path")
         if path:
             self._vars = load_torch_weights(path, self._vars)
-        self._apply = jax.jit(lambda v, img: model.apply(v, img))
+        if self.get_property("precision") == "bf16":
+            self._vars = jax.tree_util.tree_map(
+                lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
+                self._vars,
+            )
+            self._apply = jax.jit(
+                lambda v, img: model.apply(v, img.astype(jnp.bfloat16)).astype(jnp.float32)
+            )
+        else:
+            self._apply = jax.jit(lambda v, img: model.apply(v, img))
 
     def transform_ip(self, buf: Buffer) -> Buffer:
         info = self.video_info
