@@ -1,4 +1,4 @@
-"""Basic plumbing elements: capsfilter, identity, queue (synchronous stand-in)."""
+"""Basic plumbing elements: capsfilter, identity, queue (threaded decoupling stage)."""
 from __future__ import annotations
 
 from typing import Optional
@@ -7,6 +7,7 @@ from ...core import (
     BaseTransform,
     Buffer,
     Caps,
+    Element,
     PadDirection,
     Prop,
     TransformMode,
@@ -48,21 +49,103 @@ class Identity(BaseTransform):
 
 
 @register
-class Queue(BaseTransform):
-    """Synchronous queue stand-in: in this cooperative single-thread scheduler
-    a queue is a pass-through decoupling point (stage boundary for the
-    stream-batching scheduler in `parallel/`)."""
+class Queue(Element):
+    """Decoupling queue with a worker thread: upstream returns as soon as
+    the item is enqueued (blocking only when full — backpressure like the
+    C core), while a dedicated thread drives everything downstream.
+
+    This is the host-side pipeline-parallelism stage (SURVEY.md §2.3 PP
+    row): source/device work upstream of the queue overlaps with the
+    downstream chain, the same decoupling the reference gets from the C
+    core's one-thread-per-queue model and threadshare's task groups."""
 
     ELEMENT_NAME = "queue"
     ELEMENT_CLASS = "Generic"
-    ELEMENT_DESCRIPTION = "Buffer queue (stage boundary)"
+    ELEMENT_DESCRIPTION = "Thread-decoupling buffer queue"
     PROPERTIES = [
-        Prop("max-size-buffers", 200, type="uint"),
+        Prop("max-size-buffers", 200, type="uint", minimum=1),
         Prop("max-size-time", 1_000_000_000, type="uint64"),
     ]
 
-    def transform_ip(self, buf: Buffer) -> Buffer:
-        return buf
+    _SENTINEL = object()
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        from ...core import FlowReturn, Pad, PadPresence, PadTemplate
+
+        self.sinkpad = self.add_pad(
+            Pad("sink", PadDirection.SINK,
+                PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS, Caps.new_any()))
+        )
+        self.srcpad = self.add_pad(
+            Pad("src", PadDirection.SRC,
+                PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS, Caps.new_any()))
+        )
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = self._event
+        self._q = None
+        self._thread = None
+        self._downstream_flow = None
+        self._error: Optional[BaseException] = None
+
+    def on_ready_to_paused(self) -> None:
+        import queue as _queue
+        import threading
+
+        self._q = _queue.Queue(maxsize=self.get_property("max-size-buffers"))
+        self._downstream_flow = None
+        self._error = None
+        self._thread = threading.Thread(target=self._worker, daemon=True,
+                                        name=f"{self.name}-worker")
+        self._thread.start()
+
+    def on_paused_to_ready(self) -> None:
+        if self._thread is not None:
+            self._q.put(self._SENTINEL)
+            self._thread.join(timeout=30)
+            self._thread = None
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise err
+
+    def _worker(self) -> None:
+        from ...core import FlowReturn
+
+        while True:
+            item = self._q.get()
+            if item is self._SENTINEL:
+                return
+            kind, payload = item
+            try:
+                if kind == "buffer":
+                    ret = self.srcpad.push(payload)
+                    if ret not in (FlowReturn.OK, FlowReturn.NOT_LINKED):
+                        self._downstream_flow = ret
+                else:
+                    self.srcpad.push_event(payload)
+            except BaseException as e:  # surface on the feeding thread
+                self._error = e
+                self._downstream_flow = FlowReturn.ERROR
+
+    def _chain(self, pad, buf: Buffer):
+        from ...core import FlowReturn
+
+        if self._downstream_flow is not None:
+            return self._downstream_flow
+        if self._q is None:
+            return FlowReturn.FLUSHING
+        self._q.put(("buffer", buf))  # blocks when full: backpressure
+        return FlowReturn.OK
+
+    def _event(self, pad, event) -> bool:
+        if self._q is None:
+            return False
+        self._q.put(("event", event))
+        return True
+
+    @property
+    def current_level_buffers(self) -> int:
+        return self._q.qsize() if self._q is not None else 0
 
 
 __all__ = ["CapsFilter", "Identity", "Queue"]

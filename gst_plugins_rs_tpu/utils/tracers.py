@@ -15,11 +15,15 @@ installed automatically on every Pipeline.
 - buffer-lateness:   CSV of buffer PTS vs pipeline wall-clock lateness
 - pipeline-snapshot: writes a graphviz .dot of the pipeline graph on demand
                      (dot_file property; SIGUSR1-on-unix analog via snapshot())
+- memory-tracer:     per-element buffer/byte counters -> CSV at close
+- chrome-tracer:     chrome://tracing / Perfetto JSON of buffer flow
+- pcap-writer:       RTP buffers as a Wireshark-loadable pcap capture
 """
 from __future__ import annotations
 
 import os
 import re
+import struct
 import time
 from typing import Dict, List, Optional
 
@@ -132,9 +136,109 @@ class PipelineSnapshotTracer(Tracer):
         return out
 
 
+class MemoryTracer(Tracer):
+    """Tracks bytes flowing per element (reference utils/tracers
+    memory-tracer analog): cumulative payload bytes and buffer counts,
+    dumped as CSV at close."""
+
+    name = "memory-tracer"
+
+    def __init__(self, **params):
+        super().__init__(**params)
+        self.path = params.get("file", "memory-tracer.csv")
+        self.stats: Dict[str, List[int]] = {}
+
+    def on_buffer(self, element, pad, buffer: Buffer) -> None:
+        data = buffer.data
+        nbytes = int(getattr(data, "nbytes", 0)) if data is not None else 0
+        if not nbytes and isinstance(data, (str, bytes)):
+            nbytes = len(data)
+        st = self.stats.setdefault(element.name, [0, 0])
+        st[0] += 1
+        st[1] += nbytes
+
+    def close(self) -> None:
+        with open(self.path, "w") as f:
+            f.write("element,buffers,bytes\n")
+            for name, (count, nbytes) in sorted(self.stats.items()):
+                f.write(f"{name},{count},{nbytes}\n")
+
+
+class ChromeTracer(Tracer):
+    """Emits chrome://tracing / Perfetto-loadable JSON of buffer flow
+    (reference utils/tracers chrome-tracer bridge)."""
+
+    name = "chrome-tracer"
+
+    def __init__(self, **params):
+        super().__init__(**params)
+        self.path = params.get("file", "trace.json")
+        self._events: List[dict] = []
+        self._t0 = time.perf_counter()
+
+    def on_buffer(self, element, pad, buffer: Buffer) -> None:
+        ts_us = (time.perf_counter() - self._t0) * 1e6
+        self._events.append({
+            "name": f"{element.name}.{pad.name}",
+            "cat": "buffer",
+            "ph": "i",  # instant event
+            "ts": ts_us,
+            "pid": 1,
+            "tid": 1,
+            "args": {"pts": buffer.pts},
+        })
+
+    def close(self) -> None:
+        import json as _json
+
+        with open(self.path, "w") as f:
+            _json.dump({"traceEvents": self._events}, f)
+
+
+class PcapWriterTracer(Tracer):
+    """Writes buffers flowing through RTP/UDP pads as a pcap capture
+    (reference utils/tracers pcap-writer): synthetic Ethernet/IPv4/UDP
+    framing around each payload so Wireshark decodes the RTP."""
+
+    name = "pcap-writer"
+
+    def __init__(self, **params):
+        super().__init__(**params)
+        self.path = params.get("file", "capture.pcap")
+        self.element_filter = params.get("element")  # only this element
+        self._f = open(self.path, "wb")
+        # pcap global header: magic, v2.4, tz 0, sigfigs 0, snaplen, ethernet
+        self._f.write(struct.pack("<IHHiIII", 0xA1B2C3D4, 2, 4, 0, 0, 65535, 1))
+        self._t0 = time.time()
+
+    def on_buffer(self, element, pad, buffer: Buffer) -> None:
+        if self.element_filter and element.name != self.element_filter:
+            return
+        caps = pad.current_caps
+        name = caps.structure(0).name if caps and caps.structures else ""
+        if not name.startswith("application/x-rtp"):
+            return
+        data = buffer.data
+        payload = data.tobytes() if hasattr(data, "tobytes") else bytes(data)
+        eth = b"\x00" * 12 + b"\x08\x00"
+        ip_len = 20 + 8 + len(payload)
+        ip = struct.pack(">BBHHHBBH4s4s", 0x45, 0, ip_len, 0, 0, 64, 17, 0,
+                         b"\x7f\x00\x00\x01", b"\x7f\x00\x00\x01")
+        udp = struct.pack(">HHHH", 5004, 5004, 8 + len(payload), 0)
+        frame = eth + ip + udp + payload
+        now = time.time()
+        self._f.write(struct.pack("<IIII", int(now), int((now % 1) * 1e6),
+                                  len(frame), len(frame)))
+        self._f.write(frame)
+
+    def close(self) -> None:
+        self._f.close()
+
+
 TRACER_CLASSES = {
     cls.name: cls
-    for cls in (PadPushTimingsTracer, QueueLevelsTracer, BufferLatenessTracer, PipelineSnapshotTracer)
+    for cls in (PadPushTimingsTracer, QueueLevelsTracer, BufferLatenessTracer,
+                PipelineSnapshotTracer, MemoryTracer, ChromeTracer, PcapWriterTracer)
 }
 
 _SPEC_RE = re.compile(r"([a-z-]+)(?:\(([^)]*)\))?")
@@ -174,6 +278,9 @@ def install_from_env(pipeline, env: str = "GSTPU_TRACERS") -> None:
 
 __all__ = [
     "Tracer",
+    "MemoryTracer",
+    "ChromeTracer",
+    "PcapWriterTracer",
     "PadPushTimingsTracer",
     "QueueLevelsTracer",
     "BufferLatenessTracer",

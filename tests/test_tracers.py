@@ -62,3 +62,63 @@ def test_pipeline_snapshot(tmp_path):
     assert "digraph pipeline" in dot
     assert '"mid"' in dot
     assert "->" in dot
+
+
+def test_memory_tracer(tmp_path):
+    import gst_plugins_rs_tpu as fx
+    from gst_plugins_rs_tpu.utils.tracers import MemoryTracer
+
+    t = MemoryTracer(file=str(tmp_path / "mem.csv"))
+    p = fx.parse_launch(
+        "audiotestsrc num-buffers=3 samplesperbuffer=480 "
+        "! audio/x-raw,format=F32,rate=48000,channels=2 ! fakesink"
+    )
+    p.add_tracer(t)
+    p.play_until_eos()
+    t.close()
+    lines = (tmp_path / "mem.csv").read_text().strip().splitlines()
+    assert lines[0] == "element,buffers,bytes"
+    assert any("fakesink" in l and ",3," in l for l in lines)
+
+
+def test_chrome_tracer(tmp_path):
+    import json
+
+    import gst_plugins_rs_tpu as fx
+    from gst_plugins_rs_tpu.utils.tracers import ChromeTracer
+
+    t = ChromeTracer(file=str(tmp_path / "trace.json"))
+    p = fx.parse_launch(
+        "audiotestsrc num-buffers=2 samplesperbuffer=480 "
+        "! audio/x-raw,format=F32,rate=48000,channels=1 ! fakesink"
+    )
+    p.add_tracer(t)
+    p.play_until_eos()
+    t.close()
+    events = json.loads((tmp_path / "trace.json").read_text())["traceEvents"]
+    assert events and all(e["ph"] == "i" for e in events)
+    assert any("fakesink" in e["name"] for e in events)
+
+
+def test_pcap_writer(tmp_path):
+    import struct
+
+    import numpy as np
+
+    import gst_plugins_rs_tpu as fx
+    from gst_plugins_rs_tpu.utils.tracers import PcapWriterTracer
+
+    t = PcapWriterTracer(file=str(tmp_path / "cap.pcap"))
+    p = fx.parse_launch(
+        "audiotestsrc num-buffers=2 samplesperbuffer=800 "
+        "! audio/x-raw,format=S16,rate=8000,channels=1 "
+        "! mulawenc ! rtppcmupay2 ssrc=1 ! fakesink"
+    )
+    p.add_tracer(t)
+    p.play_until_eos()
+    t.close()
+    data = (tmp_path / "cap.pcap").read_bytes()
+    magic, _maj, _min = struct.unpack_from("<IHH", data)
+    assert magic == 0xA1B2C3D4
+    # at least the 2 RTP packets got captured with ethernet framing
+    assert data[24:].count(b"\x08\x00\x45") >= 2
