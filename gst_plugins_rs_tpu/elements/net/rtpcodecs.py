@@ -335,3 +335,93 @@ __all__ = [
     "RtpMpaPay", "RtpMpaDepay", "RtpMpvPay", "RtpMpvDepay",
     "RtpAmrPay", "RtpAmrDepay",
 ]
+
+
+# ---------------------------------------------------------------------------
+# MPEG audio robust (ADU) depayloader — RFC 5219
+# ---------------------------------------------------------------------------
+@register
+class RtpMpaRobustDepay(RtpBaseDepay):
+    """RFC 5219 loss-tolerant MPEG audio: parses 1-/2-byte ADU descriptors
+    (C continuation bit, T size-extension bit, 6/14-bit size), reassembles
+    fragmented ADUs, and emits them with audio/mpeg caps from the first
+    frame header (reference mparobust/depay/imp.rs:192-320; header parse
+    mpeg_audio_utils.rs).  ADU -> MP3 bit-reservoir reconstruction is not
+    performed (the ADUs themselves carry the sync headers downstream
+    decoders need)."""
+
+    ELEMENT_NAME = "rtpmparobustdepay2"
+    ELEMENT_CLASS = "Codec/Depayloader/Network/RTP"
+    ELEMENT_DESCRIPTION = "Depayload loss-tolerant MPEG audio (RFC 5219 ADUs)"
+    SRC_CAPS = MPA_CAPS
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._partial = b""
+        self._partial_size = 0
+        self._caps_sent = False
+
+    def media_structure(self, s: Structure) -> Structure:
+        return Structure("audio/mpeg", mpegversion=1)
+
+    def _maybe_caps(self, adu: bytes) -> None:
+        if self._caps_sent:
+            return
+        from ...net.mpa import peek_frame_header
+        from ...core.events import Event
+
+        hdr = peek_frame_header(adu)
+        if hdr is not None:
+            caps = Caps([Structure(
+                "audio/mpeg", mpegversion=1 if hdr.version == 1 else 2,
+                layer=hdr.layer, rate=hdr.sample_rate, channels=hdr.channels,
+            )])
+            self.out_caps = caps
+            self.srcpad.current_caps = caps
+            self.srcpad.push_event(Event.new_caps(caps))
+            self._caps_sent = True
+
+    def depay(self, pkt: RtpPacket, out: Buffer) -> Optional[Buffer]:
+        if out.has_flag(BufferFlags.DISCONT):
+            self._partial = b""
+            self._partial_size = 0
+        p = pkt.payload
+        pos = 0
+        adus: List[bytes] = []
+        while pos < len(p):
+            b0 = p[pos]
+            cont = bool(b0 & 0x80)
+            two_byte = bool(b0 & 0x40)
+            if two_byte:
+                if pos + 2 > len(p):
+                    break
+                size = ((b0 & 0x3F) << 8) | p[pos + 1]
+                pos += 2
+            else:
+                size = b0 & 0x3F
+                pos += 1
+            if cont:
+                # continuation: descriptor repeats the TOTAL ADU size
+                need = size - len(self._partial)
+                data = p[pos : pos + need]
+                pos += len(data)
+                self._partial += data
+                if len(self._partial) == size:
+                    adus.append(self._partial)
+                    self._partial = b""
+                    self._partial_size = 0
+            else:
+                data = p[pos : pos + size]
+                pos += len(data)
+                if len(data) < size:
+                    self._partial = data  # rest arrives with C=1
+                    self._partial_size = size
+                else:
+                    adus.append(data)
+        if not adus:
+            return None
+        for adu in adus:
+            self._maybe_caps(adu)
+        joined = b"".join(adus)
+        out.data = np.frombuffer(joined, np.uint8)
+        return out
