@@ -218,7 +218,9 @@ class RtpBaseDepay(BaseTransform):
         return out
 
     def set_caps(self, incaps: Caps, outcaps: Caps) -> None:
-        self.clock_rate = incaps.structure(0)["clock-rate"]
+        # clock-rate is mandatory in well-formed rtp caps; tolerate its
+        # absence (raw udpsrc relinks) by falling back to the 90 kHz default
+        self.clock_rate = incaps.structure(0).get("clock-rate", 90000)
 
     def on_ready_to_paused(self) -> None:
         super().on_ready_to_paused()
