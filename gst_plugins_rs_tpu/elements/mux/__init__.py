@@ -1,1 +1,1 @@
-from . import flv, isobmff  # noqa: F401
+from . import flv, isobmff, tsmux  # noqa: F401
