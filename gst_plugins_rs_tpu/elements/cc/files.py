@@ -8,10 +8,12 @@ reference parser (mcc_parse/parser.rs:130-199: G..O = 1..9 repetitions of
 the `fa 00 00` padding triplet, P/Q/R = fb/fc/fd 80 80, S = 96 69,
 T = 61 01, U = e1 00 00 00, Z = 00).
 
-Divergence (noted for later rounds): mccenc writes raw cc_data triplets
-with the alias compression but not yet the full SMPTE 291/CDP ANC framing
-the reference wraps them in; mccparse accepts both raw triplet lines and
-expands the alias table the same way either way.
+MCC caption lines carry an SMPTE 291 ANC data packet (DID 0x61 SDID 0x01)
+whose user words are a CDP (SMPTE 334-2) with the cc_data triplets — the
+framing visible in the reference parser's own test vector
+(mcc_parse/parser.rs test_caption).  mccenc writes that full framing
+(ANC header + CDP + 8-bit-truncated ANC checksum); mccparse unwraps it and
+also accepts raw cc_data triplet lines.
 """
 from __future__ import annotations
 
@@ -211,7 +213,7 @@ def mcc_encode_payload(data: bytes) -> str:
             out.append(chr(ord("G") + n - 1))
             i += 3 * n
             continue
-        for alias in ("P", "Q", "R", "S", "T", "U"):
+        for alias in ("P", "Q", "R", "S", "T", "U", "Z"):
             seq = _MCC_ALIASES[alias]
             if data[i : i + len(seq)] == seq:
                 out.append(alias)
@@ -240,6 +242,16 @@ class MccParse(_FileParseBase):
         if not payload:
             return None
         data = mcc_decode_payload(payload.strip())
+        # full framing: ANC packet (DID 0x61 SDID 0x01) wrapping a CDP
+        if len(data) > 3 and data[0] == 0x61 and data[1] == 0x01:
+            from ...ops import cea708
+
+            dc = data[2]
+            cdp = data[3 : 3 + dc]
+            try:
+                data, _seq = cea708.parse_cdp(cdp)
+            except ValueError:
+                return None
         # extract 608 field-1 pairs from cc_data triplets (cc_type 0 marker
         # 0xfc with cc_valid set)
         pairs: List = []
@@ -276,11 +288,36 @@ class MccEnc(BaseTransform):
             out = filter_.intersect(out)
         return out
 
+    def __init_seq(self) -> int:
+        seq = getattr(self, "_cdp_seq", 0)
+        self._cdp_seq = (seq + 1) & 0xFFFF
+        return seq
+
+    @staticmethod
+    def _anc_wrap(cdp: bytes) -> bytes:
+        """ANC packet bytes as MCC stores them: DID, SDID, DC, UDWs and the
+        low 8 bits of the SMPTE 291 checksum over the parity-extended words
+        (matches the reference parser's caption test vector)."""
+        from ...ops.st2038 import _parity10
+
+        words = [_parity10(0x61), _parity10(0x01), _parity10(len(cdp))]
+        words += [_parity10(b) for b in cdp]
+        checksum = sum(w & 0x1FF for w in words) & 0x1FF
+        return bytes([0x61, 0x01, len(cdp)]) + cdp + bytes([checksum & 0xFF])
+
     def transform(self, inbuf: Buffer) -> Buffer:
+        from ...ops import cea708
+
         fps = Fraction(self.get_property("framerate"))
         pairs = np.asarray(inbuf.data, np.uint8).reshape(-1, 2)
-        data = b"".join(bytes([0xFC, hi, lo]) for hi, lo in pairs)
-        line = f"{_ns_to_tc(inbuf.pts or 0, fps)}\t{mcc_encode_payload(data)}\n"
+        # cc_data: the 608 pairs as field-1 triplets, padded with DTVCC
+        # filler to the frame-rate-appropriate 20-triplet budget
+        cc = b"".join(bytes([0xFC, hi, lo]) for hi, lo in pairs)
+        while len(cc) // 3 < 20:
+            cc += bytes([0xFA, 0x00, 0x00])
+        cdp = cea708.build_cdp(cc, sequence=self.__init_seq(),
+                               fps=int(round(float(fps))))
+        line = f"{_ns_to_tc(inbuf.pts or 0, fps)}\t{mcc_encode_payload(self._anc_wrap(cdp))}\n"
         if not self._sent_header:
             line = f"{MCC_HEADER}\n//\nTime Code Rate=30DF\n\n" + line
             self._sent_header = True

@@ -246,3 +246,69 @@ class TestOverlay:
         bottom = f[120:, :, :]
         assert (bottom < 250).any()  # caption box dims the white frame
         assert (f[:60] == 255).all()  # top untouched
+
+
+class TestMccFullFraming:
+    REFERENCE_LINE = "T52S524F67ZZ72F4QROO7391UC13FFF74ZZAEB4"
+
+    def test_reference_vector_decodes(self):
+        # the exact caption test vector from the reference's own parser
+        # (mcc_parse/parser.rs test_caption)
+        data = mcc_decode_payload(self.REFERENCE_LINE)
+        assert data[:3] == bytes([0x61, 0x01, 0x52])  # ANC DID/SDID/DC
+        assert data[3:5] == bytes([0x96, 0x69])  # CDP magic
+        assert data[-1] == 0xB4  # stored ANC checksum byte
+
+    def test_reference_vector_reencodes_identically(self):
+        data = mcc_decode_payload(self.REFERENCE_LINE)
+        assert mcc_encode_payload(data) == self.REFERENCE_LINE
+
+    def test_anc_checksum_matches_reference_vector(self):
+        from gst_plugins_rs_tpu.elements.cc.files import MccEnc
+
+        data = mcc_decode_payload(self.REFERENCE_LINE)
+        dc = data[2]
+        cdp = data[3 : 3 + dc]
+        wrapped = MccEnc._anc_wrap(cdp)
+        assert wrapped[-1] == 0xB4  # checksum algorithm reproduces the vector
+
+    def test_mcc_roundtrip_with_cdp(self):
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+        from gst_plugins_rs_tpu.elements.cc.elements import pairs_to_array
+
+        pairs = cea608.encode_pop_on(["CDP FRAMED"])
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("closedcaption/x-cea-608,format=raw"))
+        enc = fx.element_factory_make("mccenc")
+        par = fx.element_factory_make("mccparse")
+        dec = fx.element_factory_make("cea608tott")
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        for e in (src, enc, par, dec, sink):
+            p.add(e)
+        src.link(enc); enc.link(par); par.link(dec); dec.link(sink)
+        src.push_buffer(fx.Buffer(pairs_to_array(pairs), pts=0))
+        src.end_of_stream()
+        p.play_until_eos()
+        assert [str(s.buffer.data) for s in sink.samples] == ["CDP FRAMED"]
+
+    def test_mcc_line_contains_cdp_framing(self):
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+        from gst_plugins_rs_tpu.elements.cc.elements import pairs_to_array
+
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("closedcaption/x-cea-608,format=raw"))
+        enc = fx.element_factory_make("mccenc")
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        for e in (src, enc, sink):
+            p.add(e)
+        src.link(enc); enc.link(sink)
+        src.push_buffer(fx.Buffer(pairs_to_array([(0x94, 0x20)]), pts=0))
+        src.end_of_stream()
+        p.play_until_eos()
+        text = "".join(str(s.buffer.data) for s in sink.samples)
+        caption_line = [l for l in text.splitlines() if "\t" in l][0]
+        payload = mcc_decode_payload(caption_line.split("\t")[1])
+        assert payload[:2] == bytes([0x61, 0x01])  # ANC header
+        assert payload[3:5] == bytes([0x96, 0x69])  # CDP inside
