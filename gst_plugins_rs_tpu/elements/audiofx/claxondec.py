@@ -83,7 +83,11 @@ class ClaxonDec(BaseTransform):
         frames = []
         while self._pos < len(data):
             try:
-                frame, nxt = flac.decode_frame(data, self._pos, self._info)
+                native = flac.decode_frame_native(data, self._pos, self._info)
+                if native is not None:
+                    frame, nxt = native  # C++ hot path (native/flacdec.cpp)
+                else:
+                    frame, nxt = flac.decode_frame(data, self._pos, self._info)
             except (ValueError, IndexError):
                 if final:
                     raise

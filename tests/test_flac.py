@@ -119,3 +119,42 @@ class TestClaxonDec:
         for s in sink.samples:
             assert s.buffer.pts is not None
         assert sink.samples[-1].buffer.pts + sink.samples[-1].buffer.duration == 1_000_000_000
+
+
+class TestNativeDecoder:
+    def test_native_matches_python(self):
+        pcm = sine_pcm(12000)
+        for mode in ("constant", "verbatim", "fixed", "lpc"):
+            data = (np.full((12000, 2), 7, np.int64) if mode == "constant" else pcm)
+            enc = flac.encode(data, block_size=4096, mode=mode)
+            _, py = flac.decode(enc, native=False)
+            _, nat = flac.decode(enc, native=True)
+            assert (py == nat).all(), mode
+
+    def test_native_stereo_assignments(self):
+        pcm = sine_pcm(6000)
+        for stereo in ("left-side", "mid-side"):
+            enc = flac.encode(pcm, mode="fixed", stereo_mode=stereo)
+            _, py = flac.decode(enc, native=False)
+            _, nat = flac.decode(enc, native=True)
+            assert (py == nat).all(), stereo
+
+    def test_native_rejects_corruption(self):
+        if flac._native() is None:
+            pytest.skip("native decoder not built")
+        enc = bytearray(flac.encode(sine_pcm(4000), mode="fixed"))
+        enc[-10] ^= 1
+        with pytest.raises(ValueError):
+            flac.decode(bytes(enc), native=True)
+
+    def test_native_is_fast(self):
+        import time
+
+        if flac._native() is None:
+            pytest.skip("native decoder not built")
+        pcm = sine_pcm(44100 * 2)
+        enc = flac.encode(pcm, rate=44100, mode="fixed")
+        t0 = time.perf_counter()
+        flac.decode(enc, native=True)
+        dt = time.perf_counter() - t0
+        assert 2.0 / dt > 50  # >50x realtime (measured ~450x)
