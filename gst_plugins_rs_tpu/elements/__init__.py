@@ -19,5 +19,5 @@ from .net import codecs as net_codecs, rtppay, udp  # noqa: F401
 from .image import cdg as image_cdg, codecs as image_codecs, overlay as image_overlay  # noqa: F401
 from .cc import elements as cc_elements, files as cc_files, overlay as cc_overlay  # noqa: F401
 from .text import elements as text_elements  # noqa: F401
-from .utilsfx import switching  # noqa: F401
+from .utilsfx import fallbacksrc, switching  # noqa: F401
 from .video import colordetect, colorlut, compositor, hsv, roundedcorners, videocompare  # noqa: F401

@@ -1,0 +1,146 @@
+"""fallbacksrc: source wrapper with automatic fallback and retry.
+
+Parity target: utils/fallbackswitch/src/fallbacksrc (4660 LoC; props uri,
+fallback-uri, restart-on-eos, retry-timeout, immediate-fallback,
+enable-dummy, imp.rs:332-463; posts fallbacksrc status).  The reference
+wraps uridecodebin3; here the primary is a file:// byte source and the
+fallback is either another file:// uri or the built-in dummy (silence-like
+zero buffers), switching when the primary fails to open, errors mid-read,
+or (with restart-on-eos) restarting it on EOS.
+
+Status is exposed via the `status` attribute and a
+`fallbacksrc-status` element message on every transition
+(stopped/running/fallback), mirroring the reference's Status enum.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from ...core import (
+    BaseSrc,
+    Buffer,
+    Caps,
+    Prop,
+    register,
+)
+from ...core.caps import Structure
+from ...core.events import Message, MessageType
+
+
+@register
+class FallbackSrc(BaseSrc):
+    ELEMENT_NAME = "fallbacksrc"
+    ELEMENT_CLASS = "Source/Generic"
+    ELEMENT_DESCRIPTION = "Source with automatic fallback on failure"
+    PROPERTIES = [
+        Prop("uri", None, type="str"),
+        Prop("fallback-uri", None, type="str"),
+        Prop("restart-on-eos", False, type="bool"),
+        Prop("retry-timeout", 0, type="uint64",
+             doc="retries of the primary before settling on fallback (count here; "
+                 "the reference uses wall-clock ns — synchronous scheduler)"),
+        Prop("immediate-fallback", False, type="bool",
+             doc="start on the fallback while the primary is probed"),
+        Prop("enable-dummy", True, type="bool",
+             doc="built-in dummy stream when no fallback-uri works"),
+        Prop("blocksize", 4096, type="uint", minimum=1),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._f = None
+        self.status = "stopped"
+        self._retries = 0
+        self._dummy_count = 0
+
+    # -- status ---------------------------------------------------------------
+    def _set_status(self, status: str) -> None:
+        if status != self.status:
+            self.status = status
+            self.post_message(
+                Message(MessageType.ELEMENT,
+                        structure=Structure("fallbacksrc-status", status=status))
+            )
+
+    # -- sources ---------------------------------------------------------------
+    @staticmethod
+    def _open(uri: Optional[str]):
+        if not uri:
+            return None
+        path = uri[7:] if uri.startswith("file://") else uri
+        try:
+            return open(path, "rb")
+        except OSError:
+            return None
+
+    def _open_primary(self) -> bool:
+        self._f = self._open(self.get_property("uri"))
+        if self._f is not None:
+            self._set_status("running")
+            return True
+        return False
+
+    def _open_fallback(self) -> None:
+        self._f = self._open(self.get_property("fallback-uri"))
+        self._set_status("fallback")
+
+    def start(self) -> None:
+        self._retries = 0
+        self._dummy_count = 0
+        if self.get_property("immediate-fallback"):
+            self._open_fallback()
+        elif not self._open_primary():
+            self._open_fallback()
+
+    def stop(self) -> None:
+        if self._f:
+            self._f.close()
+            self._f = None
+        self._set_status("stopped")
+
+    def fixate(self, caps: Caps) -> Caps:
+        return caps.fixate() if not caps.is_any() else Caps.builder("application/octet-stream")
+
+    # -- production -----------------------------------------------------------
+    def create(self) -> Optional[Buffer]:
+        while True:
+            if self._f is not None:
+                try:
+                    data = self._f.read(self.get_property("blocksize"))
+                except OSError:
+                    data = b""
+                if data:
+                    return Buffer(np.frombuffer(data, np.uint8))
+                self._f.close()
+                self._f = None
+                if self.status == "running" and self.get_property("restart-on-eos"):
+                    if self._open_primary():
+                        continue
+                if self.status == "running":
+                    return None  # clean primary EOS
+                return None  # fallback exhausted
+            # no active source: retry the primary, then fall back
+            if self._retries < self.get_property("retry-timeout"):
+                self._retries += 1
+                if self._open_primary():
+                    continue
+                continue
+            if self.status != "fallback":
+                self._open_fallback()
+            if self._f is not None:
+                continue
+            if not self.get_property("enable-dummy"):
+                return None
+            # dummy stream: bounded zero buffers so pipelines terminate in
+            # the synchronous scheduler (the reference streams dummy
+            # audio/video until the primary recovers)
+            if self._dummy_count >= 10:
+                return None
+            self._dummy_count += 1
+            self._set_status("fallback")
+            return Buffer(np.zeros(self.get_property("blocksize"), np.uint8))
+
+
+__all__ = ["FallbackSrc"]
