@@ -9,9 +9,10 @@ boundary.
 
 Behavioral notes vs the reference:
 - Raw PCM audio is written as ipcm/fpcm + pcmC (boxes.rs:1458-1463,
-  2537-2563) and raw video as uncv + uncC (ISO/IEC 23001-17,
-  uncompressed.rs:256-318); compressed codecs (h264/av1/opus/aac) are not in
-  this framework yet, so those sample entries are not emitted.
+  2537-2563), raw video as uncv + uncC (ISO/IEC 23001-17,
+  uncompressed.rs:256-318), and compressed streams get avc1+avcC /
+  av01+av1C / vp09+vpcC / mp4a+esds / Opus+dOps entries from their caps
+  (boxes.rs get_audio_fourcc/get_video_fourcc).
 - Fragments cut at buffer granularity once every stream has crossed the
   fragment-duration boundary (the reference cuts at the first keyframe after
   the boundary, fmp4mux/imp.rs; raw streams are all-keyframe so the rule
@@ -273,6 +274,10 @@ class FMP4Mux(_MuxBase):
              doc="0 = no chunking; else emit moof+mdat every chunk"),
         Prop("header-update-mode", "none", type="enum",
              choices=["none", "rewrite", "update", "caps"]),
+        Prop("write-edts-mode", "auto", type="enum",
+             choices=["auto", "always", "never"],
+             doc="edit lists: auto writes elst only when the stream starts "
+                 "past zero (DEFAULT_WRITE_EDTS_MODE=Auto, fmp4mux/imp.rs:153)"),
         Prop("write-mfra", False, type="bool"),
         Prop("write-mehd", False, type="bool"),
         Prop("movie-timescale", 0, type="uint", doc="0 = auto (1000)"),
@@ -317,6 +322,16 @@ class FMP4Mux(_MuxBase):
                 for st in streams
             ]
             duration = max(durs) if durs else 0
+        mode = self.get_property("write-edts-mode")
+        for st in streams:
+            if st.track is None:
+                continue
+            start = self._first_pts or 0
+            if mode == "always" or (mode == "auto" and start > 0):
+                media_time = start * st.timescale // SECOND
+                st.track.elst = [(0, media_time)]
+            else:
+                st.track.elst = None
         hdr = bmff.ftyp(self.MAJOR_BRAND, 0, list(self.COMPAT_BRANDS))
         hdr += bmff.moov(
             tracks,

@@ -215,6 +215,9 @@ class TrackConfig:
     width: int = 0
     height: int = 0
     default_sample_duration: int = 0  # in track timescale, for trex
+    # edit list entries: (segment_duration movie-ts, media_time track-ts)
+    # (write-edts-mode, reference mod.rs WriteEdtsMode / ElstInfo)
+    elst: Optional[List[Tuple[int, int]]] = None
 
 
 @dataclass
@@ -351,6 +354,13 @@ def _stbl(entry: bytes, table: Optional[SampleTable]) -> bytes:
     return box(b"stbl", body)
 
 
+def _elst(entries: List[Tuple[int, int]]) -> bytes:
+    payload = struct.pack(">I", len(entries))
+    for seg_dur, media_time in entries:
+        payload += struct.pack(">IiHH", seg_dur, media_time, 1, 0)  # rate 1.0
+    return box(b"edts", full_box(b"elst", 0, 0, payload))
+
+
 def _trak(t: TrackConfig, movie_timescale: int, table: Optional[SampleTable]) -> bytes:
     duration_ts = table.total_duration if table else 0
     duration_movie = (
@@ -371,7 +381,8 @@ def _trak(t: TrackConfig, movie_timescale: int, table: Optional[SampleTable]) ->
             + _stbl(t.sample_entry, table),
         ),
     )
-    return box(b"trak", _tkhd(t, duration_movie) + mdia)
+    edts = _elst(t.elst) if t.elst else b""
+    return box(b"trak", _tkhd(t, duration_movie) + edts + mdia)
 
 
 def moov(

@@ -322,3 +322,46 @@ class TestCompressedEntries:
         assert tracks[0].timescale == 48000
         frags = reader.decode_fragments(data)
         assert sum(sum(f.sample_durations) for f in frags) == 10 * 960  # 20 ms @48k
+
+
+class TestEditLists:
+    def _reader_elst(self, data):
+        tree = reader.parse_boxes(data)
+        moov = next(b for b in tree if b.type == b"moov")
+        trak = moov.find(b"trak")
+        return trak.find(b"edts", b"elst")
+
+    def test_auto_no_elst_at_zero_start(self):
+        data, _ = run(SRC_AUDIO + "! cmafmux fragment-duration=1000000000 ! appsink name=sink")
+        assert self._reader_elst(data) is None  # auto: stream starts at 0
+
+    def test_always_writes_elst(self):
+        data, _ = run(
+            SRC_AUDIO + "! cmafmux fragment-duration=1000000000 "
+            "write-edts-mode=always ! appsink name=sink"
+        )
+        elst = self._reader_elst(data)
+        assert elst is not None
+        # version 0: count + (seg_dur u32, media_time i32, rate 16.16)
+        import struct as _s
+
+        count = _s.unpack_from(">I", elst.payload, 4)[0]
+        assert count == 1
+
+    def test_never_suppresses_elst(self):
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("audio/x-raw,format=F32,rate=48000,channels=1,layout=interleaved"))
+        mux = fx.element_factory_make("cmafmux")
+        mux.set_property("write-edts-mode", "never")
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        for e in (src, mux, sink):
+            p.add(e)
+        src.link(mux); mux.link(sink)
+        # stream starting at 1s would trigger auto, but never suppresses
+        src.push_buffer(fx.Buffer(np.zeros((4800, 1), np.float32), pts=1_000_000_000))
+        src.end_of_stream()
+        p.play_until_eos()
+        assert self._reader_elst(mux_bytes(sink)) is None
