@@ -57,6 +57,12 @@ class ClaxonDec(BaseTransform):
             out = filter_.intersect(out)
         return out
 
+    def _handle_caps(self, incaps: Caps) -> bool:
+        # real src caps come from STREAMINFO; fixating the template here
+        # would push meaningless rate/channel values downstream
+        self.in_caps = incaps
+        return True
+
     def _try_streaminfo(self) -> bool:
         if self._info is not None:
             return True

@@ -148,6 +148,12 @@ class _ImageDecBase(BaseTransform):
             out = filter_.intersect(out)
         return out
 
+    def _handle_caps(self, incaps: Caps) -> bool:
+        # real dims/format come from the decoded image at drain time;
+        # a template fixate here would claim 1x1 frames downstream
+        self.in_caps = incaps
+        return True
+
     def transform(self, inbuf: Buffer) -> Optional[Buffer]:
         d = inbuf.data
         self._acc += d.encode() if isinstance(d, str) else np.asarray(d, np.uint8).tobytes()

@@ -100,3 +100,24 @@ class TestDecodeBin:
         sink = run_decodebin(scc)
         got = np.asarray(sink.samples[0].buffer.data)
         assert (got == np.asarray(pairs, np.uint8).reshape(-1, 2)).all()
+
+
+def test_decodebin_negotiates_through_converters():
+    """Regression: decoders must not push template-fixated garbage caps at
+    link time — a capsfilter after audioconvert used to kill the chain."""
+    from gst_plugins_rs_tpu.core.parse import parse_caps
+    import tempfile
+
+    t = np.arange(16000)
+    pcm = np.stack([(np.sin(t * 0.02) * 12000).astype(np.int64)] * 2, 1)
+    path = tempfile.mktemp(suffix=".flac")
+    open(path, "wb").write(flac.encode(pcm, rate=48000, bps=16, mode="fixed"))
+    p = fx.parse_launch(
+        f"uriplaylistbin uris=file://{path} ! decodebin ! audioconvert "
+        "! audio/x-raw,format=F32,rate=48000,channels=2 ! appsink name=sink"
+    )
+    p.play_until_eos()
+    out = p.by_name("sink").concat_audio()
+    assert out.shape == (16000, 2)
+    assert out.dtype == np.float32
+    assert np.abs(out * 32768.0 - pcm).max() <= 1.0
