@@ -11,6 +11,7 @@ from .audiofx import (  # noqa: F401
     ebur128level,
     hrtfrender,
     sofalizer,
+    whisper as whisper_element,
 )
 from .analytics import combiner, handdetection, meta, onvif as analytics_onvif, yoloxinference, yoloxtensordec  # noqa: F401
 from .generic import basic, buffers, convert, debugsei, decodebin, gopbuffer, io, misc, sodium  # noqa: F401

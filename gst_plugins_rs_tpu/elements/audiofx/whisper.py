@@ -1,0 +1,159 @@
+"""whispertranscriber: speech-to-text over the Whisper architecture.
+
+Parity target: audio/whisper (whispertranscriber, imp.rs:84; props
+model-path, chunk-duration, language, translate, imp.rs:894-940 — the
+reference runs whisper.cpp GGUF models).  Here the architecture comes from
+the baked-in `transformers` Whisper implementation:
+
+- `model-path` loads a local pretrained checkpoint directory
+  (processor + weights); there is no network egress in this environment,
+  so no model download happens — same gating as rnnoise/demucs weights.
+- without a model-path the element refuses to start unless
+  `allow-random-weights=true`, which wires the full pipeline (log-mel
+  feature extraction -> encoder/decoder generate) through a tiny
+  random-init config and emits the raw token ids as text — for tests and
+  latency measurement only, clearly not a transcription.
+
+Input: audio/x-raw F32 16 kHz mono (Whisper's native rate); output:
+text/x-raw utf8 buffers per chunk with pts/duration spanning the chunk.
+"""
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+
+from ...core import (
+    BaseTransform,
+    Buffer,
+    Caps,
+    PadDirection,
+    Prop,
+    SECOND,
+    TransformMode,
+    register,
+)
+from ...core.caps import Structure
+
+SINK_CAPS = Caps([Structure("audio/x-raw", format="F32", rate=16000,
+                            channels=1, layout="interleaved")])
+TEXT_CAPS = Caps.builder("text/x-raw", format="utf8")
+
+
+@register
+class WhisperTranscriber(BaseTransform):
+    ELEMENT_NAME = "whispertranscriber"
+    ELEMENT_CLASS = "Audio/Text/Transcriber"
+    ELEMENT_DESCRIPTION = "Speech-to-text transcription (Whisper architecture)"
+    MODE = TransformMode.NEVER_IN_PLACE
+    SINK_CAPS = SINK_CAPS
+    SRC_CAPS = TEXT_CAPS
+    PROPERTIES = [
+        Prop("model-path", None, type="str",
+             doc="local pretrained checkpoint directory (processor + weights)"),
+        Prop("chunk-duration", 5_000_000_000, type="uint64", minimum=SECOND),
+        Prop("language", "en", type="str"),
+        Prop("translate", False, type="bool"),
+        Prop("max-new-tokens", 64, type="uint", minimum=1),
+        Prop("allow-random-weights", False, type="bool",
+             doc="run the architecture with random weights (token-id output; "
+                 "test wiring only)"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._model = None
+        self._fe = None
+        self._tokenizer = None
+        self._acc: List[np.ndarray] = []
+        self._acc_len = 0
+        self._pos = 0
+
+    def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
+        out = (TEXT_CAPS if direction == PadDirection.SINK else SINK_CAPS).copy()
+        if filter_ is not None:
+            out = filter_.intersect(out)
+        return out
+
+    def start(self) -> None:
+        import os
+
+        os.environ.setdefault("HF_HUB_OFFLINE", "1")
+        from transformers import WhisperFeatureExtractor
+
+        path = self.get_property("model-path")
+        if path:
+            from transformers import WhisperForConditionalGeneration, WhisperProcessor
+
+            processor = WhisperProcessor.from_pretrained(path)
+            self._fe = processor.feature_extractor
+            self._tokenizer = processor.tokenizer
+            self._model = WhisperForConditionalGeneration.from_pretrained(path).eval()
+        elif self.get_property("allow-random-weights"):
+            from transformers import WhisperConfig, WhisperForConditionalGeneration
+
+            cfg = WhisperConfig(
+                d_model=64, encoder_layers=1, decoder_layers=1,
+                encoder_attention_heads=2, decoder_attention_heads=2,
+                encoder_ffn_dim=128, decoder_ffn_dim=128,
+                max_source_positions=1500, max_target_positions=128,
+            )
+            self._model = WhisperForConditionalGeneration(cfg).eval()
+            self._fe = WhisperFeatureExtractor()
+            self._tokenizer = None
+        else:
+            raise RuntimeError(
+                "whispertranscriber needs model-path (no model downloads in "
+                "this environment); set allow-random-weights=true to wire the "
+                "architecture with random weights for testing"
+            )
+        self._acc = []
+        self._acc_len = 0
+        self._pos = 0
+
+    def stop(self) -> None:
+        self._model = None
+        self._fe = None
+        self._tokenizer = None
+
+    def _chunk_samples(self) -> int:
+        return self.get_property("chunk-duration") * 16000 // SECOND
+
+    def _transcribe(self, audio: np.ndarray) -> str:
+        import torch
+
+        feats = self._fe(audio, sampling_rate=16000, return_tensors="pt").input_features
+        with torch.no_grad():
+            tokens = self._model.generate(
+                feats, max_new_tokens=self.get_property("max-new-tokens")
+            )
+        if self._tokenizer is not None:
+            return self._tokenizer.batch_decode(tokens, skip_special_tokens=True)[0].strip()
+        return " ".join(str(int(t)) for t in tokens[0])
+
+    def _emit(self, n: int) -> Buffer:
+        data = np.concatenate(self._acc)[: n]
+        rest = np.concatenate(self._acc)[n:]
+        self._acc = [rest] if rest.size else []
+        self._acc_len = rest.size
+        text = self._transcribe(data)
+        pts = self._pos * SECOND // 16000
+        dur = n * SECOND // 16000
+        self._pos += n
+        return Buffer(text, pts=pts, duration=dur)
+
+    def transform(self, inbuf: Buffer) -> Optional[Buffer]:
+        arr = np.asarray(inbuf.data, np.float32).reshape(-1)
+        self._acc.append(arr)
+        self._acc_len += arr.size
+        if self._acc_len >= self._chunk_samples():
+            return self._emit(self._chunk_samples())
+        return None
+
+    def drain(self) -> Optional[Buffer]:
+        if self._acc_len:
+            return self._emit(self._acc_len)
+        return None
+
+
+__all__ = ["WhisperTranscriber"]

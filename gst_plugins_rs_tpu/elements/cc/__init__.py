@@ -1,1 +1,1 @@
-from . import cea708, elements, files, overlay, st2038  # noqa: F401
+from . import cea708, elements, files, overlay, st2038, transcriberbin  # noqa: F401
