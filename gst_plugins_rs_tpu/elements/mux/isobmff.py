@@ -73,6 +73,7 @@ _SINK_CAPS = Caps(
         Structure("video/x-vp9"),
         Structure("audio/mpeg", mpegversion=4),
         Structure("audio/x-opus"),
+        Structure("audio/x-ac3", framed=True),
     ]
 )
 
@@ -96,8 +97,21 @@ class _Stream:
         # non-fragmented accumulation
         self.table = bmff.SampleTable()
 
-    def configure(self, caps: Caps) -> None:
+    def configure(self, caps: Caps, first_frame: Optional[bytes] = None) -> None:
         s = caps.structure(0)
+        if s.name == "audio/x-ac3":
+            if first_frame is None:
+                return  # dac3 needs the first syncframe; retried with a peek
+            self.kind = "caudio"
+            rate = s.get("rate", 48000)
+            self.timescale = rate
+            self.frame_dur_ts = 1536  # AC-3 frame = 1536 samples
+            entry = bmff.ac3_sample_entry(first_frame)
+            self.track = bmff.TrackConfig(
+                self.track_id, self.timescale, "soun", entry,
+                default_sample_duration=self.frame_dur_ts,
+            )
+            return
         if s.name in ("video/x-h264", "video/x-av1", "video/x-vp9"):
             self.kind = "cvideo"
             w, h = s.get("width", 0), s.get("height", 0)
@@ -233,7 +247,12 @@ class _MuxBase(Aggregator):
             if st.track is None:
                 if st.pad.current_caps is None:
                     return False
-                st.configure(st.pad.current_caps)
+                peek = st.pad.peek_buffer()
+                first = (np.asarray(peek.data, np.uint8).tobytes()
+                         if peek is not None else None)
+                st.configure(st.pad.current_caps, first_frame=first)
+                if st.track is None:
+                    return False  # needs the first frame (AC-3 dac3)
         return True
 
     def _src_caps(self) -> Caps:

@@ -194,6 +194,50 @@ def mp4a_sample_entry(channels: int, rate: int, audio_specific_config: bytes) ->
     return box(b"mp4a", _audio_entry_body(channels, rate, esds))
 
 
+def parse_ac3_header(frame: bytes):
+    """(fscod, frmsizecod, bsid, bsmod, acmod, lfeon) from an AC-3
+    syncframe (reference ac3.rs SyncInfo/Bsi parse)."""
+    if len(frame) < 8 or frame[0] != 0x0B or frame[1] != 0x77:
+        raise ValueError("not an AC-3 syncframe")
+    bits = int.from_bytes(frame[:8], "big")
+    offset = [32]  # skip syncword + crc1
+
+    def take(n):
+        shift = 64 - (offset[0] + n)
+        offset[0] += n
+        return (bits >> shift) & ((1 << n) - 1)
+    fscod = take(2)
+    frmsizecod = take(6)
+    bsid = take(5)
+    bsmod = take(3)
+    acmod = take(3)
+    if (acmod & 1) and acmod != 1:
+        take(2)  # cmixlev
+    if acmod & 4:
+        take(2)  # surmixlev
+    if acmod == 2:
+        take(2)  # dsurmod
+    lfeon = take(1)
+    return fscod, frmsizecod, bsid, bsmod, acmod, lfeon
+
+
+_AC3_CHANNELS = {0: 2, 1: 1, 2: 2, 3: 3, 4: 3, 5: 4, 6: 4, 7: 5}
+_AC3_RATES = {0: 48000, 1: 44100, 2: 32000}
+
+
+def ac3_sample_entry(frame: bytes) -> bytes:
+    """'ac-3' AudioSampleEntry with dac3 (ETSI TS 102 366 Annex F) built
+    from the first syncframe, like the reference's create_dac3."""
+    fscod, frmsizecod, bsid, bsmod, acmod, lfeon = parse_ac3_header(frame)
+    rate = _AC3_RATES.get(fscod, 48000)
+    channels = _AC3_CHANNELS[acmod] + lfeon
+    bit_rate_code = frmsizecod >> 1
+    val = (fscod << 22) | (bsid << 17) | (bsmod << 14) | (acmod << 11)
+    val |= (lfeon << 10) | (bit_rate_code << 5)
+    dac3 = box(b"dac3", val.to_bytes(3, "big"))
+    return box(b"ac-3", _audio_entry_body(channels, rate, dac3))
+
+
 def opus_sample_entry(channels: int, rate: int, pre_skip: int = 312) -> bytes:
     """'Opus' with dOps (Opus-in-ISOBMFF spec, mapping family 0)."""
     dops = box(

@@ -365,3 +365,41 @@ class TestEditLists:
         src.end_of_stream()
         p.play_until_eos()
         assert self._reader_elst(mux_bytes(sink)) is None
+
+
+class TestAc3Entry:
+    @staticmethod
+    def ac3_frame(payload_len=100):
+        # fscod=0(48k) frmsizecod=14 bsid=8 bsmod=0 acmod=2(stereo) lfeon=0
+        acc, off = 0, 0
+        for v, n in ((0x0B77, 16), (0, 16), (0, 2), (14, 6),
+                     (8, 5), (0, 3), (2, 3), (0, 2), (0, 1)):
+            acc |= v << (64 - off - n)
+            off += n
+        return acc.to_bytes(8, "big") + bytes(payload_len)
+
+    def test_ac3_muxes_with_dac3(self):
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("audio/x-ac3,framed=true,rate=48000,alignment=frame"))
+        mux = fx.element_factory_make("cmafmux")
+        mux.set_property("fragment-duration", 1_000_000_000)
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        for e in (src, mux, sink):
+            p.add(e)
+        src.link(mux); mux.link(sink)
+        dur = 1536 * 1_000_000_000 // 48000
+        for i in range(10):
+            src.push_buffer(fx.Buffer(np.frombuffer(self.ac3_frame(), np.uint8),
+                                      pts=i * dur, duration=dur))
+        src.end_of_stream()
+        p.play_until_eos()
+        data = mux_bytes(sink)
+        tracks = reader.decode_tracks(reader.parse_boxes(data))
+        assert tracks[0].sample_entry_type == "ac-3"
+        assert tracks[0].timescale == 48000
+        assert b"dac3" in data
+        frags = reader.decode_fragments(data)
+        assert sum(len(f.sample_sizes) for f in frags) == 10
