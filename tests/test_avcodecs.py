@@ -1,0 +1,193 @@
+"""Codec-wrapper elements over system C libraries (libavcodec shim).
+
+Covers the reference's dav1ddec (video/dav1d), rav1enc (video/rav1e),
+ffv1dec (video/ffv1) and lewtondec (audio/lewton) element surfaces:
+round-trips (rav1enc -> dav1ddec, shim-ffv1-encoder -> ffv1dec exact,
+shim-libvorbis-encoder -> lewtondec) and caps deferral until the stream
+describes itself.
+"""
+import numpy as np
+import pytest
+
+import gst_plugins_rs_tpu as fx
+from gst_plugins_rs_tpu.codecs import avlib
+from gst_plugins_rs_tpu.core.parse import parse_caps
+
+pytestmark = pytest.mark.skipif(
+    not avlib.available(), reason="libavcodec shim not built")
+
+W, H = 64, 48
+
+
+def i420_frames(n, seed=0):
+    rng = np.random.default_rng(seed)
+    base = np.tile(np.linspace(0, 255, W, dtype=np.uint8), (H, 1))
+    out = []
+    for i in range(n):
+        y = np.clip(base.astype(int) + i * 10, 0, 255).astype(np.uint8)
+        u = np.full((H // 2, W // 2), 90 + 5 * i, np.uint8)
+        v = np.full((H // 2, W // 2), 150 - 5 * i, np.uint8)
+        out.append((y, u, v))
+    return out
+
+
+def run_pipeline(src_caps, dec_name, packets):
+    src = fx.element_factory_make("appsrc")
+    src.set_property("caps", parse_caps(src_caps) if isinstance(src_caps, str) else src_caps)
+    dec = fx.element_factory_make(dec_name)
+    sink = fx.element_factory_make("appsink")
+    p = fx.Pipeline()
+    for e in (src, dec, sink):
+        p.add(e)
+    src.link(dec)
+    dec.link(sink)
+    for pkt in packets:
+        src.push_buffer(pkt if isinstance(pkt, fx.Buffer)
+                        else fx.Buffer(np.frombuffer(pkt, np.uint8)))
+    src.end_of_stream()
+    p.play_until_eos()
+    return sink
+
+
+class TestAvlib:
+    def test_ffv1_lossless_roundtrip(self):
+        frames = [(np.random.default_rng(i).integers(0, 256, (H, W), dtype=np.uint8),
+                   np.random.default_rng(i + 10).integers(0, 256, (H // 2, W // 2), dtype=np.uint8),
+                   np.random.default_rng(i + 20).integers(0, 256, (H // 2, W // 2), dtype=np.uint8))
+                  for i in range(3)]
+        enc = avlib.VideoEncoder("ffv1", W, H)
+        pkts = []
+        for i, (y, u, v) in enumerate(frames):
+            pkts += enc.encode(y, u, v, pts=i)
+        pkts += enc.encode(None)
+        dec = avlib.VideoDecoder("ffv1", enc.extradata, width=W, height=H)
+        out = []
+        for data, pts, key in pkts:
+            out += dec.decode(data, pts)
+        out += dec.decode(None)
+        assert len(out) == 3
+        for (y, u, v), (dy, du, dv, _) in zip(frames, out):
+            assert np.array_equal(y, dy) and np.array_equal(u, du) and np.array_equal(v, dv)
+
+    def test_xiph_extradata_roundtrip(self):
+        enc = avlib.AudioEncoder("libvorbis", 48000, 2)
+        extra = enc.extradata
+        headers = avlib.parse_xiph_extradata(extra)
+        assert len(headers) == 3
+        assert headers[0][:7] == b"\x01vorbis"
+        assert headers[1][:7] == b"\x03vorbis"
+        assert headers[2][:7] == b"\x05vorbis"
+        assert avlib.build_xiph_extradata(headers) == extra
+
+
+class TestFfv1Dec:
+    def _packets(self, frames):
+        enc = avlib.VideoEncoder("ffv1", W, H)
+        pkts = []
+        for i, (y, u, v) in enumerate(frames):
+            pkts += [d for d, _, _ in enc.encode(y, u, v, pts=i)]
+        pkts += [d for d, _, _ in enc.encode(None)]
+        return pkts, enc.extradata
+
+    def test_exact_decode(self):
+        frames = i420_frames(4)
+        pkts, extra = self._packets(frames)
+        sink = run_pipeline(
+            f"video/x-ffv,ffvversion=1,width={W},height={H}", "ffv1dec", pkts)
+        assert len(sink.samples) == 4
+        s = sink.caps.structure(0)
+        assert s["format"] == "I420" and s["width"] == W and s["height"] == H
+        for (y, u, v), sample in zip(frames, sink.samples):
+            dy, du, dv = sample.buffer.data
+            # FFV1 is lossless: bit-exact planes
+            assert np.array_equal(y, dy) and np.array_equal(u, du) and np.array_equal(v, dv)
+
+
+class TestRav1Enc:
+    def _encode(self, frames, **props):
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps(
+            f"video/x-raw,format=I420,width={W},height={H},framerate=30/1"))
+        enc = fx.element_factory_make("rav1enc")
+        enc.set_property("speed-preset", 10)
+        for k, v in props.items():
+            enc.set_property(k, v)
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        for e in (src, enc, sink):
+            p.add(e)
+        src.link(enc)
+        enc.link(sink)
+        for f in frames:
+            src.push_buffer(fx.Buffer(f))
+        src.end_of_stream()
+        p.play_until_eos()
+        return sink
+
+    def test_encode_produces_av1_obus(self):
+        sink = self._encode(i420_frames(5))
+        assert sink.caps.structure(0).name == "video/x-av1"
+        assert len(sink.samples) == 5
+        first = sink.samples[0].buffer
+        assert not first.has_flag(fx.BufferFlags.DELTA_UNIT)  # keyframe
+        assert all(len(np.asarray(s.buffer.data)) > 0 for s in sink.samples)
+
+    def test_roundtrip_through_dav1ddec(self):
+        frames = i420_frames(5)
+        sink = self._encode(frames, quantizer=60)
+        pkts = [np.asarray(s.buffer.data, np.uint8).tobytes() for s in sink.samples]
+        dsink = run_pipeline(
+            "video/x-av1,stream-format=obu-stream,alignment=tu", "dav1ddec", pkts)
+        assert len(dsink.samples) == 5
+        s = dsink.caps.structure(0)
+        assert s["format"] == "I420" and s["width"] == W and s["height"] == H
+        # lossy codec on smooth content: planes must be close
+        for (y, u, v), sample in zip(frames, dsink.samples):
+            dy, du, dv = sample.buffer.data
+            assert np.abs(dy.astype(int) - y.astype(int)).mean() < 4.0
+            assert np.abs(du.astype(int) - u.astype(int)).mean() < 4.0
+
+    def test_pts_progression(self):
+        sink = self._encode(i420_frames(4))
+        pts = [s.buffer.pts for s in sink.samples]
+        assert sorted(pts) == pts and len(set(pts)) == 4
+
+
+class TestLewtonDec:
+    def _vorbis_stream(self, seconds=0.25, rate=48000, ch=2):
+        enc = avlib.AudioEncoder("libvorbis", rate, ch)
+        fs = enc.frame_size
+        n = int(seconds * rate) // fs * fs
+        t = np.arange(n) / rate
+        pcm = np.stack([np.sin(2 * np.pi * 440 * t)] * ch, 1).astype(np.float32) * 0.5
+        pkts = []
+        for i in range(0, n, fs):
+            pkts += [d for d, _ in enc.encode(pcm[i:i + fs], pts=i)]
+        pkts += [d for d, _ in enc.encode(None)]
+        return avlib.parse_xiph_extradata(enc.extradata), pkts, pcm
+
+    def test_headers_in_stream(self):
+        headers, pkts, pcm = self._vorbis_stream()
+        sink = run_pipeline("audio/x-vorbis", "lewtondec", headers + pkts)
+        s = sink.caps.structure(0)
+        assert s["format"] == "F32" and s["rate"] == 48000 and s["channels"] == 2
+        out = sink.concat_audio()
+        assert out.dtype == np.float32 and out.shape[1] == 2
+        # lossy but same signal: strong correlation over overlapping span
+        n = min(len(out), len(pcm))
+        assert n > 4000
+        c = np.corrcoef(out[:n, 0], pcm[:n, 0])[0, 1]
+        assert c > 0.95
+
+    def test_headers_in_codec_data(self):
+        headers, pkts, _ = self._vorbis_stream(seconds=0.1)
+        caps = parse_caps("audio/x-vorbis")
+        caps.structure(0)["codec_data"] = avlib.build_xiph_extradata(headers)
+        sink = run_pipeline(caps, "lewtondec", pkts)
+        assert sink.caps.structure(0)["rate"] == 48000
+        assert sink.concat_audio().shape[0] > 0
+
+    def test_audio_before_headers_rejected(self):
+        headers, pkts, _ = self._vorbis_stream(seconds=0.05)
+        with pytest.raises(Exception):
+            run_pipeline("audio/x-vorbis", "lewtondec", pkts[:1])
