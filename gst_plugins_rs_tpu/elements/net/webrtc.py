@@ -1,0 +1,290 @@
+"""webrtcsink / webrtcsrc — WebRTC producer and consumer elements.
+
+Parity targets: net/webrtc/src/webrtcsink/imp.rs and webrtcsrc/imp.rs.
+The signalling protocol (net/webrtc_signalling.py) matches the reference's
+gst-webrtc-signalling-server JSON wire format; the media leg is the
+in-repo ICE (RFC 8445) + DTLS 1.2 (RFC 6347) + SRTP (RFC 3711) stack —
+real encrypted WebRTC, not plain RTP.
+
+Divergence (documented): the reference webrtcsink consumes raw audio/video
+and runs its own encoder + congestion-control loop (rtpgccbwe); this
+element consumes pre-payloaded `application/x-rtp` (pair it with the
+rtp*pay2 elements), matching whipsink's shape.  Each consumer session
+gets its own PeerConnection; the producer re-sends every RTP buffer to
+all connected sessions (the reference shares one encoded stream the same
+way).
+
+webrtcsrc emits `application/x-rtp` buffers with media/encoding-name/
+clock-rate/payload taken from the producer's SDP offer.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ...core import (
+    BaseSink,
+    BaseSrc,
+    Buffer,
+    Caps,
+    FlowReturn,
+    Message,
+    MessageType,
+    Prop,
+    register,
+)
+from ...net.webrtc_peer import PeerConnection, WebRtcError
+from ...net.webrtc_signalling import (
+    SignallingClient,
+    msg_end_session,
+    msg_peer_ice,
+    msg_peer_sdp,
+)
+
+RTP_CAPS = Caps.builder("application/x-rtp")
+
+
+def _caps_media(caps: Optional[Caps]):
+    """(media, pt, encoding-name, clock-rate) from x-rtp caps, with defaults."""
+    s = caps.structure(0) if caps is not None and caps.structures else None
+    get = (lambda k, d: s.get(k, d)) if s is not None else (lambda k, d: d)
+    return (
+        get("media", "video"),
+        int(get("payload", 96)),
+        get("encoding-name", "VP8"),
+        int(get("clock-rate", 90000)),
+    )
+
+
+@register
+class WebRtcSink(BaseSink):
+    ELEMENT_NAME = "webrtcsink"
+    ELEMENT_CLASS = "Sink/Network/WebRTC"
+    ELEMENT_DESCRIPTION = "WebRTC producer with gst-webrtc signalling (ICE+DTLS-SRTP)"
+    SINK_CAPS = RTP_CAPS
+    PROPERTIES = [
+        Prop("signaller-uri", "ws://127.0.0.1:8443", type="str"),
+        Prop("meta", None, type="object", doc="JSON metadata advertised with the producer"),
+        Prop("stun-server", None, type="str", doc="accepted for API parity; host candidates only"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._client: Optional[SignallingClient] = None
+        self._sessions: Dict[str, PeerConnection] = {}
+        self._lock = threading.RLock()
+
+    # -- signalling ------------------------------------------------------------
+    def on_ready_to_paused(self) -> None:
+        self._client = SignallingClient(self.get_property("signaller-uri"), self._on_signal)
+        self._client.wait_welcome()
+        self._client.send({
+            "type": "setPeerStatus",
+            "roles": ["producer"],
+            "meta": self.get_property("meta"),
+        })
+
+    def on_paused_to_ready(self) -> None:
+        with self._lock:
+            sessions, self._sessions = dict(self._sessions), {}
+        for sid, pc in sessions.items():
+            if self._client:
+                try:
+                    self._client.send(msg_end_session(sid))
+                except Exception:
+                    pass
+            pc.close()
+        if self._client:
+            self._client.close()
+            self._client = None
+
+    def _on_signal(self, msg: dict) -> None:
+        t = msg.get("type")
+        if t == "startSession":
+            self._start_session(msg["sessionId"])
+        elif t == "peer":
+            sid = msg.get("sessionId")
+            with self._lock:
+                pc = self._sessions.get(sid)
+            if pc is None:
+                return
+            sdp = msg.get("sdp")
+            if sdp and sdp.get("type") == "answer":
+                try:
+                    pc.handle_answer(sdp["sdp"])
+                except WebRtcError as e:
+                    self.post_message(Message(MessageType.WARNING, text=str(e)))
+            ice = msg.get("ice")
+            if ice:
+                pc.add_remote_ice(ice["candidate"])
+        elif t == "endSession":
+            self._end_session(msg.get("sessionId"))
+
+    def _start_session(self, session_id: str) -> None:
+        pc = PeerConnection(offerer=True)
+        media, pt, enc, rate = _caps_media(self.caps)
+        pc.set_media(media, pt, enc, rate)
+        with self._lock:
+            self._sessions[session_id] = pc
+        pc.start()
+        offer = pc.create_offer("sendonly")
+        self._client.send(msg_peer_sdp(session_id, "offer", offer))
+        self.post_message(Message(
+            MessageType.ELEMENT, name="webrtcsink-session-started", session_id=session_id
+        ))
+
+    def _end_session(self, session_id: Optional[str]) -> None:
+        with self._lock:
+            pc = self._sessions.pop(session_id, None)
+        if pc:
+            pc.close()
+
+    # -- media -------------------------------------------------------------------
+    def render(self, buffer: Buffer) -> FlowReturn:
+        data = np.asarray(buffer.data, dtype=np.uint8).tobytes()
+        with self._lock:
+            sessions = list(self._sessions.values())
+        for pc in sessions:
+            pc.send_rtp(data)
+        return FlowReturn.OK
+
+    def connected_sessions(self) -> List[str]:
+        with self._lock:
+            return [sid for sid, pc in self._sessions.items() if pc._connected.is_set()]
+
+    def wait_any_connected(self, timeout: float = 10.0) -> bool:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if self.connected_sessions():
+                return True
+            time.sleep(0.02)
+        return False
+
+
+@register
+class WebRtcSrc(BaseSrc):
+    ELEMENT_NAME = "webrtcsrc"
+    ELEMENT_CLASS = "Source/Network/WebRTC"
+    ELEMENT_DESCRIPTION = "WebRTC consumer with gst-webrtc signalling (ICE+DTLS-SRTP)"
+    SRC_CAPS = RTP_CAPS
+    IS_LIVE = True
+    PROPERTIES = [
+        Prop("signaller-uri", "ws://127.0.0.1:8443", type="str"),
+        Prop("producer-peer-id", None, type="str",
+             doc="producer to connect to; None = first producer to appear"),
+        Prop("meta", None, type="object"),
+        Prop("timeout", 10_000_000_000, type="uint64",
+             doc="ns to wait for media before giving up (0 = forever)"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._client: Optional[SignallingClient] = None
+        self._pc: Optional[PeerConnection] = None
+        self._session_id: Optional[str] = None
+        self._rtp_queue: "queue.Queue[Optional[bytes]]" = queue.Queue()
+        self._media = ("video", 96, "VP8", 90000)
+        self._producer_evt = threading.Event()
+        self._producer_id: Optional[str] = None
+
+    def start(self) -> None:
+        self._client = SignallingClient(self.get_property("signaller-uri"), self._on_signal)
+        self._client.wait_welcome()
+        self._client.send({
+            "type": "setPeerStatus",
+            "roles": ["consumer", "listener"],
+            "meta": self.get_property("meta"),
+        })
+        wanted = self.get_property("producer-peer-id")
+        if wanted:
+            self._producer_id = wanted
+            self._producer_evt.set()
+        else:
+            self._client.send({"type": "list"})
+        if not self._producer_evt.wait(10.0):
+            raise RuntimeError("webrtcsrc: no producer available")
+        self._client.send({
+            "type": "startSession", "peerId": self._producer_id, "offer": None,
+        })
+        # wait for the producer's offer so caps (media/pt/encoding) are known
+        # before the source negotiates downstream
+        deadline = time.monotonic() + 10.0
+        while self._pc is None and time.monotonic() < deadline:
+            time.sleep(0.02)
+        if self._pc is None:
+            raise RuntimeError("webrtcsrc: producer sent no offer")
+
+    def stop(self) -> None:
+        if self._client and self._session_id:
+            try:
+                self._client.send(msg_end_session(self._session_id))
+            except Exception:
+                pass
+        if self._pc:
+            self._pc.close()
+            self._pc = None
+        if self._client:
+            self._client.close()
+            self._client = None
+        self._rtp_queue.put(None)
+
+    def _on_signal(self, msg: dict) -> None:
+        t = msg.get("type")
+        if t == "list":
+            producers = msg.get("producers", [])
+            if producers and not self._producer_evt.is_set():
+                self._producer_id = producers[0]["id"]
+                self._producer_evt.set()
+        elif t == "peerStatusChanged":
+            if "producer" in msg.get("roles", []) and not self._producer_evt.is_set():
+                self._producer_id = msg.get("peerId")
+                self._producer_evt.set()
+        elif t == "sessionStarted":
+            self._session_id = msg["sessionId"]
+        elif t == "peer":
+            sdp = msg.get("sdp")
+            if sdp and sdp.get("type") == "offer":
+                self._on_offer(msg["sessionId"], sdp["sdp"])
+            ice = msg.get("ice")
+            if ice and self._pc:
+                self._pc.add_remote_ice(ice["candidate"])
+        elif t == "endSession":
+            self._rtp_queue.put(None)
+
+    def _on_offer(self, session_id: str, offer: str) -> None:
+        self._session_id = session_id
+        pc = PeerConnection(offerer=False)
+        pc.on_rtp = self._rtp_queue.put
+        self._pc = pc
+        pc.start()
+        answer = pc.handle_offer(offer, "recvonly")
+        # media description for our caps
+        import re
+        m = re.search(r"^m=(\w+) \d+ [\w/]+ (\d+)", offer, re.M)
+        rtpmap = re.search(r"^a=rtpmap:(\d+) ([\w\-]+)/(\d+)", offer, re.M)
+        if m and rtpmap:
+            self._media = (m.group(1), int(rtpmap.group(1)), rtpmap.group(2), int(rtpmap.group(3)))
+        self._client.send(msg_peer_sdp(session_id, "answer", answer))
+
+    def fixate(self, caps: Caps) -> Caps:
+        from ...core.parse import parse_caps
+
+        media, pt, enc, rate = self._media
+        return parse_caps(
+            f"application/x-rtp,media={media},payload={pt},"
+            f"encoding-name={enc},clock-rate={rate}"
+        )
+
+    def create(self):
+        timeout = self.get_property("timeout")
+        try:
+            data = self._rtp_queue.get(timeout=(timeout / 1e9) if timeout else None)
+        except queue.Empty:
+            return None
+        if data is None:
+            return None
+        return Buffer(np.frombuffer(data, np.uint8))

@@ -1,0 +1,262 @@
+"""WebRTC peer connection: ICE + DTLS-SRTP + SDP offer/answer over one socket.
+
+Parity target: the role webrtcbin plays under the reference's
+webrtcsink/webrtcsrc (net/webrtc/src/webrtcsink/imp.rs builds on
+webrtcbin for ICE/DTLS/SRTP + SDP).  Here the whole stack is in-repo:
+net/ice.py (RFC 8445), net/dtls.py (RFC 6347 + RFC 5764 use_srtp),
+net/srtp.py (RFC 3711).
+
+Negotiation shape (what webrtcbin emits for a single bundled stream):
+UDP/TLS/RTP/SAVPF with rtcp-mux, a=setup:actpass in the offer and
+a=setup:active in the answer — so the answerer runs the DTLS client.
+Certificate fingerprints from the SDP are checked against the DTLS
+peer certificate (a mismatch kills the connection).
+"""
+from __future__ import annotations
+
+import re
+import secrets
+import socket
+import threading
+import time
+from typing import Callable, Dict, List, Optional, Tuple
+
+from .dtls import DtlsConnection, certificate_fingerprint, generate_certificate
+from .ice import Candidate, IceAgent, demux_packet
+from .srtp import SrtpError, sessions_from_dtls
+
+
+class WebRtcError(Exception):
+    pass
+
+
+def _sdp_attr(sdp: str, name: str) -> Optional[str]:
+    m = re.search(rf"^a={re.escape(name)}:(.*?)\r?$", sdp, re.M)
+    return m.group(1).strip() if m else None
+
+
+class PeerConnection:
+    """One bundled media stream (rtcp-mux) between two peers."""
+
+    def __init__(self, offerer: bool, bind_host: str = "127.0.0.1"):
+        self.offerer = offerer
+        self.ice = IceAgent(controlling=offerer, bind_host=bind_host)
+        self.cert_der, self.cert_key = generate_certificate()
+        self.fingerprint = certificate_fingerprint(self.cert_der)
+        self.remote_fingerprint: Optional[str] = None
+        self.dtls: Optional[DtlsConnection] = None
+        self.srtp_tx = None
+        self.srtp_rx = None
+        self.on_rtp: Optional[Callable[[bytes], None]] = None
+        self.on_rtcp: Optional[Callable[[bytes], None]] = None
+        self._connected = threading.Event()
+        self._failed: Optional[str] = None
+        self._stop = threading.Event()
+        self._threads: List[threading.Thread] = []
+        self._media_line = "video 9 UDP/TLS/RTP/SAVPF 96"
+        self._media_attrs = ["a=rtpmap:96 VP8/90000"]
+        self.session_id = secrets.token_hex(8)
+
+    # -- SDP -----------------------------------------------------------------
+
+    def set_media(self, media: str, pt: int, encoding: str, clock_rate: int,
+                  extra_attrs: Optional[List[str]] = None) -> None:
+        self._media_line = f"{media} 9 UDP/TLS/RTP/SAVPF {pt}"
+        self._media_attrs = [f"a=rtpmap:{pt} {encoding}/{clock_rate}"]
+        if extra_attrs:
+            self._media_attrs += extra_attrs
+
+    def _sdp(self, setup: str, direction: str) -> str:
+        lines = [
+            "v=0",
+            f"o=- {int(self.session_id[:8], 16)} 0 IN IP4 0.0.0.0",
+            "s=-",
+            "t=0 0",
+            "a=group:BUNDLE 0",
+            f"m={self._media_line}",
+            "c=IN IP4 0.0.0.0",
+            "a=mid:0",
+            f"a={direction}",
+            f"a=ice-ufrag:{self.ice.local_ufrag}",
+            f"a=ice-pwd:{self.ice.local_pwd}",
+            f"a=fingerprint:sha-256 {self.fingerprint}",
+            f"a=setup:{setup}",
+            "a=rtcp-mux",
+            *self._media_attrs,
+            *[f"a={c.to_sdp()}" for c in self.ice.local_candidates()],
+            "",
+        ]
+        return "\r\n".join(lines)
+
+    def create_offer(self, direction: str = "sendonly") -> str:
+        return self._sdp("actpass", direction)
+
+    def _parse_remote(self, sdp: str) -> None:
+        ufrag = _sdp_attr(sdp, "ice-ufrag")
+        pwd = _sdp_attr(sdp, "ice-pwd")
+        if not ufrag or not pwd:
+            raise WebRtcError("remote SDP missing ICE credentials")
+        self.ice.set_remote_credentials(ufrag, pwd)
+        fp = _sdp_attr(sdp, "fingerprint")
+        if fp:
+            algo, _, value = fp.partition(" ")
+            if algo.lower() != "sha-256":
+                raise WebRtcError(f"unsupported fingerprint hash {algo}")
+            self.remote_fingerprint = value.strip().upper()
+        for m in re.finditer(r"^a=(candidate:.*?)\r?$", sdp, re.M):
+            self.ice.add_remote_candidate(Candidate.from_sdp(m.group(1)))
+
+    def handle_offer(self, sdp: str, direction: str = "recvonly") -> str:
+        """Answerer path: returns the answer SDP; we become the DTLS client."""
+        self._parse_remote(sdp)
+        m = re.search(r"^m=(\w+) \d+ ([\w/]+) (\d+)", sdp, re.M)
+        if m:
+            pt = int(m.group(3))
+            rtpmap = _sdp_attr(sdp, f"rtpmap:{pt}")
+            if rtpmap:
+                enc, rate = rtpmap.split("/")[0], int(rtpmap.split("/")[1])
+                self.set_media(m.group(1), pt, enc, rate)
+        self._setup_dtls(is_client=True)
+        return self._sdp("active", direction)
+
+    def handle_answer(self, sdp: str) -> None:
+        """Offerer path: answer chose active, so we are the DTLS server."""
+        self._parse_remote(sdp)
+        setup = (_sdp_attr(sdp, "setup") or "active").lower()
+        self._setup_dtls(is_client=(setup == "passive"))
+
+    def add_remote_ice(self, candidate_line: str) -> None:
+        """Trickled candidate (signalling 'peer'/'ice' message)."""
+        try:
+            self.ice.add_remote_candidate(Candidate.from_sdp(candidate_line))
+        except (ValueError, IndexError):
+            pass
+
+    # -- connection establishment ------------------------------------------------
+
+    def _setup_dtls(self, is_client: bool) -> None:
+        self.dtls = DtlsConnection(
+            is_client, self._dtls_send, certificate=(self.cert_der, self.cert_key)
+        )
+
+    def _dtls_send(self, datagram: bytes) -> None:
+        dest = self.ice.selected
+        if dest is not None:
+            try:
+                self.ice.sock.sendto(datagram, dest)
+            except OSError:
+                pass
+
+    def start(self) -> None:
+        t = threading.Thread(target=self._recv_loop, daemon=True)
+        t.start()
+        self._threads.append(t)
+        t2 = threading.Thread(target=self._connect_loop, daemon=True)
+        t2.start()
+        self._threads.append(t2)
+
+    def _recv_loop(self) -> None:
+        self.ice.sock.settimeout(0.1)
+        while not self._stop.is_set():
+            try:
+                data, addr = self.ice.sock.recvfrom(4096)
+            except socket.timeout:
+                continue
+            except OSError:
+                return
+            kind = demux_packet(data)
+            if kind == "stun":
+                try:
+                    self.ice.handle_stun(data, addr)
+                except (ValueError, KeyError):
+                    pass
+            elif kind == "dtls" and self.dtls is not None:
+                self.dtls.handle_packet(data)
+            elif kind == "rtp" and self.srtp_rx is not None:
+                self._handle_srtp(data)
+
+    def _handle_srtp(self, data: bytes) -> None:
+        is_rtcp = len(data) > 1 and 192 <= data[1] <= 223
+        try:
+            if is_rtcp:
+                plain = self.srtp_rx.unprotect_rtcp(data)
+                if self.on_rtcp:
+                    self.on_rtcp(plain)
+            else:
+                plain = self.srtp_rx.unprotect(data)
+                if self.on_rtp:
+                    self.on_rtp(plain)
+        except SrtpError:
+            pass
+
+    def _connect_loop(self) -> None:
+        if not self.ice.wait_connected(10.0):
+            self._failed = "ICE timed out"
+            return
+        if self.dtls is None:
+            # answer not applied yet; wait for it
+            deadline = time.monotonic() + 10.0
+            while self.dtls is None and time.monotonic() < deadline:
+                if self._stop.wait(0.02):
+                    return
+            if self.dtls is None:
+                self._failed = "no DTLS role established"
+                return
+        if self.dtls.is_client:
+            self.dtls.start_handshake()
+        try:
+            ok = self.dtls.wait_handshake(10.0)
+        except Exception as e:
+            self._failed = f"DTLS failed: {e}"
+            return
+        if not ok:
+            self._failed = "DTLS handshake timed out"
+            return
+        if self.remote_fingerprint is not None:
+            actual = certificate_fingerprint(self.dtls.peer_cert_der or b"")
+            if actual != self.remote_fingerprint:
+                self._failed = "peer certificate fingerprint mismatch"
+                return
+        self.srtp_tx, self.srtp_rx = sessions_from_dtls(self.dtls)
+        self._connected.set()
+
+    def wait_connected(self, timeout: float = 10.0) -> bool:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if self._connected.wait(0.05):
+                return True
+            if self._failed:
+                raise WebRtcError(self._failed)
+        return self._connected.is_set()
+
+    # -- media ----------------------------------------------------------------
+
+    def send_rtp(self, packet: bytes) -> None:
+        if not self._connected.is_set():
+            return
+        dest = self.ice.selected
+        if dest is None:
+            return
+        try:
+            self.ice.sock.sendto(self.srtp_tx.protect(packet), dest)
+        except OSError:
+            pass
+
+    def send_rtcp(self, packet: bytes) -> None:
+        if not self._connected.is_set():
+            return
+        dest = self.ice.selected
+        if dest is None:
+            return
+        try:
+            self.ice.sock.sendto(self.srtp_tx.protect_rtcp(packet), dest)
+        except OSError:
+            pass
+
+    def close(self) -> None:
+        self._stop.set()
+        if self.dtls is not None:
+            self.dtls.close()
+        for t in self._threads:
+            t.join(0.5)
+        self.ice.close()

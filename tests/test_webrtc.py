@@ -1,0 +1,186 @@
+"""webrtcsink/webrtcsrc + signalling server end-to-end tests.
+
+Mirrors the reference's webrtc test approach (net/webrtc): in-process
+signalling server, producer and consumer pipelines, real media over the
+ICE+DTLS-SRTP stack on loopback.
+"""
+import json
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from gst_plugins_rs_tpu.net.webrtc_peer import PeerConnection
+from gst_plugins_rs_tpu.net.webrtc_signalling import (
+    SignallingClient,
+    SignallingServer,
+    msg_peer_sdp,
+)
+
+
+@pytest.fixture()
+def server():
+    s = SignallingServer()
+    yield s
+    s.stop()
+
+
+def _rtp(seq, payload):
+    return struct.pack("!BBHII", 0x80, 96, seq & 0xFFFF, seq * 3000, 0x12345678) + payload
+
+
+class TestSignalling:
+    def test_welcome_and_roles(self, server):
+        msgs = []
+        c = SignallingClient(server.uri, msgs.append)
+        pid = c.wait_welcome()
+        assert pid
+        c.send({"type": "setPeerStatus", "roles": ["producer"], "meta": {"name": "cam1"}})
+        time.sleep(0.2)
+        types = [m["type"] for m in msgs]
+        assert "peerStatusChanged" in types
+        c.close()
+
+    def test_list_producers(self, server):
+        prod_msgs, cons_msgs = [], []
+        prod = SignallingClient(server.uri, prod_msgs.append)
+        prod.wait_welcome()
+        prod.send({"type": "setPeerStatus", "roles": ["producer"], "meta": {"id": 7}})
+        time.sleep(0.2)
+        cons = SignallingClient(server.uri, cons_msgs.append)
+        cons.wait_welcome()
+        cons.send({"type": "list"})
+        time.sleep(0.3)
+        lists = [m for m in cons_msgs if m["type"] == "list"]
+        assert lists and lists[0]["producers"][0]["id"] == prod.peer_id
+        assert lists[0]["producers"][0]["meta"] == {"id": 7}
+        prod.close(); cons.close()
+
+    def test_session_relay(self, server):
+        """startSession routes to the producer; peer messages relay both ways."""
+        prod_msgs, cons_msgs = [], []
+        prod = SignallingClient(server.uri, prod_msgs.append)
+        prod.wait_welcome()
+        prod.send({"type": "setPeerStatus", "roles": ["producer"], "meta": None})
+        cons = SignallingClient(server.uri, cons_msgs.append)
+        cons.wait_welcome()
+        time.sleep(0.2)
+        cons.send({"type": "startSession", "peerId": prod.peer_id, "offer": None})
+        time.sleep(0.3)
+        starts = [m for m in prod_msgs if m["type"] == "startSession"]
+        assert starts and starts[0]["peerId"] == cons.peer_id
+        session_id = starts[0]["sessionId"]
+        started = [m for m in cons_msgs if m["type"] == "sessionStarted"]
+        assert started and started[0]["sessionId"] == session_id
+        # relay a peer message producer -> consumer
+        prod.send(msg_peer_sdp(session_id, "offer", "v=0\r\n"))
+        time.sleep(0.3)
+        peers = [m for m in cons_msgs if m["type"] == "peer"]
+        assert peers and peers[0]["sdp"]["type"] == "offer"
+        prod.close(); cons.close()
+
+
+class TestPeerConnection:
+    def test_offer_answer_media(self, server):
+        """Direct PeerConnection pair: SDP negotiation + SRTP media both ways."""
+        left = PeerConnection(offerer=True)
+        left.set_media("audio", 97, "OPUS", 48000)
+        right = PeerConnection(offerer=False)
+        got_left, got_right = [], []
+        left.on_rtp = got_left.append
+        right.on_rtp = got_right.append
+        left.start(); right.start()
+        try:
+            offer = left.create_offer("sendrecv")
+            assert "UDP/TLS/RTP/SAVPF 97" in offer
+            assert "a=fingerprint:sha-256" in offer
+            answer = right.handle_offer(offer, "sendrecv")
+            assert "a=setup:active" in answer
+            left.handle_answer(answer)
+            assert left.wait_connected(10.0)
+            assert right.wait_connected(10.0)
+            for seq in range(5):
+                left.send_rtp(_rtp(seq, bytes([seq]) * 64))
+            deadline = time.monotonic() + 5
+            while len(got_right) < 5 and time.monotonic() < deadline:
+                time.sleep(0.02)
+            assert len(got_right) == 5
+            assert got_right[0] == _rtp(0, bytes([0]) * 64)
+            right.send_rtp(_rtp(100, b"back" * 8))
+            deadline = time.monotonic() + 5
+            while not got_left and time.monotonic() < deadline:
+                time.sleep(0.02)
+            assert got_left and got_left[0] == _rtp(100, b"back" * 8)
+        finally:
+            left.close(); right.close()
+
+
+class TestWebRtcElements:
+    def test_sink_to_src_end_to_end(self, server):
+        import gst_plugins_rs_tpu as fx
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        appsrc = fx.element_factory_make("appsrc")
+        appsrc.set_property("caps", parse_caps(
+            "application/x-rtp,media=audio,encoding-name=L16,clock-rate=44100,payload=10"
+        ))
+        sink = fx.element_factory_make("webrtcsink")
+        sink.set_property("signaller-uri", server.uri)
+        sink.set_property("meta", {"name": "tpu-producer"})
+        send_pipe = fx.Pipeline()
+        send_pipe.add(appsrc, sink)
+        appsrc.link(sink)
+
+        src = fx.element_factory_make("webrtcsrc")
+        src.set_property("signaller-uri", server.uri)
+        src.set_property("timeout", 3_000_000_000)
+        appsink = fx.element_factory_make("appsink")
+        recv_pipe = fx.Pipeline()
+        recv_pipe.add(src, appsink)
+        src.link(appsink)
+
+        packets = [_rtp(i, bytes([i]) * 32) for i in range(10)]
+
+        send_exc, recv_exc = [], []
+
+        def run_send():
+            try:
+                send_pipe.play_until_eos()
+            except Exception as e:  # pragma: no cover
+                send_exc.append(e)
+
+        def run_recv():
+            try:
+                recv_pipe.play_until_eos()
+            except Exception as e:  # pragma: no cover
+                recv_exc.append(e)
+
+        ts = threading.Thread(target=run_send, daemon=True)
+        ts.start()
+        time.sleep(0.3)  # let the producer register
+        tr = threading.Thread(target=run_recv, daemon=True)
+        tr.start()
+
+        assert sink.wait_any_connected(15.0), "no consumer session connected"
+        for p in packets:
+            appsrc.push_buffer(fx.Buffer(np.frombuffer(p, np.uint8)))
+        deadline = time.monotonic() + 10
+        while len(appsink.samples) < 10 and time.monotonic() < deadline:
+            time.sleep(0.05)
+        appsrc.end_of_stream()
+
+        got = [bytes(np.asarray(s.buffer.data, np.uint8)) for s in appsink.samples]
+        assert len(got) >= 10
+        assert got[:10] == packets
+        # caps negotiated from the producer's offer
+        s0 = appsink.samples[0]
+        s = s0.caps.structure(0)
+        assert s.get("media") == "audio"
+        assert s.get("encoding-name") == "L16"
+        assert int(s.get("clock-rate")) == 44100
+
+        ts.join(10.0)
+        tr.join(10.0)
+        assert not send_exc and not recv_exc
