@@ -1,0 +1,296 @@
+"""janusvrwebrtcsink / janusvrwebrtcsrc — Janus VideoRoom WebRTC elements.
+
+Parity target: net/webrtc/src/janusvr_signaller/imp.rs (the reference's
+Janus VideoRoom signaller variants of webrtcsink/webrtcsrc).  Speaks the
+public Janus WebSocket API (subprotocol "janus-protocol"):
+
+  create (session) -> attach (janus.plugin.videoroom) -> message
+  {request: join, ptype: publisher|subscriber, room, id, display}
+  -> publisher: message {request: publish} + jsep offer, answer in event
+  -> subscriber: jsep offer arrives in the join event, reply
+     {request: start} + jsep answer
+  keepalive every 10 s; detach/destroy on teardown.
+
+Media rides the in-repo ICE+DTLS-SRTP stack (net/webrtc_peer.py).
+Room/feed ids may be integers or strings (`string_ids` room config),
+like the reference (imp.rs:47).
+"""
+from __future__ import annotations
+
+import json
+import queue
+import secrets
+import threading
+import time
+from typing import Dict, Optional
+
+import numpy as np
+
+from websockets.sync.client import connect as ws_connect
+
+from ...core import (
+    BaseSink,
+    BaseSrc,
+    Buffer,
+    Caps,
+    FlowReturn,
+    Prop,
+    register,
+)
+from ...core.parse import parse_caps
+from ...net.webrtc_peer import PeerConnection
+
+RTP_CAPS = Caps.builder("application/x-rtp")
+
+
+def _tid() -> str:
+    return secrets.token_urlsafe(12)
+
+
+class JanusSession:
+    """One Janus WS connection + session + videoroom plugin handle."""
+
+    def __init__(self, endpoint: str):
+        self.ws = ws_connect(endpoint, subprotocols=["janus-protocol"], open_timeout=5)
+        self._replies: Dict[str, "queue.Queue[dict]"] = {}
+        self._events: "queue.Queue[dict]" = queue.Queue()
+        self._lock = threading.Lock()
+        self._stop = threading.Event()
+        self._recv_thread = threading.Thread(target=self._recv_loop, daemon=True)
+        self._recv_thread.start()
+        self.session_id = self._request({"janus": "create"})["data"]["id"]
+        self.handle_id = self._request({
+            "janus": "attach",
+            "session_id": self.session_id,
+            "plugin": "janus.plugin.videoroom",
+        })["data"]["id"]
+        self._ka_thread = threading.Thread(target=self._keepalive_loop, daemon=True)
+        self._ka_thread.start()
+
+    def _recv_loop(self) -> None:
+        try:
+            for raw in self.ws:
+                msg = json.loads(raw)
+                tid = msg.get("transaction")
+                kind = msg.get("janus")
+                if kind == "ack":
+                    continue
+                with self._lock:
+                    waiter = self._replies.pop(tid, None) if tid else None
+                if waiter is not None:
+                    waiter.put(msg)
+                else:
+                    self._events.put(msg)
+        except Exception:
+            pass
+
+    def _keepalive_loop(self) -> None:
+        while not self._stop.wait(10.0):
+            try:
+                self.ws.send(json.dumps({
+                    "janus": "keepalive", "session_id": self.session_id,
+                    "transaction": _tid(),
+                }))
+            except Exception:
+                return
+
+    def _request(self, msg: dict, timeout: float = 10.0) -> dict:
+        tid = _tid()
+        msg = dict(msg, transaction=tid)
+        waiter: "queue.Queue[dict]" = queue.Queue()
+        with self._lock:
+            self._replies[tid] = waiter
+        self.ws.send(json.dumps(msg))
+        try:
+            reply = waiter.get(timeout=timeout)
+        except queue.Empty:
+            raise TimeoutError(f"janus: no reply to {msg.get('janus')}")
+        if reply.get("janus") == "error":
+            raise RuntimeError(f"janus error: {reply.get('error')}")
+        return reply
+
+    def plugin_message(self, body: dict, jsep: Optional[dict] = None, timeout: float = 10.0) -> dict:
+        msg = {
+            "janus": "message",
+            "session_id": self.session_id,
+            "handle_id": self.handle_id,
+            "body": body,
+        }
+        if jsep is not None:
+            msg["jsep"] = jsep
+        return self._request(msg, timeout)
+
+    def next_event(self, timeout: float = 10.0) -> Optional[dict]:
+        try:
+            return self._events.get(timeout=timeout)
+        except queue.Empty:
+            return None
+
+    def close(self) -> None:
+        self._stop.set()
+        try:
+            self._request({"janus": "detach", "session_id": self.session_id,
+                           "handle_id": self.handle_id}, timeout=2.0)
+            self._request({"janus": "destroy", "session_id": self.session_id}, timeout=2.0)
+        except Exception:
+            pass
+        try:
+            self.ws.close()
+        except Exception:
+            pass
+
+
+def _room_id(value):
+    """Rooms may be numeric or string ids (videoroom string_ids config)."""
+    if isinstance(value, str) and value.isdigit():
+        return int(value)
+    return value
+
+
+@register
+class JanusVrWebRtcSink(BaseSink):
+    ELEMENT_NAME = "janusvrwebrtcsink"
+    ELEMENT_CLASS = "Sink/Network/WebRTC"
+    ELEMENT_DESCRIPTION = "Publishes into a Janus VideoRoom over DTLS-SRTP"
+    SINK_CAPS = RTP_CAPS
+    PROPERTIES = [
+        Prop("janus-endpoint", "ws://127.0.0.1:8188", type="str"),
+        Prop("room-id", None, type="object"),
+        Prop("feed-id", None, type="object"),
+        Prop("display-name", None, type="str"),
+        Prop("secret", None, type="str", doc="room secret (sent as pin on join)"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._session: Optional[JanusSession] = None
+        self._pc: Optional[PeerConnection] = None
+        self._published = threading.Event()
+
+    def on_caps(self, caps: Caps) -> None:
+        if self._pc is not None:
+            return
+        self._session = JanusSession(self.get_property("janus-endpoint"))
+        join = {
+            "request": "join",
+            "ptype": "publisher",
+            "room": _room_id(self.get_property("room-id")),
+        }
+        feed = self.get_property("feed-id")
+        if feed is not None:
+            join["id"] = _room_id(feed)
+        if self.get_property("display-name"):
+            join["display"] = self.get_property("display-name")
+        if self.get_property("secret"):
+            join["pin"] = self.get_property("secret")
+        self._session.plugin_message(join)
+
+        s = caps.structure(0)
+        pc = PeerConnection(offerer=True)
+        pc.set_media(
+            s.get("media", "video"), int(s.get("payload", 96)),
+            s.get("encoding-name", "VP8"), int(s.get("clock-rate", 90000)),
+        )
+        pc.start()
+        offer = pc.create_offer("sendonly")
+        reply = self._session.plugin_message(
+            {"request": "publish", "audio": True, "video": True},
+            jsep={"type": "offer", "sdp": offer},
+        )
+        jsep = reply.get("jsep")
+        if not jsep or jsep.get("type") != "answer":
+            raise RuntimeError("janus publish returned no answer")
+        pc.handle_answer(jsep["sdp"])
+        self._pc = pc
+        self._published.set()
+
+    def render(self, buffer: Buffer) -> FlowReturn:
+        if self._pc is None:
+            return FlowReturn.ERROR
+        if not self._pc._connected.is_set() and not self._pc.wait_connected(10.0):
+            return FlowReturn.ERROR
+        self._pc.send_rtp(np.asarray(buffer.data, dtype=np.uint8).tobytes())
+        return FlowReturn.OK
+
+    def on_paused_to_ready(self) -> None:
+        if self._session:
+            try:
+                self._session.plugin_message({"request": "unpublish"}, timeout=2.0)
+            except Exception:
+                pass
+            self._session.close()
+            self._session = None
+        if self._pc:
+            self._pc.close()
+            self._pc = None
+
+
+@register
+class JanusVrWebRtcSrc(BaseSrc):
+    ELEMENT_NAME = "janusvrwebrtcsrc"
+    ELEMENT_CLASS = "Source/Network/WebRTC"
+    ELEMENT_DESCRIPTION = "Subscribes to a Janus VideoRoom feed over DTLS-SRTP"
+    SRC_CAPS = RTP_CAPS
+    IS_LIVE = True
+    PROPERTIES = [
+        Prop("janus-endpoint", "ws://127.0.0.1:8188", type="str"),
+        Prop("room-id", None, type="object"),
+        Prop("feed-id", None, type="object", doc="publisher feed to subscribe to"),
+        Prop("timeout", 10_000_000_000, type="uint64"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._session: Optional[JanusSession] = None
+        self._pc: Optional[PeerConnection] = None
+        self._queue: "queue.Queue[Optional[bytes]]" = queue.Queue()
+        self._media = ("video", 96, "VP8", 90000)
+
+    def start(self) -> None:
+        self._session = JanusSession(self.get_property("janus-endpoint"))
+        reply = self._session.plugin_message({
+            "request": "join",
+            "ptype": "subscriber",
+            "room": _room_id(self.get_property("room-id")),
+            "feed": _room_id(self.get_property("feed-id")),
+        })
+        jsep = reply.get("jsep")
+        if not jsep or jsep.get("type") != "offer":
+            raise RuntimeError("janus subscribe returned no offer")
+        offer = jsep["sdp"]
+        pc = PeerConnection(offerer=False)
+        pc.on_rtp = self._queue.put
+        pc.start()
+        answer = pc.handle_offer(offer, "recvonly")
+        import re
+        m = re.search(r"^m=(\w+) \d+ [\w/]+ (\d+)", offer, re.M)
+        rtpmap = re.search(r"^a=rtpmap:(\d+) ([\w\-]+)/(\d+)", offer, re.M)
+        if m and rtpmap:
+            self._media = (m.group(1), int(rtpmap.group(1)), rtpmap.group(2), int(rtpmap.group(3)))
+        self._session.plugin_message({"request": "start"}, jsep={"type": "answer", "sdp": answer})
+        self._pc = pc
+
+    def stop(self) -> None:
+        if self._session:
+            self._session.close()
+            self._session = None
+        if self._pc:
+            self._pc.close()
+            self._pc = None
+        self._queue.put(None)
+
+    def fixate(self, caps: Caps) -> Caps:
+        media, pt, enc, rate = self._media
+        return parse_caps(
+            f"application/x-rtp,media={media},payload={pt},encoding-name={enc},clock-rate={rate}"
+        )
+
+    def create(self):
+        timeout = self.get_property("timeout")
+        try:
+            data = self._queue.get(timeout=(timeout / 1e9) if timeout else None)
+        except queue.Empty:
+            return None
+        if data is None:
+            return None
+        return Buffer(np.frombuffer(data, np.uint8))
