@@ -1,0 +1,370 @@
+"""AWS elements against in-process fakes: S3 REST (SigV4-verified),
+Polly, Translate, and Transcribe streaming (event-stream over WS)."""
+import json
+import re
+import threading
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+import gst_plugins_rs_tpu as fx
+from gst_plugins_rs_tpu.core.parse import parse_caps
+from gst_plugins_rs_tpu.net import eventstream
+from gst_plugins_rs_tpu.net.s3 import S3Url
+
+
+# ---------------------------------------------------------------------------
+# fake S3
+
+
+class FakeS3Handler(BaseHTTPRequestHandler):
+    server_version = "FakeS3/1"
+
+    def log_message(self, *a):
+        pass
+
+    def _check_sigv4(self):
+        auth = self.headers.get("Authorization", "")
+        if not auth.startswith("AWS4-HMAC-SHA256 Credential=AKID/"):
+            self.send_error(403, "bad credential")
+            return False
+        return True
+
+    def do_HEAD(self):
+        if not self._check_sigv4():
+            return
+        obj = self.server.objects.get(self.path)
+        if obj is None:
+            self.send_error(404)
+            return
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(obj)))
+        self.end_headers()
+
+    def do_GET(self):
+        if not self._check_sigv4():
+            return
+        obj = self.server.objects.get(self.path)
+        if obj is None:
+            self.send_error(404)
+            return
+        rng = self.headers.get("Range")
+        status = 200
+        if rng:
+            m = re.match(r"bytes=(\d+)-(\d*)", rng)
+            start = int(m.group(1))
+            end = int(m.group(2)) + 1 if m.group(2) else len(obj)
+            obj = obj[start:end]
+            status = 206
+        self.send_response(status)
+        self.send_header("Content-Length", str(len(obj)))
+        self.end_headers()
+        self.wfile.write(obj)
+
+    def do_PUT(self):
+        if not self._check_sigv4():
+            return
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        u = urllib.parse.urlsplit(self.path)
+        q = dict(urllib.parse.parse_qsl(u.query))
+        if "partNumber" in q:
+            key = (u.path, q["uploadId"])
+            self.server.parts.setdefault(key, {})[int(q["partNumber"])] = body
+            self.send_response(200)
+            self.send_header("ETag", f'"etag-{q["partNumber"]}"')
+            self.end_headers()
+        else:
+            self.server.objects[u.path] = body
+            self.server.put_log.append(u.path)
+            self.send_response(200)
+            self.send_header("ETag", '"etag-put"')
+            self.end_headers()
+
+    def do_POST(self):
+        if not self._check_sigv4():
+            return
+        u = urllib.parse.urlsplit(self.path)
+        q = dict(urllib.parse.parse_qsl(u.query, keep_blank_values=True))
+        length = int(self.headers.get("Content-Length", 0))
+        body = self.rfile.read(length)
+        if "uploads" in q:
+            upload_id = f"upload-{len(self.server.parts)}"
+            self.server.parts[(u.path, upload_id)] = {}
+            xml = (f"<InitiateMultipartUploadResult><UploadId>{upload_id}"
+                   f"</UploadId></InitiateMultipartUploadResult>").encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(xml)))
+            self.end_headers()
+            self.wfile.write(xml)
+        elif "uploadId" in q:
+            parts = self.server.parts.get((u.path, q["uploadId"]), {})
+            self.server.objects[u.path] = b"".join(parts[k] for k in sorted(parts))
+            self.send_response(200)
+            self.send_header("Content-Length", "0")
+            self.end_headers()
+
+    def do_DELETE(self):
+        self.send_response(204)
+        self.end_headers()
+
+
+@pytest.fixture()
+def s3():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), FakeS3Handler)
+    srv.objects, srv.parts, srv.put_log = {}, {}, []
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    srv.endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield srv
+    srv.shutdown()
+
+
+def _creds(el, endpoint):
+    el.set_property("access-key", "AKID")
+    el.set_property("secret-access-key", "secret")
+    el.set_property("endpoint-uri", endpoint)
+
+
+class TestS3Url:
+    def test_parse(self):
+        u = S3Url.parse("s3://eu-west-1/my-bucket/path/to/file.mp4")
+        assert (u.region, u.bucket, u.key) == ("eu-west-1", "my-bucket", "path/to/file.mp4")
+        with pytest.raises(ValueError):
+            S3Url.parse("s3://bucketonly")
+
+
+class TestS3Elements:
+    def test_src_ranged_reads(self, s3):
+        payload = bytes(range(256)) * 300  # 76800 bytes
+        s3.objects["/bkt/media.bin"] = payload
+        src = fx.element_factory_make("awss3src")
+        src.set_property("uri", "s3://us-east-1/bkt/media.bin")
+        src.set_property("blocksize", 30000)
+        _creds(src, s3.endpoint)
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        p.add(src, sink)
+        src.link(sink)
+        p.play_until_eos()
+        got = b"".join(bytes(np.asarray(s.buffer.data, np.uint8)) for s in sink.samples)
+        assert got == payload
+        assert len(sink.samples) == 3  # 30000 + 30000 + 16800
+
+    def test_multipart_sink(self, s3):
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("application/octet-stream"))
+        sink = fx.element_factory_make("awss3sink")
+        sink.set_property("uri", "s3://us-east-1/bkt/out.bin")
+        sink.set_property("part-size", 1000)
+        _creds(sink, s3.endpoint)
+        p = fx.Pipeline()
+        p.add(src, sink)
+        src.link(sink)
+        chunks = [bytes([i]) * 700 for i in range(5)]  # 3500 bytes -> 3 parts + tail
+        for c in chunks:
+            src.push_buffer(fx.Buffer(np.frombuffer(c, np.uint8)))
+        src.end_of_stream()
+        p.play_until_eos()
+        assert s3.objects["/bkt/out.bin"] == b"".join(chunks)
+
+    def test_putobject_sink_flush_interval(self, s3):
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("application/octet-stream"))
+        sink = fx.element_factory_make("awss3putobjectsink")
+        sink.set_property("bucket", "bkt")
+        sink.set_property("key", "grow.bin")
+        sink.set_property("flush-interval-buffers", 2)
+        _creds(sink, s3.endpoint)
+        p = fx.Pipeline()
+        p.add(src, sink)
+        src.link(sink)
+        for i in range(5):
+            src.push_buffer(fx.Buffer(np.frombuffer(bytes([i]) * 10, np.uint8)))
+        src.end_of_stream()
+        p.play_until_eos()
+        # flushed at 2, 4 and EOS; object grows monotonically
+        assert s3.objects["/bkt/grow.bin"] == b"".join(bytes([i]) * 10 for i in range(5))
+        assert s3.put_log.count("/bkt/grow.bin") == 3
+
+    def test_hls_sink_uploads_segments_and_playlist(self, s3):
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("video/mp2t"))
+        sink = fx.element_factory_make("awss3hlssink")
+        sink.set_property("bucket", "bkt")
+        sink.set_property("key-prefix", "live")
+        sink.set_property("target-duration", 1_000_000_000)
+        _creds(sink, s3.endpoint)
+        p = fx.Pipeline()
+        p.add(src, sink)
+        src.link(sink)
+        for i in range(6):
+            b = fx.Buffer(np.frombuffer(bytes([i]) * 188, np.uint8))
+            b.pts = i * 500_000_000
+            src.push_buffer(b)
+        src.end_of_stream()
+        p.play_until_eos()
+        segs = [k for k in s3.objects if k.startswith("/bkt/live/segment")]
+        assert len(segs) >= 2
+        playlist = s3.objects["/bkt/live/playlist.m3u8"].decode()
+        assert "#EXTM3U" in playlist and "segment00000.ts" in playlist
+
+
+# ---------------------------------------------------------------------------
+# Polly / Translate fakes
+
+
+class FakeAwsApi(BaseHTTPRequestHandler):
+    server_version = "FakeAWS/1"
+
+    def log_message(self, *a):
+        pass
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        body = json.loads(self.rfile.read(length))
+        if not self.headers.get("Authorization", "").startswith("AWS4-HMAC-SHA256"):
+            self.send_error(403)
+            return
+        if self.path == "/v1/speech":
+            # 100 samples of a constant derived from the text length
+            pcm = (np.ones(100, "<i2") * len(body["Text"])).tobytes()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(pcm)))
+            self.end_headers()
+            self.wfile.write(pcm)
+        else:
+            target = self.headers.get("x-amz-target", "")
+            assert "TranslateText" in target
+            out = json.dumps({
+                "TranslatedText": body["Text"].upper(),
+                "SourceLanguageCode": body["SourceLanguageCode"],
+                "TargetLanguageCode": body["TargetLanguageCode"],
+            }).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+
+@pytest.fixture()
+def aws_api():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), FakeAwsApi)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    srv.endpoint = f"http://127.0.0.1:{srv.server_address[1]}"
+    yield srv
+    srv.shutdown()
+
+
+def _text_pipeline(element):
+    src = fx.element_factory_make("appsrc")
+    src.set_property("caps", parse_caps("text/x-raw,format=utf8"))
+    sink = fx.element_factory_make("appsink")
+    p = fx.Pipeline()
+    p.add(src, element, sink)
+    src.link(element)
+    element.link(sink)
+    return p, src, sink
+
+
+def test_polly_synthesizes(aws_api):
+    el = fx.element_factory_make("awspolly")
+    el.set_property("endpoint-uri", aws_api.endpoint)
+    el.set_property("access-key", "AKID")
+    el.set_property("secret-access-key", "secret")
+    p, src, sink = _text_pipeline(el)
+    src.push_buffer(fx.Buffer(np.frombuffer(b"hello world", np.uint8)))
+    src.end_of_stream()
+    p.play_until_eos()
+    audio = np.asarray(sink.samples[0].buffer.data)
+    assert audio.shape == (100, 1)
+    assert int(audio[0, 0]) == len("hello world")
+    s = sink.samples[0].caps.structure(0)
+    assert s.get("rate") == 16000
+
+
+def test_translate(aws_api):
+    el = fx.element_factory_make("awstranslate")
+    el.set_property("endpoint-uri", aws_api.endpoint)
+    el.set_property("access-key", "AKID")
+    el.set_property("secret-access-key", "secret")
+    el.set_property("input-language-code", "en")
+    el.set_property("output-language-code", "de")
+    p, src, sink = _text_pipeline(el)
+    src.push_buffer(fx.Buffer(np.frombuffer(b"guten tag", np.uint8)))
+    src.end_of_stream()
+    p.play_until_eos()
+    assert bytes(np.asarray(sink.samples[0].buffer.data, np.uint8)) == b"GUTEN TAG"
+
+
+# ---------------------------------------------------------------------------
+# event-stream + transcriber
+
+
+class TestEventStream:
+    def test_roundtrip(self):
+        msg = eventstream.encode_message(
+            {":message-type": "event", ":event-type": "AudioEvent"},
+            b"\x01\x02\x03",
+        )
+        headers, payload, total = eventstream.decode_message(msg)
+        assert total == len(msg)
+        assert headers[":event-type"] == "AudioEvent"
+        assert payload == b"\x01\x02\x03"
+
+    def test_crc_detected(self):
+        msg = bytearray(eventstream.encode_message({"a": "b"}, b"xyz"))
+        msg[-6] ^= 0xFF  # corrupt payload
+        with pytest.raises(ValueError):
+            eventstream.decode_message(bytes(msg))
+
+
+def test_transcriber_streaming():
+    """Fake Transcribe: echoes word counts back as final transcripts."""
+    from websockets.sync.server import serve as ws_serve
+
+    def handler(ws):
+        n = 0
+        for raw in ws:
+            if isinstance(raw, str):
+                raw = raw.encode()
+            headers, payload, _ = eventstream.decode_message(raw)
+            if not payload:
+                break
+            n += 1
+            out = json.dumps({
+                "Transcript": {"Results": [
+                    {"IsPartial": True, "Alternatives": [{"Transcript": "uh"}]},
+                    {"IsPartial": False,
+                     "Alternatives": [{"Transcript": f"chunk {n}"}]},
+                ]}
+            }).encode()
+            ws.send(eventstream.encode_message(
+                {":message-type": "event", ":event-type": "TranscriptEvent"}, out))
+
+    srv = ws_serve(handler, "127.0.0.1", 0)
+    port = srv.socket.getsockname()[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        el = fx.element_factory_make("awstranscriber2")
+        el.set_property("endpoint-uri", f"ws://127.0.0.1:{port}")
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps(
+            "audio/x-raw,format=S16,rate=16000,channels=1,layout=interleaved"))
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        p.add(src, el, sink)
+        src.link(el)
+        el.link(sink)
+        import time
+        for i in range(3):
+            src.push_buffer(fx.Buffer(np.zeros((1600, 1), np.int16)))
+        src.end_of_stream()
+        p.play_until_eos()
+        texts = [bytes(np.asarray(s.buffer.data, np.uint8)).decode() for s in sink.samples]
+        # partials dropped; finals delivered in order (last may be in flight at EOS)
+        assert texts == [f"chunk {i + 1}" for i in range(len(texts))]
+        assert len(texts) >= 2
+    finally:
+        srv.shutdown()

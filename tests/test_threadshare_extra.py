@@ -1,0 +1,147 @@
+"""ts-* element surface: clocksync, input-selector, rtpdtmfsrc, tcpclientsrc,
+and the aliased context variants."""
+import socket
+import struct
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import gst_plugins_rs_tpu as fx
+from gst_plugins_rs_tpu.core.parse import parse_caps
+
+
+def test_aliases_exist():
+    for n in ("ts-appsrc", "ts-audiotestsrc", "ts-queue", "ts-blocking-adapter",
+              "ts-intersink", "ts-intersrc"):
+        assert fx.element_factory_make(n) is not None
+
+
+def test_clocksync_delays_to_running_time():
+    src = fx.element_factory_make("appsrc")
+    src.set_property("caps", parse_caps("application/octet-stream"))
+    cs = fx.element_factory_make("ts-clocksync")
+    sink = fx.element_factory_make("appsink")
+    p = fx.Pipeline()
+    p.add(src, cs, sink)
+    src.link(cs)
+    cs.link(sink)
+    for i in range(3):
+        b = fx.Buffer(np.zeros(4, np.uint8))
+        b.pts = i * 100_000_000  # 100 ms apart
+        src.push_buffer(b)
+    src.end_of_stream()
+    t0 = time.monotonic()
+    p.play_until_eos()
+    elapsed = time.monotonic() - t0
+    assert elapsed >= 0.18  # had to wait ~200 ms for the last buffer
+    assert len(sink.samples) == 3
+
+
+def test_clocksync_sync_false_passthrough():
+    src = fx.element_factory_make("appsrc")
+    src.set_property("caps", parse_caps("application/octet-stream"))
+    cs = fx.element_factory_make("ts-clocksync")
+    cs.set_property("sync", False)
+    sink = fx.element_factory_make("appsink")
+    p = fx.Pipeline()
+    p.add(src, cs, sink)
+    src.link(cs)
+    cs.link(sink)
+    b = fx.Buffer(np.zeros(4, np.uint8))
+    b.pts = 10_000_000_000  # 10 s in the future: must NOT sleep
+    src.push_buffer(b)
+    src.end_of_stream()
+    t0 = time.monotonic()
+    p.play_until_eos()
+    assert time.monotonic() - t0 < 2.0
+
+
+def test_input_selector_switches():
+    s1 = fx.element_factory_make("appsrc")
+    s1.set_property("caps", parse_caps("application/octet-stream"))
+    s2 = fx.element_factory_make("appsrc")
+    s2.set_property("caps", parse_caps("application/octet-stream"))
+    sel = fx.element_factory_make("ts-input-selector")
+    sink = fx.element_factory_make("appsink")
+    p = fx.Pipeline()
+    p.add(s1, s2, sel, sink)
+    s1.link(sel)
+    s2.link(sel)
+    sel.link(sink)
+    for i in range(3):
+        s1.push_buffer(fx.Buffer(np.full(2, 1, np.uint8)))
+        s2.push_buffer(fx.Buffer(np.full(2, 2, np.uint8)))
+    s1.end_of_stream()
+    s2.end_of_stream()
+    p.play_until_eos()
+    # only sink_0 (active by default) flowed
+    vals = {int(np.asarray(s.buffer.data)[0]) for s in sink.samples}
+    assert vals == {1}
+    assert len(sink.samples) == 3
+
+
+def test_rtpdtmfsrc_rfc4733():
+    src = fx.element_factory_make("ts-rtpdtmfsrc")
+    src.set_property("tones", "5")
+    src.set_property("tone-duration-ms", 120)
+    src.set_property("packet-ms", 40)
+    src.set_property("ssrc", 42)
+    sink = fx.element_factory_make("appsink")
+    p = fx.Pipeline()
+    p.add(src, sink)
+    src.link(sink)
+    p.play_until_eos()
+    assert len(sink.samples) == 1
+    raw = bytes(np.asarray(sink.samples[0].buffer.data, np.uint8))
+    pkts = []
+    off = 0
+    while off < len(raw):  # length-prefixed packet framing
+        n = struct.unpack("!H", raw[off:off + 2])[0]
+        pkts.append(raw[off + 2:off + 2 + n])
+        off += 2 + n
+    # 120ms/40ms = 3 increments, last has E bit + 2 retransmits = 5 packets
+    assert len(pkts) == 5
+    first = pkts[0]
+    assert first[1] & 0x80  # marker on first packet of the event
+    event, flags, dur = struct.unpack("!BBH", first[12:16])
+    assert event == 5 and not (flags & 0x80) and dur == 320  # 40 ms @ 8 kHz
+    last = pkts[-1]
+    event, flags, dur = struct.unpack("!BBH", last[12:16])
+    assert flags & 0x80 and dur == 960  # E bit, 120 ms total
+    # retransmitted end packets share the payload, fresh seqnums
+    seqs = [struct.unpack("!H", pk[2:4])[0] for pk in pkts]
+    assert seqs == list(range(5))
+    assert pkts[-1][12:] == pkts[-2][12:]
+    s = sink.samples[0].caps.structure(0)
+    assert s.get("encoding-name") == "TELEPHONE-EVENT"
+
+
+def test_tcpclientsrc_reads_stream():
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    payload = bytes(range(256)) * 20
+
+    def serve():
+        conn, _ = srv.accept()
+        conn.sendall(payload)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+
+    src = fx.element_factory_make("ts-tcpclientsrc")
+    src.set_property("port", port)
+    src.set_property("blocksize", 1000)
+    sink = fx.element_factory_make("appsink")
+    p = fx.Pipeline()
+    p.add(src, sink)
+    src.link(sink)
+    p.play_until_eos()
+    got = b"".join(bytes(np.asarray(s.buffer.data, np.uint8)) for s in sink.samples)
+    assert got == payload
+    srv.close()
