@@ -1,1 +1,1 @@
-from . import cea708, elements, files, overlay, st2038, transcriberbin  # noqa: F401
+from . import cea708, elements, files, overlay, st2038, transcriberbin, translationbin  # noqa: F401

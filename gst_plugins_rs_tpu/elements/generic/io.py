@@ -189,3 +189,27 @@ class CompressDec(BaseTransform):
 
 
 __all__ = ["FileSrc", "FileSink", "InterSink", "InterSrc", "CompressEnc", "CompressDec"]
+
+def _format_alias(base, name, fmt, desc):
+    """Per-format factory names as the reference registers them
+    (generic/compress/src/lib.rs: zlibcompress, deflatecompress, ...)."""
+
+    class _Alias(base):
+        ELEMENT_NAME = name
+        ELEMENT_DESCRIPTION = desc
+
+        def __init__(self, iname=None, _fmt=fmt):
+            super().__init__(iname)
+            self.set_property("format", _fmt)
+
+    _Alias.__name__ = name
+    return register(_Alias)
+
+
+ZlibCompress = _format_alias(CompressEnc, "zlibcompress", "zlib", "Compresses with zlib")
+ZlibDecompress = _format_alias(CompressDec, "zlibdecompress", "zlib", "Decompresses zlib")
+DeflateCompress = _format_alias(CompressEnc, "deflatecompress", "deflate", "Compresses with raw deflate")
+DeflateDecompress = _format_alias(CompressDec, "deflatedecompress", "deflate", "Decompresses raw deflate")
+
+__all__ += ["ZlibCompress", "ZlibDecompress", "DeflateCompress", "DeflateDecompress"]
+

@@ -267,3 +267,15 @@ __all__ = [
     "OnvifMetadataPay", "OnvifMetadataDepay", "OnvifMetadataParse",
     "OnvifMetadataCombiner", "OnvifMetadataExtractor", "OnvifMetadataOverlay",
 ]
+
+
+@register
+class RtpOnvifMetadataPay(OnvifMetadataPay):
+    """The reference registers this under rtponvifmetadatapay (net/onvif)."""
+
+    ELEMENT_NAME = "rtponvifmetadatapay"
+
+
+@register
+class RtpOnvifMetadataDepay(OnvifMetadataDepay):
+    ELEMENT_NAME = "rtponvifmetadatadepay"

@@ -1,0 +1,702 @@
+"""QUIC v1 (RFC 9000) + packet protection (RFC 9001) — native implementation.
+
+Parity target: the reference's quinn plugin rides the Rust quinn/rustls
+stack (net/quinn); here the transport is in-repo, built on the TLS 1.3
+engine in net/tls13.py.  Scope covers what the quinn elements need:
+
+- Initial/Handshake/1-RTT packet protection (AES-128-GCM + AES-ECB
+  header protection; Initial secrets validated against the RFC 9001
+  Appendix A vectors in tests)
+- CRYPTO / ACK / STREAM / DATAGRAM / PING / HANDSHAKE_DONE /
+  CONNECTION_CLOSE frames; MAX_*/NEW_CONNECTION_ID and friends are
+  parsed and tolerated (flow-control limits are advertised large)
+- bidirectional + unidirectional streams with offset reassembly and
+  FIN; unreliable datagrams (RFC 9221) when both sides advertise
+  max_datagram_frame_size
+- loss recovery: ack-eliciting packets are retransmitted wholesale
+  after a PTO via tick() (simple but sufficient; the reference gets
+  RACK-style recovery from quinn)
+
+Explicitly out of scope: version negotiation, Retry, key update,
+0-RTT, connection migration, and real flow-control accounting.
+"""
+from __future__ import annotations
+
+import os
+import secrets
+import struct
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Set, Tuple
+
+from cryptography.hazmat.primitives.ciphers import Cipher, algorithms, modes
+from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+from .tls13 import (
+    LEVEL_APP,
+    LEVEL_HANDSHAKE,
+    LEVEL_INITIAL,
+    QuicTlsClient,
+    QuicTlsServer,
+    hkdf_expand_label,
+    hkdf_extract,
+)
+
+QUIC_VERSION = 0x00000001
+INITIAL_SALT_V1 = bytes.fromhex("38762cf7f55934b34d179ae6a4c80cadccbb7f0a")
+
+# long header packet types (RFC 9000 §17.2)
+PT_INITIAL = 0
+PT_0RTT = 1
+PT_HANDSHAKE = 2
+PT_RETRY = 3
+
+FRAME_PADDING = 0x00
+FRAME_PING = 0x01
+FRAME_ACK = 0x02
+FRAME_CRYPTO = 0x06
+FRAME_NEW_TOKEN = 0x07
+FRAME_STREAM_BASE = 0x08  # 0x08..0x0f
+FRAME_MAX_DATA = 0x10
+FRAME_MAX_STREAM_DATA = 0x11
+FRAME_MAX_STREAMS_BIDI = 0x12
+FRAME_MAX_STREAMS_UNI = 0x13
+FRAME_NEW_CONNECTION_ID = 0x18
+FRAME_RETIRE_CONNECTION_ID = 0x19
+FRAME_PATH_CHALLENGE = 0x1A
+FRAME_PATH_RESPONSE = 0x1B
+FRAME_CONNECTION_CLOSE = 0x1C
+FRAME_CONNECTION_CLOSE_APP = 0x1D
+FRAME_HANDSHAKE_DONE = 0x1E
+FRAME_DATAGRAM = 0x30  # 0x30 (no len) / 0x31 (with len)
+
+# transport parameter ids (RFC 9000 §18.2 / RFC 9221)
+TP_MAX_IDLE_TIMEOUT = 0x01
+TP_INITIAL_MAX_DATA = 0x04
+TP_INITIAL_MAX_STREAM_DATA_BIDI_LOCAL = 0x05
+TP_INITIAL_MAX_STREAM_DATA_BIDI_REMOTE = 0x06
+TP_INITIAL_MAX_STREAM_DATA_UNI = 0x07
+TP_INITIAL_MAX_STREAMS_BIDI = 0x08
+TP_INITIAL_MAX_STREAMS_UNI = 0x09
+TP_MAX_DATAGRAM_FRAME_SIZE = 0x20
+
+
+class QuicError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# varints
+
+
+def encode_varint(v: int) -> bytes:
+    if v < 0x40:
+        return bytes([v])
+    if v < 0x4000:
+        return struct.pack("!H", 0x4000 | v)
+    if v < 0x40000000:
+        return struct.pack("!I", 0x80000000 | v)
+    return struct.pack("!Q", 0xC000000000000000 | v)
+
+
+def decode_varint(data: bytes, off: int) -> Tuple[int, int]:
+    first = data[off]
+    prefix = first >> 6
+    length = 1 << prefix
+    v = first & 0x3F
+    for i in range(1, length):
+        v = (v << 8) | data[off + i]
+    return v, off + length
+
+
+def encode_transport_params(params: Dict[int, int]) -> bytes:
+    out = b""
+    for k, v in params.items():
+        body = encode_varint(v)
+        out += encode_varint(k) + encode_varint(len(body)) + body
+    return out
+
+
+def decode_transport_params(data: bytes) -> Dict[int, int]:
+    params: Dict[int, int] = {}
+    off = 0
+    while off < len(data):
+        k, off = decode_varint(data, off)
+        ln, off = decode_varint(data, off)
+        raw = data[off:off + ln]
+        off += ln
+        try:
+            v, _ = decode_varint(raw, 0) if raw else (0, 0)
+        except IndexError:
+            v = 0
+        params[k] = v
+    return params
+
+
+# ---------------------------------------------------------------------------
+# packet protection (RFC 9001)
+
+
+class Keys:
+    def __init__(self, secret: bytes):
+        self.key = hkdf_expand_label(secret, "quic key", b"", 16)
+        self.iv = hkdf_expand_label(secret, "quic iv", b"", 12)
+        self.hp = hkdf_expand_label(secret, "quic hp", b"", 16)
+
+    def _nonce(self, pn: int) -> bytes:
+        return bytes(a ^ b for a, b in zip(self.iv, pn.to_bytes(12, "big")))
+
+    def seal(self, pn: int, header: bytes, payload: bytes) -> bytes:
+        return AESGCM(self.key).encrypt(self._nonce(pn), payload, header)
+
+    def open(self, pn: int, header: bytes, ciphertext: bytes) -> bytes:
+        return AESGCM(self.key).decrypt(self._nonce(pn), ciphertext, header)
+
+    def hp_mask(self, sample: bytes) -> bytes:
+        enc = Cipher(algorithms.AES(self.hp), modes.ECB()).encryptor()
+        return enc.update(sample)
+
+
+def initial_keys(dcid: bytes) -> Tuple[Keys, Keys]:
+    """(client_keys, server_keys) for the Initial space (RFC 9001 §5.2)."""
+    initial_secret = hkdf_extract(INITIAL_SALT_V1, dcid)
+    client = hkdf_expand_label(initial_secret, "client in", b"", 32)
+    server = hkdf_expand_label(initial_secret, "server in", b"", 32)
+    return Keys(client), Keys(server)
+
+
+def _encode_pn(pn: int) -> bytes:
+    return struct.pack("!I", pn & 0xFFFFFFFF)  # always 4 bytes, simple + valid
+
+
+# ---------------------------------------------------------------------------
+# streams
+
+
+class RecvStream:
+    def __init__(self) -> None:
+        self.chunks: Dict[int, bytes] = {}
+        self.delivered = 0
+        self.fin_at: Optional[int] = None
+        self.buffer = bytearray()
+        self.finished = False
+
+    def push(self, offset: int, data: bytes, fin: bool) -> bytes:
+        if data:
+            self.chunks[offset] = data
+        if fin:
+            self.fin_at = offset + len(data)
+        out = bytearray()
+        while self.delivered in self.chunks:
+            chunk = self.chunks.pop(self.delivered)
+            out += chunk
+            self.delivered += len(chunk)
+        if self.fin_at is not None and self.delivered >= self.fin_at:
+            self.finished = True
+        return bytes(out)
+
+
+@dataclass
+class _Space:
+    send_pn: int = 0
+    recv_pns: Set[int] = field(default_factory=set)
+    acked_recv: Set[int] = field(default_factory=set)
+    crypto_send_offset: int = 0
+    crypto_recv: RecvStream = field(default_factory=RecvStream)
+    tx_keys: Optional[Keys] = None
+    rx_keys: Optional[Keys] = None
+    # pn -> (frames bytes, ack_eliciting, sent_time)
+    unacked: Dict[int, Tuple[bytes, bool, float]] = field(default_factory=dict)
+    need_ack: bool = False
+
+
+class QuicConnection:
+    """One QUIC connection over a datagram transport (send_cb/handle_datagram)."""
+
+    MTU = 1350
+
+    def __init__(self, is_client: bool, send_cb: Callable[[bytes], None],
+                 alpn: Optional[List[str]] = None,
+                 server_name: Optional[str] = None,
+                 certificate=None,
+                 enable_datagrams: bool = True):
+        self.is_client = is_client
+        self.send_cb = send_cb
+        self.scid = os.urandom(8)
+        self.dcid = os.urandom(8)  # client: destination for Initial keys
+        self.peer_cid: Optional[bytes] = None
+        alpn = alpn or ["gstpu"]
+        params = {
+            TP_MAX_IDLE_TIMEOUT: 30_000,
+            TP_INITIAL_MAX_DATA: 1 << 30,
+            TP_INITIAL_MAX_STREAM_DATA_BIDI_LOCAL: 1 << 28,
+            TP_INITIAL_MAX_STREAM_DATA_BIDI_REMOTE: 1 << 28,
+            TP_INITIAL_MAX_STREAM_DATA_UNI: 1 << 28,
+            TP_INITIAL_MAX_STREAMS_BIDI: 1 << 16,
+            TP_INITIAL_MAX_STREAMS_UNI: 1 << 16,
+        }
+        if enable_datagrams:
+            params[TP_MAX_DATAGRAM_FRAME_SIZE] = 65527
+        tp = encode_transport_params(params)
+        tls_cls = QuicTlsClient if is_client else QuicTlsServer
+        kwargs = {"server_name": server_name} if is_client else {}
+        self.tls = tls_cls(alpn, tp, certificate=certificate, **kwargs)
+        self.tls.on_secrets = self._on_secrets
+
+        self.spaces = {LEVEL_INITIAL: _Space(), LEVEL_HANDSHAKE: _Space(),
+                       LEVEL_APP: _Space()}
+        if is_client:
+            ck, sk = initial_keys(self.dcid)
+            self.spaces[LEVEL_INITIAL].tx_keys = ck
+            self.spaces[LEVEL_INITIAL].rx_keys = sk
+        self.handshake_done = threading.Event()
+        self.closed = threading.Event()
+        self.close_reason: Optional[str] = None
+        self.peer_params: Dict[int, int] = {}
+        self.peer_max_datagram = 0
+
+        self.recv_streams: Dict[int, RecvStream] = {}
+        self.on_stream_data: Optional[Callable[[int, bytes, bool], None]] = None
+        self.on_datagram: Optional[Callable[[bytes], None]] = None
+        self.on_new_stream: Optional[Callable[[int], None]] = None
+        self._next_uni = 2 if is_client else 3
+        self._next_bidi = 0 if is_client else 1
+        self._pending_stream: List[Tuple[int, int, bytes, bool]] = []  # id, off, data, fin
+        self._stream_offsets: Dict[int, int] = {}
+        self._pending_datagrams: List[bytes] = []
+        self._lock = threading.RLock()
+        self._hs_done_sent = False
+        self._pto = 0.35
+
+    # -- keys ------------------------------------------------------------------
+    def _on_secrets(self, level: str, client_secret: bytes, server_secret: bytes) -> None:
+        space = self.spaces[level]
+        if self.is_client:
+            space.tx_keys = Keys(client_secret)
+            space.rx_keys = Keys(server_secret)
+        else:
+            space.tx_keys = Keys(server_secret)
+            space.rx_keys = Keys(client_secret)
+
+    # -- public API ----------------------------------------------------------------
+    def connect(self) -> None:
+        assert self.is_client
+        with self._lock:
+            self.tls.start()
+            self._pump()
+
+    def wait_handshake(self, timeout: float = 5.0) -> bool:
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            if self.handshake_done.wait(0.05):
+                return True
+            if self.closed.is_set():
+                raise QuicError(self.close_reason or "connection closed")
+            self.tick()
+        return self.handshake_done.is_set()
+
+    def open_uni_stream(self) -> int:
+        with self._lock:
+            sid = self._next_uni
+            self._next_uni += 4
+            self._stream_offsets[sid] = 0
+            return sid
+
+    def open_bidi_stream(self) -> int:
+        with self._lock:
+            sid = self._next_bidi
+            self._next_bidi += 4
+            self._stream_offsets[sid] = 0
+            return sid
+
+    def send_stream(self, stream_id: int, data: bytes, fin: bool = False) -> None:
+        with self._lock:
+            off = self._stream_offsets.setdefault(stream_id, 0)
+            self._pending_stream.append((stream_id, off, data, fin))
+            self._stream_offsets[stream_id] = off + len(data)
+            if self.handshake_done.is_set():
+                self._pump()
+
+    def send_datagram(self, data: bytes) -> None:
+        with self._lock:
+            self._pending_datagrams.append(data)
+            if self.handshake_done.is_set():
+                self._pump()
+
+    def close(self, reason: str = "bye") -> None:
+        with self._lock:
+            if self.closed.is_set():
+                return
+            space = self.spaces[LEVEL_APP]
+            if space.tx_keys is not None:
+                frame = bytes([FRAME_CONNECTION_CLOSE_APP]) + encode_varint(0) \
+                    + encode_varint(len(reason)) + reason.encode()
+                self._send_packet(LEVEL_APP, frame)
+            self.closed.set()
+
+    def tick(self) -> None:
+        """Retransmit ack-eliciting packets past their PTO."""
+        with self._lock:
+            now = time.monotonic()
+            for level, space in self.spaces.items():
+                if space.tx_keys is None:
+                    continue
+                for pn in sorted(space.unacked):
+                    frames, eliciting, sent = space.unacked[pn]
+                    if eliciting and now - sent > self._pto:
+                        del space.unacked[pn]
+                        self._send_packet(level, frames)
+
+    # -- datagram receive ------------------------------------------------------------
+    def handle_datagram(self, datagram: bytes) -> None:
+        with self._lock:
+            off = 0
+            while off < len(datagram):
+                consumed = self._handle_packet(datagram[off:])
+                if consumed <= 0:
+                    break
+                off += consumed
+            self._pump()
+
+    def _handle_packet(self, data: bytes) -> int:
+        first = data[0]
+        if first & 0x80:  # long header
+            version = struct.unpack("!I", data[1:5])[0]
+            dcil = data[5]
+            pos = 6 + dcil
+            dcid = data[6:pos]
+            scil = data[pos]
+            scid = data[pos + 1:pos + 1 + scil]
+            pos += 1 + scil
+            ptype = (first >> 4) & 0x3
+            if version != QUIC_VERSION or ptype == PT_RETRY:
+                return len(data)
+            if ptype == PT_INITIAL:
+                token_len, pos = decode_varint(data, pos)
+                pos += token_len
+                level = LEVEL_INITIAL
+            elif ptype == PT_HANDSHAKE:
+                level = LEVEL_HANDSHAKE
+            else:
+                return len(data)  # 0-RTT unsupported
+            length, pos = decode_varint(data, pos)
+            packet_end = pos + length
+            if self.peer_cid is None:
+                self.peer_cid = scid
+            if not self.is_client and self.spaces[LEVEL_INITIAL].rx_keys is None:
+                ck, sk = initial_keys(dcid)
+                self.spaces[LEVEL_INITIAL].rx_keys = ck
+                self.spaces[LEVEL_INITIAL].tx_keys = sk
+            self._decrypt_and_process(level, data[:packet_end], pos)
+            return packet_end
+        else:  # short header (1-RTT)
+            self._decrypt_and_process(LEVEL_APP, data, 1 + len(self.scid))
+            return len(data)
+
+    def _decrypt_and_process(self, level: str, packet: bytes, pn_offset: int) -> None:
+        space = self.spaces[level]
+        if space.rx_keys is None:
+            return
+        keys = space.rx_keys
+        sample = packet[pn_offset + 4:pn_offset + 20]
+        if len(sample) < 16:
+            return
+        mask = keys.hp_mask(sample)
+        data = bytearray(packet)
+        if data[0] & 0x80:
+            data[0] ^= mask[0] & 0x0F
+        else:
+            data[0] ^= mask[0] & 0x1F
+        pn_len = (data[0] & 0x03) + 1
+        for i in range(pn_len):
+            data[pn_offset + i] ^= mask[1 + i]
+        pn = int.from_bytes(data[pn_offset:pn_offset + pn_len], "big")
+        # pn decoding vs largest received (RFC 9000 A.3) — 4-byte pns on our
+        # side; tolerate peer short encodings via window reconstruction
+        expected = max(space.recv_pns) + 1 if space.recv_pns else 0
+        win = 1 << (pn_len * 8)
+        candidate = (expected & ~(win - 1)) | pn
+        if candidate + win // 2 <= expected:
+            candidate += win
+        elif candidate > expected + win // 2 and candidate >= win:
+            candidate -= win
+        pn = candidate
+        header = bytes(data[:pn_offset + pn_len])
+        ciphertext = bytes(data[pn_offset + pn_len:])
+        try:
+            payload = keys.open(pn, header, ciphertext)
+        except Exception:
+            return
+        if pn in space.recv_pns:
+            return  # duplicate
+        space.recv_pns.add(pn)
+        eliciting = self._process_frames(level, payload)
+        if eliciting:
+            space.need_ack = True
+
+    # -- frames ----------------------------------------------------------------------
+    def _process_frames(self, level: str, payload: bytes) -> bool:
+        off = 0
+        eliciting = False
+        while off < len(payload):
+            ftype, off = decode_varint(payload, off)
+            if ftype == FRAME_PADDING:
+                continue
+            if ftype == FRAME_PING:
+                eliciting = True
+                continue
+            if ftype in (FRAME_ACK, FRAME_ACK + 1):
+                off = self._handle_ack(level, payload, off, ftype == FRAME_ACK + 1)
+                continue
+            eliciting = True
+            if ftype == FRAME_CRYPTO:
+                coff, off = decode_varint(payload, off)
+                clen, off = decode_varint(payload, off)
+                data = payload[off:off + clen]
+                off += clen
+                complete = self.spaces[level].crypto_recv.push(coff, data, False)
+                if complete:
+                    self.tls.handle(level, complete)
+                    self._after_tls()
+            elif FRAME_STREAM_BASE <= ftype <= 0x0F:
+                has_off = bool(ftype & 0x04)
+                has_len = bool(ftype & 0x02)
+                fin = bool(ftype & 0x01)
+                sid, off = decode_varint(payload, off)
+                soff = 0
+                if has_off:
+                    soff, off = decode_varint(payload, off)
+                if has_len:
+                    slen, off = decode_varint(payload, off)
+                else:
+                    slen = len(payload) - off
+                data = payload[off:off + slen]
+                off += slen
+                self._on_stream_frame(sid, soff, data, fin)
+            elif ftype == FRAME_DATAGRAM or ftype == FRAME_DATAGRAM + 1:
+                if ftype & 1:
+                    dlen, off = decode_varint(payload, off)
+                else:
+                    dlen = len(payload) - off
+                data = payload[off:off + dlen]
+                off += dlen
+                if self.on_datagram:
+                    self.on_datagram(data)
+            elif ftype == FRAME_HANDSHAKE_DONE:
+                self.handshake_done.set()
+            elif ftype in (FRAME_CONNECTION_CLOSE, FRAME_CONNECTION_CLOSE_APP):
+                err, off = decode_varint(payload, off)
+                if ftype == FRAME_CONNECTION_CLOSE:
+                    _ft, off = decode_varint(payload, off)
+                rlen, off = decode_varint(payload, off)
+                self.close_reason = payload[off:off + rlen].decode("utf-8", "replace")
+                off += rlen
+                self.closed.set()
+            elif ftype == FRAME_NEW_CONNECTION_ID:
+                _seq, off = decode_varint(payload, off)
+                _ret, off = decode_varint(payload, off)
+                cid_len = payload[off]
+                off += 1 + cid_len + 16
+            elif ftype == FRAME_NEW_TOKEN:
+                tlen, off = decode_varint(payload, off)
+                off += tlen
+            elif ftype in (FRAME_MAX_DATA, FRAME_MAX_STREAMS_BIDI, FRAME_MAX_STREAMS_UNI,
+                           FRAME_RETIRE_CONNECTION_ID):
+                _v, off = decode_varint(payload, off)
+            elif ftype == FRAME_MAX_STREAM_DATA:
+                _sid, off = decode_varint(payload, off)
+                _v, off = decode_varint(payload, off)
+            elif ftype in (FRAME_PATH_CHALLENGE, FRAME_PATH_RESPONSE):
+                data = payload[off:off + 8]
+                off += 8
+                if ftype == FRAME_PATH_CHALLENGE:
+                    self._queue_frames(LEVEL_APP,
+                                       bytes([FRAME_PATH_RESPONSE]) + data)
+            else:
+                break  # unknown frame: stop parsing this packet
+        return eliciting
+
+    def _handle_ack(self, level: str, payload: bytes, off: int, has_ecn: bool) -> int:
+        largest, off = decode_varint(payload, off)
+        _delay, off = decode_varint(payload, off)
+        range_count, off = decode_varint(payload, off)
+        first_range, off = decode_varint(payload, off)
+        space = self.spaces[level]
+        lo = largest - first_range
+        for pn in range(lo, largest + 1):
+            space.unacked.pop(pn, None)
+        cur = lo
+        for _ in range(range_count):
+            gap, off = decode_varint(payload, off)
+            rng, off = decode_varint(payload, off)
+            hi = cur - gap - 2
+            lo = hi - rng
+            for pn in range(lo, hi + 1):
+                space.unacked.pop(pn, None)
+            cur = lo
+        if has_ecn:
+            for _ in range(3):
+                _v, off = decode_varint(payload, off)
+        return off
+
+    def _on_stream_frame(self, sid: int, offset: int, data: bytes, fin: bool) -> None:
+        stream = self.recv_streams.get(sid)
+        if stream is None:
+            stream = self.recv_streams[sid] = RecvStream()
+            if self.on_new_stream:
+                self.on_new_stream(sid)
+        out = stream.push(offset, data, fin)
+        if (out or stream.finished) and self.on_stream_data:
+            self.on_stream_data(sid, out, stream.finished)
+
+    def _after_tls(self) -> None:
+        if self.tls.handshake_complete and not self.handshake_done.is_set():
+            if self.is_client:
+                self.handshake_done.set()
+            else:
+                self.handshake_done.set()
+                if not self._hs_done_sent:
+                    self._hs_done_sent = True
+                    self._queue_frames(LEVEL_APP, bytes([FRAME_HANDSHAKE_DONE]))
+        if self.tls.peer_transport_params is not None and not self.peer_params:
+            self.peer_params = decode_transport_params(self.tls.peer_transport_params)
+            self.peer_max_datagram = self.peer_params.get(TP_MAX_DATAGRAM_FRAME_SIZE, 0)
+
+    # -- send path ----------------------------------------------------------------------
+    _queued: Dict[str, List[bytes]] = {}
+
+    def _queue_frames(self, level: str, frames: bytes) -> None:
+        self.__dict__.setdefault("_queued_frames", {}).setdefault(level, []).append(frames)
+
+    def _pump(self) -> None:
+        # 1. TLS output into CRYPTO frames
+        for level, data in self.tls.take_output():
+            space = self.spaces[level]
+            frame = (bytes([FRAME_CRYPTO]) + encode_varint(space.crypto_send_offset)
+                     + encode_varint(len(data)) + data)
+            space.crypto_send_offset += len(data)
+            self._queue_frames(level, frame)
+        self._after_tls()
+        # 2. application data
+        if self.handshake_done.is_set() and self.spaces[LEVEL_APP].tx_keys is not None:
+            pending, self._pending_stream = self._pending_stream, []
+            for sid, soff, data, fin in pending:
+                pos = 0
+                while True:
+                    chunk = data[pos:pos + 1100]
+                    last = pos + len(chunk) >= len(data)
+                    ftype = FRAME_STREAM_BASE | 0x04 | 0x02 | (0x01 if (fin and last) else 0)
+                    frame = (bytes([ftype]) + encode_varint(sid)
+                             + encode_varint(soff + pos) + encode_varint(len(chunk)) + chunk)
+                    self._queue_frames(LEVEL_APP, frame)
+                    pos += len(chunk)
+                    if last:
+                        break
+            dgrams, self._pending_datagrams = self._pending_datagrams, []
+            for d in dgrams:
+                self._queue_frames(LEVEL_APP, bytes([FRAME_DATAGRAM + 1])
+                                   + encode_varint(len(d)) + d)
+        # 3. ACKs
+        for level, space in self.spaces.items():
+            if space.need_ack and space.tx_keys is not None:
+                self._queue_frames(level, self._ack_frame(space))
+                space.need_ack = False
+        # 4. emit packets, coalescing levels into datagrams
+        self._flush_queued()
+
+    def _ack_frame(self, space: _Space) -> bytes:
+        pns = sorted(space.recv_pns)
+        largest = pns[-1]
+        # first contiguous range ending at largest
+        first = 0
+        i = len(pns) - 1
+        while i > 0 and pns[i - 1] == pns[i] - 1:
+            first += 1
+            i -= 1
+        out = bytes([FRAME_ACK]) + encode_varint(largest) + encode_varint(0)
+        ranges = []
+        hi_next = pns[i] - 1
+        j = i - 1
+        while j >= 0:
+            hi = pns[j]
+            rng = 0
+            while j > 0 and pns[j - 1] == pns[j] - 1:
+                rng += 1
+                j -= 1
+            gap = hi_next - hi - 1
+            ranges.append((gap, rng))
+            hi_next = pns[j] - rng - 1
+            j -= 1
+        out += encode_varint(len(ranges)) + encode_varint(first)
+        for gap, rng in ranges:
+            out += encode_varint(gap) + encode_varint(rng)
+        return out
+
+    def _flush_queued(self) -> None:
+        queued = self.__dict__.setdefault("_queued_frames", {})
+        datagram = bytearray()
+        for level in (LEVEL_INITIAL, LEVEL_HANDSHAKE, LEVEL_APP):
+            frames_list = queued.pop(level, [])
+            if not frames_list:
+                continue
+            space = self.spaces[level]
+            if space.tx_keys is None:
+                queued[level] = frames_list  # keys not ready yet
+                continue
+            body = b"".join(frames_list)
+            pos = 0
+            while pos < len(body) or pos == 0:
+                chunk = body[pos:pos + 1100]
+                pos += len(chunk) or 1
+                pkt = self._build_packet(level, chunk)
+                if len(datagram) + len(pkt) > self.MTU and datagram:
+                    self._emit_datagram(bytes(datagram))
+                    datagram = bytearray()
+                datagram += pkt
+                if pos >= len(body):
+                    break
+        if datagram:
+            self._emit_datagram(bytes(datagram))
+
+    def _emit_datagram(self, datagram: bytes) -> None:
+        # client Initial datagrams must be >= 1200 bytes (RFC 9000 §14.1)
+        if self.is_client and len(datagram) < 1200 and datagram[0] & 0x80 \
+                and ((datagram[0] >> 4) & 3) == PT_INITIAL:
+            datagram += b"\x00" * (1200 - len(datagram))
+        self.send_cb(datagram)
+
+    def _build_packet(self, level: str, frames: bytes) -> bytes:
+        space = self.spaces[level]
+        keys = space.tx_keys
+        pn = space.send_pn
+        space.send_pn += 1
+        pn_bytes = _encode_pn(pn)
+        dcid = self.peer_cid if self.peer_cid is not None else self.dcid
+        if level == LEVEL_APP:
+            header = bytearray([0x40 | 0x03]) + dcid
+        else:
+            ptype = PT_INITIAL if level == LEVEL_INITIAL else PT_HANDSHAKE
+            header = bytearray([0xC0 | (ptype << 4) | 0x03])
+            header += struct.pack("!I", QUIC_VERSION)
+            header += bytes([len(dcid)]) + dcid
+            header += bytes([len(self.scid)]) + self.scid
+            if level == LEVEL_INITIAL:
+                header += encode_varint(0)  # token length
+            header += encode_varint(len(pn_bytes) + len(frames) + 16)
+        pn_offset = len(header)
+        header += pn_bytes
+        ciphertext = keys.seal(pn, bytes(header), frames)
+        packet = bytearray(header + ciphertext)
+        sample = packet[pn_offset + 4:pn_offset + 20]
+        mask = keys.hp_mask(bytes(sample))
+        if packet[0] & 0x80:
+            packet[0] ^= mask[0] & 0x0F
+        else:
+            packet[0] ^= mask[0] & 0x1F
+        for i in range(4):
+            packet[pn_offset + i] ^= mask[1 + i]
+        eliciting = any(f not in (FRAME_PADDING,) and not (FRAME_ACK <= f <= FRAME_ACK + 1)
+                        for f in [frames[0]])
+        space.unacked[pn] = (frames, eliciting, time.monotonic())
+        return bytes(packet)

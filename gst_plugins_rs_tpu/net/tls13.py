@@ -1,0 +1,405 @@
+"""TLS 1.3 (RFC 8446) handshake engine for QUIC-TLS (RFC 9001).
+
+Parity target: the reference's quinn plugin rides the Rust `quinn` +
+`rustls` stack (net/quinn/Cargo.toml); here the handshake is in-repo.
+Scope is exactly what QUIC needs:
+
+- TLS_AES_128_GCM_SHA256, x25519 key share, ECDSA P-256 certificates
+  (self-signed, fingerprint-style trust as in WebRTC; a `verify_peer`
+  hook allows stricter policies)
+- the QUIC interface: handshake bytes in/out per encryption level,
+  traffic secrets surfaced per level (RFC 9001 §4.1), ALPN, and the
+  quic_transport_parameters extension (0x39) carried opaquely
+- HKDF key schedule with hkdf_expand_label, Finished HMAC, ECDSA
+  CertificateVerify with the RFC 8446 §4.4.3 context string
+
+No record layer: QUIC carries raw handshake messages in CRYPTO frames.
+"""
+from __future__ import annotations
+
+import hashlib
+import hmac
+import os
+import struct
+from typing import Callable, Dict, List, Optional, Tuple
+
+from cryptography.hazmat.primitives import hashes, serialization
+from cryptography.hazmat.primitives.asymmetric import ec
+from cryptography.hazmat.primitives.asymmetric.x25519 import (
+    X25519PrivateKey,
+    X25519PublicKey,
+)
+
+from .dtls import generate_certificate  # same self-signed ECDSA P-256 certs
+
+HASH_LEN = 32
+
+HT_CLIENT_HELLO = 1
+HT_SERVER_HELLO = 2
+HT_ENCRYPTED_EXTENSIONS = 8
+HT_CERTIFICATE = 11
+HT_CERTIFICATE_VERIFY = 15
+HT_FINISHED = 20
+
+EXT_SERVER_NAME = 0x0000
+EXT_SUPPORTED_GROUPS = 0x000A
+EXT_SIGNATURE_ALGORITHMS = 0x000D
+EXT_ALPN = 0x0010
+EXT_SUPPORTED_VERSIONS = 0x002B
+EXT_KEY_SHARE = 0x0033
+EXT_QUIC_TRANSPORT_PARAMETERS = 0x0039
+
+GROUP_X25519 = 0x001D
+SIGALG_ECDSA_SECP256R1_SHA256 = 0x0403
+TLS13 = 0x0304
+CIPHER_AES_128_GCM_SHA256 = 0x1301
+
+LEVEL_INITIAL = "initial"
+LEVEL_HANDSHAKE = "handshake"
+LEVEL_APP = "app"
+
+
+# ---------------------------------------------------------------------------
+# HKDF (RFC 5869 / RFC 8446 §7.1)
+
+
+def hkdf_extract(salt: bytes, ikm: bytes) -> bytes:
+    return hmac.new(salt or b"\x00" * HASH_LEN, ikm, hashlib.sha256).digest()
+
+
+def hkdf_expand(prk: bytes, info: bytes, length: int) -> bytes:
+    out = b""
+    t = b""
+    i = 1
+    while len(out) < length:
+        t = hmac.new(prk, t + info + bytes([i]), hashlib.sha256).digest()
+        out += t
+        i += 1
+    return out[:length]
+
+
+def hkdf_expand_label(secret: bytes, label: str, context: bytes, length: int) -> bytes:
+    lab = b"tls13 " + label.encode()
+    info = struct.pack("!H", length) + bytes([len(lab)]) + lab + bytes([len(context)]) + context
+    return hkdf_expand(secret, info, length)
+
+
+def derive_secret(secret: bytes, label: str, transcript: bytes) -> bytes:
+    return hkdf_expand_label(secret, label, hashlib.sha256(transcript).digest(), HASH_LEN)
+
+
+# ---------------------------------------------------------------------------
+
+
+class TlsError(Exception):
+    pass
+
+
+def _hs(msg_type: int, body: bytes) -> bytes:
+    return bytes([msg_type]) + struct.pack("!I", len(body))[1:] + body
+
+
+def _ext(etype: int, body: bytes) -> bytes:
+    return struct.pack("!HH", etype, len(body)) + body
+
+
+def _parse_extensions(data: bytes) -> Dict[int, bytes]:
+    exts: Dict[int, bytes] = {}
+    off = 0
+    while off + 4 <= len(data):
+        t, ln = struct.unpack("!HH", data[off:off + 4])
+        exts[t] = data[off + 4:off + 4 + ln]
+        off += 4 + ln
+    return exts
+
+
+class QuicTls:
+    """Shared client/server machinery.
+
+    Produces (level, bytes) CRYPTO output via `take_output()`, consumes
+    peer CRYPTO bytes via `handle(level, data)`.  Secrets callbacks:
+    `on_secrets(level, client_secret, server_secret)`.
+    """
+
+    def __init__(self, is_client: bool, alpn: List[str],
+                 transport_params: bytes,
+                 certificate: Optional[Tuple[bytes, ec.EllipticCurvePrivateKey]] = None):
+        self.is_client = is_client
+        self.alpn = alpn
+        self.negotiated_alpn: Optional[str] = None
+        self.transport_params = transport_params
+        self.peer_transport_params: Optional[bytes] = None
+        self.cert_der, self.private_key = certificate or generate_certificate()
+        self.peer_cert_der: Optional[bytes] = None
+        self._x25519 = X25519PrivateKey.generate()
+        self._transcript = bytearray()
+        self._out: List[Tuple[str, bytes]] = []
+        self._buf: Dict[str, bytearray] = {LEVEL_INITIAL: bytearray(),
+                                           LEVEL_HANDSHAKE: bytearray()}
+        self.on_secrets: Optional[Callable[[str, bytes, bytes], None]] = None
+        self.handshake_complete = False
+        self._hs_secret: Optional[bytes] = None
+        self._master: Optional[bytes] = None
+        self._client_hs_secret: Optional[bytes] = None
+        self._server_hs_secret: Optional[bytes] = None
+        self.client_random = os.urandom(32)
+
+    # -- helpers ---------------------------------------------------------------
+    def _emit(self, level: str, msg: bytes, transcript: bool = True) -> None:
+        if transcript:
+            self._transcript += msg
+        self._out.append((level, msg))
+
+    def take_output(self) -> List[Tuple[str, bytes]]:
+        out, self._out = self._out, []
+        return out
+
+    def _give_secrets(self, level: str, client: bytes, server: bytes) -> None:
+        if self.on_secrets:
+            self.on_secrets(level, client, server)
+
+    # -- key schedule ------------------------------------------------------------
+    def _derive_handshake(self, shared: bytes) -> None:
+        early = hkdf_extract(b"", b"\x00" * HASH_LEN)
+        self._hs_secret = hkdf_extract(
+            derive_secret(early, "derived", b""), shared)
+        t = bytes(self._transcript)
+        self._client_hs_secret = derive_secret(self._hs_secret, "c hs traffic", t)
+        self._server_hs_secret = derive_secret(self._hs_secret, "s hs traffic", t)
+        self._give_secrets(LEVEL_HANDSHAKE, self._client_hs_secret, self._server_hs_secret)
+
+    def _derive_app(self) -> None:
+        self._master = hkdf_extract(
+            derive_secret(self._hs_secret, "derived", b""), b"\x00" * HASH_LEN)
+        t = bytes(self._transcript)
+        cap = derive_secret(self._master, "c ap traffic", t)
+        sap = derive_secret(self._master, "s ap traffic", t)
+        self._give_secrets(LEVEL_APP, cap, sap)
+
+    def _finished_mac(self, base_secret: bytes, transcript: bytes) -> bytes:
+        finished_key = hkdf_expand_label(base_secret, "finished", b"", HASH_LEN)
+        return hmac.new(finished_key, hashlib.sha256(transcript).digest(),
+                        hashlib.sha256).digest()
+
+    # -- message input -------------------------------------------------------------
+    def handle(self, level: str, data: bytes) -> None:
+        buf = self._buf.setdefault(level, bytearray())
+        buf += data
+        while len(buf) >= 4:
+            mlen = int.from_bytes(buf[1:4], "big")
+            if len(buf) < 4 + mlen:
+                return
+            msg = bytes(buf[:4 + mlen])
+            del buf[:4 + mlen]
+            self._handle_msg(level, msg)
+
+    def _handle_msg(self, level: str, msg: bytes) -> None:
+        raise NotImplementedError
+
+    # -- common message builders -----------------------------------------------------
+    def _certificate_msg(self) -> bytes:
+        entry = struct.pack("!I", len(self.cert_der))[1:] + self.cert_der + b"\x00\x00"
+        body = b"\x00" + struct.pack("!I", len(entry))[1:] + entry
+        return _hs(HT_CERTIFICATE, body)
+
+    def _certificate_verify_msg(self, server: bool) -> bytes:
+        role = b"server" if server else b"client"
+        content = (b" " * 64 + b"TLS 1.3, " + role + b" CertificateVerify\x00"
+                   + hashlib.sha256(bytes(self._transcript)).digest())
+        sig = self.private_key.sign(content, ec.ECDSA(hashes.SHA256()))
+        return _hs(HT_CERTIFICATE_VERIFY,
+                   struct.pack("!HH", SIGALG_ECDSA_SECP256R1_SHA256, len(sig)) + sig)
+
+    def _verify_certificate_verify(self, msg_body: bytes, server: bool,
+                                   transcript_before: bytes) -> None:
+        from cryptography import x509
+
+        sigalg, siglen = struct.unpack("!HH", msg_body[:4])
+        sig = msg_body[4:4 + siglen]
+        if sigalg != SIGALG_ECDSA_SECP256R1_SHA256:
+            raise TlsError(f"unsupported CertificateVerify algorithm {sigalg:#x}")
+        role = b"server" if server else b"client"
+        content = (b" " * 64 + b"TLS 1.3, " + role + b" CertificateVerify\x00"
+                   + hashlib.sha256(transcript_before).digest())
+        pub = x509.load_der_x509_certificate(self.peer_cert_der).public_key()
+        pub.verify(sig, content, ec.ECDSA(hashes.SHA256()))
+
+    def _parse_certificate(self, body: bytes) -> None:
+        ctx_len = body[0]
+        off = 1 + ctx_len
+        total = int.from_bytes(body[off:off + 3], "big")
+        off += 3
+        clen = int.from_bytes(body[off:off + 3], "big")
+        self.peer_cert_der = body[off + 3:off + 3 + clen]
+
+
+class QuicTlsClient(QuicTls):
+    def __init__(self, *args, server_name: Optional[str] = None, **kwargs):
+        super().__init__(True, *args, **kwargs)
+        self.server_name = server_name
+        self._sent_hello = False
+
+    def start(self) -> None:
+        if self._sent_hello:
+            return
+        self._sent_hello = True
+        key_share = self._x25519.public_key().public_bytes(
+            serialization.Encoding.Raw, serialization.PublicFormat.Raw)
+        exts = b""
+        if self.server_name:
+            sn = self.server_name.encode()
+            exts += _ext(EXT_SERVER_NAME,
+                         struct.pack("!HBH", len(sn) + 3, 0, len(sn)) + sn)
+        exts += _ext(EXT_SUPPORTED_GROUPS, struct.pack("!HH", 2, GROUP_X25519))
+        exts += _ext(EXT_SIGNATURE_ALGORITHMS, struct.pack("!HH", 2, SIGALG_ECDSA_SECP256R1_SHA256))
+        alpn = b"".join(bytes([len(a)]) + a.encode() for a in self.alpn)
+        exts += _ext(EXT_ALPN, struct.pack("!H", len(alpn)) + alpn)
+        exts += _ext(EXT_SUPPORTED_VERSIONS, b"\x02" + struct.pack("!H", TLS13))
+        ks = struct.pack("!HH", GROUP_X25519, len(key_share)) + key_share
+        exts += _ext(EXT_KEY_SHARE, struct.pack("!H", len(ks)) + ks)
+        exts += _ext(EXT_QUIC_TRANSPORT_PARAMETERS, self.transport_params)
+        body = struct.pack("!H", 0x0303) + self.client_random + b"\x00"
+        body += struct.pack("!HH", 2, CIPHER_AES_128_GCM_SHA256) + b"\x01\x00"
+        body += struct.pack("!H", len(exts)) + exts
+        self._emit(LEVEL_INITIAL, _hs(HT_CLIENT_HELLO, body))
+
+    def _handle_msg(self, level: str, msg: bytes) -> None:
+        t = msg[0]
+        body = msg[4:]
+        if t == HT_SERVER_HELLO:
+            self._transcript += msg
+            off = 2 + 32
+            sid_len = body[off]; off += 1 + sid_len
+            cipher = struct.unpack("!H", body[off:off + 2])[0]
+            off += 3
+            if cipher != CIPHER_AES_128_GCM_SHA256:
+                raise TlsError(f"unsupported cipher {cipher:#x}")
+            ext_len = struct.unpack("!H", body[off:off + 2])[0]
+            exts = _parse_extensions(body[off + 2:off + 2 + ext_len])
+            ks = exts.get(EXT_KEY_SHARE)
+            if ks is None or struct.unpack("!H", ks[:2])[0] != GROUP_X25519:
+                raise TlsError("server key_share missing or wrong group")
+            peer_pub = X25519PublicKey.from_public_bytes(ks[4:4 + 32])
+            shared = self._x25519.exchange(peer_pub)
+            self._derive_handshake(shared)
+        elif t == HT_ENCRYPTED_EXTENSIONS:
+            self._transcript += msg
+            exts = _parse_extensions(body[2:])
+            if EXT_ALPN in exts:
+                alpn = exts[EXT_ALPN]
+                n = alpn[2]
+                self.negotiated_alpn = alpn[3:3 + n].decode()
+            if EXT_QUIC_TRANSPORT_PARAMETERS in exts:
+                self.peer_transport_params = exts[EXT_QUIC_TRANSPORT_PARAMETERS]
+        elif t == HT_CERTIFICATE:
+            self._transcript += msg
+            self._parse_certificate(body)
+        elif t == HT_CERTIFICATE_VERIFY:
+            before = bytes(self._transcript)
+            self._verify_certificate_verify(body, server=True, transcript_before=before)
+            self._transcript += msg
+        elif t == HT_FINISHED:
+            expect = self._finished_mac(self._server_hs_secret, bytes(self._transcript))
+            if not hmac.compare_digest(expect, body):
+                raise TlsError("server Finished mismatch")
+            self._transcript += msg
+            # client Finished then app keys
+            fin = _hs(HT_FINISHED,
+                      self._finished_mac(self._client_hs_secret, bytes(self._transcript)))
+            self._derive_app()  # app secrets use transcript through server Finished
+            self._transcript += fin
+            self._out.append((LEVEL_HANDSHAKE, fin))
+            self.handshake_complete = True
+
+
+class QuicTlsServer(QuicTls):
+    def __init__(self, *args, **kwargs):
+        super().__init__(False, *args, **kwargs)
+        self._client_fin_expected: Optional[bytes] = None
+
+    def _handle_msg(self, level: str, msg: bytes) -> None:
+        t = msg[0]
+        body = msg[4:]
+        if t == HT_CLIENT_HELLO:
+            self._transcript += msg
+            self._on_client_hello(body)
+        elif t == HT_FINISHED:
+            expect = self._finished_mac(self._client_hs_secret, bytes(self._transcript))
+            if not hmac.compare_digest(expect, body):
+                raise TlsError("client Finished mismatch")
+            self._transcript += msg
+            self.handshake_complete = True
+
+    def _on_client_hello(self, body: bytes) -> None:
+        off = 2 + 32
+        sid_len = body[off]; off += 1 + sid_len
+        cs_len = struct.unpack("!H", body[off:off + 2])[0]; off += 2
+        suites = {struct.unpack("!H", body[off + i:off + i + 2])[0]
+                  for i in range(0, cs_len, 2)}
+        off += cs_len
+        comp_len = body[off]; off += 1 + comp_len
+        ext_len = struct.unpack("!H", body[off:off + 2])[0]
+        exts = _parse_extensions(body[off + 2:off + 2 + ext_len])
+        if CIPHER_AES_128_GCM_SHA256 not in suites:
+            raise TlsError("no common cipher")
+        ks = exts.get(EXT_KEY_SHARE)
+        if ks is None:
+            raise TlsError("client key_share missing")
+        # find the x25519 entry
+        pos = 2
+        peer_pub_bytes = None
+        while pos + 4 <= len(ks):
+            group, klen = struct.unpack("!HH", ks[pos:pos + 4])
+            if group == GROUP_X25519:
+                peer_pub_bytes = ks[pos + 4:pos + 4 + klen]
+                break
+            pos += 4 + klen
+        if peer_pub_bytes is None:
+            raise TlsError("no x25519 key share")
+        if EXT_QUIC_TRANSPORT_PARAMETERS in exts:
+            self.peer_transport_params = exts[EXT_QUIC_TRANSPORT_PARAMETERS]
+        # ALPN selection
+        if EXT_ALPN in exts:
+            offered = []
+            alpn = exts[EXT_ALPN]
+            pos = 2
+            while pos < len(alpn):
+                n = alpn[pos]
+                offered.append(alpn[pos + 1:pos + 1 + n].decode())
+                pos += 1 + n
+            for a in self.alpn:
+                if a in offered:
+                    self.negotiated_alpn = a
+                    break
+            if self.negotiated_alpn is None and offered:
+                raise TlsError("no common ALPN")
+
+        # ServerHello
+        key_share = self._x25519.public_key().public_bytes(
+            serialization.Encoding.Raw, serialization.PublicFormat.Raw)
+        sh_exts = _ext(EXT_SUPPORTED_VERSIONS, struct.pack("!H", TLS13))
+        sh_exts += _ext(EXT_KEY_SHARE,
+                        struct.pack("!HH", GROUP_X25519, len(key_share)) + key_share)
+        sh = struct.pack("!H", 0x0303) + os.urandom(32) + b"\x00"
+        sh += struct.pack("!H", CIPHER_AES_128_GCM_SHA256) + b"\x00"
+        sh += struct.pack("!H", len(sh_exts)) + sh_exts
+        self._emit(LEVEL_INITIAL, _hs(HT_SERVER_HELLO, sh))
+
+        peer_pub = X25519PublicKey.from_public_bytes(peer_pub_bytes)
+        self._derive_handshake(self._x25519.exchange(peer_pub))
+
+        # EncryptedExtensions
+        ee_exts = b""
+        if self.negotiated_alpn:
+            a = self.negotiated_alpn.encode()
+            ee_exts += _ext(EXT_ALPN, struct.pack("!HB", len(a) + 1, len(a)) + a)
+        ee_exts += _ext(EXT_QUIC_TRANSPORT_PARAMETERS, self.transport_params)
+        self._emit(LEVEL_HANDSHAKE, _hs(HT_ENCRYPTED_EXTENSIONS,
+                                        struct.pack("!H", len(ee_exts)) + ee_exts))
+        self._emit(LEVEL_HANDSHAKE, self._certificate_msg())
+        self._emit(LEVEL_HANDSHAKE, self._certificate_verify_msg(server=True))
+        fin = _hs(HT_FINISHED,
+                  self._finished_mac(self._server_hs_secret, bytes(self._transcript)))
+        self._emit(LEVEL_HANDSHAKE, fin)
+        # app secrets derived over transcript through server Finished
+        self._derive_app()
