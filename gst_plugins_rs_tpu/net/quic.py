@@ -332,7 +332,8 @@ class QuicConnection:
             if space.tx_keys is not None:
                 frame = bytes([FRAME_CONNECTION_CLOSE_APP]) + encode_varint(0) \
                     + encode_varint(len(reason)) + reason.encode()
-                self._send_packet(LEVEL_APP, frame)
+                self._queue_frames(LEVEL_APP, frame)
+                self._flush_queued()
             self.closed.set()
 
     def tick(self) -> None:
@@ -342,11 +343,15 @@ class QuicConnection:
             for level, space in self.spaces.items():
                 if space.tx_keys is None:
                     continue
+                resend = []
                 for pn in sorted(space.unacked):
                     frames, eliciting, sent = space.unacked[pn]
                     if eliciting and now - sent > self._pto:
                         del space.unacked[pn]
-                        self._send_packet(level, frames)
+                        resend.append(frames)
+                for frames in resend:
+                    self._queue_frames(level, frames)
+            self._flush_queued()
 
     # -- datagram receive ------------------------------------------------------------
     def handle_datagram(self, datagram: bytes) -> None:
@@ -573,10 +578,14 @@ class QuicConnection:
         # 1. TLS output into CRYPTO frames
         for level, data in self.tls.take_output():
             space = self.spaces[level]
-            frame = (bytes([FRAME_CRYPTO]) + encode_varint(space.crypto_send_offset)
-                     + encode_varint(len(data)) + data)
-            space.crypto_send_offset += len(data)
-            self._queue_frames(level, frame)
+            pos = 0
+            while pos < len(data):  # keep every frame under the packet budget
+                chunk = data[pos:pos + 1000]
+                frame = (bytes([FRAME_CRYPTO]) + encode_varint(space.crypto_send_offset)
+                         + encode_varint(len(chunk)) + chunk)
+                space.crypto_send_offset += len(chunk)
+                self._queue_frames(level, frame)
+                pos += len(chunk)
         self._after_tls()
         # 2. application data
         if self.handshake_done.is_set() and self.spaces[LEVEL_APP].tx_keys is not None:
@@ -644,18 +653,28 @@ class QuicConnection:
             if space.tx_keys is None:
                 queued[level] = frames_list  # keys not ready yet
                 continue
-            body = b"".join(frames_list)
-            pos = 0
-            while pos < len(body) or pos == 0:
-                chunk = body[pos:pos + 1100]
-                pos += len(chunk) or 1
+            # pack whole frames into packets — frames never split across
+            # packets (RFC 9000 §12.4)
+            groups: List[bytes] = []
+            cur = bytearray()
+            for frame in frames_list:
+                if cur and len(cur) + len(frame) > 1180:
+                    groups.append(bytes(cur))
+                    cur = bytearray()
+                cur += frame
+            if cur:
+                groups.append(bytes(cur))
+            for chunk in groups:
                 pkt = self._build_packet(level, chunk)
                 if len(datagram) + len(pkt) > self.MTU and datagram:
                     self._emit_datagram(bytes(datagram))
                     datagram = bytearray()
                 datagram += pkt
-                if pos >= len(body):
-                    break
+                if level == LEVEL_APP:
+                    # short-header packets carry no length: one per datagram,
+                    # always last (RFC 9000 §12.2)
+                    self._emit_datagram(bytes(datagram))
+                    datagram = bytearray()
         if datagram:
             self._emit_datagram(bytes(datagram))
 

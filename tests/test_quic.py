@@ -1,0 +1,228 @@
+"""QUIC v1 transport tests: RFC 9000/9001 vectors, handshake, streams,
+datagrams, loss recovery."""
+import os
+import socket
+import threading
+import time
+
+import pytest
+
+from gst_plugins_rs_tpu.net import quic
+from gst_plugins_rs_tpu.net.quic import (
+    QuicConnection,
+    decode_varint,
+    encode_varint,
+    initial_keys,
+)
+
+
+class TestVarint:
+    def test_rfc9000_a1_vectors(self):
+        cases = {
+            0xC2197C5EFF14E88C: 151288809941952652,
+            0x9D7F3E7D: 494878333,
+            0x7BBD: 15293,
+            0x25: 37,
+        }
+        for wire, value in cases.items():
+            raw = wire.to_bytes((wire.bit_length() + 7) // 8, "big")
+            got, off = decode_varint(raw, 0)
+            assert got == value
+            assert off == len(raw)
+        assert encode_varint(37) == b"\x25"
+        assert encode_varint(15293) == b"\x7b\xbd"
+        v, _ = decode_varint(encode_varint(151288809941952652), 0)
+        assert v == 151288809941952652
+
+    def test_roundtrip_boundaries(self):
+        for v in (0, 63, 64, 16383, 16384, (1 << 30) - 1, 1 << 30, (1 << 62) - 1):
+            got, off = decode_varint(encode_varint(v), 0)
+            assert got == v
+
+
+class TestInitialKeys:
+    def test_rfc9001_appendix_a(self):
+        """RFC 9001 A.1: keys for DCID 0x8394c8f03e515708."""
+        client, server = initial_keys(bytes.fromhex("8394c8f03e515708"))
+        assert client.key.hex() == "1f369613dd76d5467730efcbe3b1a22d"
+        assert client.iv.hex() == "fa044b2f42a3fd3b46fb255c"
+        assert client.hp.hex() == "9f50449e04a0e810283a1e9933adedd2"
+        assert server.key.hex() == "cf3a5331653c364c88f0f379b6067e37"
+        assert server.iv.hex() == "0ac1493ca1905853b0bba03e"
+        assert server.hp.hex() == "c206b8d9b9f0f37644430b490eeaa314"
+
+
+def _pair(**kwargs):
+    """Client/server QuicConnection pair over an in-memory lossless wire."""
+    to_server, to_client = [], []
+    client = QuicConnection(True, to_server.append, **kwargs)
+    server = QuicConnection(False, to_client.append, **kwargs)
+
+    def pump(rounds=40):
+        for _ in range(rounds):
+            moved = False
+            while to_server:
+                server.handle_datagram(to_server.pop(0))
+                moved = True
+            while to_client:
+                client.handle_datagram(to_client.pop(0))
+                moved = True
+            if not moved:
+                break
+
+    return client, server, pump, to_server, to_client
+
+
+class TestHandshake:
+    def test_memory_handshake(self):
+        client, server, pump, *_ = _pair()
+        client.connect()
+        pump()
+        assert client.handshake_done.is_set()
+        assert server.handshake_done.is_set()
+        assert client.tls.negotiated_alpn == "gstpu"
+        assert server.tls.negotiated_alpn == "gstpu"
+        # transport params exchanged; datagram support negotiated
+        assert client.peer_max_datagram > 0
+        assert server.peer_max_datagram > 0
+
+    def test_alpn_mismatch_fails(self):
+        to_server, to_client = [], []
+        client = QuicConnection(True, to_server.append, alpn=["foo"])
+        server = QuicConnection(False, to_client.append, alpn=["bar"])
+        client.connect()
+        with pytest.raises(Exception):
+            for _ in range(10):
+                while to_server:
+                    server.handle_datagram(to_server.pop(0))
+                while to_client:
+                    client.handle_datagram(to_client.pop(0))
+            raise AssertionError("handshake should not complete")
+
+
+class TestStreams:
+    def test_uni_stream_data(self):
+        client, server, pump, *_ = _pair()
+        got = []
+        server.on_stream_data = lambda sid, data, fin: got.append((sid, data, fin))
+        client.connect()
+        pump()
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"hello quic", fin=True)
+        pump()
+        assert got and got[-1][0] == sid
+        data = b"".join(d for _, d, _ in got)
+        assert data == b"hello quic"
+        assert got[-1][2] is True
+
+    def test_large_transfer_chunked(self):
+        client, server, pump, *_ = _pair()
+        received = {}
+        def on_data(sid, data, fin):
+            received.setdefault(sid, bytearray()).extend(data)
+        server.on_stream_data = on_data
+        client.connect()
+        pump()
+        payload = os.urandom(50_000)
+        sid = client.open_uni_stream()
+        client.send_stream(sid, payload, fin=True)
+        pump(rounds=200)
+        assert bytes(received[sid]) == payload
+
+    def test_bidi_echo(self):
+        client, server, pump, *_ = _pair()
+
+        def echo(sid, data, fin):
+            if data or fin:
+                server.send_stream(sid, data.upper(), fin=fin)
+        server.on_stream_data = echo
+        got = []
+        client.on_stream_data = lambda sid, data, fin: got.append(data)
+        client.connect()
+        pump()
+        sid = client.open_bidi_stream()
+        client.send_stream(sid, b"abc", fin=True)
+        pump()
+        assert b"".join(got) == b"ABC"
+
+
+class TestDatagrams:
+    def test_datagram_roundtrip(self):
+        client, server, pump, *_ = _pair()
+        got_s, got_c = [], []
+        server.on_datagram = got_s.append
+        client.on_datagram = got_c.append
+        client.connect()
+        pump()
+        client.send_datagram(b"unreliable 1")
+        client.send_datagram(b"unreliable 2")
+        pump()
+        server.send_datagram(b"pong")
+        pump()
+        assert got_s == [b"unreliable 1", b"unreliable 2"]
+        assert got_c == [b"pong"]
+
+
+class TestLoss:
+    def test_retransmit_after_loss(self):
+        client, server, pump, to_server, to_client = _pair()
+        got = {}
+        server.on_stream_data = lambda sid, d, f: got.setdefault(sid, bytearray()).extend(d)
+        client.connect()
+        pump()
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"will be lost", fin=True)
+        # drop everything the client just sent
+        to_server.clear()
+        time.sleep(0.4)
+        client.tick()  # PTO fires -> retransmit
+        pump()
+        assert bytes(got[sid]) == b"will be lost"
+
+
+class TestUdpLoopback:
+    def test_handshake_and_stream_over_udp(self):
+        sc = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        ss = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        sc.bind(("127.0.0.1", 0)); ss.bind(("127.0.0.1", 0))
+        caddr, saddr = sc.getsockname(), ss.getsockname()
+        client = QuicConnection(True, lambda d: sc.sendto(d, saddr))
+        server = QuicConnection(False, lambda d: ss.sendto(d, caddr))
+        got = []
+        done = threading.Event()
+
+        def on_data(sid, data, fin):
+            got.append(data)
+            if fin:
+                done.set()
+        server.on_stream_data = on_data
+        stop = threading.Event()
+
+        def pump(sock, conn):
+            sock.settimeout(0.1)
+            while not stop.is_set():
+                try:
+                    d, _ = sock.recvfrom(65536)
+                except socket.timeout:
+                    conn.tick()
+                    continue
+                except OSError:
+                    return
+                conn.handle_datagram(d)
+
+        threads = [threading.Thread(target=pump, args=(sc, client), daemon=True),
+                   threading.Thread(target=pump, args=(ss, server), daemon=True)]
+        for t in threads:
+            t.start()
+        try:
+            client.connect()
+            assert client.wait_handshake(5.0)
+            sid = client.open_uni_stream()
+            client.send_stream(sid, b"over real udp", fin=True)
+            assert done.wait(5.0)
+            assert b"".join(got) == b"over real udp"
+        finally:
+            stop.set()
+            for t in threads:
+                t.join(1.0)
+            sc.close(); ss.close()
