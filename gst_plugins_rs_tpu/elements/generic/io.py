@@ -213,3 +213,41 @@ DeflateDecompress = _format_alias(CompressDec, "deflatedecompress", "deflate", "
 
 __all__ += ["ZlibCompress", "ZlibDecompress", "DeflateCompress", "DeflateDecompress"]
 
+
+
+@register
+class BrotliCompress(BaseTransform):
+    """Brotli encoder emitting RFC 7932 uncompressed meta-blocks
+    (codecs/brotli.py) — readable by any conforming brotli decoder."""
+
+    ELEMENT_NAME = "brotlicompress"
+    ELEMENT_CLASS = "Codec/Encoder"
+    ELEMENT_DESCRIPTION = "Compresses buffers into brotli streams (stored blocks)"
+    MODE = TransformMode.NEVER_IN_PLACE
+
+    def transform(self, inbuf: Buffer) -> Buffer:
+        from ...codecs import brotli
+
+        out = Buffer(np.frombuffer(
+            brotli.compress(np.asarray(inbuf.data).tobytes()), np.uint8))
+        out.copy_metadata_from(inbuf)
+        return out
+
+
+@register
+class BrotliDecompress(BaseTransform):
+    """Brotli decoder for the uncompressed-meta-block subset (documented:
+    entropy-coded streams need the brotli C library the reference uses)."""
+
+    ELEMENT_NAME = "brotlidecompress"
+    ELEMENT_CLASS = "Codec/Decoder"
+    ELEMENT_DESCRIPTION = "Decompresses brotli streams (stored-block subset)"
+    MODE = TransformMode.NEVER_IN_PLACE
+
+    def transform(self, inbuf: Buffer) -> Buffer:
+        from ...codecs import brotli
+
+        out = Buffer(np.frombuffer(
+            brotli.decompress(np.asarray(inbuf.data).tobytes()), np.uint8))
+        out.copy_metadata_from(inbuf)
+        return out
