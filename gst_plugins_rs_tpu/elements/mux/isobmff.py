@@ -253,6 +253,19 @@ class _MuxBase(Aggregator):
                 st.configure(st.pad.current_caps, first_frame=first)
                 if st.track is None:
                     return False  # needs the first frame (AC-3 dac3)
+                ct = self.get_property("precision-clock-type")
+                if ct and ct != "none":
+                    # ISO/IEC 23001-17 taic inside the sample entry
+                    # (precision_timestamps.rs)
+                    st.track.sample_entry = bmff.append_to_sample_entry(
+                        st.track.sample_entry,
+                        bmff.taic_box(
+                            time_uncertainty=self.get_property(
+                                "precision-clock-time-uncertainty")
+                            or bmff.TAIC_TIME_UNCERTAINTY_UNKNOWN,
+                            clock_type=ct,
+                        ),
+                    )
         return True
 
     def _src_caps(self) -> Caps:
@@ -298,6 +311,11 @@ class FMP4Mux(_MuxBase):
              doc="edit lists: auto writes elst only when the stream starts "
                  "past zero (DEFAULT_WRITE_EDTS_MODE=Auto, fmp4mux/imp.rs:153)"),
         Prop("write-mfra", False, type="bool"),
+        Prop("precision-clock-type", "none", type="enum",
+             choices=["none", "unknown", "can-sync", "cannot-sync"],
+             doc="write ISO 23001-17 taic boxes into the sample entries"),
+        Prop("precision-clock-time-uncertainty", 0, type="uint64",
+             doc="taic time uncertainty in ns (0 = unknown)"),
         Prop("write-mehd", False, type="bool"),
         Prop("movie-timescale", 0, type="uint", doc="0 = auto (1000)"),
         Prop("start-fragment-sequence-number", 1, type="uint", minimum=1),
@@ -352,12 +370,17 @@ class FMP4Mux(_MuxBase):
             else:
                 st.track.elst = None
         hdr = bmff.ftyp(self.MAJOR_BRAND, 0, list(self.COMPAT_BRANDS))
+        extra = b""
+        if getattr(self, "ONVIF", False):
+            # cstb with the UTC start of the earliest stream (boxes.rs:2440)
+            extra = bmff.onvif_meta_box(self._first_pts or 0)
         hdr += bmff.moov(
             tracks,
             self._movie_timescale(),
             fragmented=True,
             duration=duration,
             write_mehd=self.get_property("write-mehd") and final,
+            extra_boxes=extra,
         )
         return hdr
 
@@ -481,6 +504,9 @@ class MP4Mux(_MuxBase):
     COMPAT_BRANDS = (b"iso4", b"mp41", b"mp42", b"isom")
     PROPERTIES = [
         Prop("movie-timescale", 0, type="uint", doc="0 = auto (1000)"),
+        Prop("precision-clock-type", "none", type="enum",
+             choices=["none", "unknown", "can-sync", "cannot-sync"]),
+        Prop("precision-clock-time-uncertainty", 0, type="uint64"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -537,7 +563,9 @@ class MP4Mux(_MuxBase):
         data = (
             ftyp
             + bmff.box(b"mdat", b"".join(self._mdat))
-            + bmff.moov([st.track for st in streams], mts, duration=dur, tables=tables)
+            + bmff.moov([st.track for st in streams], mts, duration=dur, tables=tables,
+                        extra_boxes=(bmff.onvif_meta_box(0)
+                                     if getattr(self, "ONVIF", False) else b""))
         )
         self.srcpad.push_event(Event.new_caps(self._src_caps()))
         self.srcpad.push_event(Event.new_segment(Segment()))
@@ -577,8 +605,9 @@ class DASHMP4Mux(FMP4Mux):
 @register(rank=256)
 class ONVIFFMP4Mux(FMP4Mux):
     ELEMENT_NAME = "onviffmp4mux"
-    ELEMENT_DESCRIPTION = "ONVIF fragmented MP4 muxer (UTC tagging TODO)"
-    VARIANT = "iso-fragmented"
+    ELEMENT_DESCRIPTION = "ONVIF fragmented MP4 muxer (UTC start tagging via cstb)"
+    VARIANT = "onvif"
+    ONVIF = True
 
 
 @register(rank=64)
@@ -590,7 +619,8 @@ class ISOMP4Mux(MP4Mux):
 @register(rank=64)
 class ONVIFMP4Mux(MP4Mux):
     ELEMENT_NAME = "onvifmp4mux"
-    ELEMENT_DESCRIPTION = "ONVIF MP4 muxer (UTC tagging TODO)"
+    ELEMENT_DESCRIPTION = "ONVIF MP4 muxer (UTC start tagging via cstb)"
+    ONVIF = True
 
 
 __all__ = [

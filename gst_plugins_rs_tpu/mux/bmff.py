@@ -437,6 +437,7 @@ def moov(
     duration: int = 0,
     write_mehd: bool = False,
     tables: Optional[Sequence[Optional[SampleTable]]] = None,
+    extra_boxes: bytes = b"",
 ) -> bytes:
     """Movie box. For fragmented files the sample tables are empty and an
     mvex with one trex per track is appended (fmp4mux/boxes.rs)."""
@@ -457,6 +458,7 @@ def moov(
                 struct.pack(">IIIII", t.track_id, 1, t.default_sample_duration, 0, 0x02000000),
             )
         body += box(b"mvex", mvex)
+    body += extra_boxes
     return box(b"moov", body)
 
 
@@ -563,3 +565,55 @@ __all__ = [
     "TrackFragment",
     "FragmentSample",
 ]
+
+
+# ---------------------------------------------------------------------------
+# ISO/IEC 23001-17 TAI timestamps + ONVIF export (reference
+# isobmff/precision_timestamps.rs and boxes.rs write_cstb/write_onvif_metabox)
+# ---------------------------------------------------------------------------
+TAIC_TIME_UNCERTAINTY_UNKNOWN = 0xFFFFFFFFFFFFFFFF
+TAIC_CLOCK_DRIFT_RATE_UNKNOWN = 0x7FFFFFFF
+TAIC_CLOCK_TYPES = {"unknown": 0, "can-sync": 1, "cannot-sync": 2}
+
+#: 100 ns units between 1601-01-01 and the unix epoch (boxes.rs UNIX_1601_OFFSET)
+UNIX_1601_OFFSET_S = 11_644_473_600
+
+
+def taic_box(
+    time_uncertainty: int = TAIC_TIME_UNCERTAINTY_UNKNOWN,
+    clock_resolution: int = 1000,
+    clock_drift_rate: int = TAIC_CLOCK_DRIFT_RATE_UNKNOWN,
+    clock_type: str = "unknown",
+) -> bytes:
+    """TAI Clock Information box (precision_timestamps.rs write_taic_box)."""
+    payload = struct.pack(
+        ">QIiB",
+        time_uncertainty,
+        clock_resolution,
+        clock_drift_rate if clock_drift_rate <= 0x7FFFFFFF else TAIC_CLOCK_DRIFT_RATE_UNKNOWN,
+        (TAIC_CLOCK_TYPES.get(clock_type, 0) & 0x3) << 6,
+    )
+    return full_box(b"taic", 0, 0, payload)
+
+
+def append_to_sample_entry(entry: bytes, child: bytes) -> bytes:
+    """Appends a child box inside a finished sample-entry blob."""
+    size = struct.unpack(">I", entry[:4])[0]
+    assert size == len(entry), "compact sample entry expected"
+    out = struct.pack(">I", size + len(child)) + entry[4:] + child
+    return out
+
+
+def onvif_meta_box(start_utc_ns: int) -> bytes:
+    """moov-level meta box with the ONVIF Correct Start Time box
+    (boxes.rs write_onvif_metabox/write_cstb): hdlr 'null' + cstb with
+    track id 0 and UTC start in 100 ns units since 1601-01-01."""
+    hdlr = full_box(
+        b"hdlr",
+        0,
+        0,
+        struct.pack(">I4s", 0, b"null") + b"\x00" * 12 + b"MetadataHandler\x00",
+    )
+    start_1601 = start_utc_ns // 100 + UNIX_1601_OFFSET_S * 10_000_000
+    cstb = full_box(b"cstb", 0, 0, struct.pack(">IIQ", 1, 0, start_1601))
+    return full_box(b"meta", 0, 0, hdlr + cstb)

@@ -5,6 +5,8 @@ against ISO/IEC 14496-12, not against the writer): re-extract samples from
 the muxed bytes and require them bit-equal to the source payloads, the
 analog of the reference's mux tests running output back through qtdemux.
 """
+import struct
+
 import numpy as np
 import pytest
 
@@ -403,3 +405,66 @@ class TestAc3Entry:
         assert b"dac3" in data
         frags = reader.decode_fragments(data)
         assert sum(len(f.sample_sizes) for f in frags) == 10
+
+
+class TestPrecisionAndOnvif:
+    def _mux_bytes(self, mux_name, props=None):
+        import gst_plugins_rs_tpu as fx
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps(
+            "audio/x-raw,format=S16,rate=48000,channels=2,layout=interleaved"))
+        mux = fx.element_factory_make(mux_name)
+        for k, v in (props or {}).items():
+            mux.set_property(k, v)
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        p.add(src, mux, sink)
+        src.link(mux)
+        mux.link(sink)
+        for i in range(3):
+            src.push_buffer(fx.Buffer(np.zeros((4800, 2), np.int16),
+                                      pts=i * 100_000_000, duration=100_000_000))
+        src.end_of_stream()
+        p.play_until_eos()
+        return b"".join(bytes(np.asarray(s.buffer.data, np.uint8)) for s in sink.samples)
+
+    def test_taic_box_written(self):
+        data = self._mux_bytes("isofmp4mux", {
+            "precision-clock-type": "can-sync",
+            "precision-clock-time-uncertainty": 500,
+        })
+        i = data.find(b"taic")
+        assert i > 0
+        # full box: ver/flags then u64 uncertainty, u32 resolution, i32 drift, u8 type<<6
+        payload = data[i + 4 + 4:i + 4 + 4 + 17]
+        tu, res, drift, ct = struct.unpack(">QIiB", payload)
+        assert tu == 500
+        assert res == 1000
+        assert drift == 0x7FFFFFFF
+        assert ct >> 6 == 1  # can-sync
+        # taic sits inside the sample entry, which must still parse
+        from gst_plugins_rs_tpu.mux import reader
+        parsed = reader.parse_boxes(data)
+        assert any(b.type == b"moov" for b in parsed)
+
+    def test_no_taic_by_default(self):
+        data = self._mux_bytes("isofmp4mux")
+        assert data.find(b"taic") == -1
+
+    def test_onvif_cstb(self):
+        data = self._mux_bytes("onviffmp4mux")
+        i = data.find(b"cstb")
+        assert i > 0
+        payload = data[i + 4 + 4:i + 4 + 4 + 16]
+        entry_count, track_id, start_1601 = struct.unpack(">IIQ", payload)
+        assert entry_count == 1 and track_id == 0
+        # first pts 0 -> exactly the 1601->1970 offset in 100ns units
+        assert start_1601 == 11_644_473_600 * 10_000_000
+        # hdlr 'null' + MetadataHandler name present (write_onvif_metabox)
+        assert b"MetadataHandler" in data
+
+    def test_onvif_mp4mux_cstb(self):
+        data = self._mux_bytes("onvifmp4mux")
+        assert data.find(b"cstb") > 0
