@@ -48,6 +48,52 @@ for _i in range(8):
 # ---------------------------------------------------------------------------
 # cc_data triplets
 # ---------------------------------------------------------------------------
+
+
+# ---------------------------------------------------------------------------
+# Extended character sets (CEA-708 §7.1.8: EXT1 0x10 prefix selects G2/G3)
+# ---------------------------------------------------------------------------
+EXT1 = 0x10
+
+#: G2 (EXT1 + 0x20..0x7F): the "extended miscellaneous" set
+G2_MAP = {
+    0x20: "\u00a0",  # transparent space (rendered as NBSP)
+    0x21: "\u00a0",  # non-breaking transparent space
+    0x25: "\u2026",  # …
+    0x2A: "\u0160",  # Š
+    0x2C: "\u0152",  # Œ
+    0x30: "\u2588",  # █ solid block
+    0x31: "\u2018",  # '
+    0x32: "\u2019",  # '
+    0x33: "\u201c",  # "
+    0x34: "\u201d",  # "
+    0x35: "\u2022",  # •
+    0x39: "\u2122",  # ™
+    0x3A: "\u0161",  # š
+    0x3C: "\u0153",  # œ
+    0x3D: "\u2120",  # ℠
+    0x3F: "\u0178",  # Ÿ
+    0x76: "\u215b",  # ⅛
+    0x77: "\u215c",  # ⅜
+    0x78: "\u215d",  # ⅝
+    0x79: "\u215e",  # ⅞
+    0x7A: "\u2502",  # │
+    0x7B: "\u2510",  # ┐
+    0x7C: "\u2514",  # └
+    0x7D: "\u2500",  # ─
+    0x7E: "\u2518",  # ┘
+    0x7F: "\u250c",  # ┌
+}
+
+#: G3 (EXT1 + 0xA0..0xFF): only 0xA0 ("CC" icon) is assigned
+G3_MAP = {0xA0: "\u24cd"}  # Ⓜ-style circled; nearest standalone glyph
+
+#: unicode -> EXT1 code for the encoder
+EXT_ENCODE = {ch: code for code, ch in list(G2_MAP.items()) + list(G3_MAP.items())
+              if ch != "\u00a0"}
+EXT_ENCODE["\u00a0"] = 0x20
+
+
 def cc_data_triplet(cc_type: int, b1: int, b2: int, valid: bool = True) -> bytes:
     return bytes([0xF8 | (0x04 if valid else 0) | cc_type, b1, b2])
 
@@ -84,8 +130,22 @@ def service_block(service: int, data: bytes) -> bytes:
     return bytes([(service << 5) | len(data)]) + data
 
 
+def _encode_text(text: str) -> bytes:
+    out = bytearray()
+    for ch in text:
+        o = ord(ch)
+        if 0x20 <= o <= 0x7F:
+            out.append(o)
+        elif ch in EXT_ENCODE:
+            out += bytes([EXT1, EXT_ENCODE[ch]])
+        else:
+            out.append(ord("?"))
+    return bytes(out)
+
+
 def encode_pop_on_text(lines: Sequence[str], service: int = 1,
-                       window: int = 0) -> List[bytes]:
+                       window: int = 0, window_style: int = 0,
+                       pen_style: int = 0) -> List[bytes]:
     """Pop-on caption as a list of service blocks (chunked <=31 bytes):
     DLW, DefineWindow (anchor bottom-center, row count), per line
     SetPenLocation + G0 text, DSW."""
@@ -101,11 +161,11 @@ def encode_pop_on_text(lines: Sequence[str], service: int = 1,
         0x00,  # anchor horizontal
         rows & 0x0F,
         min(cols, 41) & 0x3F,
-        0x00,  # anchor id / pen style / window style
+        ((window_style & 0x7) << 3) | (pen_style & 0x7),
     ])
     for i, line in enumerate(lines):
         stream += bytes([SPL, i & 0x0F, 0x00])
-        stream += line.encode("ascii", "replace")
+        stream += _encode_text(line)
         if i != len(lines) - 1:
             stream.append(CR)
     stream += bytes([DSW, 1 << window])
@@ -153,6 +213,18 @@ class ServiceDecoder:
             elif b == SPL:
                 self.current_row = data[i + 1] & 0x0F
                 i += 3
+            elif b == EXT1 and i + 1 < len(data):
+                e = data[i + 1]
+                ch = G2_MAP.get(e) if e < 0x80 else G3_MAP.get(e)
+                if ch is not None:
+                    self.rows[self.current_row] = self.rows.get(self.current_row, "") + ch
+                    i += 2
+                elif e <= 0x1F:  # C2: 0x00-07 none, 08-0F +1, 10-17 +2, 18-1F +3
+                    i += 2 + (e >> 3)
+                elif 0x80 <= e <= 0x9F:  # C3: 0x80-87 +4, 0x88-8F +5
+                    i += 2 + 4 + ((e >> 3) & 1)
+                else:
+                    i += 2
             elif 0x80 <= b <= 0x9F:
                 i += 1 + _C1_OPERANDS.get(b, 0)
             else:

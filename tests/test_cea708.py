@@ -142,3 +142,44 @@ class TestElements:
         f = np.asarray(sink.samples[-1].buffer.data)
         assert (f[120:, :, :] < 250).any()  # caption dims the white frame
         assert (f[:60] == 255).all()
+
+
+class TestExtendedCharsets:
+    def test_g2_roundtrip(self):
+        from gst_plugins_rs_tpu.ops import cea708 as c708
+
+        text = "caf… ‘quoted’ ™ œuvre ⅛"
+        blocks = c708.encode_pop_on_text([text])
+        # feed the service-block payloads straight into a decoder
+        dec = c708.ServiceDecoder()
+        for blk in blocks:
+            dec.feed(blk[1:])  # strip service-block header
+        caps = dec.take_captions()
+        assert caps and caps[0][0] == text
+
+    def test_unmappable_becomes_question_mark(self):
+        from gst_plugins_rs_tpu.ops import cea708 as c708
+
+        blocks = c708.encode_pop_on_text(["snowman ☃"])
+        dec = c708.ServiceDecoder()
+        for blk in blocks:
+            dec.feed(blk[1:])
+        assert dec.take_captions()[0][0] == "snowman ?"
+
+    def test_c2_c3_skip_lengths(self):
+        from gst_plugins_rs_tpu.ops import cea708 as c708
+
+        dec = c708.ServiceDecoder()
+        # EXT1 + C2 code 0x08 (one operand) then 'A'; EXT1 + C3 0x80 (4 ops) then 'B'
+        dec.feed(bytes([0x10, 0x08, 0x00]) + b"A" + bytes([0x10, 0x80, 1, 2, 3, 4]) + b"B")
+        rows = dec.rows
+        assert rows[0] == "AB"
+
+    def test_window_and_pen_style(self):
+        from gst_plugins_rs_tpu.ops import cea708 as c708
+
+        blocks = c708.encode_pop_on_text(["x"], window_style=2, pen_style=3)
+        payload = b"".join(blk[1:] for blk in blocks)
+        # DefineWindow byte 7 carries ws<<3 | ps
+        dw = payload.index(bytes([c708.DF0]))
+        assert payload[dw + 6] == (2 << 3) | 3
