@@ -26,6 +26,11 @@ def _checksum(out):
     return np.asarray(jnp.sum(leaf.astype(jnp.int32) if leaf.dtype.kind == "u" else leaf))
 
 
+def _progress(msg):
+    import sys
+    print(msg, file=sys.stderr, flush=True)
+
+
 def _bench(step, state, iters=200):
     """Time a dependency-chained step: state = step(state) repeated.
 
@@ -45,7 +50,7 @@ def _bench(step, state, iters=200):
         return time.perf_counter() - t0
 
     t1 = run(iters)
-    t3 = run(3 * iters)
+    t3 = run(3 * iters)  # differential cancels fixed costs
     return max((t3 - t1) / (2 * iters), 1e-9)
 
 
@@ -65,7 +70,8 @@ def main():
     frames = jnp.asarray(rng.randint(0, 256, (BATCH, 1080, 1920, 3), np.uint8))
     params = jnp.asarray([120.0, 1.1, -0.05, 0.95, 0.02], jnp.float32)
     step = jax.jit(lambda f: hsv_filter_frame(f, params, offsets=(0, 1, 2)))
-    dt = _bench(step, frames)
+    dt = _bench(step, frames, iters=100)
+    _progress("bench: hsv done")
     results["hsv_1080p_fps"] = BATCH / dt
 
     # --- 1080p colorlut 33^3 trilinear grade --------------------------------
@@ -77,8 +83,9 @@ def main():
     step = jax.jit(
         lambda f: lut3d_apply_packed(f, packed, scale, offset, size=size, offsets=(0, 1, 2), bits=8)
     )
-    dt = _bench(step, frames_rgba, iters=20)  # gather-bound: ~80 ms/dispatch
+    dt = _bench(step, frames_rgba, iters=10)  # gather-bound: ~80 ms/dispatch
     results["colorlut_1080p_fps"] = BATCH / dt
+    _progress("bench: colorlut done")
 
     # --- echo audio realtime-x (64 streams x 1 s stereo 48 kHz) -------------
     STREAMS, RATE, CH = 64, 48000, 2
@@ -95,8 +102,9 @@ def main():
         out, hist = echo_apply_batched(x, hist, inten, fb, lag=lag)
         return out, hist
 
-    dt = _bench(echo_step, (x0, hist0), iters=100)
+    dt = _bench(echo_step, (x0, hist0), iters=50)
     results["echo_realtime_x"] = STREAMS * 1.0 / dt  # seconds of audio per second
+    _progress("bench: echo done")
 
     # --- audioloudnorm realtime-x (single stream, 16 frames per dispatch) ---
     from gst_plugins_rs_tpu.ops import loudnorm as LN
@@ -114,6 +122,7 @@ def main():
 
     dt = _bench(ln_step, ln_state, iters=20)
     results["loudnorm_realtime_x"] = (K * 0.1) / dt
+    _progress("bench: loudnorm done")
 
     # --- YOLOX-tiny 640x640 inference fps -----------------------------------
     from gst_plugins_rs_tpu.models.yolox import Yolox
@@ -128,8 +137,9 @@ def main():
         # chain dependency through a no-op image perturbation
         return im + 0.0 * jnp.mean(out)
 
-    dt = _bench(yolox_step, img, iters=150)
+    dt = _bench(yolox_step, img, iters=50)
     results["yolox_tiny_640_fps"] = 1.0 / dt
+    _progress("bench: yolox done")
 
     headline = results["hsv_1080p_fps"]
     print(

@@ -133,7 +133,8 @@ class WhipClientSink(BaseSink, _WhipWhepClientMixin):
         if self._pc is None:
             return FlowReturn.ERROR
         if not self._pc._connected.is_set():
-            if not self._pc.wait_connected(10.0):
+            # generous: ICE+DTLS on a loaded host can take a while
+            if not self._pc.wait_connected(20.0):
                 return FlowReturn.ERROR
         self._pc.send_rtp(np.asarray(buffer.data, dtype=np.uint8).tobytes())
         return FlowReturn.OK

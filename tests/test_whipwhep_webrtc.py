@@ -61,7 +61,7 @@ def test_whip_client_to_server():
     t_cli = threading.Thread(target=run_cli, daemon=True)
     t_cli.start()
 
-    deadline = time.monotonic() + 15
+    deadline = time.monotonic() + 30
     while len(appsink.samples) < 8 and time.monotonic() < deadline:
         time.sleep(0.05)
     got = [bytes(np.asarray(s.buffer.data, np.uint8)) for s in appsink.samples]
