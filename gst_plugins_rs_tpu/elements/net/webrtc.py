@@ -6,13 +6,13 @@ gst-webrtc-signalling-server JSON wire format; the media leg is the
 in-repo ICE (RFC 8445) + DTLS 1.2 (RFC 6347) + SRTP (RFC 3711) stack —
 real encrypted WebRTC, not plain RTP.
 
-Divergence (documented): the reference webrtcsink consumes raw audio/video
-and runs its own encoder + congestion-control loop (rtpgccbwe); this
-element consumes pre-payloaded `application/x-rtp` (pair it with the
-rtp*pay2 elements), matching whipsink's shape.  Each consumer session
-gets its own PeerConnection; the producer re-sends every RTP buffer to
-all connected sessions (the reference shares one encoded stream the same
-way).
+Like the reference, webrtcsink consumes either raw media (video/x-raw
+I420 -> internal rav1enc + rtpav1pay2 chain; audio/x-raw -> rtpL16pay2)
+or pre-payloaded `application/x-rtp`.  Each consumer session gets its
+own PeerConnection; the producer re-sends the one encoded stream to all
+connected sessions (the reference shares one encoded stream the same
+way).  Divergence (documented): no congestion-control loop on the
+encoder (the reference drives encoder bitrate from rtpgccbwe feedback).
 
 webrtcsrc emits `application/x-rtp` buffers with media/encoding-name/
 clock-rate/payload taken from the producer's SDP offer.
@@ -65,7 +65,12 @@ class WebRtcSink(BaseSink):
     ELEMENT_NAME = "webrtcsink"
     ELEMENT_CLASS = "Sink/Network/WebRTC"
     ELEMENT_DESCRIPTION = "WebRTC producer with gst-webrtc signalling (ICE+DTLS-SRTP)"
-    SINK_CAPS = RTP_CAPS
+    from ...core.caps import Structure as _S
+    SINK_CAPS = Caps([
+        _S("application/x-rtp"),
+        _S("video/x-raw", format="I420"),
+        _S("audio/x-raw"),
+    ])
     PROPERTIES = [
         Prop("signaller-uri", "ws://127.0.0.1:8443", type="str"),
         Prop("meta", None, type="object", doc="JSON metadata advertised with the producer"),
@@ -77,6 +82,66 @@ class WebRtcSink(BaseSink):
         self._client: Optional[SignallingClient] = None
         self._sessions: Dict[str, PeerConnection] = {}
         self._lock = threading.RLock()
+        self._chain_elements = []
+        self._chain_head = None
+        self._rtp_media = None  # (media, pt, encoding, rate) for offers
+
+    # -- internal encode chain for raw media (webrtcsink/imp.rs encoder role)
+    def on_caps(self, caps: Caps) -> None:
+        s = caps.structure(0)
+        if s.name == "application/x-rtp":
+            self._rtp_media = (
+                s.get("media", "video"), int(s.get("payload", 96)),
+                s.get("encoding-name", "VP8"), int(s.get("clock-rate", 90000)),
+            )
+            return
+        from ...core.registry import element_factory_make
+        from ...core.element import Pad, PadDirection, PadPresence, PadTemplate, State
+        from ...core.events import Event, Segment
+
+        if s.name == "video/x-raw":
+            enc = element_factory_make("rav1enc", f"{self.name}-enc")
+            enc.set_property("low-latency", True)
+            enc.set_property("speed-preset", 10)
+            pay = element_factory_make("rtpav1pay2", f"{self.name}-pay")
+            chain = [enc, pay]
+            self._rtp_media = ("video", 96, "AV1", 90000)
+        else:
+            pay = element_factory_make("rtpL16pay2", f"{self.name}-pay")
+            chain = [pay]
+            self._rtp_media = ("audio", 96, "L16", int(s.get("rate", 48000)))
+        for k in ("ssrc", "seqnum-offset", "timestamp-offset"):
+            try:
+                pay.set_property(k, 0 if k != "ssrc" else 1)
+            except Exception:
+                pass
+        for a, b in zip(chain, chain[1:]):
+            a.link(b)
+        terminal = Pad(f"{self.name}-rtp-out", PadDirection.SINK,
+                       PadTemplate("inner", PadDirection.SINK, PadPresence.ALWAYS,
+                                   Caps.new_any()))
+        terminal.element = self
+        terminal.chain_function = lambda pad, buf: self._send_rtp_buffer(buf)
+        terminal.event_function = lambda pad, ev: True
+        tail_src = chain[-1].src_pads()[0]
+        tail_src.peer = terminal
+        terminal.peer = tail_src
+        for e in chain:
+            e.set_state(State.PLAYING)
+        head = chain[0].sink_pads()[0]
+        head.send_event(Event.new_stream_start(f"{self.name}-raw"))
+        head.send_event(Event.new_caps(caps))
+        head.send_event(Event.new_segment(Segment()))
+        self._chain_elements = chain
+        self._chain_head = head
+
+    def _send_rtp_buffer(self, buffer: Buffer) -> FlowReturn:
+        data = np.asarray(buffer.data, dtype=np.uint8).tobytes()
+        with self._lock:
+            sessions = list(self._sessions.values())
+        for pc in sessions:
+            pc.send_rtp(data)
+        return FlowReturn.OK
 
     # -- signalling ------------------------------------------------------------
     def on_ready_to_paused(self) -> None:
@@ -126,7 +191,7 @@ class WebRtcSink(BaseSink):
 
     def _start_session(self, session_id: str) -> None:
         pc = PeerConnection(offerer=True)
-        media, pt, enc, rate = _caps_media(self.caps)
+        media, pt, enc, rate = self._rtp_media or _caps_media(self.caps)
         pc.set_media(media, pt, enc, rate)
         with self._lock:
             self._sessions[session_id] = pc
@@ -145,12 +210,16 @@ class WebRtcSink(BaseSink):
 
     # -- media -------------------------------------------------------------------
     def render(self, buffer: Buffer) -> FlowReturn:
-        data = np.asarray(buffer.data, dtype=np.uint8).tobytes()
-        with self._lock:
-            sessions = list(self._sessions.values())
-        for pc in sessions:
-            pc.send_rtp(data)
-        return FlowReturn.OK
+        if self._chain_head is not None:
+            return self._chain_head.chain(buffer)
+        return self._send_rtp_buffer(buffer)
+
+    def on_event(self, event) -> None:
+        from ...core.events import EventType
+
+        # EOS must reach the internal encoder so it drains its lookahead
+        if event.type == EventType.EOS and self._chain_head is not None:
+            self._chain_head.send_event(event)
 
     def connected_sessions(self) -> List[str]:
         with self._lock:

@@ -184,3 +184,70 @@ class TestWebRtcElements:
         ts.join(10.0)
         tr.join(10.0)
         assert not send_exc and not recv_exc
+
+
+class TestRawMediaWebRtcSink:
+    def test_raw_video_encoded_to_av1(self, server):
+        """webrtcsink takes raw I420 frames, encodes AV1 + payloads RTP
+        internally (the reference's encoder role), consumer receives AV1."""
+        import gst_plugins_rs_tpu as fx
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+        pytest.importorskip("numpy")
+        # skip when the rav1e shim is unavailable in this environment
+        try:
+            enc = fx.element_factory_make("rav1enc")
+            from gst_plugins_rs_tpu.elements.video import avcodecs
+        except Exception:
+            pytest.skip("rav1enc unavailable")
+
+        appsrc = fx.element_factory_make("appsrc")
+        appsrc.set_property("caps", parse_caps(
+            "video/x-raw,format=I420,width=64,height=48,framerate=30/1"))
+        sink = fx.element_factory_make("webrtcsink")
+        sink.set_property("signaller-uri", server.uri)
+        p_tx = fx.Pipeline()
+        p_tx.add(appsrc, sink)
+        appsrc.link(sink)
+
+        src = fx.element_factory_make("webrtcsrc")
+        src.set_property("signaller-uri", server.uri)
+        src.set_property("timeout", 3_000_000_000)
+        appsink = fx.element_factory_make("appsink")
+        p_rx = fx.Pipeline()
+        p_rx.add(src, appsink)
+        src.link(appsink)
+
+        exc = []
+        def run(p):
+            try:
+                p.play_until_eos()
+            except Exception as e:
+                exc.append(e)
+
+        from gst_plugins_rs_tpu.core.element import State
+        # prime: register producer + propagate caps (builds the encode chain)
+        p_tx.set_state(State.PLAYING)
+        y = np.full((48, 64), 128, np.uint8)
+        u = np.full((24, 32), 64, np.uint8)
+        v = np.full((24, 32), 192, np.uint8)
+        appsrc.push_buffer(fx.Buffer((y, u, v), pts=0))
+        p_tx.run(max_iterations=1)
+
+        t_rx = threading.Thread(target=run, args=(p_rx,), daemon=True)
+        t_rx.start()
+        assert sink.wait_any_connected(15.0)
+
+        for i in range(1, 12):
+            appsrc.push_buffer(fx.Buffer((y, u, v), pts=i * 33_000_000))
+        appsrc.end_of_stream()
+        t_tx = threading.Thread(target=run, args=(p_tx,), daemon=True)
+        t_tx.start()
+
+        deadline = time.monotonic() + 15
+        while not appsink.samples and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert appsink.samples, "no RTP arrived at the consumer"
+        s = appsink.samples[0].caps.structure(0)
+        assert s.get("encoding-name") == "AV1"
+        t_tx.join(15); t_rx.join(15)
+        assert not exc
