@@ -232,9 +232,12 @@ class Rav1Enc(BaseTransform):
             rav1e_params.append("error_resilient=true")
         if self.get_property("threads"):
             rav1e_params.append(f"threads={self.get_property('threads')}")
+        if self.get_property("low-latency"):
+            # rav1e only starts emitting before EOS with a short RDO window
+            rav1e_params.append("rdo_lookahead_frames=1")
         if rav1e_params:
-            parts.append("rav1e-params=" + ",".join(rav1e_params))
-        return ":".join(parts)
+            parts.append("rav1e-params=" + ":".join(rav1e_params))
+        return "|".join(parts)
 
     def set_caps(self, incaps: Caps, outcaps: Caps) -> None:
         self._info = VideoInfo.from_caps(incaps)

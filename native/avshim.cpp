@@ -57,7 +57,8 @@ AvShim* avshim_video_encoder_new(const char* name, int w, int h,
     s->ctx->bit_rate = bitrate;
     s->ctx->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;  // extradata out of band
     AVDictionary* d = nullptr;
-    if (opts && opts[0]) av_dict_parse_string(&d, opts, "=", ":", 0);
+    // '|' pair separator so values (e.g. rav1e-params) may contain ':'
+    if (opts && opts[0]) av_dict_parse_string(&d, opts, "=", "|", 0);
     if (avcodec_open2(s->ctx, codec, &d) < 0) { av_dict_free(&d); delete s; return nullptr; }
     av_dict_free(&d);
     s->pkt = av_packet_alloc();
