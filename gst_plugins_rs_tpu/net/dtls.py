@@ -234,6 +234,7 @@ class DtlsConnection:
         self._sent_finished = False
         self._pre_master: Optional[bytes] = None
         self._peer_ecdh_point: Optional[bytes] = None
+        self._cert_requested = False
 
     # -- public ---------------------------------------------------------------
 
@@ -368,7 +369,11 @@ class DtlsConnection:
         key, implicit_iv = self._dir_keys(sending=False)
         explicit, ct = payload[:8], payload[8:]
         nonce = implicit_iv + explicit
-        aad = explicit + struct.pack("!BHH", ctype, DTLS_1_2, len(ct) - 16)
+        # AAD seq is the RECORD's epoch+sequence — peers may choose an
+        # explicit nonce that differs from it (RFC 5288 §3: "MAY be the
+        # 64-bit sequence number"); OpenSSL does.
+        record_seq = struct.pack("!HHI", epoch, (seq >> 32) & 0xFFFF, seq & 0xFFFFFFFF)
+        aad = record_seq + struct.pack("!BHH", ctype, DTLS_1_2, len(ct) - 16)
         try:
             return AESGCM(key).decrypt(nonce, ct, aad)
         except Exception as e:  # InvalidTag
@@ -404,8 +409,7 @@ class DtlsConnection:
             exts.append((EXT_SIGNATURE_ALGORITHMS, struct.pack("!HH", 2, SIGALG_ECDSA_SECP256R1_SHA256)))
             profs = b"".join(struct.pack("!H", p) for p in self.srtp_profiles)
             exts.append((EXT_USE_SRTP, struct.pack("!H", len(profs)) + profs + b"\x00"))
-        else:
-            assert self.srtp_profile is not None
+        elif self.srtp_profile is not None:
             exts.append((EXT_USE_SRTP, struct.pack("!HH", 2, self.srtp_profile) + b"\x00"))
         exts.append((EXT_EC_POINT_FORMATS, b"\x01\x00"))
         exts.append((EXT_RENEGOTIATION_INFO, b"\x00"))
@@ -495,7 +499,7 @@ class DtlsConnection:
         # ServerHello
         sh = struct.pack("!H", DTLS_1_2) + self.server_random + b"\x00"
         sh += struct.pack("!H", CIPHER_ECDHE_ECDSA_AES128_GCM_SHA256) + b"\x00"
-        sh += self._extensions(client=False) if self.srtp_profile else struct.pack("!H", 0)
+        sh += self._extensions(client=False)
         self._queue_hs(HT_SERVER_HELLO, sh, flight)
         # Certificate
         self._queue_hs(HT_CERTIFICATE, self._certificate_body(), flight)
@@ -569,14 +573,17 @@ class DtlsConnection:
 
     def _on_server_hello_done(self) -> None:
         flight: List[Tuple[int, int, bytes]] = []
-        self._queue_hs(HT_CERTIFICATE, self._certificate_body(), flight)
+        if self._cert_requested:
+            # mutual auth only when the server asked (WebRTC always does)
+            self._queue_hs(HT_CERTIFICATE, self._certificate_body(), flight)
         point = self._ecdh_point()
         self._queue_hs(HT_CLIENT_KEY_EXCHANGE, bytes([len(point)]) + point, flight)
         self._compute_master_secret()
-        # CertificateVerify over the transcript so far
-        sig = self.private_key.sign(bytes(self._transcript), ec.ECDSA(hashes.SHA256()))
-        cv = struct.pack("!HH", SIGALG_ECDSA_SECP256R1_SHA256, len(sig)) + sig
-        self._queue_hs(HT_CERTIFICATE_VERIFY, cv, flight)
+        if self._cert_requested:
+            # CertificateVerify over the transcript so far
+            sig = self.private_key.sign(bytes(self._transcript), ec.ECDSA(hashes.SHA256()))
+            cv = struct.pack("!HH", SIGALG_ECDSA_SECP256R1_SHA256, len(sig)) + sig
+            self._queue_hs(HT_CERTIFICATE_VERIFY, cv, flight)
         flight.append((CT_CHANGE_CIPHER_SPEC, 0, b"\x01"))
         self._derive_keys()
         fin = self._finished_body(b"client finished")
