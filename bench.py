@@ -124,6 +124,23 @@ def main():
     results["loudnorm_realtime_x"] = (K * 0.1) / dt
     _progress("bench: loudnorm done")
 
+    # --- audiornnoise realtime-x (stereo, 16 frames per dispatch) -----------
+    from gst_plugins_rs_tpu.ops import rnnoise as RN
+
+    rn_state = RN.denoise_init(channels=2)
+    rn_weights = {k: jnp.asarray(v) for k, v in RN.random_weights(0).items()}
+    K_RN = 16
+    rn_frames = jnp.asarray(
+        rng.uniform(-0.3, 0.3, (K_RN, 2, RN.FRAME_SIZE)).astype(np.float32) * 32767)
+
+    def rn_step(state):
+        s, outs, vads = RN.denoise_frames_scan_jit(state, rn_weights, rn_frames)
+        return s
+
+    dt = _bench(rn_step, rn_state, iters=20)
+    results["rnnoise_realtime_x"] = (K_RN * RN.FRAME_SIZE / 48000) / dt
+    _progress("bench: rnnoise done")
+
     # --- YOLOX-tiny 640x640 inference fps -----------------------------------
     from gst_plugins_rs_tpu.models.yolox import Yolox
 
