@@ -332,7 +332,9 @@ class QuicTlsServer(QuicTls):
 
     def _on_client_hello(self, body: bytes) -> None:
         off = 2 + 32
-        sid_len = body[off]; off += 1 + sid_len
+        sid_len = body[off]
+        legacy_sid = body[off + 1:off + 1 + sid_len]  # echoed per RFC 8446 §4.1.3
+        off += 1 + sid_len
         cs_len = struct.unpack("!H", body[off:off + 2])[0]; off += 2
         suites = {struct.unpack("!H", body[off + i:off + i + 2])[0]
                   for i in range(0, cs_len, 2)}
@@ -380,7 +382,8 @@ class QuicTlsServer(QuicTls):
         sh_exts = _ext(EXT_SUPPORTED_VERSIONS, struct.pack("!H", TLS13))
         sh_exts += _ext(EXT_KEY_SHARE,
                         struct.pack("!HH", GROUP_X25519, len(key_share)) + key_share)
-        sh = struct.pack("!H", 0x0303) + os.urandom(32) + b"\x00"
+        sh = struct.pack("!H", 0x0303) + os.urandom(32)
+        sh += bytes([len(legacy_sid)]) + legacy_sid
         sh += struct.pack("!H", CIPHER_AES_128_GCM_SHA256) + b"\x00"
         sh += struct.pack("!H", len(sh_exts)) + sh_exts
         self._emit(LEVEL_INITIAL, _hs(HT_SERVER_HELLO, sh))
