@@ -63,6 +63,7 @@ def host_path(n_streams: int, window_s: float, payload: int) -> None:
     t0 = time.monotonic()
     time.sleep(window_s)
     stop.set()
+    d.join(2.0)  # let the drain loop exit before sockets close
     elapsed = time.monotonic() - t0
     received = sum(s.rendered for s in sinks)
     for p in pipes:
@@ -93,11 +94,52 @@ def device_path(n_streams: int, window_s: float) -> None:
           f"{blocks / elapsed:,.1f} blocks/s = {audio_s / elapsed:,.0f}x realtime aggregate")
 
 
+def native_path(n_streams: int, window_s: float, payload: int) -> None:
+    """Drain the same N streams with the native epoll+recvmmsg receiver."""
+    from gst_plugins_rs_tpu.net import netio
+
+    if not netio.available():
+        print("native: netio shim unavailable, skipped")
+        return
+    rx = netio.BatchReceiver(arena_bytes=4 << 20, max_msgs=4096)
+    socks = []
+    ports = []
+    for tag in range(n_streams):
+        s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        s.bind(("127.0.0.1", 0))
+        s.setblocking(False)
+        rx.add_socket(s, tag)
+        socks.append(s)
+        ports.append(s.getsockname()[1])
+    stop = threading.Event()
+
+    def sender():
+        tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        data = bytes(payload)
+        while not stop.is_set():
+            for port in ports:
+                tx.sendto(data, ("127.0.0.1", port))
+
+    threading.Thread(target=sender, daemon=True).start()
+    received = 0
+    t0 = time.monotonic()
+    while time.monotonic() - t0 < window_s:
+        received += len(rx.poll(timeout_ms=50))
+    elapsed = time.monotonic() - t0
+    stop.set()
+    for s in socks:
+        s.close()
+    rx.close()
+    print(f"native: {n_streams} streams, {received / elapsed:,.0f} buffers/s "
+          f"drained via epoll+recvmmsg")
+
+
 def main():
     n_streams = int(sys.argv[1]) if len(sys.argv) > 1 else 32
     window_s = float(sys.argv[2]) if len(sys.argv) > 2 else 3.0
     payload = int(sys.argv[3]) if len(sys.argv) > 3 else 160
     host_path(n_streams, window_s, payload)
+    native_path(n_streams, window_s, payload)
     device_path(n_streams, window_s)
 
 

@@ -273,7 +273,13 @@ class WebRtcSrc(BaseSrc):
             self._producer_id = wanted
             self._producer_evt.set()
         else:
-            self._client.send({"type": "list"})
+            # poll the producer list until one appears (the reference's
+            # webrtcsrc listens for peerStatusChanged the same way; the list
+            # re-request covers producers that registered concurrently)
+            deadline = time.monotonic() + 10.0
+            while not self._producer_evt.is_set() and time.monotonic() < deadline:
+                self._client.send({"type": "list"})
+                self._producer_evt.wait(0.5)
         if not self._producer_evt.wait(10.0):
             raise RuntimeError("webrtcsrc: no producer available")
         self._client.send({

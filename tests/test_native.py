@@ -51,3 +51,54 @@ def test_spsc_ring():
         assert r.read(len(big)) == big
     # all-or-nothing on overflow
     assert not r.write(b"x" * 2048)
+
+
+class TestNetIo:
+    """Native epoll+recvmmsg batch receiver (native/netio.cpp)."""
+
+    def test_batch_receive_many_sockets(self):
+        import socket
+        from gst_plugins_rs_tpu.net import netio
+
+        if not netio.available():
+            pytest.skip("netio shim unavailable")
+        rx = netio.BatchReceiver()
+        socks = []
+        try:
+            for tag in range(8):
+                s = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+                s.bind(("127.0.0.1", 0))
+                s.setblocking(False)
+                rx.add_socket(s, tag)
+                socks.append(s)
+            tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+            sent = {}
+            for tag, s in enumerate(socks):
+                port = s.getsockname()[1]
+                for k in range(5):
+                    payload = bytes([tag, k]) * 10
+                    tx.sendto(payload, ("127.0.0.1", port))
+                    sent.setdefault(tag, []).append(payload)
+            got = {}
+            import time as _t
+            deadline = _t.monotonic() + 3
+            while sum(len(v) for v in got.values()) < 40 and _t.monotonic() < deadline:
+                for tag, payload in rx.poll(timeout_ms=100):
+                    got.setdefault(tag, []).append(payload)
+            assert sum(len(v) for v in got.values()) == 40
+            for tag in range(8):
+                assert got[tag] == sent[tag]  # per-socket ordering preserved
+            tx.close()
+        finally:
+            for s in socks:
+                s.close()
+            rx.close()
+
+    def test_arena_and_timeout(self):
+        from gst_plugins_rs_tpu.net import netio
+
+        if not netio.available():
+            pytest.skip("netio shim unavailable")
+        rx = netio.BatchReceiver()
+        assert rx.poll(timeout_ms=10) == []  # clean timeout, no sockets
+        rx.close()
