@@ -34,6 +34,10 @@ class _UdpSrcBase(BaseSrc):
     PROPERTIES = [
         Prop("address", "0.0.0.0", type="str"),
         Prop("port", 5004, type="uint", minimum=0, maximum=65535),
+        Prop("context", "", type="str",
+             doc="shared drain context; elements naming the same context share "
+                 "one epoll thread (threadshare Context::acquire analog)"),
+        Prop("context-wait", 5, type="uint", doc="context poll period (ms)"),
         Prop("caps", None, type="object", doc="caps of the stream (string or Caps)"),
         Prop("buffer-size", 0, type="uint", doc="SO_RCVBUF, 0 = OS default"),
         Prop("timeout", 1_000_000_000, type="uint64",
@@ -45,6 +49,8 @@ class _UdpSrcBase(BaseSrc):
         super().__init__(name)
         self._sock: Optional[socket.socket] = None
         self._count = 0
+        self._ctx = None
+        self._ctx_queue = None
 
     def start(self) -> None:
         self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -54,10 +60,22 @@ class _UdpSrcBase(BaseSrc):
             self._sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, bufsize)
         self._sock.bind((self.get_property("address"), self.get_property("port")))
         timeout = self.get_property("timeout")
-        self._sock.settimeout(timeout / 1e9 if timeout else None)
+        ctx_name = self.get_property("context")
+        if ctx_name:
+            from ...net.context import Context
+
+            self._ctx = Context.acquire(ctx_name, self.get_property("context-wait"))
+            self._ctx_queue = self._ctx.add_socket(self._sock)
+        else:
+            self._sock.settimeout(timeout / 1e9 if timeout else None)
         self._count = 0
 
     def stop(self) -> None:
+        if self._ctx is not None:
+            self._ctx.remove_socket(self._sock)
+            self._ctx.release()
+            self._ctx = None
+            self._ctx_queue = None
         if self._sock is not None:
             self._sock.close()
             self._sock = None
@@ -80,10 +98,19 @@ class _UdpSrcBase(BaseSrc):
         maxn = self.get_property("num-buffers")
         if maxn and self._count >= maxn:
             return None
-        try:
-            data, _addr = self._sock.recvfrom(65536)
-        except socket.timeout:
-            return None  # EOS on idle, like fallbacksrc-style timeout handling
+        timeout = self.get_property("timeout")
+        if self._ctx_queue is not None:
+            import queue as _queue
+
+            try:
+                data = self._ctx_queue.get(timeout=(timeout / 1e9) if timeout else None)
+            except _queue.Empty:
+                return None
+        else:
+            try:
+                data, _addr = self._sock.recvfrom(65536)
+            except socket.timeout:
+                return None  # EOS on idle, like fallbacksrc-style timeout handling
         self._count += 1
         return Buffer(np.frombuffer(data, np.uint8))
 

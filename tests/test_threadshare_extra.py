@@ -145,3 +145,43 @@ def test_tcpclientsrc_reads_stream():
     got = b"".join(bytes(np.asarray(s.buffer.data, np.uint8)) for s in sink.samples)
     assert got == payload
     srv.close()
+
+
+def test_shared_context_many_udpsrc():
+    """N ts-udpsrc on one named context share a single drain thread
+    (threadshare Context::acquire analog, native epoll when available)."""
+    import threading as _threading
+    from gst_plugins_rs_tpu.net.context import Context
+
+    srcs, pipes, sinks = [], [], []
+    for i in range(4):
+        p = fx.parse_launch(
+            "ts-udpsrc address=127.0.0.1 port=0 context=bench-ctx "
+            "timeout=500000000 num-buffers=5 ! appsink name=sink")
+        from gst_plugins_rs_tpu.core.element import State
+        p.set_state(State.PLAYING)
+        srcs.append(p.elements[0])
+        pipes.append(p)
+        sinks.append(p.by_name("sink"))
+    # one shared context behind all four elements
+    assert len([t for t in _threading.enumerate()
+                if t.name == "gstpu-ctx-bench-ctx"]) == 1
+
+    tx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    for k in range(5):
+        for i, s in enumerate(srcs):
+            tx.sendto(bytes([i, k]) * 8, ("127.0.0.1", s.bound_port))
+    threads = [threading.Thread(target=p.run, daemon=True) for p in pipes]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(5)
+    for i, snk in enumerate(sinks):
+        got = [bytes(np.asarray(s.buffer.data, np.uint8)) for s in snk.samples]
+        assert got == [bytes([i, k]) * 8 for k in range(5)]
+    from gst_plugins_rs_tpu.core.element import State
+    for p in pipes:
+        p.set_state(State.NULL)
+    # refcount released: the context unregisters
+    assert "bench-ctx" not in Context._registry
+    tx.close()
