@@ -85,6 +85,7 @@ class WebRtcSink(BaseSink):
         self._chain_elements = []
         self._chain_head = None
         self._rtp_media = None  # (media, pt, encoding, rate) for offers
+        self._extra_pads = []  # request pads -> extra BUNDLE sections
 
     # -- internal encode chain for raw media (webrtcsink/imp.rs encoder role)
     def on_caps(self, caps: Caps) -> None:
@@ -143,6 +144,35 @@ class WebRtcSink(BaseSink):
             pc.send_rtp(data)
         return FlowReturn.OK
 
+    # -- extra media sections (request pads, webrtcsink video_%u/audio_%u) ----
+    def request_sink_pad(self, kind: str = "video") -> "Pad":
+        """Adds another application/x-rtp stream as its own BUNDLEd m-line;
+        the pad's caps become the section's rtpmap."""
+        from ...core.element import Pad, PadDirection, PadPresence, PadTemplate
+
+        idx = len(self._extra_pads)
+        pad = Pad(f"{kind}_{idx}", PadDirection.SINK,
+                  PadTemplate(f"{kind}_%u", PadDirection.SINK, PadPresence.REQUEST,
+                              RTP_CAPS))
+        self.add_pad(pad)
+        entry = {"pad": pad, "media": None}
+        self._extra_pads.append(entry)
+
+        def on_event(p, ev, entry=entry):
+            from ...core.events import EventType
+
+            if ev.type == EventType.CAPS:
+                st = ev.get("caps").structure(0)
+                entry["media"] = (
+                    st.get("media", kind), int(st.get("payload", 97 + idx)),
+                    st.get("encoding-name", "VP8"), int(st.get("clock-rate", 90000)),
+                )
+            return True
+
+        pad.chain_function = lambda p, buf: self._send_rtp_buffer(buf)
+        pad.event_function = on_event
+        return pad
+
     # -- signalling ------------------------------------------------------------
     def on_ready_to_paused(self) -> None:
         self._client = SignallingClient(self.get_property("signaller-uri"), self._on_signal)
@@ -193,6 +223,9 @@ class WebRtcSink(BaseSink):
         pc = PeerConnection(offerer=True)
         media, pt, enc, rate = self._rtp_media or _caps_media(self.caps)
         pc.set_media(media, pt, enc, rate)
+        for entry in self._extra_pads:
+            if entry["media"] is not None:
+                pc.add_media(*entry["media"])
         with self._lock:
             self._sessions[session_id] = pc
         pc.start()
@@ -255,10 +288,12 @@ class WebRtcSrc(BaseSrc):
         self._client: Optional[SignallingClient] = None
         self._pc: Optional[PeerConnection] = None
         self._session_id: Optional[str] = None
-        self._rtp_queue: "queue.Queue[Optional[bytes]]" = queue.Queue()
+        # items: (media_index, packet) or None for EOS
+        self._rtp_queue: "queue.Queue" = queue.Queue()
         self._media = ("video", 96, "VP8", 90000)
         self._producer_evt = threading.Event()
         self._producer_id: Optional[str] = None
+        self._extra_pads = {}  # media index -> sometimes Pad
 
     def start(self) -> None:
         self._client = SignallingClient(self.get_property("signaller-uri"), self._on_signal)
@@ -333,7 +368,7 @@ class WebRtcSrc(BaseSrc):
     def _on_offer(self, session_id: str, offer: str) -> None:
         self._session_id = session_id
         pc = PeerConnection(offerer=False)
-        pc.on_rtp = self._rtp_queue.put
+        pc.on_rtp_media = lambda idx, pkt: self._rtp_queue.put((idx, pkt))
         self._pc = pc
         pc.start()
         answer = pc.handle_offer(offer, "recvonly")
@@ -357,9 +392,41 @@ class WebRtcSrc(BaseSrc):
     def create(self):
         timeout = self.get_property("timeout")
         try:
-            data = self._rtp_queue.get(timeout=(timeout / 1e9) if timeout else None)
+            item = self._rtp_queue.get(timeout=(timeout / 1e9) if timeout else None)
         except queue.Empty:
             return None
-        if data is None:
+        if item is None:
             return None
-        return Buffer(np.frombuffer(data, np.uint8))
+        idx, data = item
+        if idx == 0:
+            return Buffer(np.frombuffer(data, np.uint8))
+        # extra BUNDLE sections flow on sometimes pads stream_%u
+        pad = self._pad_for_section(idx)
+        if pad.peer is not None:
+            pad.push(Buffer(np.frombuffer(data, np.uint8)))
+        return BaseSrc.RETRY
+
+    def _pad_for_section(self, idx: int):
+        from ...core.element import Pad, PadDirection, PadPresence, PadTemplate
+        from ...core.events import Event, Segment
+        from ...core.parse import parse_caps
+
+        if idx not in self._extra_pads:
+            pad = Pad(f"stream_{idx}", PadDirection.SRC,
+                      PadTemplate("stream_%u", PadDirection.SRC,
+                                  PadPresence.SOMETIMES, RTP_CAPS))
+            self.add_pad(pad)
+            self._extra_pads[idx] = pad
+            if self.on_new_pad:
+                self.on_new_pad(pad)
+            m = self._pc.medias[idx] if self._pc and idx < len(self._pc.medias) else None
+            caps = parse_caps(
+                f"application/x-rtp,media={m['media']},payload={m['pt']},"
+                f"encoding-name={m['encoding']},clock-rate={m['rate']}"
+            ) if m else RTP_CAPS
+            pad.push_event(Event.new_stream_start(f"{self.name}-stream-{idx}"))
+            pad.push_event(Event.new_caps(caps))
+            pad.push_event(Event.new_segment(Segment()))
+        return self._extra_pads[idx]
+
+    on_new_pad = None

@@ -30,6 +30,18 @@ class WebRtcError(Exception):
     pass
 
 
+def parse_sdp_medias(sdp: str) -> List[dict]:
+    """All m-lines with their first rtpmap: [{media, pt, encoding, rate, attrs}]."""
+    out: List[dict] = []
+    for m in re.finditer(r"^m=(\w+) \d+ [\w/]+ (\d+)[^\n]*\n(.*?)(?=^m=|\Z)",
+                         sdp.replace("\r\n", "\n"), re.M | re.S):
+        media, pt, body = m.group(1), int(m.group(2)), m.group(3)
+        rtpmap = re.search(rf"^a=rtpmap:{pt} ([\w\-]+)/(\d+)", body, re.M)
+        enc, rate = (rtpmap.group(1), int(rtpmap.group(2))) if rtpmap else ("VP8", 90000)
+        out.append({"media": media, "pt": pt, "encoding": enc, "rate": rate, "attrs": []})
+    return out
+
+
 def _sdp_attr(sdp: str, name: str) -> Optional[str]:
     m = re.search(rf"^a={re.escape(name)}:(.*?)\r?$", sdp, re.M)
     return m.group(1).strip() if m else None
@@ -48,44 +60,67 @@ class PeerConnection:
         self.srtp_tx = None
         self.srtp_rx = None
         self.on_rtp: Optional[Callable[[bytes], None]] = None
+        #: multi-section receivers: (media_index, packet)
+        self.on_rtp_media: Optional[Callable[[int, bytes], None]] = None
         self.on_rtcp: Optional[Callable[[bytes], None]] = None
         self._connected = threading.Event()
         self._failed: Optional[str] = None
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
-        self._media_line = "video 9 UDP/TLS/RTP/SAVPF 96"
-        self._media_attrs = ["a=rtpmap:96 VP8/90000"]
+        #: BUNDLEd media sections: {media, pt, encoding, rate, attrs}
+        self.medias: List[dict] = [
+            {"media": "video", "pt": 96, "encoding": "VP8", "rate": 90000, "attrs": []}
+        ]
         self.session_id = secrets.token_hex(8)
 
     # -- SDP -----------------------------------------------------------------
 
     def set_media(self, media: str, pt: int, encoding: str, clock_rate: int,
                   extra_attrs: Optional[List[str]] = None) -> None:
-        self._media_line = f"{media} 9 UDP/TLS/RTP/SAVPF {pt}"
-        self._media_attrs = [f"a=rtpmap:{pt} {encoding}/{clock_rate}"]
-        if extra_attrs:
-            self._media_attrs += extra_attrs
+        """Single-section sessions (clears any previous sections)."""
+        self.medias = []
+        self.add_media(media, pt, encoding, clock_rate, extra_attrs)
+
+    def add_media(self, media: str, pt: int, encoding: str, clock_rate: int,
+                  extra_attrs: Optional[List[str]] = None) -> int:
+        """Appends a BUNDLEd m-line; returns its media index (= mid)."""
+        self.medias.append({
+            "media": media, "pt": pt, "encoding": encoding, "rate": clock_rate,
+            "attrs": list(extra_attrs or []),
+        })
+        return len(self.medias) - 1
+
+    def _pt_to_index(self, pt: int) -> int:
+        for i, m in enumerate(self.medias):
+            if m["pt"] == pt:
+                return i
+        return 0
 
     def _sdp(self, setup: str, direction: str) -> str:
+        mids = " ".join(str(i) for i in range(len(self.medias)))
         lines = [
             "v=0",
             f"o=- {int(self.session_id[:8], 16)} 0 IN IP4 0.0.0.0",
             "s=-",
             "t=0 0",
-            "a=group:BUNDLE 0",
-            f"m={self._media_line}",
-            "c=IN IP4 0.0.0.0",
-            "a=mid:0",
-            f"a={direction}",
-            f"a=ice-ufrag:{self.ice.local_ufrag}",
-            f"a=ice-pwd:{self.ice.local_pwd}",
-            f"a=fingerprint:sha-256 {self.fingerprint}",
-            f"a=setup:{setup}",
-            "a=rtcp-mux",
-            *self._media_attrs,
-            *[f"a={c.to_sdp()}" for c in self.ice.local_candidates()],
-            "",
+            f"a=group:BUNDLE {mids}",
         ]
+        for i, m in enumerate(self.medias):
+            lines += [
+                f"m={m['media']} 9 UDP/TLS/RTP/SAVPF {m['pt']}",
+                "c=IN IP4 0.0.0.0",
+                f"a=mid:{i}",
+                f"a={direction}",
+                f"a=ice-ufrag:{self.ice.local_ufrag}",
+                f"a=ice-pwd:{self.ice.local_pwd}",
+                f"a=fingerprint:sha-256 {self.fingerprint}",
+                f"a=setup:{setup}",
+                "a=rtcp-mux",
+                f"a=rtpmap:{m['pt']} {m['encoding']}/{m['rate']}",
+                *m["attrs"],
+                *[f"a={c.to_sdp()}" for c in self.ice.local_candidates()],
+            ]
+        lines.append("")
         return "\r\n".join(lines)
 
     def create_offer(self, direction: str = "sendonly") -> str:
@@ -109,13 +144,9 @@ class PeerConnection:
     def handle_offer(self, sdp: str, direction: str = "recvonly") -> str:
         """Answerer path: returns the answer SDP; we become the DTLS client."""
         self._parse_remote(sdp)
-        m = re.search(r"^m=(\w+) \d+ ([\w/]+) (\d+)", sdp, re.M)
-        if m:
-            pt = int(m.group(3))
-            rtpmap = _sdp_attr(sdp, f"rtpmap:{pt}")
-            if rtpmap:
-                enc, rate = rtpmap.split("/")[0], int(rtpmap.split("/")[1])
-                self.set_media(m.group(1), pt, enc, rate)
+        parsed = parse_sdp_medias(sdp)
+        if parsed:
+            self.medias = parsed
         self._setup_dtls(is_client=True)
         return self._sdp("active", direction)
 
@@ -184,6 +215,8 @@ class PeerConnection:
                     self.on_rtcp(plain)
             else:
                 plain = self.srtp_rx.unprotect(data)
+                if self.on_rtp_media is not None:
+                    self.on_rtp_media(self._pt_to_index(plain[1] & 0x7F), plain)
                 if self.on_rtp:
                     self.on_rtp(plain)
         except SrtpError:

@@ -251,3 +251,85 @@ class TestRawMediaWebRtcSink:
         assert s.get("encoding-name") == "AV1"
         t_tx.join(15); t_rx.join(15)
         assert not exc
+
+
+class TestMultiMediaSession:
+    def test_audio_and_video_in_one_bundle(self, server):
+        """Two media sections (video pt96 + audio pt111) in one session:
+        webrtcsink request pad adds the audio m-line; webrtcsrc fans the
+        extra section out on a sometimes pad, demuxed by payload type."""
+        import gst_plugins_rs_tpu as fx
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        v_src = fx.element_factory_make("appsrc")
+        v_src.set_property("caps", parse_caps(
+            "application/x-rtp,media=video,encoding-name=VP8,clock-rate=90000,payload=96"))
+        a_src = fx.element_factory_make("appsrc")
+        a_src.set_property("caps", parse_caps(
+            "application/x-rtp,media=audio,encoding-name=OPUS,clock-rate=48000,payload=111"))
+        sink = fx.element_factory_make("webrtcsink")
+        sink.set_property("signaller-uri", server.uri)
+        p_tx = fx.Pipeline()
+        p_tx.add(v_src, a_src, sink)
+        v_src.link(sink)
+        audio_pad = sink.request_sink_pad("audio")
+        a_src.pad("src").link(audio_pad)
+
+        src = fx.element_factory_make("webrtcsrc")
+        src.set_property("signaller-uri", server.uri)
+        src.set_property("timeout", 3_000_000_000)
+        v_sink = fx.element_factory_make("appsink", "v")
+        a_sink = fx.element_factory_make("appsink", "a")
+        p_rx = fx.Pipeline()
+        p_rx.add(src, v_sink, a_sink)
+        src.link(v_sink)
+        src.on_new_pad = lambda pad: pad.link(a_sink.pad("sink"))
+
+        from gst_plugins_rs_tpu.core.element import State
+        exc = []
+        def run(p):
+            try:
+                p.play_until_eos()
+            except Exception as e:
+                exc.append(e)
+        # prime the sender so both pads' caps are known before sessions start
+        p_tx.set_state(State.PLAYING)
+        v_pkt0 = _rtp(0, payload=b"\x10" * 20)
+        a_pkt0 = struct.pack("!BBHII", 0x80, 111, 0, 0, 0x222) + b"\xa0" * 20
+        v_src.push_buffer(fx.Buffer(np.frombuffer(v_pkt0, np.uint8)))
+        a_src.push_buffer(fx.Buffer(np.frombuffer(a_pkt0, np.uint8)))
+        p_tx.run(max_iterations=1)
+
+        t_rx = threading.Thread(target=run, args=(p_rx,), daemon=True)
+        t_rx.start()
+        assert sink.wait_any_connected(15.0)
+        # the session's offer carries both m-lines
+        pc = list(sink._sessions.values())[0]
+        assert len(pc.medias) == 2
+        assert pc.medias[1]["encoding"] == "OPUS"
+
+        v_pkts = [_rtp(i, payload=b"\x10" * 20) for i in range(1, 6)]
+        a_pkts = [struct.pack("!BBHII", 0x80, 111, i, i * 960, 0x222) + b"\xa0" * 20
+                  for i in range(1, 6)]
+        for vp, ap in zip(v_pkts, a_pkts):
+            v_src.push_buffer(fx.Buffer(np.frombuffer(vp, np.uint8)))
+            a_src.push_buffer(fx.Buffer(np.frombuffer(ap, np.uint8)))
+        v_src.end_of_stream()
+        a_src.end_of_stream()
+        t_tx = threading.Thread(target=run, args=(p_tx,), daemon=True)
+        t_tx.start()
+
+        deadline = time.monotonic() + 15
+        while (len(v_sink.samples) < 5 or len(a_sink.samples) < 5) \
+                and time.monotonic() < deadline:
+            time.sleep(0.05)
+        v_got = [bytes(np.asarray(s.buffer.data, np.uint8)) for s in v_sink.samples]
+        a_got = [bytes(np.asarray(s.buffer.data, np.uint8)) for s in a_sink.samples]
+        # demuxed by payload type: video pad sees only pt 96, audio only pt 111
+        assert all(pk[1] & 0x7F == 96 for pk in v_got)
+        assert all(pk[1] & 0x7F == 111 for pk in a_got)
+        assert len(v_got) >= 5 and len(a_got) >= 5
+        s0 = a_sink.samples[0].caps.structure(0)
+        assert s0.get("encoding-name") == "OPUS" and int(s0.get("payload")) == 111
+        t_tx.join(15); t_rx.join(15)
+        assert not exc
