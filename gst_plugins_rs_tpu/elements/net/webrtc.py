@@ -281,6 +281,10 @@ class WebRtcSrc(BaseSrc):
         Prop("meta", None, type="object"),
         Prop("timeout", 10_000_000_000, type="uint64",
              doc="ns to wait for media before giving up (0 = forever)"),
+        Prop("output", "rtp", type="enum", choices=["rtp", "raw"],
+             doc="raw: depayload + decode the primary section internally "
+                 "(AV1 via rtpav1depay2 + dav1ddec, L16 via rtpL16depay2) — "
+                 "the reference webrtcsrc's decoded-output role"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -384,10 +388,68 @@ class WebRtcSrc(BaseSrc):
         from ...core.parse import parse_caps
 
         media, pt, enc, rate = self._media
+        if self.get_property("output") == "raw":
+            if enc == "AV1":
+                return Caps.builder("video/x-raw", format="I420")
+            if enc == "L16":
+                from ...core.caps import Structure
+                return Caps([Structure("audio/x-raw", format="S16", rate=rate,
+                                       channels=1, layout="interleaved")])
         return parse_caps(
             f"application/x-rtp,media={media},payload={pt},"
             f"encoding-name={enc},clock-rate={rate}"
         )
+
+    def _build_decode_chain(self):
+        """rtp -> depay -> decoder feeding the static src pad (raw mode)."""
+        from ...core.element import Pad, PadDirection, PadPresence, PadTemplate, State
+        from ...core.events import Event, Segment
+        from ...core.parse import parse_caps
+        from ...core.registry import element_factory_make
+
+        media, pt, enc, rate = self._media
+        if enc == "AV1":
+            chain = [element_factory_make("rtpav1depay2", f"{self.name}-depay"),
+                     element_factory_make("dav1ddec", f"{self.name}-dec")]
+        elif enc == "L16":
+            chain = [element_factory_make("rtpL16depay2", f"{self.name}-depay")]
+        else:
+            raise RuntimeError(f"{self.name}: no decoder wired for {enc}")
+        for a, b in zip(chain, chain[1:]):
+            a.link(b)
+        terminal = Pad(f"{self.name}-raw-out", PadDirection.SINK,
+                       PadTemplate("inner", PadDirection.SINK, PadPresence.ALWAYS,
+                                   Caps.new_any()))
+        terminal.element = self
+
+        def forward(pad, buf):
+            return self.srcpad.push(buf)
+
+        def forward_event(pad, ev):
+            from ...core.events import EventType
+
+            # the decoder's caps describe the decoded frames downstream
+            if ev.type == EventType.CAPS:
+                self.srcpad.current_caps = ev.get("caps")
+            if ev.type in (EventType.CAPS, EventType.EOS):
+                return self.srcpad.push_event(ev)
+            return True
+
+        terminal.chain_function = forward
+        terminal.event_function = forward_event
+        tail = chain[-1].src_pads()[0]
+        tail.peer = terminal
+        terminal.peer = tail
+        for e in chain:
+            e.set_state(State.PLAYING)
+        head = chain[0].sink_pads()[0]
+        head.send_event(Event.new_stream_start(f"{self.name}-raw"))
+        head.send_event(Event.new_caps(parse_caps(
+            f"application/x-rtp,media={media},payload={pt},"
+            f"encoding-name={enc},clock-rate={rate}")))
+        head.send_event(Event.new_segment(Segment()))
+        self._decode_chain = chain
+        self._decode_head = head
 
     def create(self):
         timeout = self.get_property("timeout")
@@ -396,9 +458,19 @@ class WebRtcSrc(BaseSrc):
         except queue.Empty:
             return None
         if item is None:
+            if getattr(self, "_decode_head", None) is not None:
+                from ...core.events import Event
+
+                # drain the decoder before the source's own EOS
+                self._decode_head.send_event(Event.new_eos())
             return None
         idx, data = item
         if idx == 0:
+            if self.get_property("output") == "raw":
+                if getattr(self, "_decode_head", None) is None:
+                    self._build_decode_chain()
+                self._decode_head.chain(Buffer(np.frombuffer(data, np.uint8)))
+                return BaseSrc.RETRY
             return Buffer(np.frombuffer(data, np.uint8))
         # extra BUNDLE sections flow on sometimes pads stream_%u
         pad = self._pad_for_section(idx)

@@ -333,3 +333,69 @@ class TestMultiMediaSession:
         assert s0.get("encoding-name") == "OPUS" and int(s0.get("payload")) == 111
         t_tx.join(15); t_rx.join(15)
         assert not exc
+
+
+class TestRawOutputWebRtcSrc:
+    def test_raw_video_end_to_end(self, server):
+        """Raw I420 in at the producer, raw I420 out at the consumer: the
+        sink encodes AV1 internally, webrtcsrc output=raw depayloads and
+        decodes (reference webrtcsrc's decoded-output role)."""
+        import gst_plugins_rs_tpu as fx
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+        try:
+            fx.element_factory_make("rav1enc")
+            fx.element_factory_make("dav1ddec")
+        except Exception:
+            pytest.skip("av codec shim unavailable")
+
+        appsrc = fx.element_factory_make("appsrc")
+        appsrc.set_property("caps", parse_caps(
+            "video/x-raw,format=I420,width=64,height=48,framerate=30/1"))
+        sink = fx.element_factory_make("webrtcsink")
+        sink.set_property("signaller-uri", server.uri)
+        p_tx = fx.Pipeline()
+        p_tx.add(appsrc, sink)
+        appsrc.link(sink)
+
+        src = fx.element_factory_make("webrtcsrc")
+        src.set_property("signaller-uri", server.uri)
+        src.set_property("output", "raw")
+        src.set_property("timeout", 3_000_000_000)
+        out = fx.element_factory_make("appsink")
+        p_rx = fx.Pipeline()
+        p_rx.add(src, out)
+        src.link(out)
+
+        from gst_plugins_rs_tpu.core.element import State
+        exc = []
+        def run(p):
+            try:
+                p.play_until_eos()
+            except Exception as e:
+                exc.append(e)
+        p_tx.set_state(State.PLAYING)
+        y = np.full((48, 64), 90, np.uint8)
+        u = np.full((24, 32), 120, np.uint8)
+        v = np.full((24, 32), 130, np.uint8)
+        appsrc.push_buffer(fx.Buffer((y, u, v), pts=0))
+        p_tx.run(max_iterations=1)
+        t_rx = threading.Thread(target=run, args=(p_rx,), daemon=True)
+        t_rx.start()
+        assert sink.wait_any_connected(15.0)
+        for i in range(1, 12):
+            appsrc.push_buffer(fx.Buffer((y, u, v), pts=i * 33_000_000))
+        appsrc.end_of_stream()
+        t_tx = threading.Thread(target=run, args=(p_tx,), daemon=True)
+        t_tx.start()
+
+        deadline = time.monotonic() + 15
+        while not out.samples and time.monotonic() < deadline:
+            time.sleep(0.05)
+        assert out.samples, "no decoded frames reached the consumer"
+        dy, du, dv = out.samples[0].buffer.data
+        assert np.asarray(dy).shape == (48, 64)
+        assert np.asarray(du).shape == (24, 32)
+        # flat gray frame should decode close to the source values
+        assert abs(int(np.asarray(dy, np.int32).mean()) - 90) < 12
+        t_tx.join(15); t_rx.join(15)
+        assert not exc
