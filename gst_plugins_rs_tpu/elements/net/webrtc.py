@@ -220,6 +220,12 @@ class WebRtcSink(BaseSink):
             self._end_session(msg.get("sessionId"))
 
     def _start_session(self, session_id: str) -> None:
+        # caps may still be propagating when the first consumer asks for a
+        # session — wait briefly so the offer advertises the real media
+        deadline = time.monotonic() + 2.0
+        while self._rtp_media is None and self.caps is None \
+                and time.monotonic() < deadline:
+            time.sleep(0.02)
         pc = PeerConnection(offerer=True)
         media, pt, enc, rate = self._rtp_media or _caps_media(self.caps)
         pc.set_media(media, pt, enc, rate)
@@ -373,7 +379,6 @@ class WebRtcSrc(BaseSrc):
         self._session_id = session_id
         pc = PeerConnection(offerer=False)
         pc.on_rtp_media = lambda idx, pkt: self._rtp_queue.put((idx, pkt))
-        self._pc = pc
         pc.start()
         answer = pc.handle_offer(offer, "recvonly")
         # media description for our caps
@@ -382,6 +387,8 @@ class WebRtcSrc(BaseSrc):
         rtpmap = re.search(r"^a=rtpmap:(\d+) ([\w\-]+)/(\d+)", offer, re.M)
         if m and rtpmap:
             self._media = (m.group(1), int(rtpmap.group(1)), rtpmap.group(2), int(rtpmap.group(3)))
+        # publish LAST: start() unblocks on _pc and reads _media for caps
+        self._pc = pc
         self._client.send(msg_peer_sdp(session_id, "answer", answer))
 
     def fixate(self, caps: Caps) -> Caps:
