@@ -132,6 +132,28 @@ class _Stream:
                 default_sample_duration=self.frame_dur_ts,
             )
             return
+        if s.name == "audio/x-flac":
+            self.kind = "caudio"
+            codec_data = s.get("codec_data", b"")
+            from ...codecs import flac as _flac
+
+            if codec_data[:4] == b"fLaC":
+                info, _ = _flac.parse_header(codec_data)
+                streaminfo = codec_data[8:8 + 34]
+            elif len(codec_data) >= 34:
+                info, _ = _flac.parse_header(
+                    b"fLaC" + bytes([0x80, 0, 0, len(codec_data)]) + codec_data)
+                streaminfo = codec_data[:34]
+            else:
+                return  # need STREAMINFO codec_data
+            self.timescale = info.rate
+            self.frame_dur_ts = info.max_block
+            entry = bmff.flac_sample_entry(info.channels, info.rate, streaminfo)
+            self.track = bmff.TrackConfig(
+                self.track_id, self.timescale, "soun", entry,
+                default_sample_duration=self.frame_dur_ts,
+            )
+            return
         if s.name in ("audio/mpeg", "audio/x-opus"):
             self.kind = "caudio"
             rate = s.get("rate", 48000)

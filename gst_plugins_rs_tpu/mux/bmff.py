@@ -617,3 +617,12 @@ def onvif_meta_box(start_utc_ns: int) -> bytes:
     start_1601 = start_utc_ns // 100 + UNIX_1601_OFFSET_S * 10_000_000
     cstb = full_box(b"cstb", 0, 0, struct.pack(">IIQ", 1, 0, start_1601))
     return full_box(b"meta", 0, 0, hdlr + cstb)
+
+
+def flac_sample_entry(channels: int, rate: int, streaminfo_body: bytes) -> bytes:
+    """'fLaC' sample entry with the dfLa box (reference isobmff/flac.rs):
+    dfLa = FullBox(version 0) + METADATA_BLOCK_STREAMINFO with the
+    last-metadata-block flag set."""
+    block = bytes([0x80]) + struct.pack(">I", len(streaminfo_body))[1:] + streaminfo_body
+    dfla = full_box(b"dfLa", 0, 0, block)
+    return box(b"fLaC", _audio_entry_body(channels, rate, dfla))

@@ -23,6 +23,7 @@ from typing import Callable, Dict, List, Optional, Tuple
 
 from .dtls import DtlsConnection, certificate_fingerprint, generate_certificate
 from .ice import Candidate, IceAgent, demux_packet
+from .rtcp import ReceiverReport, ReportBlock, Sdes
 from .srtp import SrtpError, sessions_from_dtls
 
 
@@ -72,6 +73,10 @@ class PeerConnection:
             {"media": "video", "pt": 96, "encoding": "VP8", "rate": 90000, "attrs": []}
         ]
         self.session_id = secrets.token_hex(8)
+        # receiver statistics per remote SSRC for RTCP receiver reports
+        self.local_ssrc = secrets.randbits(32)
+        self._rx_stats: dict = {}  # ssrc -> {"count", "highest_seq", "cycles"}
+        self.rtcp_interval = 2.0  # seconds; RFC 3550 reduced-size default
 
     # -- SDP -----------------------------------------------------------------
 
@@ -179,12 +184,10 @@ class PeerConnection:
                 pass
 
     def start(self) -> None:
-        t = threading.Thread(target=self._recv_loop, daemon=True)
-        t.start()
-        self._threads.append(t)
-        t2 = threading.Thread(target=self._connect_loop, daemon=True)
-        t2.start()
-        self._threads.append(t2)
+        for target in (self._recv_loop, self._connect_loop, self._rtcp_loop):
+            t = threading.Thread(target=target, daemon=True)
+            t.start()
+            self._threads.append(t)
 
     def _recv_loop(self) -> None:
         self.ice.sock.settimeout(0.1)
@@ -215,12 +218,47 @@ class PeerConnection:
                     self.on_rtcp(plain)
             else:
                 plain = self.srtp_rx.unprotect(data)
+                self._track_rx(plain)
                 if self.on_rtp_media is not None:
                     self.on_rtp_media(self._pt_to_index(plain[1] & 0x7F), plain)
                 if self.on_rtp:
                     self.on_rtp(plain)
         except SrtpError:
             pass
+
+    def _track_rx(self, rtp: bytes) -> None:
+        import struct as _struct
+
+        if len(rtp) < 12:
+            return
+        seq = _struct.unpack("!H", rtp[2:4])[0]
+        ssrc = _struct.unpack("!I", rtp[8:12])[0]
+        st = self._rx_stats.setdefault(ssrc, {"count": 0, "highest_seq": seq,
+                                              "cycles": 0})
+        st["count"] += 1
+        if seq < st["highest_seq"] and st["highest_seq"] - seq > 0x8000:
+            st["cycles"] += 1
+        if seq > st["highest_seq"] or st["cycles"]:
+            st["highest_seq"] = max(seq, st["highest_seq"]) \
+                if not (seq < st["highest_seq"] and st["highest_seq"] - seq > 0x8000) else seq
+
+    def _rtcp_loop(self) -> None:
+        """Periodic compound RR+SDES over SRTCP (RFC 3550 §6)."""
+        while not self._stop.wait(self.rtcp_interval):
+            if not self._connected.is_set():
+                continue
+            reports = []
+            for ssrc, st in list(self._rx_stats.items()):
+                ext = (st["cycles"] << 16) | st["highest_seq"]
+                expected = ext + 1
+                lost = max(0, expected - st["count"])
+                reports.append(ReportBlock(
+                    ssrc=ssrc, fraction_lost=0,
+                    cumulative_lost=min(lost, 0x7FFFFF),
+                    ext_highest_seq=ext, jitter=0, lsr=0, dlsr=0))
+            compound = ReceiverReport(self.local_ssrc, reports).to_bytes() \
+                + Sdes(self.local_ssrc, f"gstpu-{self.session_id[:8]}").to_bytes()
+            self.send_rtcp(compound)
 
     def _connect_loop(self) -> None:
         if not self.ice.wait_connected(10.0):

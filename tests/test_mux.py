@@ -468,3 +468,44 @@ class TestPrecisionAndOnvif:
     def test_onvif_mp4mux_cstb(self):
         data = self._mux_bytes("onvifmp4mux")
         assert data.find(b"cstb") > 0
+
+
+class TestFlacMux:
+    def test_flac_sample_entry(self):
+        """FLAC frames muxed with a fLaC/dfLa sample entry (isobmff/flac.rs)."""
+        import gst_plugins_rs_tpu as fx
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+        from gst_plugins_rs_tpu.codecs import flac as flacc
+        from gst_plugins_rs_tpu.core.caps import Structure
+        from gst_plugins_rs_tpu.core import Caps
+
+        # encode a real FLAC stream with the in-repo encoder
+        rng = np.random.default_rng(0)
+        pcm = (rng.normal(0, 0.1, (4096, 2)) * 3000).astype(np.int16)
+        stream = flacc.encode(pcm, rate=48000, block_size=1024)
+        info, hdr_len = flacc.parse_header(stream)
+        frames = stream[hdr_len:]
+
+        src = fx.element_factory_make("appsrc")
+        caps = Caps([Structure("audio/x-flac", rate=48000, channels=2,
+                               codec_data=stream[:hdr_len])])
+        src.set_property("caps", caps)
+        mux = fx.element_factory_make("isofmp4mux")
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        p.add(src, mux, sink)
+        src.link(mux)
+        mux.link(sink)
+        src.push_buffer(fx.Buffer(np.frombuffer(frames, np.uint8),
+                                  pts=0, duration=int(4096 / 48000 * 1e9)))
+        src.end_of_stream()
+        p.play_until_eos()
+        data = b"".join(bytes(np.asarray(s.buffer.data, np.uint8)) for s in sink.samples)
+        assert b"fLaC" in data and b"dfLa" in data
+        i = data.find(b"dfLa")
+        # dfLa: fullbox header then METADATA_BLOCK_STREAMINFO with last flag
+        block = data[i + 4 + 4:]
+        assert block[0] == 0x80  # last | type 0
+        assert int.from_bytes(block[1:4], "big") == 34
+        from gst_plugins_rs_tpu.mux import reader
+        assert any(b.type == b"moov" for b in reader.parse_boxes(data))

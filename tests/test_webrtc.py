@@ -399,3 +399,43 @@ class TestRawOutputWebRtcSrc:
         assert abs(int(np.asarray(dy, np.int32).mean()) - 90) < 12
         t_tx.join(15); t_rx.join(15)
         assert not exc
+
+
+class TestRtcpReports:
+    def test_receiver_reports_flow(self, server):
+        """PeerConnections exchange periodic SRTCP receiver reports with the
+        receive statistics of the media they saw (RFC 3550 over RFC 3711)."""
+        from gst_plugins_rs_tpu.net import rtcp as rtcp_mod
+        from gst_plugins_rs_tpu.net.webrtc_peer import PeerConnection
+
+        left = PeerConnection(offerer=True)
+        left.set_media("audio", 97, "OPUS", 48000)
+        left.rtcp_interval = 0.3
+        right = PeerConnection(offerer=False)
+        right.rtcp_interval = 0.3
+        got_rtcp = []
+        left.on_rtcp = got_rtcp.append
+        right.on_rtp = lambda d: None
+        left.start(); right.start()
+        try:
+            answer = right.handle_offer(left.create_offer("sendrecv"), "sendrecv")
+            left.handle_answer(answer)
+            assert left.wait_connected(10.0) and right.wait_connected(10.0)
+            for seq in range(20):
+                left.send_rtp(_rtp(seq, payload=b"\x01" * 24))
+            deadline = time.monotonic() + 5
+            while time.monotonic() < deadline:
+                pkts = [p for raw in got_rtcp for p in rtcp_mod.parse_compound(raw)]
+                rrs = [p for p in pkts if isinstance(p, rtcp_mod.ReceiverReport)
+                       and p.reports]
+                if rrs:
+                    break
+                time.sleep(0.1)
+            assert rrs, "no receiver reports arrived"
+            rb = rrs[-1].reports[0]
+            assert rb.ssrc == 0x12345678  # the media SSRC we sent
+            assert rb.ext_highest_seq >= 15
+            sdes = [p for p in pkts if isinstance(p, rtcp_mod.Sdes)]
+            assert sdes and sdes[0].cname.startswith("gstpu-")
+        finally:
+            left.close(); right.close()
