@@ -135,7 +135,7 @@ class TestWebRtcElements:
 
         src = fx.element_factory_make("webrtcsrc")
         src.set_property("signaller-uri", server.uri)
-        src.set_property("timeout", 3_000_000_000)
+        src.set_property("timeout", 6_000_000_000)
         appsink = fx.element_factory_make("appsink")
         recv_pipe = fx.Pipeline()
         recv_pipe.add(src, appsink)
@@ -211,7 +211,7 @@ class TestRawMediaWebRtcSink:
 
         src = fx.element_factory_make("webrtcsrc")
         src.set_property("signaller-uri", server.uri)
-        src.set_property("timeout", 3_000_000_000)
+        src.set_property("timeout", 6_000_000_000)
         appsink = fx.element_factory_make("appsink")
         p_rx = fx.Pipeline()
         p_rx.add(src, appsink)
@@ -277,7 +277,7 @@ class TestMultiMediaSession:
 
         src = fx.element_factory_make("webrtcsrc")
         src.set_property("signaller-uri", server.uri)
-        src.set_property("timeout", 3_000_000_000)
+        src.set_property("timeout", 6_000_000_000)
         v_sink = fx.element_factory_make("appsink", "v")
         a_sink = fx.element_factory_make("appsink", "a")
         p_rx = fx.Pipeline()
@@ -360,7 +360,7 @@ class TestRawOutputWebRtcSrc:
         src = fx.element_factory_make("webrtcsrc")
         src.set_property("signaller-uri", server.uri)
         src.set_property("output", "raw")
-        src.set_property("timeout", 3_000_000_000)
+        src.set_property("timeout", 6_000_000_000)
         out = fx.element_factory_make("appsink")
         p_rx = fx.Pipeline()
         p_rx.add(src, out)

@@ -19,7 +19,7 @@ def test_whip_client_to_server():
     """whipclientsink ingests into whipserversrc; payload arrives intact."""
     server_src = fx.element_factory_make("whipserversrc")
     server_src.set_property("auth-token", "tok123")
-    server_src.set_property("timeout", 2_000_000_000)
+    server_src.set_property("timeout", 6_000_000_000)
     appsink = fx.element_factory_make("appsink")
     p_srv = fx.Pipeline()
     p_srv.add(server_src, appsink)
@@ -49,9 +49,7 @@ def test_whip_client_to_server():
     t_srv.start()
 
     packets = [_rtp(i, pt=98) for i in range(8)]
-    for p in packets:
-        appsrc.push_buffer(fx.Buffer(np.frombuffer(p, np.uint8)))
-    appsrc.end_of_stream()
+    appsrc.push_buffer(fx.Buffer(np.frombuffer(packets[0], np.uint8)))
 
     def run_cli():
         try:
@@ -60,6 +58,17 @@ def test_whip_client_to_server():
             exc.append(e)
     t_cli = threading.Thread(target=run_cli, daemon=True)
     t_cli.start()
+
+    # wait for the DTLS leg, then pace the remaining packets through the
+    # live pipeline (a cold-start burst can outrun the server's first reads)
+    deadline = time.monotonic() + 20
+    while (client._pc is None or not client._pc._connected.is_set()) \
+            and time.monotonic() < deadline:
+        time.sleep(0.05)
+    for pk in packets[1:]:
+        appsrc.push_buffer(fx.Buffer(np.frombuffer(pk, np.uint8)))
+        time.sleep(0.01)
+    appsrc.end_of_stream()
 
     deadline = time.monotonic() + 30
     while len(appsink.samples) < 8 and time.monotonic() < deadline:
@@ -111,7 +120,7 @@ def test_whep_server_to_client():
     client.set_property("whep-endpoint", f"http://127.0.0.1:{server_sink.bound_port}/whep")
     client.set_property("caps",
                         "application/x-rtp,media=audio,encoding-name=OPUS,clock-rate=48000,payload=111")
-    client.set_property("timeout", 2_000_000_000)
+    client.set_property("timeout", 6_000_000_000)
     appsink = fx.element_factory_make("appsink")
     p_cli = fx.Pipeline()
     p_cli.add(client, appsink)
