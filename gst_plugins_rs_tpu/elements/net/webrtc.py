@@ -41,7 +41,6 @@ from ...net.webrtc_peer import PeerConnection, WebRtcError
 from ...net.webrtc_signalling import (
     SignallingClient,
     msg_end_session,
-    msg_peer_ice,
     msg_peer_sdp,
 )
 
