@@ -28,6 +28,12 @@ def _aes_cm_keystream(key: bytes, iv16: bytes, length: int) -> bytes:
     return enc.update(b"\x00" * length)
 
 
+def _aes_cm_xor(key: bytes, iv16: bytes, data: bytes) -> bytes:
+    """data XOR keystream == AES-CTR applied to data directly (hot path:
+    no keystream materialization, no Python byte loop)."""
+    return Cipher(algorithms.AES(key), modes.CTR(iv16)).encryptor().update(data)
+
+
 def _kdf(master_key: bytes, master_salt: bytes, label: int, length: int) -> bytes:
     """RFC 3711 §4.3.1/§4.3.3 AES-CM key derivation (kdr = 0)."""
     # key_id = label || (index DIV kdr) = label followed by 48 zero bits
@@ -89,8 +95,7 @@ class SrtpSession:
         index = (roc << 16) | seq
         header_len = self._header_len(rtp_packet)
         payload = rtp_packet[header_len:]
-        ks = _aes_cm_keystream(self.rtp_key, _rtp_iv(self.rtp_salt, ssrc, index), len(payload))
-        enc = bytes(a ^ b for a, b in zip(payload, ks))
+        enc = _aes_cm_xor(self.rtp_key, _rtp_iv(self.rtp_salt, ssrc, index), payload)
         authed = rtp_packet[:header_len] + enc
         tag = hmac.new(self.rtp_auth, authed + struct.pack("!I", roc), hashlib.sha1).digest()
         return authed + tag[: self.AUTH_TAG_LEN]
@@ -108,8 +113,8 @@ class SrtpSession:
         self._commit_index(ssrc, seq, roc)
         header_len = self._header_len(authed)
         payload = authed[header_len:]
-        ks = _aes_cm_keystream(self.rtp_key, _rtp_iv(self.rtp_salt, ssrc, index), len(payload))
-        return authed[:header_len] + bytes(a ^ b for a, b in zip(payload, ks))
+        return authed[:header_len] + _aes_cm_xor(
+            self.rtp_key, _rtp_iv(self.rtp_salt, ssrc, index), payload)
 
     def _estimate_index(self, ssrc: int, seq: int) -> Tuple[int, int]:
         """RFC 3711 §3.3.1 packet-index estimation from (roc, s_l)."""
@@ -149,8 +154,8 @@ class SrtpSession:
         self._rtcp_tx_index = (self._rtcp_tx_index + 1) & 0x7FFFFFFF
         index = self._rtcp_tx_index
         payload = rtcp_packet[8:]
-        ks = _aes_cm_keystream(self.rtcp_key, _rtp_iv(self.rtcp_salt, ssrc, index), len(payload))
-        enc = rtcp_packet[:8] + bytes(a ^ b for a, b in zip(payload, ks))
+        enc = rtcp_packet[:8] + _aes_cm_xor(
+            self.rtcp_key, _rtp_iv(self.rtcp_salt, ssrc, index), payload)
         e_index = struct.pack("!I", 0x80000000 | index)
         tag = hmac.new(self.rtcp_auth, enc + e_index, hashlib.sha1).digest()
         return enc + e_index + tag[: self.AUTH_TAG_LEN]
@@ -170,8 +175,8 @@ class SrtpSession:
             return enc  # unencrypted SRTCP
         ssrc = struct.unpack("!I", enc[4:8])[0]
         payload = enc[8:]
-        ks = _aes_cm_keystream(self.rtcp_key, _rtp_iv(self.rtcp_salt, ssrc, index), len(payload))
-        return enc[:8] + bytes(a ^ b for a, b in zip(payload, ks))
+        return enc[:8] + _aes_cm_xor(
+            self.rtcp_key, _rtp_iv(self.rtcp_salt, ssrc, index), payload)
 
 
 def sessions_from_dtls(dtls) -> Tuple[SrtpSession, SrtpSession]:
