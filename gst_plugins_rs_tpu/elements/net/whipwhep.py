@@ -157,6 +157,7 @@ class WhepClientSrc(BaseSrc, _WhipWhepClientMixin):
         Prop("whep-endpoint", None, type="str"),
         Prop("auth-token", None, type="str"),
         Prop("timeout", 10_000_000_000, type="uint64"),
+        Prop("num-buffers", 0, type="uint", doc="stop after N packets (0 = unbounded)"),
         Prop("caps", "application/x-rtp,media=video,encoding-name=VP8,clock-rate=90000,payload=96",
              type="str", doc="media description offered to the WHEP server"),
     ]
@@ -166,8 +167,10 @@ class WhepClientSrc(BaseSrc, _WhipWhepClientMixin):
         self._pc: Optional[PeerConnection] = None
         self._resource: Optional[str] = None
         self._queue: "queue.Queue[Optional[bytes]]" = queue.Queue()
+        self._count = 0
 
     def start(self) -> None:
+        self._count = 0
         pc = PeerConnection(offerer=True)
         pc.set_media(*_caps_media(parse_caps(self.get_property("caps"))))
         pc.on_rtp = self._queue.put
@@ -190,6 +193,9 @@ class WhepClientSrc(BaseSrc, _WhipWhepClientMixin):
         return parse_caps(self.get_property("caps"))
 
     def create(self):
+        maxn = self.get_property("num-buffers")
+        if maxn and self._count >= maxn:
+            return None
         timeout = self.get_property("timeout")
         try:
             data = self._queue.get(timeout=(timeout / 1e9) if timeout else None)
@@ -197,6 +203,7 @@ class WhepClientSrc(BaseSrc, _WhipWhepClientMixin):
             return None
         if data is None:
             return None
+        self._count += 1
         return Buffer(np.frombuffer(data, np.uint8))
 
 

@@ -1,110 +1,119 @@
-"""whipsink/whepsrc: WHIP/WHEP HTTP signaling against fake servers with
-plain-RTP media legs."""
-import re
-import socket
+"""whipsink/whepsrc — the webrtchttp names, now full DTLS-SRTP WebRTC.
+
+whipsink streams into whipserversrc; whepsrc pulls from whepserversink
+(HTTP signaling: POST offer + bearer auth, 201 + Location, DELETE)."""
+import struct
 import threading
-from http.server import BaseHTTPRequestHandler, HTTPServer
+import time
 
 import numpy as np
 import pytest
 
 import gst_plugins_rs_tpu as fx
+from gst_plugins_rs_tpu.core.element import State
 from gst_plugins_rs_tpu.core.parse import parse_caps
 from gst_plugins_rs_tpu.net.rtp import RtpPacket
 
 
-class _WhipHandler(BaseHTTPRequestHandler):
-    """Accepts offers; answers with the server's UDP receive port."""
+def test_whipsink_full_stack():
+    """audiotestsrc ! alawenc ! rtppcmapay2 ! whipsink -> whipserversrc."""
+    server_src = fx.element_factory_make("whipserversrc")
+    server_src.set_property("auth-token", "secret123")
+    server_src.set_property("timeout", 6_000_000_000)
+    appsink = fx.element_factory_make("appsink")
+    p_srv = fx.Pipeline()
+    p_srv.add(server_src, appsink)
+    server_src.link(appsink)
+    p_srv.set_state(State.PLAYING)
+    t_srv = threading.Thread(target=p_srv.run, daemon=True)
+    t_srv.start()
 
-    server_version = "FakeWHIP/1"
+    p = fx.parse_launch(
+        "audiotestsrc wave=ticks num-buffers=3 samplesperbuffer=800 "
+        "! audio/x-raw,format=S16,rate=8000,channels=1 "
+        "! alawenc ! rtppcmapay2 ssrc=5 seqnum-offset=0 timestamp-offset=0 "
+        f"! whipsink whip-endpoint=http://127.0.0.1:{server_src.bound_port}/whip "
+        "auth-token=secret123"
+    )
+    p.play_until_eos()
 
-    def do_POST(self):
-        length = int(self.headers.get("Content-Length", 0))
-        offer = self.rfile.read(length).decode()
-        self.server.offers.append((self.path, dict(self.headers), offer))
-        m = re.search(r"^m=(\w+) (\d+) RTP/AVP (\d+)", offer, re.M)
-        client_port = int(m.group(2))
-        self.server.client_port = client_port
-        answer = (
-            "v=0\r\no=- 0 0 IN IP4 127.0.0.1\r\ns=ans\r\nc=IN IP4 127.0.0.1\r\n"
-            f"t=0 0\r\nm={m.group(1)} {self.server.media_port} RTP/AVP {m.group(3)}\r\n"
-            f"a=rtpmap:{m.group(3)} PCMA/8000\r\n"
-        ).encode()
-        self.send_response(201)
-        self.send_header("Location", "/resource/42")
-        self.send_header("Content-Type", "application/sdp")
-        self.send_header("Content-Length", str(len(answer)))
-        self.end_headers()
-        self.wfile.write(answer)
-
-    def do_DELETE(self):
-        self.server.deleted.append(self.path)
-        self.send_response(200)
-        self.end_headers()
-
-    def log_message(self, *a):
-        pass
+    deadline = time.monotonic() + 10
+    while len(appsink.samples) < 3 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    pkts = [RtpPacket.parse(bytes(np.asarray(s.buffer.data, np.uint8)))
+            for s in appsink.samples]
+    assert [pk.sequence_number for pk in pkts] == [0, 1, 2]
+    assert all(pk.ssrc == 5 for pk in pkts)
+    # the server saw the negotiated PCMA rtpmap
+    s = appsink.samples[0].caps.structure(0)
+    assert s.get("encoding-name") == "PCMA"
+    p_srv.set_state(State.NULL)
+    t_srv.join(5)
 
 
-@pytest.fixture()
-def whip_server():
-    srv = HTTPServer(("127.0.0.1", 0), _WhipHandler)
-    srv.offers, srv.deleted, srv.client_port = [], [], None
-    media = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-    media.bind(("127.0.0.1", 0))
-    media.settimeout(3)
-    srv.media_port = media.getsockname()[1]
-    t = threading.Thread(target=srv.serve_forever, daemon=True)
+def test_whipsink_wrong_token_fails():
+    server_src = fx.element_factory_make("whipserversrc")
+    server_src.set_property("auth-token", "right")
+    server_src.set_state(State.PAUSED)
+    try:
+        sink = fx.element_factory_make("whipsink")
+        sink.set_property("whip-endpoint",
+                          f"http://127.0.0.1:{server_src.bound_port}/whip")
+        sink.set_property("auth-token", "wrong")
+        from urllib.error import HTTPError
+        with pytest.raises(HTTPError):
+            sink.on_caps(parse_caps(
+                "application/x-rtp,media=audio,encoding-name=PCMA,clock-rate=8000,payload=8"))
+    finally:
+        server_src.set_state(State.NULL)
+
+
+def test_whepsrc_full_stack():
+    """whepserversink -> whepsrc with num-buffers bounding the session."""
+    appsrc = fx.element_factory_make("appsrc")
+    appsrc.set_property("caps", parse_caps(
+        "application/x-rtp,media=audio,encoding-name=OPUS,clock-rate=48000,payload=111"))
+    server_sink = fx.element_factory_make("whepserversink")
+    p_srv = fx.Pipeline()
+    p_srv.add(appsrc, server_sink)
+    appsrc.link(server_sink)
+    p_srv.set_state(State.PLAYING)
+
+    src = fx.element_factory_make("whepsrc")
+    src.set_property("whep-endpoint",
+                     f"http://127.0.0.1:{server_sink.bound_port}/whep")
+    src.set_property("caps",
+                     "application/x-rtp,media=audio,encoding-name=OPUS,clock-rate=48000,payload=111")
+    src.set_property("timeout", 6_000_000_000)
+    src.set_property("num-buffers", 4)
+    appsink = fx.element_factory_make("appsink")
+    p_cli = fx.Pipeline()
+    p_cli.add(src, appsink)
+    src.link(appsink)
+
+    exc = []
+    def run_cli():
+        try:
+            p_cli.play_until_eos()
+        except Exception as e:
+            exc.append(e)
+    t = threading.Thread(target=run_cli, daemon=True)
     t.start()
-    yield srv, media
-    srv.shutdown()
-    media.close()
 
+    deadline = time.monotonic() + 15
+    while server_sink.viewer_count() < 1 and time.monotonic() < deadline:
+        time.sleep(0.05)
+    assert server_sink.viewer_count() == 1
 
-class TestWhipSink:
-    def test_signaling_and_media(self, whip_server):
-        srv, media = whip_server
-        p = fx.parse_launch(
-            "audiotestsrc wave=ticks num-buffers=3 samplesperbuffer=800 "
-            "! audio/x-raw,format=S16,rate=8000,channels=1 "
-            "! alawenc ! rtppcmapay2 ssrc=5 seqnum-offset=0 timestamp-offset=0 "
-            f"! whipsink whip-endpoint=http://127.0.0.1:{srv.server_address[1]}/whip "
-            "auth-token=secret123"
-        )
-        p.play_until_eos()
-        # signaling: offer posted with bearer token; resource deleted
-        assert len(srv.offers) == 1
-        path, headers, offer = srv.offers[0]
-        assert path == "/whip"
-        assert headers.get("Authorization") == "Bearer secret123"
-        assert "a=sendonly" in offer
-        assert srv.deleted == ["/resource/42"]
-        # media: RTP arrived at the port from the SDP answer
-        pkts = []
-        for _ in range(3):
-            data, _addr = media.recvfrom(65536)
-            pkts.append(RtpPacket.parse(data))
-        assert [pk.sequence_number for pk in pkts] == [0, 1, 2]
-        assert all(pk.ssrc == 5 for pk in pkts)
+    pkts = [struct.pack("!BBHII", 0x80, 111, i, i * 960, 9) + bytes([i]) * 16
+            for i in range(4)]
+    for pk in pkts:
+        appsrc.push_buffer(fx.Buffer(np.frombuffer(pk, np.uint8)))
+    threading.Thread(target=p_srv.run, daemon=True).start()
 
-
-class TestWhepSrc:
-    def test_receive(self, whip_server):
-        srv, media = whip_server
-        recv = fx.parse_launch(
-            f"whepsrc whep-endpoint=http://127.0.0.1:{srv.server_address[1]}/whep "
-            'num-buffers=3 timeout=2000000000 '
-            'caps="application/x-rtp,media=audio,encoding-name=PCMA,clock-rate=8000,payload=8" '
-            "! rtppcmadepay2 ! alawdec ! appsink name=sink"
-        )
-        src = recv.elements[0]
-        src.set_state(fx.State.PAUSED)  # POST happens; offer carries our port
-        assert srv.client_port is not None
-        sender = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-        for i in range(3):
-            pkt = RtpPacket(8, i, i * 160, 9, bytes([0x55]) * 160)
-            sender.sendto(pkt.to_bytes(), ("127.0.0.1", srv.client_port))
-        recv.play_until_eos()
-        out = recv.by_name("sink").concat_audio()
-        assert out.shape == (480, 1)
-        assert "a=recvonly" in srv.offers[-1][2]
+    t.join(15)
+    got = [bytes(np.asarray(s.buffer.data, np.uint8)) for s in appsink.samples]
+    assert got == pkts  # num-buffers=4 ended the stream exactly there
+    appsrc.end_of_stream()
+    p_srv.set_state(State.NULL)
+    assert not exc
