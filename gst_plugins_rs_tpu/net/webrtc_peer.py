@@ -60,6 +60,7 @@ class PeerConnection:
         self.dtls: Optional[DtlsConnection] = None
         self.srtp_tx = None
         self.srtp_rx = None
+        self._early_rtp: List[bytes] = []  # media racing SRTP installation
         self.on_rtp: Optional[Callable[[bytes], None]] = None
         #: multi-section receivers: (media_index, packet)
         self.on_rtp_media: Optional[Callable[[int, bytes], None]] = None
@@ -206,8 +207,14 @@ class PeerConnection:
                     pass
             elif kind == "dtls" and self.dtls is not None:
                 self.dtls.handle_packet(data)
-            elif kind == "rtp" and self.srtp_rx is not None:
-                self._handle_srtp(data)
+            elif kind == "rtp":
+                if self.srtp_rx is not None:
+                    self._handle_srtp(data)
+                elif len(self._early_rtp) < 256:
+                    # peer's SRTP can start before our session objects are
+                    # installed (the gap between handshake-done and
+                    # _connect_loop's wake-up) — hold, replay on install
+                    self._early_rtp.append(data)
 
     def _handle_srtp(self, data: bytes) -> None:
         is_rtcp = len(data) > 1 and 192 <= data[1] <= 223
@@ -289,6 +296,9 @@ class PeerConnection:
                 self._failed = "peer certificate fingerprint mismatch"
                 return
         self.srtp_tx, self.srtp_rx = sessions_from_dtls(self.dtls)
+        early, self._early_rtp = self._early_rtp, []
+        for data in early:
+            self._handle_srtp(data)
         self._connected.set()
 
     def wait_connected(self, timeout: float = 10.0) -> bool:
