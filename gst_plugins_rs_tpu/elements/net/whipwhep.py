@@ -339,7 +339,9 @@ class WhipServerSrc(BaseSrc):
         with self._server._lock:
             pc = self._server.sessions.pop(session_id, None)
         if pc:
-            pc.close()
+            # linger: the DELETE races the last media packets — give the
+            # receive loop a moment to drain the socket before closing
+            threading.Timer(0.5, pc.close).start()
 
     def fixate(self, caps: Caps) -> Caps:
         # wait briefly for the first ingest so caps reflect its rtpmap
