@@ -109,6 +109,35 @@ class _UdpQuicEndpoint:
             pass
 
 
+def _pinned_verify_peer(element):
+    """Client-side peer-cert policy from secure-connection/certificate-file.
+
+    Mirrors the reference quinn elements' secure-connection handling
+    (net/quinn/src/utils.rs): with secure-connection=false any peer is
+    accepted; with a certificate-file the peer must present exactly that
+    certificate (pinning — the in-repo TLS does no webpki chain walk).
+    """
+    if not element.get_property("secure-connection"):
+        return None
+    path = element.get_property("certificate-file")
+    if not path:
+        import warnings
+        warnings.warn(
+            f"{element.name}: secure-connection without certificate-file "
+            "accepts any self-signed peer certificate (no CA roots in-repo); "
+            "set certificate-file to pin the server certificate")
+        return None
+    with open(path, "rb") as f:
+        data = f.read()
+    if data.lstrip().startswith(b"-----BEGIN"):
+        from cryptography import x509
+        from cryptography.hazmat.primitives import serialization
+        data = x509.load_pem_x509_certificate(data).public_bytes(
+            serialization.Encoding.DER)
+    expected = data
+    return lambda der: der == expected
+
+
 _QUIC_PROPS = [
     Prop("address", "127.0.0.1", type="str"),
     Prop("port", 4433, type="uint"),
@@ -145,7 +174,8 @@ class QuinnQuicSink(BaseSink):
         alpn = self.get_property("alpn-protocols").split(",")
         self._ep = _UdpQuicEndpoint(
             lambda send: QuicConnection(True, send, alpn=alpn,
-                                        server_name=self.get_property("address")),
+                                        server_name=self.get_property("address"),
+                                        verify_peer=_pinned_verify_peer(self)),
             (self.get_property("bind-address"), self.get_property("bind-port")),
             (self.get_property("address"), self.get_property("port")),
         )
@@ -595,7 +625,8 @@ class QuinnWtSink(BaseSink):
 
         def factory(send):
             conn = QuicConnection(True, send, alpn=["h3"],
-                                  server_name=self.get_property("server-name"))
+                                  server_name=self.get_property("server-name"),
+                                  verify_peer=_pinned_verify_peer(self))
             holder["session"] = WebTransportSession(conn, True,
                                                     authority=f"{host}:{port}", path=path)
             return conn

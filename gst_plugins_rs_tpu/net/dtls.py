@@ -31,6 +31,7 @@ from dataclasses import dataclass, field
 from typing import Callable, Dict, List, Optional, Tuple
 
 from cryptography import x509
+from cryptography.exceptions import InvalidSignature
 from cryptography.hazmat.primitives import hashes, serialization
 from cryptography.hazmat.primitives.asymmetric import ec
 from cryptography.hazmat.primitives.ciphers.aead import AESGCM
@@ -179,6 +180,10 @@ class DtlsError(Exception):
     pass
 
 
+class _RecordDropped(Exception):
+    """Record silently discarded (bad AEAD tag / replay) — not fatal."""
+
+
 class DtlsConnection:
     """One DTLS association over a datagram transport.
 
@@ -231,6 +236,10 @@ class DtlsConnection:
         self._pre_master: Optional[bytes] = None
         self._peer_ecdh_point: Optional[bytes] = None
         self._cert_requested = False
+        self._cv_verified = False
+        # Anti-replay sliding window per epoch (RFC 6347 §4.1.2.6):
+        # highest seq seen + 64-bit bitmap of the window below it.
+        self._replay: Dict[int, Tuple[int, int]] = {}
 
     # -- public ---------------------------------------------------------------
 
@@ -303,15 +312,43 @@ class DtlsConnection:
                 return
             try:
                 self._handle_record(ctype, epoch, seq48, payload)
+            except _RecordDropped:
+                # RFC 6347 §4.1.2.7: records that fail authentication (or
+                # replay old sequence numbers) are silently discarded — a
+                # single spoofed datagram must not abort the association.
+                continue
             except DtlsError as e:
                 self._failed = str(e)
                 return
 
+    def _replay_stale(self, epoch: int, seq48: int) -> bool:
+        top, mask = self._replay.get(epoch, (-1, 0))
+        if seq48 > top:
+            return False
+        d = top - seq48
+        return d >= 64 or bool(mask >> d & 1)
+
+    def _replay_mark(self, epoch: int, seq48: int) -> None:
+        top, mask = self._replay.get(epoch, (-1, 0))
+        if seq48 > top:
+            shift = seq48 - top
+            mask = (mask << shift | 1) & (1 << 64) - 1
+            top = seq48
+        else:
+            mask |= 1 << (top - seq48)
+        self._replay[epoch] = (top, mask)
+
     def _handle_record(self, ctype: int, epoch: int, seq48: int, payload: bytes) -> None:
+        if self._replay_stale(epoch, seq48):
+            raise _RecordDropped("replayed/duplicate record")
         if epoch == 1:
             if self._keys is None:
                 return  # too early; peer will retransmit
             payload = self._decrypt(ctype, epoch, seq48, payload)
+        # only records that authenticated (or cleartext epoch-0 handshake
+        # records, which the Finished transcript check covers) advance the
+        # anti-replay window
+        self._replay_mark(epoch, seq48)
         with self._lock:
             if ctype == CT_HANDSHAKE:
                 for msg in self._reasm.push(payload):
@@ -361,7 +398,7 @@ class DtlsConnection:
 
     def _decrypt(self, ctype: int, epoch: int, seq: int, payload: bytes) -> bytes:
         if len(payload) < 8 + 16:
-            raise DtlsError("short AEAD record")
+            raise _RecordDropped("short AEAD record")
         key, implicit_iv = self._dir_keys(sending=False)
         explicit, ct = payload[:8], payload[8:]
         nonce = implicit_iv + explicit
@@ -373,7 +410,7 @@ class DtlsConnection:
         try:
             return AESGCM(key).decrypt(nonce, ct, aad)
         except Exception as e:  # InvalidTag
-            raise DtlsError(f"record decrypt failed: {e}")
+            raise _RecordDropped(f"record decrypt failed: {e}")
 
     # -- handshake construction ---------------------------------------------------
 
@@ -564,7 +601,11 @@ class DtlsConnection:
         if sigalg != SIGALG_ECDSA_SECP256R1_SHA256:
             raise DtlsError("unsupported SKE signature algorithm")
         pub = self._peer_public_key()
-        pub.verify(sig, self.client_random + self.server_random + params, ec.ECDSA(hashes.SHA256()))
+        try:
+            pub.verify(sig, self.client_random + self.server_random + params,
+                       ec.ECDSA(hashes.SHA256()))
+        except InvalidSignature:
+            raise DtlsError("ServerKeyExchange signature invalid")
         self._peer_ecdh_point = point
 
     def _on_server_hello_done(self) -> None:
@@ -605,7 +646,11 @@ class DtlsConnection:
         if sigalg != SIGALG_ECDSA_SECP256R1_SHA256:
             raise DtlsError("unsupported CertificateVerify algorithm")
         transcript_before = bytes(self._transcript[: len(self._transcript) - len(msg.wire())])
-        self._peer_public_key().verify(sig, transcript_before, ec.ECDSA(hashes.SHA256()))
+        try:
+            self._peer_public_key().verify(sig, transcript_before, ec.ECDSA(hashes.SHA256()))
+        except InvalidSignature:
+            raise DtlsError("CertificateVerify signature invalid")
+        self._cv_verified = True
 
     def _compute_master_secret(self) -> None:
         if self._peer_ecdh_point is None:
@@ -638,11 +683,18 @@ class DtlsConnection:
         return prf(self.master_secret, label, hashlib.sha256(bytes(self._transcript)).digest(), 12)
 
     def _on_finished(self, msg: HandshakeMsg) -> None:
+        if self._peer_finished:
+            return  # peer retransmitted its final flight; already verified
         label = b"client finished" if not self.is_client else b"server finished"
         transcript_before = bytes(self._transcript)
         expect = prf(self.master_secret, label, hashlib.sha256(transcript_before).digest(), 12)
         if not hmac_mod.compare_digest(expect, msg.body):
             raise DtlsError("Finished verify_data mismatch")
+        if not self.is_client and self.peer_cert_der and not self._cv_verified:
+            # A client that presented a certificate MUST prove possession of
+            # its key (RFC 5246 §7.4.8) — otherwise anyone replaying a
+            # victim's public cert DER would pass the SDP fingerprint check.
+            raise DtlsError("client Certificate without verified CertificateVerify")
         self._transcript += msg.wire()
         self._peer_finished = True
         if not self.is_client and not self._sent_finished:

@@ -188,10 +188,29 @@ class RecvStream:
         if fin:
             self.fin_at = offset + len(data)
         out = bytearray()
-        while self.delivered in self.chunks:
-            chunk = self.chunks.pop(self.delivered)
-            out += chunk
-            self.delivered += len(chunk)
+        progressed = True
+        while progressed:
+            progressed = False
+            if self.delivered in self.chunks:
+                chunk = self.chunks.pop(self.delivered)
+                out += chunk
+                self.delivered += len(chunk)
+                progressed = True
+                continue
+            # Peers (e.g. quinn) may retransmit overlapping ranges: a chunk
+            # starting below the watermark but extending past it still
+            # carries new bytes — deliver its un-delivered suffix.
+            for off in sorted(self.chunks):
+                if off > self.delivered:
+                    break
+                chunk = self.chunks.pop(off)
+                if off + len(chunk) > self.delivered:
+                    tail = chunk[self.delivered - off:]
+                    out += tail
+                    self.delivered += len(tail)
+                    progressed = True
+                    break
+                # fully-duplicate chunk: drop
         if self.fin_at is not None and self.delivered >= self.fin_at:
             self.finished = True
         return bytes(out)
@@ -220,7 +239,8 @@ class QuicConnection:
                  alpn: Optional[List[str]] = None,
                  server_name: Optional[str] = None,
                  certificate=None,
-                 enable_datagrams: bool = True):
+                 enable_datagrams: bool = True,
+                 verify_peer=None):
         self.is_client = is_client
         self.send_cb = send_cb
         self.scid = os.urandom(8)
@@ -241,7 +261,8 @@ class QuicConnection:
         tp = encode_transport_params(params)
         tls_cls = QuicTlsClient if is_client else QuicTlsServer
         kwargs = {"server_name": server_name} if is_client else {}
-        self.tls = tls_cls(alpn, tp, certificate=certificate, **kwargs)
+        self.tls = tls_cls(alpn, tp, certificate=certificate,
+                           verify_peer=verify_peer, **kwargs)
         self.tls.on_secrets = self._on_secrets
 
         self.spaces = {LEVEL_INITIAL: _Space(), LEVEL_HANDSHAKE: _Space(),

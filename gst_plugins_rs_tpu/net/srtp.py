@@ -78,6 +78,28 @@ class SrtpSession:
         self._tx_last_seq: Dict[int, int] = {}
         self._rx: Dict[int, Tuple[int, Optional[int]]] = {}
         self._rtcp_tx_index = 0
+        # RFC 3711 §3.3.2 anti-replay: per-SSRC (top 48-bit index, 64-bit
+        # window bitmap) for SRTP; per-SSRC equivalent on the SRTCP index.
+        self._rx_replay: Dict[int, Tuple[int, int]] = {}
+        self._rtcp_rx_replay: Dict[int, Tuple[int, int]] = {}
+
+    @staticmethod
+    def _replay_stale(store: Dict[int, Tuple[int, int]], ssrc: int, index: int) -> bool:
+        top, mask = store.get(ssrc, (-1, 0))
+        if index > top:
+            return False
+        d = top - index
+        return d >= 64 or bool(mask >> d & 1)
+
+    @staticmethod
+    def _replay_mark(store: Dict[int, Tuple[int, int]], ssrc: int, index: int) -> None:
+        top, mask = store.get(ssrc, (-1, 0))
+        if index > top:
+            mask = (mask << (index - top) | 1) & (1 << 64) - 1
+            top = index
+        else:
+            mask |= 1 << (top - index)
+        store[ssrc] = (top, mask)
 
     # -- SRTP -----------------------------------------------------------------
 
@@ -107,9 +129,12 @@ class SrtpSession:
         seq = struct.unpack("!H", authed[2:4])[0]
         ssrc = struct.unpack("!I", authed[8:12])[0]
         roc, index = self._estimate_index(ssrc, seq)
+        if self._replay_stale(self._rx_replay, ssrc, index):
+            raise SrtpError("SRTP replayed packet")
         expect = hmac.new(self.rtp_auth, authed + struct.pack("!I", roc), hashlib.sha1).digest()
         if not hmac.compare_digest(expect[: self.AUTH_TAG_LEN], tag):
             raise SrtpError("SRTP auth failure")
+        self._replay_mark(self._rx_replay, ssrc, index)
         self._commit_index(ssrc, seq, roc)
         header_len = self._header_len(authed)
         payload = authed[header_len:]
@@ -171,6 +196,10 @@ class SrtpSession:
             raise SrtpError("SRTCP auth failure")
         e_index = struct.unpack("!I", e_index_raw)[0]
         index = e_index & 0x7FFFFFFF
+        ssrc0 = struct.unpack("!I", enc[4:8])[0]
+        if self._replay_stale(self._rtcp_rx_replay, ssrc0, index):
+            raise SrtpError("SRTCP replayed packet")
+        self._replay_mark(self._rtcp_rx_replay, ssrc0, index)
         if not e_index & 0x80000000:
             return enc  # unencrypted SRTCP
         ssrc = struct.unpack("!I", enc[4:8])[0]

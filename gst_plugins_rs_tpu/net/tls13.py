@@ -123,8 +123,14 @@ class QuicTls:
 
     def __init__(self, is_client: bool, alpn: List[str],
                  transport_params: bytes,
-                 certificate: Optional[Tuple[bytes, ec.EllipticCurvePrivateKey]] = None):
+                 certificate: Optional[Tuple[bytes, ec.EllipticCurvePrivateKey]] = None,
+                 verify_peer: Optional[Callable[[bytes], bool]] = None):
         self.is_client = is_client
+        # Policy hook: called with the peer's certificate DER after its
+        # CertificateVerify proves key possession; return False to reject
+        # (pinning / fingerprint checks).  None = accept any self-signed
+        # cert (WebRTC-style trust; pair with out-of-band fingerprints).
+        self.verify_peer = verify_peer
         self.alpn = alpn
         self.negotiated_alpn: Optional[str] = None
         self.transport_params = transport_params
@@ -221,8 +227,15 @@ class QuicTls:
         role = b"server" if server else b"client"
         content = (b" " * 64 + b"TLS 1.3, " + role + b" CertificateVerify\x00"
                    + hashlib.sha256(transcript_before).digest())
+        if self.peer_cert_der is None:
+            raise TlsError("CertificateVerify without Certificate")
         pub = x509.load_der_x509_certificate(self.peer_cert_der).public_key()
-        pub.verify(sig, content, ec.ECDSA(hashes.SHA256()))
+        try:
+            pub.verify(sig, content, ec.ECDSA(hashes.SHA256()))
+        except Exception:
+            raise TlsError("CertificateVerify signature invalid")
+        if self.verify_peer is not None and not self.verify_peer(self.peer_cert_der):
+            raise TlsError("peer certificate rejected by verify_peer policy")
 
     def _parse_certificate(self, body: bytes) -> None:
         ctx_len = body[0]

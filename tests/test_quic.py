@@ -226,3 +226,65 @@ class TestUdpLoopback:
             for t in threads:
                 t.join(1.0)
             sc.close(); ss.close()
+
+
+class TestSecurity:
+    def test_recvstream_overlapping_retransmission(self):
+        """Peers like quinn may retransmit overlapping ranges; the
+        un-delivered suffix must still be delivered (no stream stall)."""
+        from gst_plugins_rs_tpu.net.quic import RecvStream
+
+        rs = RecvStream()
+        assert rs.push(0, b"a" * 100, False) == b"a" * 100
+        # retransmission of 50..150 overlaps the 0..100 already delivered
+        assert rs.push(50, b"a" * 50 + b"b" * 50, False) == b"b" * 50
+        assert rs.delivered == 150
+        # fully duplicate chunk: silently dropped
+        assert rs.push(0, b"a" * 100, False) == b""
+        assert rs.push(150, b"c" * 10, True) == b"c" * 10
+        assert rs.finished
+
+    def test_recvstream_overlap_bridges_gap(self):
+        from gst_plugins_rs_tpu.net.quic import RecvStream
+
+        rs = RecvStream()
+        assert rs.push(0, b"x" * 10, False) == b"x" * 10
+        rs.push(20, b"z" * 10, False)  # gap 10..20
+        # overlapping chunk 5..25 fills the gap and unlocks the stored chunk
+        assert rs.push(5, b"x" * 5 + b"y" * 15, False) == b"y" * 15 + b"z" * 5
+        assert rs.delivered == 30
+
+    def test_verify_peer_rejects_handshake(self):
+        to_server, to_client = [], []
+        client = QuicConnection(True, to_server.append,
+                                verify_peer=lambda der: False)
+        server = QuicConnection(False, to_client.append)
+        client.connect()
+        with pytest.raises(Exception, match="verify_peer|certificate"):
+            for _ in range(10):
+                while to_server:
+                    server.handle_datagram(to_server.pop(0))
+                while to_client:
+                    client.handle_datagram(to_client.pop(0))
+            raise AssertionError("handshake should have been rejected")
+        assert not client.handshake_done.is_set()
+
+    def test_verify_peer_pinning_accepts(self):
+        from gst_plugins_rs_tpu.net.dtls import generate_certificate
+
+        cert = generate_certificate()
+        to_server, to_client = [], []
+        client = QuicConnection(True, to_server.append,
+                                verify_peer=lambda der: der == cert[0])
+        server = QuicConnection(False, to_client.append, certificate=cert)
+        client.connect()
+        for _ in range(40):
+            moved = False
+            while to_server:
+                server.handle_datagram(to_server.pop(0)); moved = True
+            while to_client:
+                client.handle_datagram(to_client.pop(0)); moved = True
+            if not moved:
+                break
+        assert client.handshake_done.is_set()
+        assert client.tls.peer_cert_der == cert[0]

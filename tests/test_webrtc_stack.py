@@ -229,6 +229,64 @@ class TestDtls:
         server.handle_packet(bytes(bad))
         assert got == []
 
+    def test_garbage_datagram_not_fatal(self):
+        """RFC 6347 §4.1.2.7: a record failing AEAD is silently discarded;
+        the association must survive and keep delivering valid data."""
+        client, server, pump = _memory_pair()
+        client.start_handshake()
+        pump()
+        got = []
+        server.on_data = got.append
+        captured = []
+        real_cb = client.send_cb
+        client.send_cb = captured.append
+        client.send(b"first")
+        bad = bytearray(captured[0])
+        bad[-1] ^= 0xFF
+        server.handle_packet(bytes(bad))  # spoofed/corrupt — must be dropped
+        assert server._failed is None
+        server.handle_packet(bytes(captured[0]))  # the genuine record
+        assert got == [b"first"]
+        client.send_cb = real_cb
+        client.send(b"second")
+        pump()
+        assert got == [b"first", b"second"]
+
+    def test_replayed_record_dropped(self):
+        """RFC 3711-style anti-replay on the DTLS record layer: a captured
+        record delivered twice is processed once."""
+        client, server, pump = _memory_pair()
+        client.start_handshake()
+        pump()
+        got = []
+        server.on_data = got.append
+        captured = []
+        client.send_cb = captured.append
+        client.send(b"once")
+        server.handle_packet(captured[0])
+        server.handle_packet(captured[0])  # replay
+        assert got == [b"once"]
+        assert server._failed is None
+
+    def test_client_cert_without_certificateverify_rejected(self):
+        """A client replaying a victim's public cert DER without proving key
+        possession (no CertificateVerify) must not complete the handshake."""
+        from gst_plugins_rs_tpu.net.dtls import HT_CERTIFICATE_VERIFY
+
+        client, server, pump = _memory_pair()
+        orig = client._queue_hs
+
+        def no_cv(msg_type, body, flight, epoch=0):
+            if msg_type == HT_CERTIFICATE_VERIFY:
+                return  # attacker omits CV (cannot sign with victim's key)
+            orig(msg_type, body, flight, epoch)
+
+        client._queue_hs = no_cv
+        client.start_handshake()
+        pump()
+        assert not server._handshake_done.is_set()
+        assert server._failed is not None and "CertificateVerify" in server._failed
+
     def test_handshake_udp_loopback(self):
         sc = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
         ss = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
@@ -321,6 +379,32 @@ class TestSrtp:
         rtcp = struct.pack("!BBH", 0x80, 200, 6) + struct.pack("!I", 0x1234) + os.urandom(20)
         prot = tx.protect_rtcp(rtcp)
         assert rx.unprotect_rtcp(prot) == rtcp
+
+    def test_replay_rejected(self):
+        """RFC 3711 §3.3.2: a captured SRTP packet delivered twice MUST be
+        rejected the second time (per-SSRC sliding window on the index)."""
+        key, salt = os.urandom(16), os.urandom(14)
+        tx, rx = SrtpSession(key, salt), SrtpSession(key, salt)
+        prot = tx.protect(_rtp(5))
+        assert rx.unprotect(prot) == _rtp(5)
+        with pytest.raises(SrtpError, match="replay"):
+            rx.unprotect(prot)
+        # out-of-order (not replayed) packets inside the window still pass
+        p7 = tx.protect(_rtp(7))
+        p6 = tx.protect(_rtp(6))
+        assert rx.unprotect(p7) == _rtp(7)
+        assert rx.unprotect(p6) == _rtp(6)
+        with pytest.raises(SrtpError, match="replay"):
+            rx.unprotect(p6)
+
+    def test_rtcp_replay_rejected(self):
+        key, salt = os.urandom(16), os.urandom(14)
+        tx, rx = SrtpSession(key, salt), SrtpSession(key, salt)
+        rtcp = struct.pack("!BBH", 0x80, 200, 6) + struct.pack("!I", 0x1234) + os.urandom(20)
+        prot = tx.protect_rtcp(rtcp)
+        assert rx.unprotect_rtcp(prot) == rtcp
+        with pytest.raises(SrtpError, match="replay"):
+            rx.unprotect_rtcp(prot)
 
     def test_dtls_to_srtp_wiring(self):
         client, server, pump = _memory_pair()
