@@ -29,7 +29,7 @@ def typefind(data: bytes) -> Optional[str]:
         return "video/quicktime"
     if data[0] == 0x47 and (len(data) < 189 or data[188] == 0x47):
         return "video/mpegts,systemstream=true,packetsize=188"
-    if data[:13] == b"gstpu-sodium1":
+    if data[:12] == b"gst-sodium10":
         return "application/x-sodium-encrypted"
     if data[:18] == b"Scenarist_SCC V1.0":
         return "application/x-scc"

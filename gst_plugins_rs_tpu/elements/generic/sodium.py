@@ -1,17 +1,16 @@
 """sodiumencrypter / sodiumdecrypter: asymmetric stream encryption.
 
 Parity target: generic/sodium (encrypter/imp.rs, decrypter/imp.rs).  The
-stream format mirrors the reference: a typefind magic, the stream nonce and
-the block size up front (lib.rs:31-38), then fixed-size encrypted blocks
-with a per-block incrementing nonce (encrypter/imp.rs:123-124); default
-block-size 32768 (encrypter/imp.rs:56).
+stream format is byte-compatible with the reference: "gst-sodium10"
+typefind magic, the 24-byte crypto_box stream nonce and the block size
+(u32 LE) up front (lib.rs:31-38, encrypter/imp.rs:176-181), then
+fixed-size crypto_box-sealed blocks (16-byte MAC + ciphertext) with the
+nonce incremented little-endian per block (encrypter/imp.rs:123-124);
+default block-size 32768 (encrypter/imp.rs:56).
 
-Cipher divergence (documented): the reference uses NaCl crypto_box
-(X25519 + XSalsa20-Poly1305).  XSalsa20 is unavailable in this
-environment's `cryptography` library, so this implementation uses
-X25519 ECDH (HKDF-SHA256) + ChaCha20-Poly1305 — the same construction
-class, NOT wire-compatible with libsodium streams.  Magic is therefore
-"gstpu-sodium1" (not the reference's) so the formats can't be confused.
+Cipher: NaCl crypto_box (X25519 + XSalsa20-Poly1305) from net/nacl.py —
+validated against the system libsodium and the reference's own
+tests/encrypted_sample.enc fixture (tests/test_sodium.py).
 
 Keys: 32-byte X25519 keys, passed hex-encoded via sender-key/receiver-key
 (encrypter takes the sender's private + receiver's public key; decrypter
@@ -33,29 +32,38 @@ from ...core import (
     TransformMode,
     register,
 )
+from ...net.nacl import (
+    MAC_BYTES,
+    NONCE_BYTES,
+    crypto_box_beforenm,
+    increment_le,
+    secretbox_easy,
+    secretbox_open_easy,
+)
 
-MAGIC = b"gstpu-sodium1"  # 13 bytes
-NONCE_SIZE = 12
+MAGIC = b"gst-sodium10"  # 12 bytes (reference lib.rs:31)
+NONCE_SIZE = NONCE_BYTES  # 24
 HEADERS_SIZE = len(MAGIC) + NONCE_SIZE + 4
-TAG_SIZE = 16
+TAG_SIZE = MAC_BYTES
 ENC_CAPS = Caps.builder("application/x-sodium-encrypted")
 
 
-def _shared_cipher(priv_hex: str, pub_hex: str):
-    from cryptography.hazmat.primitives.asymmetric.x25519 import (
-        X25519PrivateKey,
-        X25519PublicKey,
-    )
-    from cryptography.hazmat.primitives.ciphers.aead import ChaCha20Poly1305
-    from cryptography.hazmat.primitives.kdf.hkdf import HKDF
-    from cryptography.hazmat.primitives import hashes
+class _BoxCipher:
+    """crypto_box with the precomputed key (seal_precomputed analog)."""
 
-    priv = X25519PrivateKey.from_private_bytes(bytes.fromhex(priv_hex))
-    pub = X25519PublicKey.from_public_bytes(bytes.fromhex(pub_hex))
-    shared = priv.exchange(pub)
-    key = HKDF(algorithm=hashes.SHA256(), length=32, salt=None,
-               info=b"gstpu-sodium1").derive(shared)
-    return ChaCha20Poly1305(key)
+    def __init__(self, priv_hex: str, pub_hex: str):
+        self.key = crypto_box_beforenm(bytes.fromhex(priv_hex),
+                                       bytes.fromhex(pub_hex))
+
+    def encrypt(self, nonce: bytes, message: bytes, _aad=None) -> bytes:
+        return secretbox_easy(message, nonce, self.key)
+
+    def decrypt(self, nonce: bytes, boxed: bytes, _aad=None) -> bytes:
+        return secretbox_open_easy(boxed, nonce, self.key)
+
+
+def _shared_cipher(priv_hex: str, pub_hex: str) -> _BoxCipher:
+    return _BoxCipher(priv_hex, pub_hex)
 
 
 def generate_keypair():
@@ -132,7 +140,7 @@ class SodiumEncrypter(BaseTransform):
         out = bytearray()
         if not self._wrote_headers:
             self._wrote_headers = True
-            out += MAGIC + self._nonce + struct.pack(">I", self.get_property("block-size"))
+            out += MAGIC + self._nonce + struct.pack("<I", self.get_property("block-size"))
         bs = self.get_property("block-size")
         while len(self._acc) >= bs:
             out += self._encrypt_block(bytes(self._acc[:bs]))
@@ -207,7 +215,7 @@ class SodiumDecrypter(BaseTransform):
             if bytes(self._acc[: len(MAGIC)]) != MAGIC:
                 raise ValueError("not a gstpu-sodium stream (bad magic)")
             self._nonce = bytes(self._acc[len(MAGIC) : len(MAGIC) + NONCE_SIZE])
-            (self._block_size,) = struct.unpack_from(">I", self._acc, len(MAGIC) + NONCE_SIZE)
+            (self._block_size,) = struct.unpack_from("<I", self._acc, len(MAGIC) + NONCE_SIZE)
             del self._acc[:HEADERS_SIZE]
             self._headers_read = True
         out = bytearray()

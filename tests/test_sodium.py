@@ -67,7 +67,7 @@ class TestSodium:
         src.end_of_stream()
         p.play_until_eos()
         out = b"".join(np.asarray(s.buffer.data).tobytes() for s in sink.samples)
-        assert out.startswith(b"gstpu-sodium1")
+        assert out.startswith(b"gst-sodium10")  # reference magic (lib.rs:31)
         assert b"secret" not in out
 
     def test_tamper_detection(self):
@@ -86,6 +86,103 @@ class TestSodium:
 
         with pytest.raises(Exception):
             run_chain([b"y" * 3000], block_size=1024, tamper=Corrupt())
+
+    def test_decrypts_reference_fixture(self):
+        """Wire parity: decrypt the reference's own encrypted fixture
+        (generic/sodium/tests/encrypted_sample.enc, keys from
+        tests/decrypter.rs:35-49) and compare with sample.mp3."""
+        import os
+
+        ref = "/root/reference/generic/sodium/tests"
+        if not os.path.exists(f"{ref}/encrypted_sample.enc"):
+            pytest.skip("reference fixture unavailable")
+        sender_public = bytes([
+            66, 248, 199, 74, 216, 55, 228, 116, 52, 17, 147, 56, 65, 130,
+            134, 148, 157, 153, 235, 171, 179, 147, 120, 71, 100, 243, 133,
+            120, 160, 14, 111, 65])
+        receiver_private = bytes([
+            54, 221, 217, 54, 94, 235, 167, 2, 187, 249, 71, 31, 59, 27, 19,
+            166, 78, 236, 102, 48, 29, 142, 41, 189, 22, 146, 218, 69, 147,
+            165, 240, 235])
+        with open(f"{ref}/encrypted_sample.enc", "rb") as f:
+            enc_data = f.read()
+        with open(f"{ref}/sample.mp3", "rb") as f:
+            expected = f.read()
+
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("application/x-sodium-encrypted"))
+        dec = fx.element_factory_make("sodiumdecrypter")
+        dec.set_property("sender-key", sender_public.hex())
+        dec.set_property("receiver-key", receiver_private.hex())
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        for e in (src, dec, sink):
+            p.add(e)
+        src.link(dec); dec.link(sink)
+        # push in uneven chunks to exercise streaming reassembly
+        for i in range(0, len(enc_data), 1777):
+            src.push_buffer(fx.Buffer(np.frombuffer(enc_data[i:i + 1777], np.uint8)))
+        src.end_of_stream()
+        p.play_until_eos()
+        out = b"".join(np.asarray(s.buffer.data).tobytes() for s in sink.samples)
+        assert out == expected
+
+    def test_matches_libsodium_oracle(self):
+        """Full-stream parity against the system libsodium (ctypes)."""
+        import ctypes
+
+        try:
+            lib = ctypes.CDLL("libsodium.so.23")
+        except OSError:
+            pytest.skip("libsodium unavailable")
+        lib.sodium_init()
+        s_priv, s_pub, r_priv, r_pub = keys()
+        import os as _os
+        nonce = _os.urandom(24)
+        data = _os.urandom(3000)
+
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("application/octet-stream"))
+        enc = fx.element_factory_make("sodiumencrypter")
+        enc.set_property("sender-key", s_priv)
+        enc.set_property("receiver-key", r_pub)
+        enc.set_property("block-size", 1024)
+        enc.set_property("nonce", nonce.hex())
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        for e in (src, enc, sink):
+            p.add(e)
+        src.link(enc); enc.link(sink)
+        src.push_buffer(fx.Buffer(np.frombuffer(data, np.uint8)))
+        src.end_of_stream()
+        p.play_until_eos()
+        out = b"".join(np.asarray(s.buffer.data).tobytes() for s in sink.samples)
+        # parse header
+        assert out[:12] == b"gst-sodium10"
+        got_nonce = out[12:36]
+        assert got_nonce == nonce
+        import struct as _struct
+        (bs,) = _struct.unpack_from("<I", out, 36)
+        assert bs == 1024
+        # decrypt each block with libsodium crypto_box_open_easy
+        blocks, off, pt, n = [], 40, b"", nonce
+        while off < len(out):
+            blk = out[off:off + bs + 16]
+            m = ctypes.create_string_buffer(max(len(blk) - 16, 1))
+            rc = lib.crypto_box_open_easy(
+                m, blk, ctypes.c_ulonglong(len(blk)), n,
+                bytes.fromhex(s_pub), bytes.fromhex(r_priv))
+            assert rc == 0, "libsodium failed to open our block"
+            pt += m.raw[:len(blk) - 16]
+            # increment nonce little-endian
+            ni = int.from_bytes(n, "little") + 1
+            n = ni.to_bytes(24, "little")
+            off += len(blk)
+        assert pt == data
 
     def test_wrong_key_fails(self):
         from gst_plugins_rs_tpu.core.parse import parse_caps
