@@ -1,19 +1,99 @@
-"""Brotli (RFC 7932) — uncompressed-meta-block subset.
+"""Brotli (RFC 7932).
 
-Parity target: generic/compress's brotlicompress/brotlidecompress (the
-reference links the brotli C library, which this image lacks).  The
-encoder emits spec-valid streams built from uncompressed meta-blocks
-(ISUNCOMPRESSED=1, §9.2), so ANY conforming brotli decoder can read its
-output; the decoder handles that same subset and rejects entropy-coded
-streams with a clear error (documented divergence — full RFC 7932
-decoding needs the static dictionary + context modeling of the C
-library).
+Parity target: generic/compress's brotlicompress/brotlidecompress.  The
+reference outsources the format to the Rust `brotli` crate
+(generic/compress/Cargo.toml); here the system libbrotlienc/libbrotlidec
+C libraries are bound via ctypes (the same pattern as codecs/avlib.py for
+dav1d/rav1e), giving full RFC 7932 wire parity in both directions —
+entropy-coded meta-blocks, context modeling, and the static dictionary.
+
+A pure-Python fallback covering the uncompressed-meta-block subset
+(ISUNCOMPRESSED=1, §9.2) keeps the elements functional if the C
+libraries are ever absent: its encoder output is readable by any
+conforming decoder, and its decoder raises BrotliSubsetError on
+entropy-coded input.
 
 Brotli bit order: LSB-first within each byte (§2).
 """
 from __future__ import annotations
 
-from typing import List
+import ctypes
+from typing import List, Optional
+
+_DEC = None
+_ENC = None
+_TRIED = False
+
+
+def _load_libs() -> bool:
+    global _DEC, _ENC, _TRIED
+    if _TRIED:
+        return _DEC is not None and _ENC is not None
+    _TRIED = True
+    for dec_name, enc_name in (("libbrotlidec.so.1", "libbrotlienc.so.1"),
+                               ("libbrotlidec.so", "libbrotlienc.so")):
+        try:
+            dec = ctypes.CDLL(dec_name)
+            enc = ctypes.CDLL(enc_name)
+        except OSError:
+            continue
+        enc.BrotliEncoderMaxCompressedSize.restype = ctypes.c_size_t
+        enc.BrotliEncoderMaxCompressedSize.argtypes = [ctypes.c_size_t]
+        enc.BrotliEncoderCompress.restype = ctypes.c_int
+        enc.BrotliEncoderCompress.argtypes = [
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_size_t,
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_size_t), ctypes.c_char_p]
+        dec.BrotliDecoderCreateInstance.restype = ctypes.c_void_p
+        dec.BrotliDecoderCreateInstance.argtypes = [ctypes.c_void_p] * 3
+        dec.BrotliDecoderDestroyInstance.argtypes = [ctypes.c_void_p]
+        dec.BrotliDecoderDecompressStream.restype = ctypes.c_int
+        dec.BrotliDecoderDecompressStream.argtypes = [
+            ctypes.c_void_p,
+            ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t), ctypes.POINTER(ctypes.c_char_p),
+            ctypes.POINTER(ctypes.c_size_t)]
+        _DEC, _ENC = dec, enc
+        return True
+    return False
+
+
+def _c_compress(data: bytes, quality: int = 9, lgwin: int = 22) -> bytes:
+    max_size = _ENC.BrotliEncoderMaxCompressedSize(len(data)) or len(data) + 1024
+    out = ctypes.create_string_buffer(max_size)
+    out_len = ctypes.c_size_t(max_size)
+    ok = _ENC.BrotliEncoderCompress(quality, lgwin, 0, len(data), data,
+                                    ctypes.byref(out_len), out)
+    if not ok:
+        raise ValueError("brotli encode failed")
+    return out.raw[:out_len.value]
+
+
+def _c_decompress(data: bytes) -> bytes:
+    st = _DEC.BrotliDecoderCreateInstance(None, None, None)
+    if not st:
+        raise MemoryError("BrotliDecoderCreateInstance failed")
+    try:
+        avail_in = ctypes.c_size_t(len(data))
+        next_in = ctypes.c_char_p(data)
+        chunks = []
+        BUF = 1 << 18
+        while True:
+            buf = ctypes.create_string_buffer(BUF)
+            avail_out = ctypes.c_size_t(BUF)
+            next_out = ctypes.c_char_p(ctypes.addressof(buf))
+            res = _DEC.BrotliDecoderDecompressStream(
+                st, ctypes.byref(avail_in), ctypes.byref(next_in),
+                ctypes.byref(avail_out), ctypes.byref(next_out), None)
+            chunks.append(buf.raw[:BUF - avail_out.value])
+            if res == 1:  # SUCCESS
+                return b"".join(chunks)
+            if res == 3:  # NEEDS_MORE_OUTPUT
+                continue
+            if res == 2:  # NEEDS_MORE_INPUT: truncated stream
+                raise ValueError("truncated brotli stream")
+            raise ValueError("corrupt brotli stream")
+    finally:
+        _DEC.BrotliDecoderDestroyInstance(st)
 
 
 class _BitWriter:
@@ -63,7 +143,21 @@ class _BitReader:
 _MAX_BLOCK = (1 << 24) - 1  # 6 nibbles
 
 
-def compress(data: bytes) -> bytes:
+def compress(data: bytes, quality: int = 9) -> bytes:
+    """RFC 7932 encode via libbrotlienc; stored-block fallback without it."""
+    if _load_libs():
+        return _c_compress(data, quality=quality)
+    return _compress_stored(data)
+
+
+def decompress(data: bytes) -> bytes:
+    """RFC 7932 decode via libbrotlidec; subset fallback without it."""
+    if _load_libs():
+        return _c_decompress(data)
+    return _decompress_subset(data)
+
+
+def _compress_stored(data: bytes) -> bytes:
     """Valid brotli stream of uncompressed meta-blocks (WBITS=16)."""
     w = _BitWriter()
     w.write(0, 1)  # WBITS code '0' => 16 (§9.1)
@@ -95,7 +189,7 @@ class BrotliSubsetError(ValueError):
     pass
 
 
-def decompress(data: bytes) -> bytes:
+def _decompress_subset(data: bytes) -> bytes:
     r = _BitReader(data)
     if r.read(1) != 0:
         # multi-bit WBITS codes imply arbitrary windows; the uncompressed

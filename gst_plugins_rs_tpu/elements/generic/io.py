@@ -217,12 +217,12 @@ __all__ += ["ZlibCompress", "ZlibDecompress", "DeflateCompress", "DeflateDecompr
 
 @register
 class BrotliCompress(BaseTransform):
-    """Brotli encoder emitting RFC 7932 uncompressed meta-blocks
-    (codecs/brotli.py) — readable by any conforming brotli decoder."""
+    """Brotli encoder (codecs/brotli.py: libbrotlienc via ctypes, full
+    RFC 7932; stored-block fallback without the C library)."""
 
     ELEMENT_NAME = "brotlicompress"
     ELEMENT_CLASS = "Codec/Encoder"
-    ELEMENT_DESCRIPTION = "Compresses buffers into brotli streams (stored blocks)"
+    ELEMENT_DESCRIPTION = "Compresses buffers into brotli streams"
     MODE = TransformMode.NEVER_IN_PLACE
 
     def transform(self, inbuf: Buffer) -> Buffer:
@@ -236,12 +236,12 @@ class BrotliCompress(BaseTransform):
 
 @register
 class BrotliDecompress(BaseTransform):
-    """Brotli decoder for the uncompressed-meta-block subset (documented:
-    entropy-coded streams need the brotli C library the reference uses)."""
+    """Brotli decoder (codecs/brotli.py: libbrotlidec via ctypes, full
+    RFC 7932 incl. entropy coding and the static dictionary)."""
 
     ELEMENT_NAME = "brotlidecompress"
     ELEMENT_CLASS = "Codec/Decoder"
-    ELEMENT_DESCRIPTION = "Decompresses brotli streams (stored-block subset)"
+    ELEMENT_DESCRIPTION = "Decompresses brotli streams"
     MODE = TransformMode.NEVER_IN_PLACE
 
     def transform(self, inbuf: Buffer) -> Buffer:

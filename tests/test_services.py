@@ -229,13 +229,34 @@ def test_brotli_stored_block_roundtrip():
     for payload in (b"", b"x", b"hello brotli " * 1000, bytes(range(256)) * 300):
         if not payload:
             # empty input -> just the last-empty metablock
-            stream = brotli.compress(payload)
+            stream = brotli._compress_stored(payload)
             assert brotli.decompress(stream) == payload
             continue
-        stream = brotli.compress(payload)
+        stream = brotli._compress_stored(payload)
+        # the stored-subset stream decodes via BOTH the C library and the
+        # pure-python subset decoder
         assert brotli.decompress(stream) == payload
+        assert brotli._decompress_subset(stream) == payload
         # stored blocks add only headers: overhead stays tiny
         assert len(stream) < len(payload) + 64
+
+
+def test_brotli_full_rfc7932():
+    """Full entropy-coded RFC 7932 via the system C library (the same
+    external-library route the reference takes with the brotli crate)."""
+    import pytest as _pytest
+
+    from gst_plugins_rs_tpu.codecs import brotli
+
+    if not brotli._load_libs():
+        _pytest.skip("libbrotli unavailable")
+    import os as _os
+    for payload in (b"a" * 100000, b"the quick brown fox " * 2000,
+                    _os.urandom(5000), b""):
+        stream = brotli.compress(payload)
+        assert brotli.decompress(stream) == payload
+    # compressible data actually compresses (entropy coding engaged)
+    assert len(brotli.compress(b"abc" * 10000)) < 200
 
 
 def test_brotli_elements():
