@@ -16,6 +16,7 @@ from .buffer import (
 )
 from .bus import Bus
 from .caps import Caps, Fraction, IntRange, Structure, ValueList
+from .clock import Clock, ClockId, ClockReturn, SystemClock, TestClock
 from .element import (
     Element,
     FlowError,
@@ -38,7 +39,7 @@ from .registry import (
     list_factories,
     register,
 )
-from .video import VideoInfo, video_caps_template
+from .video import VideoCaptionMeta, VideoInfo, video_caps_template
 
 __all__ = [
     "Adapter",
@@ -96,4 +97,5 @@ __all__ = [
     "parse_value",
     "register",
     "video_caps_template",
+    "VideoCaptionMeta",
 ]

@@ -237,6 +237,10 @@ class Element:
         self.name = name
         self.state = State.NULL
         self.parent: Optional[Any] = None  # Pipeline/Bin
+        # pipeline clock, distributed on PAUSED->PLAYING (core/clock.py);
+        # None in clockless (fully synchronous) pipelines/harnesses
+        self.clock: Optional[Any] = None
+        self.base_time: int = 0
         self.pads: Dict[str, Pad] = {}
         self._props: Dict[str, Any] = {}
         self._prop_specs: Dict[str, Prop] = {}
@@ -336,6 +340,13 @@ class Element:
     def on_playing_to_paused(self) -> None: ...
     def on_paused_to_ready(self) -> None: ...
     def on_ready_to_null(self) -> None: ...
+
+    # -- clock -----------------------------------------------------------------------
+    def running_time(self) -> Optional[int]:
+        """Clock time minus base time (ns), None without a clock."""
+        if self.clock is None:
+            return None
+        return self.clock.now() - self.base_time
 
     # -- messages -------------------------------------------------------------------
     def post_message(self, message: Message) -> None:

@@ -24,10 +24,18 @@ class Pipeline:
         self.elements: List[Element] = []
         self.tracers: List = []  # utils.tracers hooks
         self.parent = None
+        self.clock = None  # selected on PAUSED->PLAYING; use_clock() overrides
+        self._forced_clock = False
+        self.base_time = 0
         # GSTPU_TRACERS env activation (utils/tracers analog)
         from ..utils.tracers import install_from_env
 
         install_from_env(self)
+
+    def use_clock(self, clock) -> None:
+        """Force a specific clock (e.g. a TestClock); None reverts to auto."""
+        self.clock = clock
+        self._forced_clock = clock is not None
 
     def add(self, *elements: Element) -> None:
         for e in elements:
@@ -47,10 +55,45 @@ class Pipeline:
 
     # -- state ---------------------------------------------------------------
     def set_state(self, target: State) -> None:
+        if target >= State.PLAYING and self.state_below(State.PLAYING):
+            # select + distribute the clock and stamp base_time before any
+            # element reaches PLAYING (elements arm timers in
+            # on_paused_to_playing) — the C core's clock distribution
+            if self.clock is None and not self._forced_clock:
+                from .clock import SystemClock
+
+                self.clock = SystemClock.obtain()
+            self.base_time = self.clock.now() if self.clock is not None else 0
+            for e in self.elements:
+                e.clock = self.clock
+                e.base_time = self.base_time
         # Sinks first on upward changes (like the C core), sources first on down.
         order = list(reversed(self.elements)) if target > State.NULL else self.elements
         for e in order:
             e.set_state(target)
+
+    def state_below(self, s: State) -> bool:
+        return all(e.state < s for e in self.elements) if self.elements else True
+
+    # -- queries ---------------------------------------------------------------
+    def query_latency(self):
+        """Issue a latency query upstream from every sink; returns the query
+        whose min_latency is the pipeline's (max over sinks), as the C
+        core's latency distribution does."""
+        from .events import Query
+
+        best = None
+        for e in self.elements:
+            if e.src_pads():  # not a sink
+                continue
+            sinks = e.sink_pads()
+            if not sinks or sinks[0].peer is None:
+                continue
+            q = Query.new_latency()
+            if sinks[0].peer_query(q):
+                if best is None or q.result.get("min_latency", 0) > best.result.get("min_latency", 0):
+                    best = q
+        return best
 
     # -- scheduling ----------------------------------------------------------
     def sources(self) -> List[BaseSrc]:

@@ -2,15 +2,22 @@
 togglerecord.
 
 Parity targets (SURVEY.md §5): utils/fallbackswitch (priority-based input
-selector with per-pad priority + is-healthy, auto-switch,
-fallbackswitch/imp.rs:20-126), utils/livesync (repeats the last buffer to
-fill gaps, livesync/imp.rs:9-40) and utils/togglerecord (gap-free record
-valve).  The synchronous scheduler has no wall clock; "timeout" failure
-detection maps to GAP events and EOS (the reference's tests drive failures
-the same way, via DISCONT/gap injection — SURVEY.md §5 fault injection).
+selector with per-pad priority + is-healthy, auto-switch and a clock-armed
+`timeout` that switches to the next healthy lower-priority input when the
+active one stalls, fallbackswitch/imp.rs:20-29,57-68,88-126), utils/livesync
+(repeats the last buffer on missed deadlines, livesync/imp.rs:9-40) and
+utils/togglerecord (gap-free record valve).
+
+Clocked pipelines (core/clock.py) get the reference's real time-based
+behavior: fallbackswitch arms a single-shot clock id per deadline and
+switches on expiry with no data; livesync re-pushes the last buffer each
+period while upstream stalls.  Clockless pipelines/harnesses keep the
+event-driven path (GAP events and EOS), which the reference's tests also
+exercise via DISCONT/gap injection (SURVEY.md §5).
 """
 from __future__ import annotations
 
+import threading
 from typing import Dict, Optional
 
 from ...core import (
@@ -41,6 +48,7 @@ class FallbackSinkPad(AggregatorPad):
         super().__init__(name, template)
         self.priority = priority
         self.is_healthy = True
+        self.timed_out = False  # set when the clock timeout expires with no data
 
 
 @register
@@ -50,7 +58,8 @@ class FallbackSwitch(Aggregator):
     ELEMENT_DESCRIPTION = "Forwards the highest-priority healthy input"
     PROPERTIES = [
         Prop("timeout", SECOND, type="uint64", mutable="playing",
-             doc="Health timeout (gap/EOS driven in the synchronous scheduler)"),
+             doc="Switch to the next healthy input after this long without "
+                 "data on the active one (clock-armed; 0 disables)"),
         Prop("immediate-fallback", False, type="bool", mutable="playing"),
         Prop("auto-switch", True, type="bool", mutable="playing"),
     ]
@@ -59,6 +68,53 @@ class FallbackSwitch(Aggregator):
         super().__init__(name)
         self._active: Optional[FallbackSinkPad] = None
         self._sent_caps_for: Optional[FallbackSinkPad] = None
+        self._flow_lock = threading.RLock()
+        self._timeout_id = None
+
+    # -- clock-armed health timeout (fallbackswitch/imp.rs:88-126) ---------
+    def on_paused_to_playing(self) -> None:
+        self._arm_timeout()
+
+    def on_playing_to_paused(self) -> None:
+        self._cancel_timeout()
+
+    def _cancel_timeout(self) -> None:
+        with self._flow_lock:
+            if self._timeout_id is not None:
+                self._timeout_id.unschedule()
+                self._timeout_id = None
+
+    def _arm_timeout(self) -> None:
+        timeout = self.get_property("timeout")
+        if self.clock is None or not timeout:
+            return
+        with self._flow_lock:
+            if self._timeout_id is not None:
+                self._timeout_id.unschedule()
+            cid = self.clock.new_single_shot_id(self.clock.now() + timeout)
+            self._timeout_id = cid
+            cid.wait_async(self._on_timeout)
+
+    def _on_timeout(self, cid) -> None:
+        with self._flow_lock:
+            if cid is not self._timeout_id or cid._unscheduled:
+                return
+            self._timeout_id = None
+            # the active input missed its deadline -> failed until it
+            # produces data again
+            pad = self._active if self._active is not None else self._pick_active()
+            if pad is not None:
+                pad.timed_out = True
+            self._try_aggregate()
+        self._arm_timeout()
+
+    def _sink_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        with self._flow_lock:
+            pad.timed_out = False  # data flowing again -> healthy
+            ret = super()._sink_chain(pad, buf)
+            if pad is self._active:
+                self._arm_timeout()  # deadline = last active buffer + timeout
+            return ret
 
     def request_sink_pad(self, name: Optional[str] = None) -> FallbackSinkPad:
         idx = self._pad_counter
@@ -80,10 +136,17 @@ class FallbackSwitch(Aggregator):
 
     def _pick_active(self) -> Optional[FallbackSinkPad]:
         candidates = [
-            p for p in self.agg_pads() if p.is_healthy and not p.is_inactive()  # type: ignore[attr-defined]
+            p for p in self.agg_pads()
+            if p.is_healthy and not p.is_inactive() and not p.timed_out  # type: ignore[attr-defined]
         ]
         if not candidates:
             return None
+        if self.get_property("immediate-fallback") and self._active is None:
+            # don't wait a full timeout at startup: the best input that
+            # already has data wins until a higher-priority one produces
+            with_data = [p for p in candidates if p.has_buffer()]
+            if with_data:
+                candidates = with_data
         return min(candidates, key=lambda p: p.priority)  # type: ignore[attr-defined]
 
     def aggregate(self, timeout: bool) -> FlowReturn:
@@ -145,12 +208,56 @@ class LiveSync(BaseTransform):
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._last: Optional[Buffer] = None
+        self._lock = threading.RLock()
+        self._deadline_id = None
 
     def start(self) -> None:
         self._last = None
 
+    # -- clocked deadline pacing (livesync/imp.rs:9-40) --------------------
+    def on_paused_to_playing(self) -> None:
+        self._arm_deadline()
+
+    def on_playing_to_paused(self) -> None:
+        with self._lock:
+            if self._deadline_id is not None:
+                self._deadline_id.unschedule()
+                self._deadline_id = None
+
+    def _period(self) -> int:
+        if self._last is not None and self._last.duration:
+            return self._last.duration
+        return self.get_property("latency") or SECOND // 10
+
+    def _arm_deadline(self) -> None:
+        if self.clock is None:
+            return
+        with self._lock:
+            if self._deadline_id is not None:
+                self._deadline_id.unschedule()
+            cid = self.clock.new_single_shot_id(self.clock.now() + self._period())
+            self._deadline_id = cid
+            cid.wait_async(self._on_deadline)
+
+    def _on_deadline(self, cid) -> None:
+        with self._lock:
+            if cid is not self._deadline_id or cid._unscheduled:
+                return
+            self._deadline_id = None
+            if self._last is not None:
+                # upstream missed its deadline: repeat the last buffer with
+                # advanced timestamps to keep downstream fed
+                last = self._last
+                pts = None if last.pts is None else last.pts + (last.duration or 0)
+                repeat = Buffer(last.data, pts=pts, duration=last.duration)
+                self._last = repeat
+                self.srcpad.push(repeat)
+        self._arm_deadline()
+
     def transform_ip(self, buf: Buffer) -> Buffer:
-        self._last = buf
+        with self._lock:
+            self._last = buf
+        self._arm_deadline()
         return buf
 
     def sink_event(self, event: Event) -> bool:

@@ -1,0 +1,209 @@
+"""Pipeline clock tests: SystemClock/TestClock contracts, fallbackswitch
+time-based auto-switch (no GAP injection — the reference's clock-armed
+timeout behavior, utils/fallbackswitch/src/fallbackswitch/imp.rs:88-126),
+livesync deadline pacing, and latency-query propagation through a chain."""
+import threading
+import time
+
+import numpy as np
+import pytest
+
+import gst_plugins_rs_tpu as fx
+from gst_plugins_rs_tpu.core import (
+    Buffer,
+    Caps,
+    ClockReturn,
+    Event,
+    FlowReturn,
+    Harness,
+    MessageType,
+    Pad,
+    PadDirection,
+    SECOND,
+    Segment,
+    State,
+    SystemClock,
+    TestClock,
+    element_factory_make,
+)
+
+MS = SECOND // 1000
+
+
+class TestClocks:
+    def test_system_clock_monotonic(self):
+        c = SystemClock.obtain()
+        a = c.now()
+        b = c.now()
+        assert b >= a
+        assert SystemClock.obtain() is c  # process-wide singleton
+
+    def test_system_clock_blocking_wait(self):
+        c = SystemClock.obtain()
+        cid = c.new_single_shot_id(c.now() + 30 * MS)
+        t0 = time.monotonic()
+        assert cid.wait() == ClockReturn.OK
+        assert time.monotonic() - t0 >= 0.025
+
+    def test_system_clock_async_and_unschedule(self):
+        c = SystemClock.obtain()
+        fired = threading.Event()
+        cid = c.new_single_shot_id(c.now() + 20 * MS)
+        cid.wait_async(lambda _: fired.set())
+        assert fired.wait(2.0)
+        # unscheduled ids never fire
+        fired2 = threading.Event()
+        cid2 = c.new_single_shot_id(c.now() + 50 * MS)
+        cid2.wait_async(lambda _: fired2.set())
+        cid2.unschedule()
+        assert not fired2.wait(0.15)
+
+    def test_test_clock_advance_fires_in_order(self):
+        tc = TestClock()
+        fired = []
+        for t in (30 * MS, 10 * MS, 20 * MS):
+            cid = tc.new_single_shot_id(t)
+            cid.wait_async(lambda c, t=t: fired.append(t))
+        tc.advance(15 * MS)
+        assert fired == [10 * MS]
+        tc.advance(20 * MS)
+        assert fired == [10 * MS, 20 * MS, 30 * MS]
+
+    def test_test_clock_early_wait(self):
+        tc = TestClock(start=100)
+        assert tc.new_single_shot_id(50).wait() == ClockReturn.EARLY
+
+
+def _feed_pad(fs, pad):
+    src = Pad("src", PadDirection.SRC)
+    src.link(pad)
+    src.push_event(Event.new_stream_start("s"))
+    src.push_event(Event.new_caps(Caps.builder(
+        "audio/x-raw", format="F32", rate=48000, channels=1, layout="interleaved")))
+    src.push_event(Event.new_segment(Segment()))
+    return src
+
+
+class TestFallbackSwitchClocked:
+    def _build(self, timeout=100 * MS, **props):
+        tc = TestClock()
+        fs = element_factory_make("fallbackswitch")
+        fs.set_property("timeout", timeout)
+        for k, v in props.items():
+            fs.set_property(k, v)
+        out = []
+        cap = Pad("cap", PadDirection.SINK)
+        cap.chain_function = lambda pad, b: (out.append(b), FlowReturn.OK)[1]
+        cap.event_function = lambda pad, e: True
+        fs.srcpad.link(cap)
+        main = fs.request_sink_pad()
+        backup = fs.request_sink_pad()
+        fs.clock = tc
+        fs.set_state(State.PLAYING)
+        fmain = _feed_pad(fs, main)
+        fbackup = _feed_pad(fs, backup)
+        return tc, fs, out, main, backup, fmain, fbackup
+
+    def test_switches_on_elapsed_time_without_gap(self):
+        """Primary stalls; after `timeout` of real (test-clock) time the
+        switch moves to the backup with NO gap/EOS injection."""
+        tc, fs, out, main, backup, fmain, fbackup = self._build()
+        fmain.push(Buffer(np.full((4, 1), 1.0, np.float32), pts=0))
+        assert [float(np.asarray(b.data)[0, 0]) for b in out] == [1.0]
+        # backup keeps producing, primary stalls
+        fbackup.push(Buffer(np.full((4, 1), 2.0, np.float32), pts=0))
+        assert len(out) == 1  # backup dropped while primary healthy
+        tc.advance(99 * MS)
+        assert len(out) == 1  # not yet
+        tc.advance(2 * MS)  # 101 ms since the last primary buffer
+        fbackup.push(Buffer(np.full((4, 1), 2.5, np.float32), pts=10 * MS))
+        vals = [float(np.asarray(b.data)[0, 0]) for b in out]
+        assert vals[-1] == 2.5
+        assert main.timed_out
+
+    def test_switches_back_when_primary_recovers(self):
+        tc, fs, out, main, backup, fmain, fbackup = self._build()
+        fmain.push(Buffer(np.full((4, 1), 1.0, np.float32), pts=0))
+        tc.advance(101 * MS)
+        fbackup.push(Buffer(np.full((4, 1), 2.0, np.float32), pts=0))
+        assert [float(np.asarray(b.data)[0, 0]) for b in out][-1] == 2.0
+        # primary produces again -> auto-switch back
+        fmain.push(Buffer(np.full((4, 1), 1.5, np.float32), pts=20 * MS))
+        assert [float(np.asarray(b.data)[0, 0]) for b in out][-1] == 1.5
+        assert not main.timed_out
+
+    def test_timeout_rearms_with_each_active_buffer(self):
+        tc, fs, out, main, backup, fmain, fbackup = self._build()
+        for i in range(5):
+            fmain.push(Buffer(np.full((4, 1), 1.0, np.float32), pts=i * 50 * MS))
+            tc.advance(50 * MS)  # always under the 100 ms deadline
+        assert not main.timed_out
+        assert len(out) == 5
+
+    def test_immediate_fallback(self):
+        tc, fs, out, main, backup, fmain, fbackup = self._build(
+            **{"immediate-fallback": True})
+        # backup data first: forwarded immediately, no timeout wait
+        fbackup.push(Buffer(np.full((4, 1), 2.0, np.float32), pts=0))
+        assert [float(np.asarray(b.data)[0, 0]) for b in out] == [2.0]
+
+
+class TestLiveSyncClocked:
+    def test_repeats_on_missed_deadline(self):
+        tc = TestClock()
+        ls = element_factory_make("livesync")
+        h = Harness(ls)
+        h.set_src_caps(Caps.builder(
+            "audio/x-raw", format="F32", rate=48000, channels=1,
+            layout="interleaved"))
+        ls.clock = tc
+        ls.set_state(State.PLAYING)
+        h.push(Buffer(np.full((48, 1), 0.5, np.float32), pts=0, duration=MS))
+        assert len(h.pull_all()) == 1
+        # upstream stalls: each elapsed period repeats the last buffer with
+        # advancing PTS
+        tc.advance(MS)
+        tc.advance(MS)
+        reps = h.pull_all()
+        assert len(reps) == 2
+        assert [b.pts for b in reps] == [MS, 2 * MS]
+        np.testing.assert_array_equal(np.asarray(reps[0].data), 0.5)
+        # new input cancels the pending deadline
+        h.push(Buffer(np.full((48, 1), 0.7, np.float32), pts=3 * MS, duration=MS))
+        assert len(h.pull_all()) == 1
+
+
+class TestPipelineClock:
+    def test_pipeline_distributes_clock_and_base_time(self):
+        p = fx.parse_launch(
+            "audiotestsrc num-buffers=2 samplesperbuffer=480 "
+            "! audio/x-raw,format=F32,rate=48000,channels=1 "
+            "! rsaudioecho ! appsink name=sink")
+        tc = TestClock(start=1234)
+        p.use_clock(tc)
+        p.set_state(State.PLAYING)
+        try:
+            for e in p.elements:
+                assert e.clock is tc
+                assert e.base_time == 1234
+                assert e.running_time() == 0
+            tc.advance(7)
+            assert p.elements[0].running_time() == 7
+        finally:
+            p.set_state(State.NULL)
+
+    def test_latency_query_through_chain(self):
+        """Latency accumulates element-by-element through a 3-element chain
+        (audioloudnorm +3 s: imp.rs:1672-1693; audiornnoise +10 ms:
+        imp.rs:362-385)."""
+        p = fx.parse_launch(
+            "audiotestsrc num-buffers=1 samplesperbuffer=480 "
+            "! audio/x-raw,format=F32,rate=48000,channels=1 "
+            "! audiornnoise ! appsink name=sink")
+        p.set_state(State.PAUSED)
+        try:
+            q = p.query_latency()
+            assert q is not None
+            assert q.result["min_latency"] == 480 * SECOND // 48000
+        finally:
+            p.set_state(State.NULL)
