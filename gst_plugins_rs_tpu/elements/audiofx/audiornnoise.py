@@ -36,10 +36,10 @@ from ...core import (
 )
 from ...ops.rnnoise import (
     FRAME_SIZE,
+    default_weights,
     denoise_frames_scan_jit,
     denoise_init,
     load_weights,
-    random_weights,
 )
 
 
@@ -85,7 +85,7 @@ class AudioRNNoise(AudioFilter):
     def setup(self, info: AudioInfo) -> None:
         self._dstate = denoise_init(info.channels)
         path = self.get_property("model")
-        w = load_weights(path) if path else random_weights(self.get_property("seed"))
+        w = load_weights(path) if path else default_weights()
         self._weights = {k: jnp.asarray(v) for k, v in w.items()}
         self._adapter.clear()
 

@@ -234,12 +234,15 @@ def _pitch_search(pitch_buf):
     return period, gain
 
 
-def denoise_frame(state: DenoiseState, weights: dict, x):
-    """Process one 480-sample frame per channel.  x: [C, FRAME] (scaled to
-    +-32767 like the reference element).  Returns (state', out [C, FRAME],
-    vad [C])."""
-    C = x.shape[0]
+def analysis_frame(state: DenoiseState, x):
+    """Weight-independent feature front end for one 480-sample frame.
 
+    x: [C, FRAME] (scaled to +-32767).  Returns
+    (state' with rnn untouched, features [C, 42], Ex [C, NB_BANDS],
+    Xr, Xi [C, FREQ], silence [C]).  Shared verbatim by inference
+    (denoise_frame) and the in-repo trainer (models/rnnoise_train.py) so
+    trained weights see exactly the deployed features.
+    """
     # input high-pass biquad (per channel, 480 samples — tiny host-free scan)
     hb = HP_B.astype(np.float32)
     ha = HP_A.astype(np.float32)
@@ -292,23 +295,48 @@ def denoise_frame(state: DenoiseState, weights: dict, x):
         axis=-1,
     )  # [C, 42]
 
-    # RNN
+    new_state = DenoiseState(
+        analysis_mem=xf,
+        synthesis_mem=state.synthesis_mem,
+        pitch_buf=pitch_buf,
+        cepstral_hist=hist,
+        ceps_idx=(idx + 1) % CEPS_MEM,
+        hp_mem=hp_mem,
+        rnn=state.rnn,
+    )
+    return new_state, features, Ex, Xr, Xi, silence
+
+
+def rnn_frame(rnn: RnnState, weights: dict, features):
+    """One GRU-stack step: features [C, 42] -> (rnn', gains [C, 22], vad [C]).
+
+    Differentiable in `weights` — the trainer scans this over time.
+    """
     w = weights
     dense = jnp.tanh(features @ w["input_dense_w"] + w["input_dense_b"])
-    vad_h = _gru(dense, state.rnn.vad_h, w["vad_gru_w"], w["vad_gru_u"], w["vad_gru_b"], VAD_GRU_SIZE)
+    vad_h = _gru(dense, rnn.vad_h, w["vad_gru_w"], w["vad_gru_u"], w["vad_gru_b"], VAD_GRU_SIZE)
     noise_in = jnp.concatenate([dense, vad_h, features], axis=-1)
-    noise_h = _gru(noise_in, state.rnn.noise_h, w["noise_gru_w"], w["noise_gru_u"], w["noise_gru_b"], NOISE_GRU_SIZE, jax.nn.relu)
+    noise_h = _gru(noise_in, rnn.noise_h, w["noise_gru_w"], w["noise_gru_u"], w["noise_gru_b"], NOISE_GRU_SIZE, jax.nn.relu)
     den_in = jnp.concatenate([vad_h, noise_h, features], axis=-1)
-    denoise_h = _gru(den_in, state.rnn.denoise_h, w["denoise_gru_w"], w["denoise_gru_u"], w["denoise_gru_b"], DENOISE_GRU_SIZE, jax.nn.relu)
+    denoise_h = _gru(den_in, rnn.denoise_h, w["denoise_gru_w"], w["denoise_gru_u"], w["denoise_gru_b"], DENOISE_GRU_SIZE, jax.nn.relu)
     gains = jax.nn.sigmoid(denoise_h @ w["denoise_output_w"] + w["denoise_output_b"])
     vad = jax.nn.sigmoid(vad_h @ w["vad_output_w"] + w["vad_output_b"])[:, 0]  # [C]
+    return RnnState(vad_h=vad_h, noise_h=noise_h, denoise_h=denoise_h), gains, vad
+
+
+def denoise_frame(state: DenoiseState, weights: dict, x):
+    """Process one 480-sample frame per channel.  x: [C, FRAME] (scaled to
+    +-32767 like the reference element).  Returns (state', out [C, FRAME],
+    vad [C])."""
+    state, features, Ex, Xr, Xi, silence = analysis_frame(state, x)
+    new_rnn, gains, vad = rnn_frame(state.rnn, weights, features)
 
     # silence frames skip the network entirely (state frozen, vad 0) and pass
     # the spectrum through — RNNoise's `if !silence` structure
     vad = jnp.where(silence, 0.0, vad)
-    vad_h = jnp.where(silence[:, None], state.rnn.vad_h, vad_h)
-    noise_h = jnp.where(silence[:, None], state.rnn.noise_h, noise_h)
-    denoise_h = jnp.where(silence[:, None], state.rnn.denoise_h, denoise_h)
+    vad_h = jnp.where(silence[:, None], state.rnn.vad_h, new_rnn.vad_h)
+    noise_h = jnp.where(silence[:, None], state.rnn.noise_h, new_rnn.noise_h)
+    denoise_h = jnp.where(silence[:, None], state.rnn.denoise_h, new_rnn.denoise_h)
     gain_bins = _interp_band_gain(gains)  # [C, FREQ]
     Xor = jnp.where(silence[:, None], Xr, Xr * gain_bins)
     Xoi = jnp.where(silence[:, None], Xi, Xi * gain_bins)
@@ -316,13 +344,8 @@ def denoise_frame(state: DenoiseState, weights: dict, x):
     # synthesis: overlap-add
     y = _inverse_transform(Xor, Xoi)  # [C, WINDOW]
     out = y[:, :FRAME_SIZE] + state.synthesis_mem
-    new_state = DenoiseState(
-        analysis_mem=xf,
+    new_state = state._replace(
         synthesis_mem=y[:, FRAME_SIZE:],
-        pitch_buf=pitch_buf,
-        cepstral_hist=hist,
-        ceps_idx=(idx + 1) % CEPS_MEM,
-        hp_mem=hp_mem,
         rnn=RnnState(vad_h=vad_h, noise_h=noise_h, denoise_h=denoise_h),
     )
     return new_state, out, vad
@@ -341,14 +364,49 @@ def denoise_frames_scan(state: DenoiseState, weights: dict, frames):
 
 denoise_frames_scan_jit = jax.jit(denoise_frames_scan)
 
+
+def analysis_frames_scan(state: DenoiseState, frames):
+    """Feature front end over a frame sequence (no network, no synthesis).
+
+    frames: [K, C, FRAME] -> (state', features [K, C, 42], Ex [K, C, 22],
+    silence [K, C]).  Used by the trainer to precompute features/targets.
+    """
+
+    def step(s, fr):
+        s, feats, Ex, _, _, silence = analysis_frame(s, fr)
+        return s, (feats, Ex, silence)
+
+    state, (feats, Ex, silence) = jax.lax.scan(step, state, frames)
+    return state, feats, Ex, silence
+
+
+DEFAULT_WEIGHTS_PATH = __file__.rsplit("/", 2)[0] + "/data/rnnoise_weights.npz"
+
+
+def default_weights() -> dict:
+    """Packaged weights trained in-repo (models/rnnoise_train.py) if present,
+    else the deterministic random init (architecture-exact, inert)."""
+    import os
+
+    if os.path.exists(DEFAULT_WEIGHTS_PATH):
+        return load_weights(DEFAULT_WEIGHTS_PATH)
+    return random_weights(0)
+
+
 __all__ = [
     "FRAME_SIZE",
     "DenoiseState",
+    "RnnState",
+    "analysis_frame",
+    "analysis_frames_scan",
+    "rnn_frame",
     "denoise_frame",
     "denoise_frames_scan",
     "denoise_frames_scan_jit",
     "denoise_init",
+    "default_weights",
     "load_weights",
     "random_weights",
+    "DEFAULT_WEIGHTS_PATH",
     "WEIGHT_KEYS",
 ]
