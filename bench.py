@@ -1,8 +1,9 @@
 """Benchmark harness — prints ONE JSON line with the headline metric.
 
-Headline (BASELINE.md): 1080p frames/sec/chip for the hsvfilter/colorlut
-color-transform path, target >= 2000 fps/chip on TPU v5e; secondary audio
-realtime-x numbers are included in the JSON detail fields.
+Headline: the MINIMUM ratio across every tracked BASELINE.md config (hsv /
+colorlut / chains at 2000 fps 1080p; echo / loudnorm / rnnoise single and
+16-stream bank at 100x realtime) — the worst metric, not the best one.
+Per-config values and ratios are in the JSON detail/ratios fields.
 
 Runs device-resident batched dispatches (frames stay on device across the
 fused chain, as in a real pipeline); host<->device transfers are excluded —
@@ -128,7 +129,7 @@ def main():
     from gst_plugins_rs_tpu.ops import rnnoise as RN
 
     rn_state = RN.denoise_init(channels=2)
-    rn_weights = {k: jnp.asarray(v) for k, v in RN.random_weights(0).items()}
+    rn_weights = {k: jnp.asarray(v) for k, v in RN.default_weights().items()}
     K_RN = 16
     rn_frames = jnp.asarray(
         rng.uniform(-0.3, 0.3, (K_RN, 2, RN.FRAME_SIZE)).astype(np.float32) * 32767)
@@ -140,6 +141,51 @@ def main():
     dt = _bench(rn_step, rn_state, iters=20)
     results["rnnoise_realtime_x"] = (K_RN * RN.FRAME_SIZE / 48000) / dt
     _progress("bench: rnnoise done")
+
+    # --- audiornnoise 16-stream vmapped bank (aggregate realtime-x) ---------
+    # the batch-across-streams design point (SURVEY §2.3): 16 mono streams
+    # share one dispatch via parallel.StreamBank-style vmap
+    BANK = 16
+    bank_scan = jax.jit(jax.vmap(
+        lambda s, fr: RN.denoise_frames_scan(s, rn_weights, fr),
+        in_axes=(0, 0)))
+    bank_state = jax.vmap(lambda _: RN.denoise_init(1))(jnp.arange(BANK))
+    bank_frames = jnp.asarray(
+        rng.uniform(-0.3, 0.3, (BANK, K_RN, 1, RN.FRAME_SIZE)).astype(np.float32) * 32767)
+
+    def bank_step(state):
+        s, outs, vads = bank_scan(state, bank_frames)
+        return s
+
+    dt = _bench(bank_step, bank_state, iters=10)
+    results["rnnoise_bank16_realtime_x"] = BANK * (K_RN * RN.FRAME_SIZE / 48000) / dt
+    _progress("bench: rnnoise bank done")
+
+    # --- chained pipelines (frames stay device-resident across elements) ----
+    chain_step = jax.jit(lambda f: lut3d_apply_packed(
+        jnp.concatenate([
+            hsv_filter_frame(f[..., :3], params, offsets=(0, 1, 2)),
+            f[..., 3:],
+        ], axis=-1),
+        packed, scale, offset, size=size, offsets=(0, 1, 2), bits=8))
+    dt = _bench(chain_step, frames_rgba, iters=10)
+    results["chain_hsv_colorlut_1080p_fps"] = BATCH / dt
+    _progress("bench: hsv+colorlut chain done")
+
+    echo_single = jnp.asarray(rng.uniform(-0.5, 0.5, (1, LN.FRAME * 2)).astype(np.float32))
+
+    def chain_audio_step(state):
+        ln_s, hist = state
+        out, hist = echo_apply_batched(
+            jnp.tile(echo_single, (1, K)), hist, inten[:1], fb[:1], lag=lag)
+        frames = out.reshape(K, LN.FRAME, 2)
+        ln_s, _ = LN.inner_frames_scan_jit(ln_s, ln_params, frames)
+        return ln_s, hist
+
+    hist_e = jnp.zeros((1, K * LN.FRAME * 2), jnp.float32)
+    dt = _bench(chain_audio_step, (ln_state, hist_e), iters=10)
+    results["chain_echo_loudnorm_realtime_x"] = (K * 0.1) / dt
+    _progress("bench: echo+loudnorm chain done")
 
     # --- YOLOX-tiny 640x640 inference fps -----------------------------------
     from gst_plugins_rs_tpu.models.yolox import Yolox
@@ -158,15 +204,29 @@ def main():
     results["yolox_tiny_640_fps"] = 1.0 / dt
     _progress("bench: yolox done")
 
-    headline = results["hsv_1080p_fps"]
+    # Honest headline: the WORST tracked metric vs its BASELINE.md target
+    # (VERDICT r1: a cherry-picked best-metric headline hides misses).
+    targets = {
+        "hsv_1080p_fps": 2000.0,
+        "colorlut_1080p_fps": 2000.0,
+        "chain_hsv_colorlut_1080p_fps": 2000.0,
+        "echo_realtime_x": 100.0,
+        "loudnorm_realtime_x": 100.0,
+        "chain_echo_loudnorm_realtime_x": 100.0,
+        "rnnoise_realtime_x": 100.0,
+        "rnnoise_bank16_realtime_x": 100.0,
+    }
+    ratios = {k: results[k] / t for k, t in targets.items() if k in results}
+    worst = min(ratios, key=ratios.get)
     print(
         json.dumps(
             {
-                "metric": "hsv_1080p_fps_per_chip",
-                "value": round(headline, 1),
-                "unit": "frames/s",
-                "vs_baseline": round(headline / 2000.0, 3),
+                "metric": f"min_ratio_vs_targets ({worst})",
+                "value": round(results[worst], 1),
+                "unit": "frames/s" if "fps" in worst else "realtime-x",
+                "vs_baseline": round(ratios[worst], 3),
                 "detail": {k: round(v, 1) for k, v in results.items()},
+                "ratios": {k: round(v, 3) for k, v in ratios.items()},
                 "device": str(jax.devices()[0]),
             }
         )

@@ -5,11 +5,22 @@ raptorqenc/raptorqdec (net/raptorq, RFC 6330 + RFC 6681 FECFRAME): from K
 source symbols produce R repair symbols such that ANY K of the K+R
 received symbols reconstruct the block.
 
-Divergence (documented, like the sodium cipher swap): RFC 6330's
-precomputed systematic tables are replaced by a seeded random-linear code
-over the same GF(256) — identical recovery property and overhead, not
-wire-compatible with RFC 6330 decoders.  Encoding is vectorized numpy
-(table-driven GF multiply); decoding is Gaussian elimination over GF(256).
+Divergence (documented): RFC 6330's precomputed systematic tables are
+replaced by a seeded random-linear code over the same GF(256) — identical
+recovery property and overhead, not wire-compatible with RFC 6330
+decoders.  Why gated rather than implemented: RFC 6330 wire parity
+requires the spec's literal constant tables — V0..V3 (4x256 random 32-bit
+words, §5.6) and the systematic index table J(K') (477 rows, §5.8 Table
+2).  Like trained model weights, these are published data, not derivable
+math: J(K') came from an unspecified offline search and V0..V3 are
+arbitrary constants.  Neither the zero-egress environment nor the
+reference checkout carries them (the reference pulls the external
+`raptorq` crate at build time, net/raptorq/Cargo.toml:15).  If the tables
+ever land in-repo, only `_coefficients` and the symbol-id mapping below
+need swapping for the §5.3 Tuple/LTEnc generators.
+
+Encoding is vectorized numpy (table-driven GF multiply); decoding is
+Gaussian elimination over GF(256).
 """
 from __future__ import annotations
 
