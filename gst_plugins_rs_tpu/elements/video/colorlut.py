@@ -44,6 +44,11 @@ class ColorLut(VideoFilter):
     SRC_CAPS = video_caps_template(_FORMATS)
     PROPERTIES = [
         Prop("location", None, type="str", mutable="ready", doc="Path of the .cube file"),
+        Prop("precision", "exact", type="enum", choices=["exact", "fast"],
+             mutable="ready",
+             doc="exact: f32 table, bit-matches the reference math; "
+                 "fast: bf16 table, ~1.4x throughput, <=1 u8 LSB deviation "
+                 "(measured; see PERF_NOTES.md colorlut analysis)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -64,6 +69,8 @@ class ColorLut(VideoFilter):
         else:
             self._table = jnp.asarray(self._lut.table)
             self._packed = False
+        if self.get_property("precision") == "fast" and self._packed:
+            self._table = self._table.astype(jnp.bfloat16)
         self._scale = [float(v) for v in self._lut.domain_scale]
         self._offset = [float(v) for v in self._lut.domain_offset]
 

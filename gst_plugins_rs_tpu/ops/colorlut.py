@@ -206,7 +206,9 @@ def lut3d_apply_packed(
     y0, ty = fl(y)
     z0, tz = fl(z)
 
-    rows = packed[x0 + y0 * size + z0 * size * size]  # [..., 24]
+    # bf16 tables (precision=fast) halve the gathered row bytes: measured
+    # 138 vs 102 fps at 1080p 33^3, max 1 u8 LSB delta (PERF_NOTES.md)
+    rows = packed[x0 + y0 * size + z0 * size * size].astype(jnp.float32)  # [..., 24]
     c = rows.reshape(rows.shape[:-1] + (8, 3))
     tx = tx[..., None]
     ty = ty[..., None]
