@@ -127,4 +127,32 @@ def video_caps_template(
     return Caps([Structure("video/x-raw", **fields)])
 
 
-__all__ = ["VideoInfo", "video_caps_template", "RGB_FORMATS", "PLANAR_FORMATS"]
+from .buffer import Meta
+
+
+class VideoCaptionMeta(Meta):
+    """Closed-caption data attached to a video buffer.
+
+    gst_video::VideoCaptionMeta analog (the reference's cea608overlay
+    consumes exactly these four types, cea608overlay/imp.rs:264-285):
+
+    - "cea608-raw":     byte pairs (field 1)
+    - "cea608-s334-1a": SMPTE 334-1 Annex A triplets (field byte, hi, lo)
+    - "cea708-raw":     cc_data triplets (marker|type, d1, d2)
+    - "cea708-cdp":     full CDP packets
+    """
+
+    api = "video-caption"
+    TYPES = ("cea608-raw", "cea608-s334-1a", "cea708-raw", "cea708-cdp")
+
+    def __init__(self, caption_type: str, data: bytes):
+        if caption_type not in self.TYPES:
+            raise ValueError(f"unknown caption type {caption_type!r}")
+        self.caption_type = caption_type
+        self.data = bytes(data)
+
+    def __repr__(self):
+        return f"VideoCaptionMeta({self.caption_type}, {len(self.data)}B)"
+
+
+__all__ = ["VideoInfo", "VideoCaptionMeta", "video_caps_template", "RGB_FORMATS", "PLANAR_FORMATS"]

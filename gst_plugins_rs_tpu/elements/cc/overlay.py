@@ -62,6 +62,36 @@ def _composite(frame: jnp.ndarray, mask: jnp.ndarray, box: jnp.ndarray) -> jnp.n
     return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
 
+def _cdp_extract_608_field1(cdp: bytes):
+    """Yield 608 field-1 byte pairs from a CDP packet (SMPTE 334-2):
+    0x9669 magic, length, framerate/flags, sequence counter, then sections —
+    cc_data section id 0x72 carries cc_data triplets."""
+    if len(cdp) < 8 or cdp[0] != 0x96 or cdp[1] != 0x69:
+        return
+    pos = 7  # magic(2) + len(1) + framerate(1) + flags(1) + seq(2)
+    while pos < len(cdp):
+        section = cdp[pos]
+        if section == 0x71:  # time code
+            pos += 5
+        elif section == 0x72:  # cc_data
+            count = cdp[pos + 1] & 0x1F
+            pos += 2
+            for _ in range(count):
+                if pos + 3 > len(cdp):
+                    return
+                b0, b1, b2 = cdp[pos], cdp[pos + 1], cdp[pos + 2]
+                if b0 & 0x04 and (b0 & 0x03) == 0:  # cc_valid, cc_type 0
+                    yield b1, b2
+                pos += 3
+        elif section == 0x73:  # service info
+            count = cdp[pos + 1] & 0x0F
+            pos += 2 + 7 * count
+        elif section == 0x74:  # footer
+            return
+        else:
+            return  # unknown section: bail
+
+
 @register
 class Cea608Overlay(Element):
     ELEMENT_NAME = "cea608overlay"
@@ -138,7 +168,42 @@ class Cea608Overlay(Element):
         self._mask_cache[key] = out
         return out
 
+    # -- caption meta on the video stream (reference model: the reference's
+    # cea608overlay has ONE sink pad and reads VideoCaptionMeta,
+    # cea608overlay/imp.rs:264-285; the cc_sink pad above is this
+    # framework's auxiliary wiring convenience)
+    def _extract_meta_pairs(self, buf: Buffer):
+        from ...core import VideoCaptionMeta
+
+        for meta in buf.metas:
+            if not isinstance(meta, VideoCaptionMeta):
+                continue
+            d = meta.data
+            if meta.caption_type == "cea608-raw":
+                for i in range(0, len(d) - 1, 2):
+                    yield d[i], d[i + 1]
+            elif meta.caption_type == "cea608-s334-1a":
+                # SMPTE 334-1 Annex A triplets: keep field-1 (bit 7 set)
+                for i in range(0, len(d) - 2, 3):
+                    if d[i] & 0x80:
+                        yield d[i + 1], d[i + 2]
+            elif meta.caption_type == "cea708-raw":
+                # cc_data triplets: cc_type 0 = NTSC field-1 608 pairs
+                for i in range(0, len(d) - 2, 3):
+                    if d[i] & 0x04 and (d[i] & 0x03) == 0:  # cc_valid, type 0
+                        yield d[i + 1], d[i + 2]
+            elif meta.caption_type == "cea708-cdp":
+                for hi, lo in _cdp_extract_608_field1(d):
+                    yield hi, lo
+
     def _video_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        fed = False
+        for hi, lo in self._extract_meta_pairs(buf):
+            self._dec.push_pair(int(hi), int(lo))
+            fed = True
+        if fed:
+            for ev in self._dec.take_events():
+                self._lines = [] if ev is None else ev.lines
         if self._lines:
             frame = jnp.asarray(buf.data)
             h, w = frame.shape[0], frame.shape[1]

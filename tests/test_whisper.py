@@ -30,32 +30,111 @@ class TestWhisper:
         assert sink.caps.structure(0).name == "text/x-raw"
 
 
+def _build_transcriber_pipeline(overlay=True, **bin_props):
+    bin_ = fx.element_factory_make("transcriberbin")
+    bin_.set_property("transcriber::allow-random-weights", True)
+    bin_.set_property("transcriber::chunk-duration", 1_000_000_000)
+    bin_.set_property("transcriber::max-new-tokens", 3)
+    for k, v in bin_props.items():
+        bin_.set_property(k.replace("_", "-"), v)
+    asrc = fx.element_factory_make("audiotestsrc")
+    asrc.set_property("wave", "sine"); asrc.set_property("num-buffers", 4)
+    asrc.set_property("samplesperbuffer", 8000)
+    acaps = fx.element_factory_make("capsfilter")
+    acaps.set_property("caps", parse_caps("audio/x-raw,format=F32,rate=16000,channels=1"))
+    vsrc = fx.element_factory_make("videotestsrc")
+    vsrc.set_property("pattern", "white"); vsrc.set_property("num-buffers", 6)
+    vcaps = fx.element_factory_make("capsfilter")
+    vcaps.set_property("caps", parse_caps("video/x-raw,format=RGB,width=320,height=180,framerate=3/1"))
+    vsink = fx.element_factory_make("appsink", "vsink")
+    asink = fx.element_factory_make("appsink", "asink")
+    p = fx.Pipeline()
+    elems = [bin_, asrc, acaps, vsrc, vcaps, vsink, asink]
+    if overlay:
+        ov = fx.element_factory_make("cea608overlay")
+        elems.append(ov)
+    for e in elems:
+        p.add(e)
+    asrc.link(acaps)
+    acaps.pad("src").link(bin_.pad("sink_audio"))
+    vsrc.link(vcaps)
+    vcaps.pad("src").link(bin_.pad("sink_video"))
+    if overlay:
+        bin_.pad("src_video").link(ov.pad("sink"))
+        ov.pad("src").link(vsink.pad("sink"))
+    else:
+        bin_.pad("src_video").link(vsink.pad("sink"))
+    bin_.pad("src_audio").link(asink.pad("sink"))
+    return p, bin_, vsink, asink
+
+
 class TestTranscriberBin:
-    def test_captions_appear_on_video(self):
-        bin_ = fx.element_factory_make("transcriberbin")
-        bin_.set_property("transcriber::allow-random-weights", True)
-        bin_.set_property("transcriber::chunk-duration", 1_000_000_000)
-        bin_.set_property("transcriber::max-new-tokens", 3)
-        asrc = fx.element_factory_make("audiotestsrc")
-        asrc.set_property("wave", "sine"); asrc.set_property("num-buffers", 4)
-        asrc.set_property("samplesperbuffer", 8000)
-        acaps = fx.element_factory_make("capsfilter")
-        acaps.set_property("caps", parse_caps("audio/x-raw,format=F32,rate=16000,channels=1"))
-        vsrc = fx.element_factory_make("videotestsrc")
-        vsrc.set_property("pattern", "white"); vsrc.set_property("num-buffers", 6)
-        vcaps = fx.element_factory_make("capsfilter")
-        vcaps.set_property("caps", parse_caps("video/x-raw,format=RGB,width=320,height=180,framerate=3/1"))
-        sink = fx.element_factory_make("appsink")
-        p = fx.Pipeline()
-        for e in (bin_, asrc, acaps, vsrc, vcaps, sink):
-            p.add(e)
-        asrc.link(acaps)
-        acaps.pad("src").link(bin_.pad("sink_audio"))
-        vsrc.link(vcaps)
-        vcaps.pad("src").link(bin_.pad("sink_video"))
-        bin_.pad("src").link(sink.pad("sink"))
+    def test_caption_meta_and_overlay_render(self):
+        """Reference model: transcriberbin muxes captions INTO the video
+        stream as VideoCaptionMeta (the cccombiner role); a downstream
+        cea608overlay consumes the meta and renders visibly
+        (transcriberbin/imp.rs:500-607, cea608overlay/imp.rs:264-285)."""
+        p, bin_, vsink, asink = _build_transcriber_pipeline(overlay=True)
         p.play_until_eos()
-        frames = [np.asarray(s.buffer.data) for s in sink.samples]
+        frames = [np.asarray(s.buffer.data) for s in vsink.samples]
         assert len(frames) == 6
-        # the last frames carry the (random-token) caption box dimming pixels
+        # 608 overlay visible on late frames (caption box dims white pixels)
         assert (frames[-1] < 250).any()
+        # audio passed through untouched on src_audio
+        assert len(asink.samples) == 4
+
+    def test_caption_meta_attached(self):
+        from gst_plugins_rs_tpu.core import VideoCaptionMeta
+
+        p, bin_, vsink, asink = _build_transcriber_pipeline(overlay=False)
+        p.play_until_eos()
+        metas = [m for s in vsink.samples for m in s.buffer.metas
+                 if isinstance(m, VideoCaptionMeta)]
+        assert metas, "no VideoCaptionMeta attached to video buffers"
+        assert all(m.caption_type == "cea608-raw" for m in metas)
+        assert all(len(m.data) % 2 == 0 and m.data for m in metas)
+
+    def test_passthrough_leaves_video_unmarked(self):
+        from gst_plugins_rs_tpu.core import VideoCaptionMeta
+
+        p, bin_, vsink, asink = _build_transcriber_pipeline(
+            overlay=False, passthrough=True)
+        p.play_until_eos()
+        assert len(vsink.samples) == 6
+        assert not any(isinstance(m, VideoCaptionMeta)
+                       for s in vsink.samples for m in s.buffer.metas)
+        assert len(asink.samples) == 4
+
+    def test_caption_source_inband_drops_transcription(self):
+        from gst_plugins_rs_tpu.core import VideoCaptionMeta
+
+        p, bin_, vsink, asink = _build_transcriber_pipeline(
+            overlay=False, caption_source="inband")
+        p.play_until_eos()
+        assert not any(isinstance(m, VideoCaptionMeta)
+                       for s in vsink.samples for m in s.buffer.metas)
+
+    def test_property_surface_defaults(self):
+        """Defaults match the reference (transcriberbin/imp.rs:31-39)."""
+        b = fx.element_factory_make("transcriberbin")
+        SECOND = 1_000_000_000
+        assert b.get_property("passthrough") is False
+        assert b.get_property("latency") == 4 * SECOND
+        assert b.get_property("lateness") == 0
+        assert b.get_property("translate-latency") == 500_000_000
+        assert b.get_property("accumulate-time") == 0
+        assert b.get_property("mode") == "roll-up2"
+        assert b.get_property("caption-source") == "both"
+        assert b.get_property("input-lang-code") == "en-US"
+        assert b.get_property("mux-method") == "cea608"
+
+    def test_mux_method_cea708(self):
+        from gst_plugins_rs_tpu.core import VideoCaptionMeta
+
+        p, bin_, vsink, asink = _build_transcriber_pipeline(
+            overlay=False, mux_method="cea708")
+        p.play_until_eos()
+        metas = [m for s in vsink.samples for m in s.buffer.metas
+                 if isinstance(m, VideoCaptionMeta)]
+        assert metas
+        assert all(m.caption_type == "cea708-raw" for m in metas)
