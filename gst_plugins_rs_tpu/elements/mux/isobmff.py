@@ -68,14 +68,36 @@ _SINK_CAPS = Caps(
             height=IntRange(1, 16384),
         ),
         # compressed inputs (boxes.rs get_audio_fourcc/get_video_fourcc)
-        Structure("video/x-h264", **{"stream-format": "avc"}),
+        Structure("video/x-h264", **{"stream-format": ValueList(["avc", "avc3"])}),
+        Structure("video/x-h265", **{"stream-format": ValueList(["hvc1", "hev1"])}),
+        Structure("video/x-h266", **{"stream-format": ValueList(["vvc1", "vvi1"])}),
         Structure("video/x-av1"),
         Structure("video/x-vp9"),
         Structure("audio/mpeg", mpegversion=4),
         Structure("audio/x-opus"),
         Structure("audio/x-ac3", framed=True),
+        Structure("audio/x-eac3", framed=True),
     ]
 )
+
+
+def _split_annexb(data: bytes):
+    """Split an Annex-B byte stream into raw NAL units."""
+    nals, i, start = [], 0, None
+    while i + 2 < len(data):
+        if data[i] == 0 and data[i + 1] == 0 and (
+                data[i + 2] == 1 or
+                (i + 3 < len(data) and data[i + 2] == 0 and data[i + 3] == 1)):
+            if start is not None:
+                # trailing_zero_8bits before the next start code are padding
+                nals.append(data[start:i].rstrip(b"\x00"))
+            i += 3 if data[i + 2] == 1 else 4
+            start = i
+        else:
+            i += 1
+    if start is not None:
+        nals.append(data[start:])
+    return [n for n in nals if n]
 
 
 class _Stream:
@@ -112,7 +134,22 @@ class _Stream:
                 default_sample_duration=self.frame_dur_ts,
             )
             return
-        if s.name in ("video/x-h264", "video/x-av1", "video/x-vp9"):
+        if s.name == "audio/x-eac3":
+            if first_frame is None:
+                return  # dec3 needs the first syncframe; retried with a peek
+            self.kind = "caudio"
+            rate = s.get("rate", 48000)
+            self.timescale = rate
+            _, _, numblks, _, _, _, _ = bmff.parse_eac3_header(first_frame)
+            self.frame_dur_ts = numblks * 256
+            entry = bmff.eac3_sample_entry(first_frame)
+            self.track = bmff.TrackConfig(
+                self.track_id, self.timescale, "soun", entry,
+                default_sample_duration=self.frame_dur_ts,
+            )
+            return
+        if s.name in ("video/x-h264", "video/x-h265", "video/x-h266",
+                      "video/x-av1", "video/x-vp9"):
             self.kind = "cvideo"
             w, h = s.get("width", 0), s.get("height", 0)
             fps = s.get("framerate")
@@ -121,8 +158,24 @@ class _Stream:
             if fps is not None:
                 self.frame_dur_ts = 90000 * fps.denominator // fps.numerator
             codec_data = s.get("codec_data", b"")
+            fmt = s.get("stream-format")
             if s.name == "video/x-h264":
-                entry = bmff.avc1_sample_entry(w, h, codec_data)
+                fourcc = b"avc3" if fmt == "avc3" else b"avc1"
+                entry = bmff.avc1_sample_entry(w, h, codec_data, fourcc=fourcc)
+            elif s.name == "video/x-h265":
+                fourcc = b"hev1" if fmt == "hev1" else b"hvc1"
+                if codec_data[:1] != b"\x01":
+                    # raw parameter-set NALs instead of a ready hvcC: build
+                    # the record from VPS/SPS/PPS (bmff.hvcc_from_parameter_sets)
+                    nals = _split_annexb(codec_data)
+                    by_type = {((n[0] >> 1) & 0x3F): n for n in nals}
+                    codec_data = bmff.hvcc_from_parameter_sets(
+                        by_type.get(32, b""), by_type.get(33, b""),
+                        by_type.get(34, b""))
+                entry = bmff.hvc1_sample_entry(w, h, codec_data, fourcc=fourcc)
+            elif s.name == "video/x-h266":
+                fourcc = b"vvi1" if fmt == "vvi1" else b"vvc1"
+                entry = bmff.vvc1_sample_entry(w, h, codec_data, fourcc=fourcc)
             elif s.name == "video/x-av1":
                 entry = bmff.av01_sample_entry(w, h, codec_data)
             else:

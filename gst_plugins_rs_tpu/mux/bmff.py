@@ -161,9 +161,126 @@ def _visual_entry_body(width: int, height: int, children: bytes) -> bytes:
     )
 
 
-def avc1_sample_entry(width: int, height: int, avcc: bytes) -> bytes:
-    """'avc1' with the AVCDecoderConfigurationRecord verbatim in avcC."""
-    return box(b"avc1", _visual_entry_body(width, height, box(b"avcC", avcc)))
+def avc1_sample_entry(width: int, height: int, avcc: bytes,
+                      fourcc: bytes = b"avc1") -> bytes:
+    """'avc1'/'avc3' with the AVCDecoderConfigurationRecord verbatim in avcC
+    (reference boxes.rs:1475-1479 stream-format avc->avc1, avc3->avc3)."""
+    return box(fourcc, _visual_entry_body(width, height, box(b"avcC", avcc)))
+
+
+def hvc1_sample_entry(width: int, height: int, hvcc: bytes,
+                      fourcc: bytes = b"hvc1") -> bytes:
+    """'hvc1'/'hev1' with the HEVCDecoderConfigurationRecord in hvcC
+    (reference boxes.rs:1480-1487,1606-1617)."""
+    return box(fourcc, _visual_entry_body(width, height, box(b"hvcC", hvcc)))
+
+
+def vvc1_sample_entry(width: int, height: int, vvcc: bytes,
+                      fourcc: bytes = b"vvc1") -> bytes:
+    """'vvc1'/'vvi1' with vvcC as a FullBox (reference boxes.rs:1488-1495,
+    1618-1629)."""
+    return box(fourcc, _visual_entry_body(
+        width, height, full_box(b"vvcC", 0, 0, vvcc)))
+
+
+class _BitReader:
+    """MSB-first bit reader with HEVC emulation-prevention removal."""
+
+    def __init__(self, data: bytes, unescape: bool = False):
+        if unescape:
+            out = bytearray()
+            i = 0
+            while i < len(data):
+                if i + 2 < len(data) and data[i] == 0 and data[i + 1] == 0 \
+                        and data[i + 2] == 3:
+                    out += data[i:i + 2]
+                    i += 3
+                else:
+                    out.append(data[i])
+                    i += 1
+            data = bytes(out)
+        self.data = data
+        self.pos = 0
+
+    def u(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            byte = self.data[self.pos >> 3]
+            v = (v << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+            self.pos += 1
+        return v
+
+    def ue(self) -> int:
+        zeros = 0
+        while self.u(1) == 0:
+            zeros += 1
+        return (1 << zeros) - 1 + (self.u(zeros) if zeros else 0)
+
+
+def hvcc_from_parameter_sets(vps: bytes, sps: bytes, pps: bytes,
+                             nal_length_size: int = 4) -> bytes:
+    """HEVCDecoderConfigurationRecord (ISO 14496-15 §8.3.3.1) built from raw
+    VPS/SPS/PPS NAL units, parsing the SPS profile_tier_level for the
+    general_* fields and chroma/bit-depth."""
+    r = _BitReader(sps[2:], unescape=True)  # skip 2-byte NAL header
+    r.u(4)  # sps_video_parameter_set_id
+    max_sub_layers_minus1 = r.u(3)
+    temporal_id_nesting = r.u(1)
+    # profile_tier_level(1, max_sub_layers_minus1)
+    profile_space = r.u(2)
+    tier_flag = r.u(1)
+    profile_idc = r.u(5)
+    compat_flags = r.u(32)
+    constraint_flags = r.u(48)
+    level_idc = r.u(8)
+    sub_profile_present = []
+    sub_level_present = []
+    for _ in range(max_sub_layers_minus1):
+        sub_profile_present.append(r.u(1))
+        sub_level_present.append(r.u(1))
+    if max_sub_layers_minus1 > 0:
+        for _ in range(max_sub_layers_minus1, 8):
+            r.u(2)
+    for i in range(max_sub_layers_minus1):
+        if sub_profile_present[i]:
+            r.u(2 + 1 + 5)
+            r.u(32)
+            r.u(48)
+        if sub_level_present[i]:
+            r.u(8)
+    r.ue()  # sps_seq_parameter_set_id
+    chroma_format_idc = r.ue()
+    if chroma_format_idc == 3:
+        r.u(1)  # separate_colour_plane_flag
+    r.ue()  # pic_width_in_luma_samples
+    r.ue()  # pic_height_in_luma_samples
+    if r.u(1):  # conformance_window_flag
+        r.ue(); r.ue(); r.ue(); r.ue()
+    bit_depth_luma_minus8 = r.ue()
+    bit_depth_chroma_minus8 = r.ue()
+
+    rec = bytearray()
+    rec.append(1)  # configurationVersion
+    rec.append((profile_space << 6) | (tier_flag << 5) | profile_idc)
+    rec += compat_flags.to_bytes(4, "big")
+    rec += constraint_flags.to_bytes(6, "big")
+    rec.append(level_idc)
+    rec += (0xF000).to_bytes(2, "big")  # min_spatial_segmentation_idc = 0
+    rec.append(0xFC | 0)  # parallelismType
+    rec.append(0xFC | chroma_format_idc)
+    rec.append(0xF8 | bit_depth_luma_minus8)
+    rec.append(0xF8 | bit_depth_chroma_minus8)
+    rec += (0).to_bytes(2, "big")  # avgFrameRate
+    rec.append((0 << 6) | (1 << 3) | (temporal_id_nesting << 2)
+               | (nal_length_size - 1))  # constantFrameRate=0, numTemporalLayers=1
+    arrays = [(32, vps), (33, sps), (34, pps)]
+    rec.append(len(arrays))
+    for nal_type, nal in arrays:
+        rec.append(0x80 | nal_type)  # array_completeness=1
+        rec += (1).to_bytes(2, "big")
+        rec += len(nal).to_bytes(2, "big")
+        rec += nal
+    return bytes(rec)
 
 
 def av01_sample_entry(width: int, height: int, av1c: bytes) -> bytes:
@@ -236,6 +353,50 @@ def ac3_sample_entry(frame: bytes) -> bytes:
     val |= (lfeon << 10) | (bit_rate_code << 5)
     dac3 = box(b"dac3", val.to_bytes(3, "big"))
     return box(b"ac-3", _audio_entry_body(channels, rate, dac3))
+
+
+_EAC3_RATES = {0: 48000, 1: 44100, 2: 32000}
+_EAC3_BLOCKS = {0: 1, 1: 2, 2: 3, 3: 6}
+
+
+def parse_eac3_header(frame: bytes):
+    """Minimal E-AC-3 (ETSI TS 102 366 Annex E) bsi parse of one syncframe:
+    (frmsiz, fscod, numblks, acmod, lfeon, bsid, rate)."""
+    if frame[:2] != b"\x0b\x77":
+        raise ValueError("not an (E-)AC-3 syncframe")
+    r = _BitReader(frame[2:])
+    r.u(2)  # strmtyp
+    r.u(3)  # substreamid
+    frmsiz = r.u(11)
+    fscod = r.u(2)
+    if fscod == 3:
+        fscod2 = r.u(2)
+        rate = _EAC3_RATES.get(fscod2, 24000) // 2
+        numblks = 6
+    else:
+        rate = _EAC3_RATES[fscod]
+        numblks = _EAC3_BLOCKS[r.u(2)]
+    acmod = r.u(3)
+    lfeon = r.u(1)
+    bsid = r.u(5)
+    return frmsiz, fscod, numblks, acmod, lfeon, bsid, rate
+
+
+def eac3_sample_entry(frame: bytes) -> bytes:
+    """'ec-3' AudioSampleEntry with dec3 (ETSI TS 102 366 Annex F.6) built
+    from the first syncframe (reference boxes.rs EAC-3 handling)."""
+    frmsiz, fscod, numblks, acmod, lfeon, bsid, rate = parse_eac3_header(frame)
+    channels = _AC3_CHANNELS[acmod] + lfeon
+    frame_bytes = 2 * (frmsiz + 1)
+    data_rate = frame_bytes * 8 * rate // (numblks * 256) // 1000  # kbps
+    # dec3: data_rate(13) num_ind_sub-1(3); per substream:
+    # fscod(2) bsid(5) reserved(1) asvc(1) bsmod(3) acmod(3) lfeon(1)
+    # reserved(3) num_dep_sub(4) reserved(1)
+    v = (data_rate & 0x1FFF) << 3 | 0  # one independent substream
+    sub = (fscod << 22) | (bsid << 17) | (0 << 16) | (0 << 15) | (0 << 12)
+    sub |= (acmod << 9) | (lfeon << 8) | (0 << 5) | (0 << 1) | 0
+    dec3 = box(b"dec3", v.to_bytes(2, "big") + sub.to_bytes(3, "big"))
+    return box(b"ec-3", _audio_entry_body(channels, rate, dec3))
 
 
 def opus_sample_entry(channels: int, rate: int, pre_skip: int = 312) -> bytes:

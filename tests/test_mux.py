@@ -509,3 +509,160 @@ class TestFlacMux:
         assert int.from_bytes(block[1:4], "big") == 34
         from gst_plugins_rs_tpu.mux import reader
         assert any(b.type == b"moov" for b in reader.parse_boxes(data))
+
+
+class _BitW:
+    def __init__(self):
+        self.bits = []
+
+    def u(self, v, n):
+        for i in range(n - 1, -1, -1):
+            self.bits.append((v >> i) & 1)
+        return self
+
+    def ue(self, v):
+        v += 1
+        n = v.bit_length()
+        self.u(0, n - 1)
+        self.u(v, n)
+        return self
+
+    def bytes(self):
+        while len(self.bits) % 8:
+            self.bits.append(0)
+        return bytes(
+            sum(b << (7 - i) for i, b in enumerate(self.bits[k:k + 8]))
+            for k in range(0, len(self.bits), 8))
+
+
+def _make_hevc_sps(width=320, height=240, profile_idc=1, level_idc=93):
+    w = _BitW()
+    w.u(0, 4)       # sps_video_parameter_set_id
+    w.u(0, 3)       # max_sub_layers_minus1
+    w.u(1, 1)       # temporal_id_nesting
+    w.u(0, 2).u(0, 1).u(profile_idc, 5)   # profile_tier_level
+    w.u(0x60000000, 32)                   # compat flags
+    w.u(0x900000000000, 48)               # constraint flags
+    w.u(level_idc, 8)
+    w.ue(0)         # sps_seq_parameter_set_id
+    w.ue(1)         # chroma_format_idc 4:2:0
+    w.ue(width)
+    w.ue(height)
+    w.u(0, 1)       # conformance_window_flag
+    w.ue(0)         # bit_depth_luma_minus8
+    w.ue(2)         # bit_depth_chroma_minus8 (distinct, to check parsing)
+    w.u(1, 1)       # rbsp stop bit
+    return b"\x42\x01" + w.bytes()
+
+
+def _make_eac3_frame(frmsiz=191, fscod=0, acmod=2, lfeon=0, bsid=16):
+    w = _BitW()
+    w.u(0, 2)        # strmtyp independent
+    w.u(0, 3)        # substreamid
+    w.u(frmsiz, 11)
+    w.u(fscod, 2)
+    w.u(3, 2)        # numblkscod = 6 blocks
+    w.u(acmod, 3)
+    w.u(lfeon, 1)
+    w.u(bsid, 5)
+    body = w.bytes()
+    frame = b"\x0b\x77" + body
+    return frame + b"\x00" * (2 * (frmsiz + 1) - len(frame))
+
+
+class TestH265Eac3Mux:
+    def test_hvcc_from_parameter_sets(self):
+        from gst_plugins_rs_tpu.mux import bmff
+
+        vps = b"\x40\x01" + b"\x0c\x01\xff\xff"
+        sps = _make_hevc_sps()
+        pps = b"\x44\x01" + b"\xc1\x72\xb4"
+        hvcc = bmff.hvcc_from_parameter_sets(vps, sps, pps)
+        assert hvcc[0] == 1                      # configurationVersion
+        assert hvcc[1] == 1                      # Main profile, space 0, tier 0
+        assert hvcc[1 + 1:1 + 5] == (0x60000000).to_bytes(4, "big")
+        assert hvcc[6:12] == (0x900000000000).to_bytes(6, "big")
+        assert hvcc[12] == 93                    # level
+        assert hvcc[16] == (0xFC | 1)            # chroma_format_idc
+        assert hvcc[17] == (0xF8 | 0)            # bit_depth_luma_minus8
+        assert hvcc[18] == (0xF8 | 2)            # bit_depth_chroma_minus8
+        assert hvcc[22] == 3                     # numOfArrays
+        # arrays carry the NALs verbatim
+        assert vps in hvcc and sps in hvcc and pps in hvcc
+
+    def _mux_h265(self, stream_format, codec_data_hex):
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        src = fx.element_factory_make("appsrc")
+        caps = parse_caps(
+            f"video/x-h265,stream-format={stream_format},width=320,height=240,"
+            f"framerate=30/1")
+        caps.structure(0).fields["codec_data"] = bytes.fromhex(codec_data_hex) \
+            if isinstance(codec_data_hex, str) else codec_data_hex
+        src.set_property("caps", caps)
+        mux = fx.element_factory_make("isofmp4mux")
+        mux.set_property("fragment-duration", 1_000_000_000)
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        for e in (src, mux, sink):
+            p.add(e)
+        src.link(mux); mux.link(sink)
+        dur = 1_000_000_000 // 30
+        for i in range(5):
+            # length-prefixed dummy sample
+            payload = b"\x00\x00\x00\x04\x26\x01\xaf\x00"
+            src.push_buffer(fx.Buffer(np.frombuffer(payload, np.uint8),
+                                      pts=i * dur, duration=dur))
+        src.end_of_stream()
+        p.play_until_eos()
+        return mux_bytes(sink)
+
+    def test_hvc1_sample_entry(self):
+        sps = _make_hevc_sps()
+        annexb = (b"\x00\x00\x00\x01\x40\x01\x0c\x01\xff\xff"
+                  + b"\x00\x00\x00\x01" + sps
+                  + b"\x00\x00\x00\x01\x44\x01\xc1\x72\xb4")
+        data = self._mux_h265("hvc1", annexb)
+        tracks = reader.decode_tracks(reader.parse_boxes(data))
+        assert tracks[0].sample_entry_type == "hvc1"
+        assert b"hvcC" in data
+        frags = reader.decode_fragments(data)
+        assert sum(len(f.sample_sizes) for f in frags) == 5
+
+    def test_hev1_sample_entry_with_ready_hvcc(self):
+        from gst_plugins_rs_tpu.mux import bmff
+
+        hvcc = bmff.hvcc_from_parameter_sets(
+            b"\x40\x01\x0c", _make_hevc_sps(), b"\x44\x01\xc1")
+        data = self._mux_h265("hev1", hvcc)
+        tracks = reader.decode_tracks(reader.parse_boxes(data))
+        assert tracks[0].sample_entry_type == "hev1"
+        assert b"hvcC" in data
+
+    def test_eac3_muxes_with_dec3(self):
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps(
+            "audio/x-eac3,framed=true,rate=48000,alignment=frame"))
+        mux = fx.element_factory_make("cmafmux")
+        mux.set_property("fragment-duration", 1_000_000_000)
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        for e in (src, mux, sink):
+            p.add(e)
+        src.link(mux); mux.link(sink)
+        frame = _make_eac3_frame()
+        dur = 6 * 256 * 1_000_000_000 // 48000
+        for i in range(8):
+            src.push_buffer(fx.Buffer(np.frombuffer(frame, np.uint8),
+                                      pts=i * dur, duration=dur))
+        src.end_of_stream()
+        p.play_until_eos()
+        data = mux_bytes(sink)
+        tracks = reader.decode_tracks(reader.parse_boxes(data))
+        assert tracks[0].sample_entry_type == "ec-3"
+        assert tracks[0].timescale == 48000
+        assert b"dec3" in data
+        frags = reader.decode_fragments(data)
+        assert sum(len(f.sample_sizes) for f in frags) == 8
