@@ -48,6 +48,16 @@ class RtpGccBwe(BaseTransform):
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._cc: Optional[GoogCC] = None
+        # consume rtp-twcc-feedback arriving UPSTREAM from a downstream
+        # rtpsend (the reference's RTCP TWCC event travels the same way)
+        self.srcpad.event_function = self._src_event
+
+    def _src_event(self, pad, event: Event) -> bool:
+        if (event.type in (EventType.CUSTOM_DOWNSTREAM, EventType.CUSTOM_UPSTREAM)
+                and event.get("name") == "rtp-twcc-feedback"):
+            self.push_feedback(event.get("packets"))
+            return True  # consumed
+        return self.sinkpad.push_event(event)  # forward upstream
 
     def on_ready_to_paused(self) -> None:
         super().on_ready_to_paused()

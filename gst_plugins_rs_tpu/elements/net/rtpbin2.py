@@ -17,7 +17,8 @@ through a latency-windowed jitterbuffer; emits RTCP RR per interval on
 from __future__ import annotations
 
 import time as _time
-from typing import Dict, List, Optional
+from collections import OrderedDict
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -39,11 +40,31 @@ from ...core import (
 from ...core.events import Segment
 from ...net import rtcp
 from ...net.jitterbuffer import JitterBuffer
-from ...net.rtp import RtpPacket
+from ...net.rtp import (
+    RtpPacket,
+    build_onebyte_extensions,
+    parse_onebyte_extensions,
+)
 
 RTP_CAPS = Caps.builder("application/x-rtp")
 RTCP_CAPS = Caps.builder("application/x-rtcp")
 DEFAULT_RTCP_INTERVAL = 5 * SECOND  # RFC 3550 §6.2 nominal
+
+
+def _fixed_caps_query(caps: Caps):
+    """Pads of the session elements answer their own caps instead of
+    proxying — the RTCP loopback topology (recv rtcp_src -> send
+    rtcp_sink) would otherwise cycle the default caps-query forwarding."""
+    from ...core import QueryType
+
+    def q(pad: Pad, query) -> bool:
+        if query.type == QueryType.CAPS:
+            f = query.fields.get("filter")
+            query.result["caps"] = caps if f is None else f.intersect(caps)
+            return True
+        return False
+
+    return q
 
 
 class _SendStream:
@@ -53,6 +74,10 @@ class _SendStream:
         self.last_rtp_ts = 0
         self.last_pts: Optional[int] = None
         self.next_rtcp_pts = 0
+        # retransmission history: seq -> wire bytes (bounded FIFO)
+        self.history: "OrderedDict[int, bytes]" = OrderedDict()
+        self.idx = "0"
+        self.rtx_seq = 0
 
 
 @register
@@ -63,12 +88,23 @@ class RtpSend(Element):
     PROPERTIES = [
         Prop("rtcp-interval", DEFAULT_RTCP_INTERVAL, type="uint64"),
         Prop("cname", "", type="str", doc="SDES CNAME ('' = element name)"),
+        Prop("history-size", 512, type="uint",
+             doc="retained packets per SSRC for NACK retransmission"),
+        Prop("rtx-pt", 0, type="uint", maximum=127,
+             doc="RFC 4588 RTX payload type (0 = retransmit as-is)"),
+        Prop("rtx-ssrc", 0, type="uint64",
+             doc="RTX stream SSRC (0 = media SSRC + 1)"),
+        Prop("twcc-ext-id", 0, type="uint", maximum=14,
+             doc="transport-wide-cc header-extension id to stamp (0 = off)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._streams: Dict[int, _SendStream] = {}  # ssrc -> stats
         self._rtcp_started: Dict[str, bool] = {}
+        self._twcc_seq = 0
+        # twcc seq -> (send_time_ns, size); bounded
+        self._twcc_sent: "OrderedDict[int, Tuple[int, int]]" = OrderedDict()
 
     def request_pad(self, template_name: str = "rtp_sink_%u") -> Pad:
         n = sum(1 for p in self.pads if p.startswith("rtp_sink_"))
@@ -82,14 +118,82 @@ class RtpSend(Element):
                    PadTemplate("rtp_sink_%u", PadDirection.SINK, PadPresence.REQUEST, RTP_CAPS))
         sink.chain_function = lambda pad, buf, i=idx: self._rtp_chain(pad, buf, i)
         sink.event_function = lambda pad, ev, i=idx: self._rtp_event(pad, ev, i)
+        sink.query_function = _fixed_caps_query(RTP_CAPS)
         self.add_pad(sink)
         src = Pad(f"rtp_src_{idx}", PadDirection.SRC,
                   PadTemplate("rtp_src_%u", PadDirection.SRC, PadPresence.SOMETIMES, RTP_CAPS))
+        src.query_function = _fixed_caps_query(RTP_CAPS)
         self.add_pad(src)
         rtcp_src = Pad(f"rtcp_src_{idx}", PadDirection.SRC,
                        PadTemplate("rtcp_src_%u", PadDirection.SRC, PadPresence.SOMETIMES, RTCP_CAPS))
+        rtcp_src.query_function = _fixed_caps_query(RTCP_CAPS)
         self.add_pad(rtcp_src)
+        rtcp_sink = Pad(f"rtcp_sink_{idx}", PadDirection.SINK,
+                        PadTemplate("rtcp_sink_%u", PadDirection.SINK,
+                                    PadPresence.REQUEST, RTCP_CAPS))
+        rtcp_sink.chain_function = lambda pad, buf, i=idx: self._rtcp_chain(pad, buf, i)
+        rtcp_sink.event_function = lambda pad, ev: True
+        rtcp_sink.query_function = _fixed_caps_query(RTCP_CAPS)
+        self.add_pad(rtcp_sink)
         return sink
+
+    # -- RTCP feedback in: NACK -> retransmit, TWCC -> upstream event --------
+    def _rtcp_chain(self, pad: Pad, buf: Buffer, idx: str) -> FlowReturn:
+        for pkt in rtcp.parse_compound(np.asarray(buf.data).tobytes()):
+            if isinstance(pkt, rtcp.GenericNack):
+                self._handle_nack(pkt)
+            elif isinstance(pkt, rtcp.TwccFeedback):
+                self._handle_twcc(pkt, idx)
+        return FlowReturn.OK
+
+    def _handle_nack(self, nack: "rtcp.GenericNack") -> None:
+        """RFC 4585 NACK -> retransmit from history, as an RFC 4588 RTX
+        stream when rtx-pt is set (rtpbin2's send-side RTX machinery,
+        net/rtp/src/rtpbin2/session.rs)."""
+        st = self._streams.get(nack.media_ssrc)
+        if st is None:
+            return
+        out = self.pad(f"rtp_src_{st.idx}")
+        if out.peer is None:
+            return
+        rtx_pt = self.get_property("rtx-pt")
+        for seq in nack.seqnums:
+            wire = st.history.get(seq & 0xFFFF)
+            if wire is None:
+                continue  # aged out of history
+            if rtx_pt:
+                orig = RtpPacket.parse(wire)
+                rtx_ssrc = self.get_property("rtx-ssrc") or ((orig.ssrc + 1) & 0xFFFFFFFF)
+                rtx = RtpPacket(
+                    payload_type=rtx_pt,
+                    sequence_number=st.rtx_seq,
+                    timestamp=orig.timestamp,
+                    ssrc=rtx_ssrc,
+                    # RFC 4588 §4: OSN in the first two payload bytes
+                    payload=(orig.sequence_number & 0xFFFF).to_bytes(2, "big")
+                    + orig.payload,
+                    marker=orig.marker,
+                )
+                st.rtx_seq = (st.rtx_seq + 1) & 0xFFFF
+                out.push(Buffer(np.frombuffer(rtx.to_bytes(), np.uint8)))
+            else:
+                out.push(Buffer(np.frombuffer(wire, np.uint8)))
+
+    def _handle_twcc(self, fb: "rtcp.TwccFeedback", idx: str) -> None:
+        """Correlate TWCC feedback with send records and hand the result to
+        an upstream rtpgccbwe as the rtp-twcc-feedback event (gcc/imp.rs)."""
+        packets = []
+        for seq, arrival in fb.packets:
+            rec = self._twcc_sent.get(seq)
+            if rec is None:
+                continue
+            send_ns, size = rec
+            packets.append((seq, send_ns, arrival, size))
+        if not packets:
+            return
+        ev = Event(EventType.CUSTOM_UPSTREAM,
+                   name="rtp-twcc-feedback", packets=packets)
+        self.pad(f"rtp_sink_{idx}").push_event(ev)
 
     # first free rtp sink pad for `!`-style linking
     def link(self, downstream) -> None:
@@ -115,12 +219,34 @@ class RtpSend(Element):
         return pad
 
     def _rtp_chain(self, pad: Pad, buf: Buffer, idx: str) -> FlowReturn:
-        pkt = RtpPacket.parse(np.asarray(buf.data).tobytes())
+        wire = np.asarray(buf.data).tobytes()
+        pkt = RtpPacket.parse(wire)
         st = self._streams.setdefault(pkt.ssrc, _SendStream())
+        st.idx = idx
         st.packet_count += 1
         st.octet_count += len(pkt.payload)
         st.last_rtp_ts = pkt.timestamp
         st.last_pts = buf.pts
+        twcc_id = self.get_property("twcc-ext-id")
+        if twcc_id:
+            # stamp the transport-wide sequence extension and record the
+            # send time/size for later feedback correlation
+            self._twcc_seq = (self._twcc_seq + 1) & 0xFFFF
+            exts = parse_onebyte_extensions(pkt.extension)
+            exts[twcc_id] = self._twcc_seq.to_bytes(2, "big")
+            pkt.extension = build_onebyte_extensions(exts)
+            wire = pkt.to_bytes()
+            send_ns = buf.pts if buf.pts is not None else _time.monotonic_ns()
+            self._twcc_sent[self._twcc_seq] = (send_ns, len(wire))
+            while len(self._twcc_sent) > 2048:
+                self._twcc_sent.popitem(last=False)
+            out = Buffer(np.frombuffer(wire, np.uint8), pts=buf.pts,
+                         duration=buf.duration)
+            out.copy_metadata_from(buf)
+            buf = out
+        st.history[pkt.sequence_number & 0xFFFF] = wire
+        while len(st.history) > self.get_property("history-size"):
+            st.history.popitem(last=False)
         ret = self.pad(f"rtp_src_{idx}").push(buf)
         if ret != FlowReturn.OK:
             return ret
@@ -154,9 +280,10 @@ class _RecvStream:
         self.jb = JitterBuffer(latency)
         self.pad: Optional[Pad] = None
         self.packets = 0
-        self.highest_seq = 0
+        self.highest_seq: Optional[int] = None
         self.last_sr_ntp_middle = 0
         self.next_rtcp_pts = 0
+        self.nacked: "OrderedDict[int, bool]" = OrderedDict()  # seqs already NACKed
 
 
 @register
@@ -167,6 +294,14 @@ class RtpRecv(Element):
     PROPERTIES = [
         Prop("latency", 0, type="uint64", doc="jitterbuffer latency in ns"),
         Prop("rtcp-interval", DEFAULT_RTCP_INTERVAL, type="uint64"),
+        Prop("enable-nack", False, type="bool",
+             doc="send RFC 4585 Generic NACKs for detected seqnum gaps"),
+        Prop("rtx-pt-map", "", type="str",
+             doc="RFC 4588 RTX de-mapping, 'rtxpt=mediapt[,rtxpt=mediapt]'"),
+        Prop("twcc-ext-id", 0, type="uint", maximum=14,
+             doc="transport-wide-cc extension id to read (0 = off)"),
+        Prop("twcc-feedback-count", 8, type="uint", minimum=1,
+             doc="send TWCC feedback every N received packets"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -175,6 +310,9 @@ class RtpRecv(Element):
         self._idx_for_ssrc: Dict[int, str] = {}
         self._rtcp_started: Dict[str, bool] = {}
         self._ssrc_recv = 0x0F0F0F0F  # our receiver SSRC in RRs
+        self._media_ssrc_for_pt: Dict[int, int] = {}
+        self._twcc_recv: List[Tuple[int, int]] = []  # (seq, arrival_ns)
+        self._twcc_fb_count = 0
 
     def request_pad(self, template_name: str = "rtp_sink_%u") -> Pad:
         return self.request_sink_pad()
@@ -187,14 +325,17 @@ class RtpRecv(Element):
                    PadTemplate("rtp_sink_%u", PadDirection.SINK, PadPresence.REQUEST, RTP_CAPS))
         sink.chain_function = lambda pad, buf, i=idx: self._rtp_chain(pad, buf, i)
         sink.event_function = lambda pad, ev, i=idx: self._rtp_event(pad, ev, i)
+        sink.query_function = _fixed_caps_query(RTP_CAPS)
         self.add_pad(sink)
         rtcp_sink = Pad(f"rtcp_sink_{idx}", PadDirection.SINK,
                         PadTemplate("rtcp_sink_%u", PadDirection.SINK, PadPresence.REQUEST, RTCP_CAPS))
         rtcp_sink.chain_function = self._rtcp_chain
         rtcp_sink.event_function = lambda pad, ev: True
+        rtcp_sink.query_function = _fixed_caps_query(RTCP_CAPS)
         self.add_pad(rtcp_sink)
         rtcp_src = Pad(f"rtcp_src_{idx}", PadDirection.SRC,
                        PadTemplate("rtcp_src_%u", PadDirection.SRC, PadPresence.SOMETIMES, RTCP_CAPS))
+        rtcp_src.query_function = _fixed_caps_query(RTCP_CAPS)
         self.add_pad(rtcp_src)
         return sink
 
@@ -246,13 +387,89 @@ class RtpRecv(Element):
                 ok = st.pad.push_event(event) and ok
         return ok
 
+    def _rtx_map(self) -> Dict[int, int]:
+        out: Dict[int, int] = {}
+        for part in self.get_property("rtx-pt-map").split(","):
+            if "=" in part:
+                a, b = part.split("=", 1)
+                out[int(a)] = int(b)
+        return out
+
+    def _rtcp_out(self, idx: str) -> Optional[Pad]:
+        pad = self.pads.get(f"rtcp_src_{idx}")
+        if pad is None or pad.peer is None:
+            return None
+        if not self._rtcp_started.get(idx):
+            self._rtcp_started[idx] = True
+            pad.push_event(Event.new_stream_start(f"{self.name}-rtcp-{idx}"))
+            pad.push_event(Event.new_caps(RTCP_CAPS))
+            pad.push_event(Event.new_segment(Segment()))
+        return pad
+
     def _rtp_chain(self, pad: Pad, buf: Buffer, idx: str) -> FlowReturn:
-        pkt = RtpPacket.parse(np.asarray(buf.data).tobytes())
+        wire = np.asarray(buf.data).tobytes()
+        pkt = RtpPacket.parse(wire)
+        rtx_map = self._rtx_map()
+        if pkt.payload_type in rtx_map:
+            # RFC 4588 §4: original seqnum in the first two payload bytes;
+            # reconstruct the media packet and process it normally
+            if len(pkt.payload) < 2:
+                return FlowReturn.OK
+            osn = int.from_bytes(pkt.payload[:2], "big")
+            media_pt = rtx_map[pkt.payload_type]
+            media_ssrc = self._media_ssrc_for_pt.get(media_pt)
+            if media_ssrc is None:
+                return FlowReturn.OK  # no media stream to repair yet
+            pkt = RtpPacket(
+                payload_type=media_pt, sequence_number=osn,
+                timestamp=pkt.timestamp, ssrc=media_ssrc,
+                payload=pkt.payload[2:], marker=pkt.marker)
+            rep = Buffer(np.frombuffer(pkt.to_bytes(), np.uint8), pts=buf.pts,
+                         duration=buf.duration)
+            buf = rep
+        else:
+            self._media_ssrc_for_pt.setdefault(pkt.payload_type, pkt.ssrc)
         if pkt.ssrc not in self._streams:
             self._streams[pkt.ssrc] = _RecvStream(self.get_property("latency"))
             self._idx_for_ssrc[pkt.ssrc] = idx
         st = self._streams[pkt.ssrc]
         st.packets += 1
+        # TWCC arrival bookkeeping (feedback generated on the rtcp pad)
+        twcc_id = self.get_property("twcc-ext-id")
+        if twcc_id:
+            ext = parse_onebyte_extensions(pkt.extension).get(twcc_id)
+            if ext is not None and len(ext) >= 2:
+                arrival = buf.pts
+                if arrival is None and self.clock is not None:
+                    arrival = self.clock.now()
+                if arrival is not None:
+                    self._twcc_recv.append(
+                        (int.from_bytes(ext[:2], "big"), arrival))
+                    if len(self._twcc_recv) >= self.get_property("twcc-feedback-count"):
+                        self._send_twcc(idx, pkt.ssrc)
+        # NACK generation on seq gaps (RFC 4585 §6.2.1)
+        if self.get_property("enable-nack"):
+            seq = pkt.sequence_number
+            if st.highest_seq is not None:
+                delta = (seq - st.highest_seq) & 0xFFFF
+                if 1 < delta < 0x8000:
+                    missing = [(st.highest_seq + k) & 0xFFFF
+                               for k in range(1, delta)]
+                    missing = [s for s in missing if s not in st.nacked]
+                    if missing:
+                        for s in missing:
+                            st.nacked[s] = True
+                        while len(st.nacked) > 1024:
+                            st.nacked.popitem(last=False)
+                        out = self._rtcp_out(idx)
+                        if out is not None:
+                            nack = rtcp.GenericNack(
+                                self._ssrc_recv, pkt.ssrc, missing)
+                            out.push(Buffer(
+                                np.frombuffer(nack.to_bytes(), np.uint8),
+                                pts=buf.pts))
+            if st.highest_seq is None or ((seq - st.highest_seq) & 0xFFFF) < 0x8000:
+                st.highest_seq = seq
         out_pad = self._stream_pad(idx, pkt, pad.current_caps)
         ret = FlowReturn.OK
         for item in st.jb.insert(pkt.sequence_number, buf, buf.pts):
@@ -264,6 +481,21 @@ class RtpRecv(Element):
             st.next_rtcp_pts = buf.pts + self.get_property("rtcp-interval")
             self._send_rr(idx, pkt.ssrc, st, buf.pts)
         return ret
+
+    def _send_twcc(self, idx: str, media_ssrc: int) -> None:
+        out = self._rtcp_out(idx)
+        recv, self._twcc_recv = self._twcc_recv, []
+        if out is None or not recv:
+            return
+        # fill gaps between min and max twcc seq with losses
+        recv.sort()
+        seqs = {s: a for s, a in recv}
+        lo, hi = recv[0][0], recv[-1][0]
+        packets = [((s & 0xFFFF), seqs.get(s)) for s in range(lo, hi + 1)]
+        fb = rtcp.TwccFeedback(self._ssrc_recv, media_ssrc,
+                               self._twcc_fb_count & 0xFF, packets)
+        self._twcc_fb_count += 1
+        out.push(Buffer(np.frombuffer(fb.to_bytes(), np.uint8)))
 
     def _send_rr(self, idx: str, ssrc: int, st: _RecvStream, pts: int) -> None:
         pad = self.pads.get(f"rtcp_src_{idx}")

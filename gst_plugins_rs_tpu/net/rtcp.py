@@ -124,6 +124,146 @@ class Bye:
 Packet = Union[SenderReport, ReceiverReport, Sdes, Bye]
 
 
+PT_RTPFB = 205
+FMT_NACK = 1
+FMT_TWCC = 15
+
+
+@dataclass
+class GenericNack:
+    """RFC 4585 §6.2.1 Generic NACK: lost seqnums as (PID, BLP) FCI pairs."""
+
+    sender_ssrc: int
+    media_ssrc: int
+    seqnums: List[int]
+
+    def to_bytes(self) -> bytes:
+        # group seqnums into PID + 16-bit following-loss bitmap
+        fci = b""
+        seqs = sorted(set(s & 0xFFFF for s in self.seqnums))
+        i = 0
+        while i < len(seqs):
+            pid = seqs[i]
+            blp = 0
+            j = i + 1
+            while j < len(seqs) and 0 < ((seqs[j] - pid) & 0xFFFF) <= 16:
+                blp |= 1 << (((seqs[j] - pid) & 0xFFFF) - 1)
+                j += 1
+            fci += struct.pack(">HH", pid, blp)
+            i = j
+        body = struct.pack(">II", self.sender_ssrc, self.media_ssrc) + fci
+        hdr = struct.pack(">BBH", (2 << 6) | FMT_NACK, PT_RTPFB, len(body) // 4)
+        return hdr + body
+
+    @staticmethod
+    def parse(body: bytes) -> "GenericNack":
+        sender, media = struct.unpack_from(">II", body)
+        seqs: List[int] = []
+        for off in range(8, len(body) - 3, 4):
+            pid, blp = struct.unpack_from(">HH", body, off)
+            seqs.append(pid)
+            for bit in range(16):
+                if blp >> bit & 1:
+                    seqs.append((pid + bit + 1) & 0xFFFF)
+        return GenericNack(sender, media, seqs)
+
+
+@dataclass
+class TwccFeedback:
+    """Transport-wide congestion control feedback
+    (draft-holmer-rmcat-transport-wide-cc-extensions-01 §3.1), the packet
+    the reference's rtpbin2 TWCC machinery produces/consumes.
+
+    packets: [(twcc_seq, arrival_ns | None)] — None = lost.  Arrival times
+    are absolute; the wire carries reference_time + deltas in 250 us units.
+    """
+
+    sender_ssrc: int
+    media_ssrc: int
+    fb_count: int
+    packets: List[Tuple[int, Optional[int]]]
+
+    DELTA_US = 250
+
+    def to_bytes(self) -> bytes:
+        seqs = [s for s, _ in self.packets]
+        base_seq = seqs[0]
+        count = len(self.packets)
+        first_arrival = next((a for _, a in self.packets if a is not None), 0)
+        ref_time_64ms = (first_arrival // 64_000_000) & 0xFFFFFF
+        ref_ns = ref_time_64ms * 64_000_000
+        # per-packet 2-bit statuses + deltas
+        statuses: List[int] = []
+        deltas = b""
+        prev = ref_ns
+        for _, arrival in self.packets:
+            if arrival is None:
+                statuses.append(0)
+                continue
+            d = round((arrival - prev) / (self.DELTA_US * 1000))
+            prev = arrival
+            if 0 <= d <= 0xFF:
+                statuses.append(1)
+                deltas += struct.pack(">B", d)
+            else:
+                statuses.append(2)
+                deltas += struct.pack(">h", max(-32768, min(32767, d)))
+        chunks = b""
+        for k in range(0, len(statuses), 7):
+            grp = statuses[k:k + 7] + [0] * (7 - len(statuses[k:k + 7]))
+            word = 0xC000  # status vector chunk, 2-bit symbols
+            for i, s in enumerate(grp):
+                word |= s << (12 - 2 * i)
+            chunks += struct.pack(">H", word)
+        body = struct.pack(">II", self.sender_ssrc, self.media_ssrc)
+        body += struct.pack(">HH", base_seq & 0xFFFF, count)
+        body += ref_time_64ms.to_bytes(3, "big") + bytes([self.fb_count & 0xFF])
+        body += chunks + deltas
+        if len(body) % 4:
+            body += b"\x00" * (4 - len(body) % 4)
+        hdr = struct.pack(">BBH", (2 << 6) | FMT_TWCC, PT_RTPFB, len(body) // 4)
+        return hdr + body
+
+    @staticmethod
+    def parse(body: bytes) -> "TwccFeedback":
+        sender, media = struct.unpack_from(">II", body)
+        base_seq, count = struct.unpack_from(">HH", body, 8)
+        ref_time_64ms = int.from_bytes(body[12:15], "big")
+        fb_count = body[15]
+        pos = 16
+        statuses: List[int] = []
+        while len(statuses) < count:
+            (word,) = struct.unpack_from(">H", body, pos)
+            pos += 2
+            if word & 0x8000:  # status vector
+                if word & 0x4000:  # 2-bit symbols x7
+                    for i in range(7):
+                        statuses.append((word >> (12 - 2 * i)) & 3)
+                else:  # 1-bit symbols x14
+                    for i in range(14):
+                        statuses.append(1 if word >> (13 - i) & 1 else 0)
+            else:  # run length
+                statuses.extend([word >> 13 & 3] * (word & 0x1FFF))
+        statuses = statuses[:count]
+        t = ref_time_64ms * 64_000_000
+        packets: List[Tuple[int, Optional[int]]] = []
+        for i, s in enumerate(statuses):
+            seq = (base_seq + i) & 0xFFFF
+            if s == 0:
+                packets.append((seq, None))
+            elif s == 1:
+                d = body[pos]
+                pos += 1
+                t += d * TwccFeedback.DELTA_US * 1000
+                packets.append((seq, t))
+            else:
+                (d,) = struct.unpack_from(">h", body, pos)
+                pos += 2
+                t += d * TwccFeedback.DELTA_US * 1000
+                packets.append((seq, t))
+        return TwccFeedback(sender, media, fb_count, packets)
+
+
 def parse_compound(data: bytes) -> List[Packet]:
     out: List[Packet] = []
     pos = 0
@@ -153,12 +293,17 @@ def parse_compound(data: bytes) -> List[Packet]:
                 rlen = body[4 * count]
                 reason = body[4 * count + 1 : 4 * count + 1 + rlen].decode(errors="replace")
             out.append(Bye(ssrcs, reason))
+        elif pt == PT_RTPFB and count == FMT_NACK:
+            out.append(GenericNack.parse(body))
+        elif pt == PT_RTPFB and count == FMT_TWCC:
+            out.append(TwccFeedback.parse(body))
         pos = end
     return out
 
 
 __all__ = [
     "SenderReport", "ReceiverReport", "ReportBlock", "Sdes", "Bye",
+    "GenericNack", "TwccFeedback",
     "parse_compound", "ntp_from_ns",
-    "PT_SR", "PT_RR", "PT_SDES", "PT_BYE",
+    "PT_SR", "PT_RR", "PT_SDES", "PT_BYE", "PT_RTPFB", "FMT_NACK", "FMT_TWCC",
 ]

@@ -93,6 +93,42 @@ class RtpPacket:
         )
 
 
+ONE_BYTE_EXT_PROFILE = 0xBEDE
+
+
+def build_onebyte_extensions(items: dict) -> Tuple[int, bytes]:
+    """RFC 8285 §4.2 one-byte header extensions from {id: data(1..16 B)}."""
+    out = bytearray()
+    for ext_id, data in items.items():
+        if not 1 <= ext_id <= 14 or not 1 <= len(data) <= 16:
+            raise ValueError(f"bad one-byte extension {ext_id}/{len(data)}")
+        out.append((ext_id << 4) | (len(data) - 1))
+        out += data
+    return ONE_BYTE_EXT_PROFILE, bytes(out)
+
+
+def parse_onebyte_extensions(extension: Optional[Tuple[int, bytes]]) -> dict:
+    """{id: data} from a parsed (profile, data) RTP extension; {} if absent
+    or not the one-byte profile."""
+    if extension is None or extension[0] != ONE_BYTE_EXT_PROFILE:
+        return {}
+    items = {}
+    data = extension[1]
+    i = 0
+    while i < len(data):
+        b = data[i]
+        if b == 0:  # padding
+            i += 1
+            continue
+        ext_id = b >> 4
+        length = (b & 0x0F) + 1
+        if ext_id == 15:
+            break
+        items[ext_id] = data[i + 1:i + 1 + length]
+        i += 1 + length
+    return items
+
+
 class SeqnumTracker:
     """Extends 16-bit seqnums to a monotonic 64-bit count and flags gaps."""
 
@@ -128,4 +164,7 @@ class TimestampTracker:
         return self.ext
 
 
-__all__ = ["RtpPacket", "SeqnumTracker", "TimestampTracker", "HEADER_LEN"]
+__all__ = [
+    "RtpPacket", "SeqnumTracker", "TimestampTracker", "HEADER_LEN",
+    "ONE_BYTE_EXT_PROFILE", "build_onebyte_extensions", "parse_onebyte_extensions",
+]
