@@ -1,0 +1,19 @@
+#!/bin/sh
+# CI entry point (ci/run-cargo-test.sh analog): CPU test suite on the
+# virtual 8-device mesh + docs-registry freshness check.
+set -e
+cd "$(dirname "$0")/.."
+
+echo "== pytest (forced-CPU, 8-device virtual mesh via tests/conftest.py) =="
+python -m pytest tests/ -q
+
+echo "== registry dump freshness (docs/elements.json vs live registry) =="
+python -m gst_plugins_rs_tpu.utils.registry_dump /tmp/_elements_ci.json
+if ! diff -q docs/elements.json /tmp/_elements_ci.json >/dev/null; then
+    echo "ERROR: docs/elements.json is stale — regenerate with:"
+    echo "  python -m gst_plugins_rs_tpu.utils.registry_dump docs/elements.json"
+    diff docs/elements.json /tmp/_elements_ci.json | head -20
+    exit 1
+fi
+echo "registry dump is fresh"
+echo "CI OK"
