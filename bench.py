@@ -135,7 +135,7 @@ def main():
         rng.uniform(-0.3, 0.3, (K_RN, 2, RN.FRAME_SIZE)).astype(np.float32) * 32767)
 
     def rn_step(state):
-        s, outs, vads = RN.denoise_frames_scan_jit(state, rn_weights, rn_frames)
+        s, outs, vads = RN.denoise_frames_fast_jit(state, rn_weights, rn_frames)
         return s
 
     dt = _bench(rn_step, rn_state, iters=20)
@@ -147,7 +147,7 @@ def main():
     # share one dispatch via parallel.StreamBank-style vmap
     BANK = 16
     bank_scan = jax.jit(jax.vmap(
-        lambda s, fr: RN.denoise_frames_scan(s, rn_weights, fr),
+        lambda s, fr: RN.denoise_frames_fast(s, rn_weights, fr),
         in_axes=(0, 0)))
     bank_state = jax.vmap(lambda _: RN.denoise_init(1))(jnp.arange(BANK))
     bank_frames = jnp.asarray(

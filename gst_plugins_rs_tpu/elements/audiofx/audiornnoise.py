@@ -37,7 +37,7 @@ from ...core import (
 from ...ops.rnnoise import (
     FRAME_SIZE,
     default_weights,
-    denoise_frames_scan_jit,
+    denoise_frames_fast_jit,
     denoise_init,
     load_weights,
 )
@@ -104,7 +104,7 @@ class AudioRNNoise(AudioFilter):
         ch = data.shape[1]
         frames = (jnp.asarray(data, jnp.float32) * 32767.0).reshape(n, FRAME_SIZE, ch)
         frames = jnp.transpose(frames, (0, 2, 1))  # [n, C, FRAME]
-        self._dstate, outs, vads = denoise_frames_scan_jit(self._dstate, self._weights, frames)
+        self._dstate, outs, vads = denoise_frames_fast_jit(self._dstate, self._weights, frames)
         vad = jnp.max(vads, axis=1)  # [n] max over channels
         out = jnp.transpose(outs, (0, 2, 1)) / 32767.0  # [n, FRAME, ch]
         thr = self.get_property("voice-activity-threshold")

@@ -380,6 +380,165 @@ def analysis_frames_scan(state: DenoiseState, frames):
     return state, feats, Ex, silence
 
 
+# ---------------------------------------------------------------------------
+# Batched-front-end fast path
+# ---------------------------------------------------------------------------
+#
+# The per-frame scan above serializes 480 HP-biquad sample steps plus two
+# FFTs per frame.  Only the GRU recurrence is truly sequential: given the
+# whole input block, the HP filter blocks into per-frame matmuls
+# (ebur128.py blocked-IIR machinery), analysis windows/pitch windows are
+# slices of the known signal, and the cepstral history at frame t is just
+# the last 8 ceps values — all computable batched.  denoise_frames_fast
+# runs the front end as ONE batched dispatch and scans only the
+# (tiny-matmul) GRU stack, then batches synthesis/overlap-add.  Measured
+# equivalent to denoise_frames_scan within float tolerance
+# (tests/test_audiornnoise.py::test_fast_path_matches_scan).
+
+
+def _hp_block_mats():
+    from .ebur128 import _biquad_block_mats
+
+    b = np.array([1.0, HP_B[0], HP_B[1]], np.float64)
+    a = np.array([1.0, HP_A[0], HP_A[1]], np.float64)
+    return _biquad_block_mats(b, a, FRAME_SIZE)
+
+
+def _hp_filter_batch(hp_mem, frames):
+    """frames [K, C, FRAME] -> (filtered [K, C, FRAME], hp_mem')
+    via per-frame blocked-IIR matmuls (exact state carry)."""
+    T, S0, G, AB = _hp_block_mats()
+    Tj, S0j, Gj, ABj = (jnp.asarray(m, jnp.float32) for m in (T, S0, G, AB))
+    hp = jax.lax.Precision.HIGHEST
+    b1, b2 = float(HP_B[0]), float(HP_B[1])
+    a1, a2 = float(HP_A[0]), float(HP_A[1])
+    x1, x2, y1, y2 = (hp_mem[:, i] for i in range(4))
+    # direct-form-I memory -> DF2T state [2, C]
+    s1 = b1 * x1 - a1 * y1 + b2 * x2 - a2 * y2
+    s2 = b2 * x1 - a2 * y1
+    zi = jnp.stack([s1, s2])
+
+    def step(s, xf):  # xf [C, FRAME]
+        x = xf.T  # [FRAME, C]
+        y = jnp.dot(Tj, x, precision=hp) + jnp.dot(S0j, s, precision=hp)
+        s_next = jnp.dot(ABj, s, precision=hp) + jnp.dot(Gj, x, precision=hp)
+        return s_next, y.T
+
+    _, ys = jax.lax.scan(step, zi, frames)
+    hp_mem_out = jnp.stack(
+        [frames[-1, :, -1], frames[-1, :, -2], ys[-1, :, -1], ys[-1, :, -2]],
+        axis=1)
+    return ys, hp_mem_out
+
+
+def analysis_frames_batch(state: DenoiseState, frames):
+    """Batched front end: frames [K, C, FRAME] ->
+    (state', features [K,C,42], Ex, Xr, Xi [K,C,...], silence [K,C]).
+    Same math as scanning analysis_frame, without the per-frame scan."""
+    K, C, _ = frames.shape
+    xf, hp_mem = _hp_filter_batch(state.hp_mem, frames)  # [K, C, FRAME]
+
+    # analysis windows: [prev frame, this frame]
+    prev = jnp.concatenate([state.analysis_mem[None], xf[:-1]], axis=0)
+    bufs = jnp.concatenate([prev, xf], axis=-1)  # [K, C, WINDOW]
+    Xr, Xi = _forward_transform(bufs.reshape(K * C, WINDOW_SIZE))
+    Ex = _band_energy(Xr, Xi).reshape(K, C, NB_BANDS)
+    Xr = Xr.reshape(K, C, FREQ_SIZE)
+    Xi = Xi.reshape(K, C, FREQ_SIZE)
+
+    # pitch windows: sliding PITCH_BUF_SIZE windows over the running signal
+    flat = jnp.concatenate(
+        [state.pitch_buf, jnp.moveaxis(xf, 0, 1).reshape(C, K * FRAME_SIZE)],
+        axis=-1)
+    win = jax.vmap(lambda t: jax.lax.dynamic_slice_in_dim(
+        flat, (t + 1) * FRAME_SIZE, PITCH_BUF_SIZE, axis=-1))(jnp.arange(K))
+    period, pitch_gain = _pitch_search(win.reshape(K * C, PITCH_BUF_SIZE))
+    period = period.reshape(K, C)
+    pitch_gain = pitch_gain.reshape(K, C)
+    pitch_buf_out = flat[:, -PITCH_BUF_SIZE:]
+
+    E = jnp.sum(Ex - 1e-2, axis=-1)
+    silence = E < 1e-1  # [K, C]
+
+    log_e = jnp.log10(Ex)
+    ceps = log_e @ _DCT.T  # [K, C, 22]
+    # chronological prior history: P[j] = hist[:, (idx+j) % 8], oldest first
+    idx = state.ceps_idx
+    order = (idx + jnp.arange(CEPS_MEM)) % CEPS_MEM
+    prior = jnp.moveaxis(jnp.take(state.cepstral_hist, order, axis=1), 1, 0)
+    full = jnp.concatenate([prior, ceps], axis=0)  # [8+K, C, 22]
+    prev1 = full[CEPS_MEM - 1:CEPS_MEM - 1 + K]  # ceps[t-1]
+    prev2 = full[CEPS_MEM - 2:CEPS_MEM - 2 + K]  # ceps[t-2]
+    d1 = ceps[..., :NB_DELTA_CEPS] - prev2[..., :NB_DELTA_CEPS]
+    d2 = (ceps[..., :NB_DELTA_CEPS] - 2 * prev1[..., :NB_DELTA_CEPS]
+          + prev2[..., :NB_DELTA_CEPS])
+    # history window at frame t = full[t+1 : t+9]; variance is order-invariant
+    hist_wins = jax.vmap(lambda t: jax.lax.dynamic_slice_in_dim(
+        full, t + 1, CEPS_MEM, axis=0))(jnp.arange(K))  # [K, 8, C, 22]
+    spec_var = jnp.var(hist_wins, axis=1).mean(axis=-1, keepdims=True)
+    pitch_ceps = pitch_gain[..., None] * ceps[..., :NB_DELTA_CEPS]
+    features = jnp.concatenate(
+        [ceps, d1, d2, pitch_ceps,
+         (period[..., None].astype(jnp.float32) / 256.0 - 1.5), spec_var],
+        axis=-1)  # [K, C, 42]
+
+    # store the last 8 ceps back in rotated-slot format
+    new_idx = (idx + K) % CEPS_MEM
+    last8 = full[-CEPS_MEM:]  # oldest..newest
+    positions = (idx + K + jnp.arange(CEPS_MEM)) % CEPS_MEM
+    hist_out = jnp.zeros_like(state.cepstral_hist)
+    hist_out = hist_out.at[:, positions].set(jnp.moveaxis(last8, 0, 1))
+
+    new_state = DenoiseState(
+        analysis_mem=xf[-1],
+        synthesis_mem=state.synthesis_mem,
+        pitch_buf=pitch_buf_out,
+        cepstral_hist=hist_out,
+        ceps_idx=new_idx,
+        hp_mem=hp_mem,
+        rnn=state.rnn,
+    )
+    return new_state, features, Ex, Xr, Xi, silence
+
+
+def denoise_frames_fast(state: DenoiseState, weights: dict, frames):
+    """Fast-path peer of denoise_frames_scan: batched front end + GRU-only
+    scan + batched synthesis.  frames [K, C, FRAME] ->
+    (state', outs [K, C, FRAME], vads [K, C])."""
+    K, C, _ = frames.shape
+    state, features, Ex, Xr, Xi, silence = analysis_frames_batch(state, frames)
+
+    def gru_step(rnn, xs):
+        feats, sil = xs
+        new_rnn, gains, vad = rnn_frame(rnn, weights, feats)
+        keep = sil[:, None]
+        rnn = RnnState(
+            vad_h=jnp.where(keep, rnn.vad_h, new_rnn.vad_h),
+            noise_h=jnp.where(keep, rnn.noise_h, new_rnn.noise_h),
+            denoise_h=jnp.where(keep, rnn.denoise_h, new_rnn.denoise_h),
+        )
+        return rnn, (gains, jnp.where(sil, 0.0, vad))
+
+    rnn, (gains, vads) = jax.lax.scan(gru_step, state.rnn, (features, silence))
+
+    gain_bins = _interp_band_gain(gains.reshape(K * C, NB_BANDS)).reshape(
+        K, C, FREQ_SIZE)
+    sil = silence[..., None]
+    Xor = jnp.where(sil, Xr, Xr * gain_bins)
+    Xoi = jnp.where(sil, Xi, Xi * gain_bins)
+    y = _inverse_transform(
+        Xor.reshape(K * C, FREQ_SIZE), Xoi.reshape(K * C, FREQ_SIZE)
+    ).reshape(K, C, WINDOW_SIZE)
+    tails = jnp.concatenate(
+        [state.synthesis_mem[None], y[:-1, :, FRAME_SIZE:]], axis=0)
+    outs = y[:, :, :FRAME_SIZE] + tails
+    new_state = state._replace(synthesis_mem=y[-1, :, FRAME_SIZE:], rnn=rnn)
+    return new_state, outs, vads
+
+
+denoise_frames_fast_jit = jax.jit(denoise_frames_fast)
+
+
 DEFAULT_WEIGHTS_PATH = __file__.rsplit("/", 2)[0] + "/data/rnnoise_weights.npz"
 
 
@@ -403,6 +562,9 @@ __all__ = [
     "denoise_frame",
     "denoise_frames_scan",
     "denoise_frames_scan_jit",
+    "analysis_frames_batch",
+    "denoise_frames_fast",
+    "denoise_frames_fast_jit",
     "denoise_init",
     "default_weights",
     "load_weights",

@@ -84,7 +84,9 @@ def test_denoiser_state_streams_across_buffers():
     h2.push(Buffer(sig[:500], pts=0))
     h2.push(Buffer(sig[500:], pts=500 * SECOND // 48000))
     o2 = np.concatenate([np.asarray(b.data) for b in h2.pull_all()])
-    np.testing.assert_allclose(o1, o2, atol=1e-6)
+    # batched front-end dispatches tile differently per batch size, so
+    # split invariance holds to float tolerance (~0.1 s16 LSB), not bitwise
+    np.testing.assert_allclose(o1, o2, atol=1e-5)
 
 
 def test_caps_restricted_to_48k():
@@ -99,3 +101,48 @@ def test_caps_restricted_to_48k():
     from gst_plugins_rs_tpu.core import Event
 
     assert srcpad.peer.pad_template_caps().intersect(caps).is_empty()
+
+
+def test_fast_path_matches_scan():
+    """denoise_frames_fast (batched front end + GRU-only scan) must match
+    the sequential denoise_frames_scan within float tolerance, including
+    state carried across dispatches.  Tolerances reflect the different
+    (equally valid) float path of the blocked-IIR HP filter (~5e-5
+    relative on the input) amplified through the recurrent GRU — the
+    fast path itself is bitwise split-invariant (per-frame blocks)."""
+    import jax.numpy as jnp
+
+    from gst_plugins_rs_tpu.ops.rnnoise import (
+        FRAME_SIZE,
+        default_weights,
+        denoise_frames_fast,
+        denoise_frames_scan,
+        denoise_init,
+    )
+
+    w = {k: jnp.asarray(v) for k, v in default_weights().items()}
+    rng = np.random.RandomState(0)
+    frames1 = jnp.asarray(rng.uniform(-0.4, 0.4, (7, 2, FRAME_SIZE)) * 32767,
+                          jnp.float32)
+    frames2 = jnp.asarray(rng.uniform(-0.4, 0.4, (5, 2, FRAME_SIZE)) * 32767,
+                          jnp.float32)
+    # include a silent stretch to exercise the freeze path
+    frames2 = frames2.at[2].set(0.0)
+
+    s_a = denoise_init(2)
+    s_b = denoise_init(2)
+    outs_a, vads_a, outs_b, vads_b = [], [], [], []
+    for fr in (frames1, frames2):
+        s_a, o, v = denoise_frames_scan(s_a, w, fr)
+        outs_a.append(np.asarray(o)); vads_a.append(np.asarray(v))
+        s_b, o, v = denoise_frames_fast(s_b, w, fr)
+        outs_b.append(np.asarray(o)); vads_b.append(np.asarray(v))
+    for oa, ob in zip(outs_a, outs_b):
+        np.testing.assert_allclose(oa, ob, atol=60.0)  # <2e-3 of s16 full scale
+    for va, vb in zip(vads_a, vads_b):
+        np.testing.assert_allclose(va, vb, atol=2e-2)
+    # carried state equivalent too
+    np.testing.assert_allclose(np.asarray(s_a.synthesis_mem),
+                               np.asarray(s_b.synthesis_mem), atol=60.0)
+    np.testing.assert_allclose(np.asarray(s_a.rnn.vad_h),
+                               np.asarray(s_b.rnn.vad_h), atol=2e-2)
