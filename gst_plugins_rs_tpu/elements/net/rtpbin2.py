@@ -552,6 +552,8 @@ class TsJitterBuffer(Element):
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
+        import threading
+
         self.sinkpad = self.add_pad(
             Pad("sink", PadDirection.SINK,
                 PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS, RTP_CAPS))
@@ -563,22 +565,63 @@ class TsJitterBuffer(Element):
         self.sinkpad.chain_function = self._chain
         self.sinkpad.event_function = self._event
         self._jb = JitterBuffer(self.get_property("latency"))
+        self._lock = threading.RLock()
+        self._timer_id = None
 
     def on_ready_to_paused(self) -> None:
         self._jb = JitterBuffer(self.get_property("latency"))
 
+    def on_playing_to_paused(self) -> None:
+        with self._lock:
+            if self._timer_id is not None:
+                self._timer_id.unschedule()
+                self._timer_id = None
+
+    # -- clock-armed lost timers (rtpbin2/jitterbuffer.rs timer model):
+    # a held gap flushes when its deadline passes even with no new arrivals
+    def _arm_timer(self) -> None:
+        if self.clock is None:
+            return
+        with self._lock:
+            deadline = self._jb.next_deadline()
+            if self._timer_id is not None:
+                self._timer_id.unschedule()
+                self._timer_id = None
+            if deadline is None:
+                return
+            cid = self.clock.new_single_shot_id(deadline)
+            self._timer_id = cid
+            cid.wait_async(self._on_timer)
+
+    def _on_timer(self, cid) -> None:
+        with self._lock:
+            if cid is not self._timer_id or cid._unscheduled:
+                return
+            self._timer_id = None
+            items = self._jb.release_expired(self.clock.now())
+        for item in items:
+            self.srcpad.push(item)
+        self._arm_timer()
+
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
         pkt = RtpPacket.parse(np.asarray(buf.data).tobytes())
+        arrival = self.clock.now() if self.clock is not None else None
         ret = FlowReturn.OK
-        for item in self._jb.insert(pkt.sequence_number, buf, buf.pts):
+        with self._lock:
+            items = self._jb.insert(pkt.sequence_number, buf, buf.pts,
+                                    arrival=arrival)
+        for item in items:
             r = self.srcpad.push(item)
             if r != FlowReturn.OK:
                 ret = r
+        self._arm_timer()
         return ret
 
     def _event(self, pad: Pad, event: Event) -> bool:
         if event.type == EventType.EOS:
-            for item in self._jb.flush():
+            with self._lock:
+                items = self._jb.flush()
+            for item in items:
                 self.srcpad.push(item)
         return self.srcpad.push_event(event)
 

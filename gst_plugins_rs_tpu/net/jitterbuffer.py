@@ -21,6 +21,7 @@ class _Entry:
     ext_seq: int
     item: Any = field(compare=False)
     pts: Optional[int] = field(compare=False, default=None)
+    arrival: Optional[int] = field(compare=False, default=None)  # clock ns
 
 
 class JitterBuffer:
@@ -34,8 +35,12 @@ class JitterBuffer:
         self.num_lost = 0
         self.num_duplicates = 0
 
-    def insert(self, seqnum: int, item: Any, pts: Optional[int] = None) -> List[Any]:
-        """Insert a packet, return the packets releasable now (in order)."""
+    def insert(self, seqnum: int, item: Any, pts: Optional[int] = None,
+               arrival: Optional[int] = None) -> List[Any]:
+        """Insert a packet, return the packets releasable now (in order).
+        `arrival` (clock ns) enables the timer-driven deadline machinery
+        (release_expired/next_deadline — the reference jitterbuffer's
+        lost-timer model, net/rtp/src/rtpbin2/jitterbuffer.rs)."""
         ext, _gap = self._tracker.update(seqnum)
         if pts is not None:
             self._max_pts = pts if self._max_pts is None else max(self._max_pts, pts)
@@ -46,7 +51,7 @@ class JitterBuffer:
         if any(e.ext_seq == ext for e in self._queue):
             self.num_duplicates += 1
             return self._release()
-        entry = _Entry(ext, item, pts)
+        entry = _Entry(ext, item, pts, arrival)
         lo, hi = 0, len(self._queue)
         while lo < hi:
             mid = (lo + hi) // 2
@@ -77,6 +82,35 @@ class JitterBuffer:
             else:
                 break
         return out
+
+    def release_expired(self, now_ns: int) -> List[Any]:
+        """Clock-timer path: release heads held past the latency window
+        (gap never filled), advancing num_lost like a fired lost-timer."""
+        out: List[Any] = []
+        while self._queue:
+            head = self._queue[0]
+            in_order = self._next_seq is None or head.ext_seq == self._next_seq
+            overdue = (head.arrival is not None
+                       and now_ns - head.arrival >= self.latency)
+            if not (in_order or overdue):
+                break
+            if self._next_seq is not None and head.ext_seq > self._next_seq:
+                self.num_lost += head.ext_seq - self._next_seq
+            out.append(head.item)
+            self._next_seq = head.ext_seq + 1
+            self._queue.pop(0)
+        return out
+
+    def next_deadline(self) -> Optional[int]:
+        """Earliest clock time at which a held head expires, or None."""
+        if not self._queue:
+            return None
+        head = self._queue[0]
+        if self._next_seq is not None and head.ext_seq == self._next_seq:
+            return None  # in order; releasable immediately via insert path
+        if head.arrival is None:
+            return None
+        return head.arrival + self.latency
 
     def flush(self) -> List[Any]:
         """EOS: drain everything in seqnum order."""

@@ -207,3 +207,68 @@ class TestPipelineClock:
             assert q.result["min_latency"] == 480 * SECOND // 48000
         finally:
             p.set_state(State.NULL)
+
+
+class TestJitterBufferClocked:
+    def test_gap_flushes_on_elapsed_time_without_new_arrivals(self):
+        """The reference jitterbuffer arms lost timers: a held packet behind
+        a never-filled gap is released when its deadline passes on the
+        CLOCK, with no further packets arriving (rtpbin2/jitterbuffer.rs
+        timer machinery)."""
+        import numpy as np
+
+        from gst_plugins_rs_tpu.net.rtp import RtpPacket
+
+        tc = TestClock()
+        jb = element_factory_make("ts-jitterbuffer")
+        jb.set_property("latency", 50 * MS)
+        h = Harness(jb)
+        h.set_src_caps(Caps.builder("application/x-rtp"))
+        jb.clock = tc
+        jb.set_state(State.PLAYING)
+
+        def rtp(seq):
+            pkt = RtpPacket(96, seq, seq * 100, 7, b"p")
+            return Buffer(np.frombuffer(pkt.to_bytes(), np.uint8), pts=seq * MS)
+
+        h.push(rtp(0))
+        assert len(h.pull_all()) == 1
+        h.push(rtp(2))  # gap: seq 1 missing
+        assert h.pull_all() == []  # held
+        tc.advance(49 * MS)
+        assert h.pull_all() == []  # not yet expired
+        tc.advance(2 * MS)  # 51 ms since arrival: lost timer fires
+        out = h.pull_all()
+        assert len(out) == 1
+        seq = RtpPacket.parse(np.asarray(out[0].data).tobytes()).sequence_number
+        assert seq == 2
+        assert jb._jb.num_lost == 1
+
+    def test_late_fill_cancels_timer(self):
+        import numpy as np
+
+        from gst_plugins_rs_tpu.net.rtp import RtpPacket
+
+        tc = TestClock()
+        jb = element_factory_make("ts-jitterbuffer")
+        jb.set_property("latency", 50 * MS)
+        h = Harness(jb)
+        h.set_src_caps(Caps.builder("application/x-rtp"))
+        jb.clock = tc
+        jb.set_state(State.PLAYING)
+
+        def rtp(seq):
+            pkt = RtpPacket(96, seq, seq * 100, 7, b"p")
+            return Buffer(np.frombuffer(pkt.to_bytes(), np.uint8), pts=seq * MS)
+
+        h.push(rtp(0)); h.pull_all()
+        h.push(rtp(2))
+        tc.advance(20 * MS)
+        h.push(rtp(1))  # gap filled before the deadline
+        out = h.pull_all()
+        seqs = [RtpPacket.parse(np.asarray(b.data).tobytes()).sequence_number
+                for b in out]
+        assert seqs == [1, 2]
+        assert jb._jb.num_lost == 0
+        tc.advance(100 * MS)  # timer must not double-release anything
+        assert h.pull_all() == []
