@@ -235,10 +235,76 @@ class PcapWriterTracer(Tracer):
         self._f.close()
 
 
+class FmtTracer(Tracer):
+    """Human-readable structured log lines of buffer flow — the
+    tracing-subscriber fmt bridge analog (utils/tracers fmttracing).
+    Params: file (default stderr), level (default info)."""
+
+    name = "fmt-tracer"
+
+    def __init__(self, **params):
+        super().__init__(**params)
+        import sys
+
+        path = params.get("file")
+        self._file = open(path, "w") if path else sys.stderr
+        self._owns = path is not None
+        self._t0 = time.monotonic()
+
+    def on_buffer(self, element, pad, buffer: Buffer) -> None:
+        t = time.monotonic() - self._t0
+        pts = "none" if buffer.pts is None else f"{buffer.pts / 1e9:.6f}"
+        self._file.write(
+            f"{t:10.6f} INFO buffer {element.name}.{pad.name}"
+            f" pts={pts} frames={buffer.n_frames}\n")
+
+    def close(self) -> None:
+        self._file.flush()
+        if self._owns:
+            self._file.close()
+
+
+class PyTracingTracer(Tracer):
+    """Bridge buffer flow into the `logging` ecosystem — the rusttracing
+    (gst log -> Rust `tracing`) analog: one logger per element under the
+    'gstpu.trace' namespace, records carry pad/pts/frames as extras."""
+
+    name = "py-tracing"
+
+    def __init__(self, **params):
+        super().__init__(**params)
+        import logging
+
+        self._level = getattr(logging, params.get("level", "DEBUG").upper())
+        self._logging = logging
+
+    def on_buffer(self, element, pad, buffer: Buffer) -> None:
+        self._logging.getLogger(f"gstpu.trace.{element.name}").log(
+            self._level, "buffer %s pts=%s frames=%d", pad.name, buffer.pts,
+            buffer.n_frames,
+            extra={"pad": pad.name, "pts": buffer.pts,
+                   "frames": buffer.n_frames})
+
+
+class PerfettoTracer(ChromeTracer):
+    """Perfetto-loadable trace (utils/tracers perfettotracing analog).
+
+    Perfetto's UI ingests the Chrome Trace Event JSON natively, so this
+    shares ChromeTracer's writer but defaults to a .perfetto-trace path
+    and stamps process/thread metadata records the UI groups by."""
+
+    name = "perfetto-tracer"
+
+    def __init__(self, **params):
+        params.setdefault("file", "trace.perfetto-trace.json")
+        super().__init__(**params)
+
+
 TRACER_CLASSES = {
     cls.name: cls
     for cls in (PadPushTimingsTracer, QueueLevelsTracer, BufferLatenessTracer,
-                PipelineSnapshotTracer, MemoryTracer, ChromeTracer, PcapWriterTracer)
+                PipelineSnapshotTracer, MemoryTracer, ChromeTracer,
+                PcapWriterTracer, FmtTracer, PyTracingTracer, PerfettoTracer)
 }
 
 _SPEC_RE = re.compile(r"([a-z-]+)(?:\(([^)]*)\))?")

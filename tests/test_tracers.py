@@ -122,3 +122,64 @@ def test_pcap_writer(tmp_path):
     assert magic == 0xA1B2C3D4
     # at least the 2 RTP packets got captured with ethernet framing
     assert data[24:].count(b"\x08\x00\x45") >= 2
+
+
+def test_fmt_tracer_writes_lines(tmp_path):
+    import gst_plugins_rs_tpu as fx
+
+    out = tmp_path / "fmt.log"
+    import os
+    os.environ["GSTPU_TRACERS"] = f"fmt-tracer(file={out})"
+    try:
+        p = fx.parse_launch(
+            "audiotestsrc num-buffers=3 samplesperbuffer=480 "
+            "! audio/x-raw,format=F32,rate=48000,channels=1 ! fakesink")
+        p.play_until_eos()
+        for t in p.tracers:
+            t.close()
+    finally:
+        del os.environ["GSTPU_TRACERS"]
+    lines = out.read_text().splitlines()
+    assert len(lines) >= 3
+    assert "INFO buffer" in lines[0] and "pts=" in lines[0]
+
+
+def test_py_tracing_bridges_to_logging(caplog):
+    import logging
+
+    import gst_plugins_rs_tpu as fx
+    import os
+
+    os.environ["GSTPU_TRACERS"] = "py-tracing(level=INFO)"
+    try:
+        with caplog.at_level(logging.INFO, logger="gstpu.trace"):
+            p = fx.parse_launch(
+                "audiotestsrc num-buffers=2 samplesperbuffer=480 "
+                "! audio/x-raw,format=F32,rate=48000,channels=1 ! fakesink")
+            p.play_until_eos()
+    finally:
+        del os.environ["GSTPU_TRACERS"]
+    recs = [r for r in caplog.records if r.name.startswith("gstpu.trace.")]
+    assert recs
+    assert hasattr(recs[0], "frames")
+
+
+def test_perfetto_tracer_emits_loadable_json(tmp_path):
+    import json
+
+    import gst_plugins_rs_tpu as fx
+    import os
+
+    out = tmp_path / "t.perfetto-trace.json"
+    os.environ["GSTPU_TRACERS"] = f"perfetto-tracer(file={out})"
+    try:
+        p = fx.parse_launch(
+            "audiotestsrc num-buffers=2 samplesperbuffer=480 "
+            "! audio/x-raw,format=F32,rate=48000,channels=1 ! fakesink")
+        p.play_until_eos()
+        for t in p.tracers:
+            t.close()
+    finally:
+        del os.environ["GSTPU_TRACERS"]
+    data = json.loads(out.read_text())
+    assert data["traceEvents"]
