@@ -80,6 +80,13 @@ class TranscriberBin(Element):
              choices=["inband", "transcription", "both"]),
         Prop("input-lang-code", "en-US", type="str"),
         Prop("mux-method", "cea608", type="enum", choices=["cea608", "cea708"]),
+        Prop("translation-languages", "", type="str",
+             doc="per-language caption channels 'lang=cc1,lang=cc3' "
+                 "(parse_language_pair analog, transcriberbin/imp.rs:70-120; "
+                 "languages other than input-lang-code get a translator); "
+                 "'' = transcript on cc1 only"),
+        Prop("translator", "awstranslate", type="str",
+             doc="factory name of the per-language translator element"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -148,29 +155,8 @@ class TranscriberBin(Element):
                     "language-code", self.get_property("input-lang-code"))
             except Exception:
                 pass
-        wrap = element_factory_make("textwrap", f"{self.name}-textwrap")
-        wrap.set_property("lines", 2)  # reference: textwrap lines=2 (imp.rs:578)
         mux_method = self.get_property("mux-method")
-        if mux_method == "cea708":
-            toccx = element_factory_make("tttocea708", f"{self.name}-tttocea708")
-        else:
-            toccx = element_factory_make("tttocea608", f"{self.name}-tttocea608")
-            toccx.set_property("mode", self.get_property("mode"))
-        self._children = [self._transcriber, wrap, toccx]
-        for c in self._children:
-            c.parent = self.parent
-
-        # audio -> transcriber -> textwrap -> tttoceaX08 -> internal cc sink
-        self.audio_pad.chain_function = self._audio_chain
-        self.audio_pad.event_function = self._audio_event
-        self._transcriber.link(wrap)
-        wrap.link(toccx)
-        ccsink = Pad("cc_collect", PadDirection.SINK,
-                     PadTemplate("cc_collect", PadDirection.SINK,
-                                 PadPresence.ALWAYS, Caps.new_any()))
-        ccsink.element = self
-        ccsink.chain_function = self._cc_chain
-        ccsink.event_function = lambda pad, ev: True
+        self._children = [self._transcriber]
 
         def _cc_caps_query(pad, query):
             from ...core import QueryType
@@ -180,13 +166,96 @@ class TranscriberBin(Element):
                 return True
             return False
 
-        ccsink.query_function = _cc_caps_query
-        src = toccx.src_pads()[0]
-        src.peer = ccsink
-        ccsink.peer = src
+        def make_channel(tag: str, field: int, translator_lang: Optional[str]):
+            """textwrap -> tttoceaX08 -> collector; optional translator up
+            front (CaptionChannel, transcriberbin/imp.rs:500-607)."""
+            chain = []
+            if translator_lang is not None:
+                tr = element_factory_make(
+                    self.get_property("translator"),
+                    f"{self.name}-translate-{translator_lang}")
+                try:
+                    tr.set_property("output-language-code", translator_lang)
+                    tr.set_property(
+                        "input-language-code",
+                        self.get_property("input-lang-code").split("-")[0])
+                except KeyError:
+                    pass  # translator without language props (e.g. identity)
+                chain.append(tr)
+            wrap = element_factory_make("textwrap", f"{self.name}-wrap-{tag}")
+            wrap.set_property("lines", 2)  # reference textwrap lines=2
+            chain.append(wrap)
+            if mux_method == "cea708":
+                toccx = element_factory_make(
+                    "tttocea708", f"{self.name}-to708-{tag}")
+            else:
+                toccx = element_factory_make(
+                    "tttocea608", f"{self.name}-to608-{tag}")
+                toccx.set_property("mode", self.get_property("mode"))
+            chain.append(toccx)
+            for a, b in zip(chain, chain[1:]):
+                a.link(b)
+            ccsink = Pad(f"cc_collect_{tag}", PadDirection.SINK,
+                         PadTemplate("cc_collect", PadDirection.SINK,
+                                     PadPresence.ALWAYS, Caps.new_any()))
+            ccsink.element = self
+            ccsink.chain_function = (
+                lambda pad, buf, f=field: self._cc_chain(pad, buf, f))
+            ccsink.event_function = lambda pad, ev: True
+            ccsink.query_function = _cc_caps_query
+            src = chain[-1].src_pads()[0]
+            src.peer = ccsink
+            ccsink.peer = src
+            self._children.extend(chain)
+            return chain[0].sink_pads()[0]
+
+        # parse translation-languages 'lang=cc1,lang=cc3'
+        spec = self.get_property("translation-languages")
+        channels: list = []
+        input_base = self.get_property("input-lang-code").split("-")[0]
+        if spec:
+            for part in spec.split(","):
+                lang, _, cc = part.strip().partition("=")
+                cc = (cc or "cc1").lower()
+                if cc not in ("cc1", "cc3"):
+                    raise ValueError(
+                        f"{self.name}: unknown 608 channel {cc!r} "
+                        "(valid: cc1, cc3)")
+                field = 1 if cc == "cc1" else 2
+                needs_tr = lang.split("-")[0] != input_base
+                channels.append((lang, field, lang if needs_tr else None))
+        else:
+            channels.append((input_base, 1, None))
+        fanout = [make_channel(f"{lang}", field, tr)
+                  for lang, field, tr in channels]
+
+        # audio -> transcriber -> (fan out to every caption channel)
+        self.audio_pad.chain_function = self._audio_chain
+        self.audio_pad.event_function = self._audio_event
+        tsrc = self._transcriber.src_pads()[0]
+        tee = Pad("cc_tee", PadDirection.SINK,
+                  PadTemplate("cc_tee", PadDirection.SINK,
+                              PadPresence.ALWAYS, Caps.new_any()))
+        tee.element = self
+        tee.chain_function = lambda pad, buf: self._tee_chain(fanout, buf)
+        tee.event_function = lambda pad, ev: all(
+            [p.send_event(ev) for p in fanout]) or True
+        tee.query_function = _cc_caps_query
+        tsrc.peer = tee
+        tee.peer = tsrc
+        for c in self._children:
+            c.parent = self.parent
 
         self.video_pad.chain_function = self._video_chain
         self.video_pad.event_function = self._video_event
+
+    def _tee_chain(self, fanout, buf: Buffer) -> FlowReturn:
+        ret = FlowReturn.OK
+        for pad in fanout:
+            r = pad.chain(buf)
+            if r != FlowReturn.OK:
+                ret = r
+        return ret
 
     # -- audio path ---------------------------------------------------------
     def _audio_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
@@ -200,14 +269,14 @@ class TranscriberBin(Element):
         return self.audio_srcpad.push_event(ev)
 
     # -- caption collection ---------------------------------------------------
-    def _cc_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+    def _cc_chain(self, pad: Pad, buf: Buffer, field: int = 1) -> FlowReturn:
         data = np.asarray(buf.data, np.uint8).reshape(-1).tobytes()
         ctype = ("cea708-raw" if self.get_property("mux-method") == "cea708"
                  else "cea608-raw")
         pts = buf.pts
         if pts is not None:
             pts += self.get_property("lateness")
-        self._pending_cc.append((pts, ctype, data))
+        self._pending_cc.append((pts, ctype, data, field))
         return FlowReturn.OK
 
     # -- video path (the cccombiner role: attach caption meta) ---------------
@@ -225,17 +294,28 @@ class TranscriberBin(Element):
             end = None
             if buf.pts is not None and buf.duration is not None:
                 end = buf.pts + buf.duration
-            chunks = []
+            chunks = []  # (data, field)
             ctype = None
             while self._pending_cc:
-                pts, t, data = self._pending_cc[0]
+                pts, t, data, fld = self._pending_cc[0]
                 if end is not None and pts is not None and pts >= end:
                     break
                 self._pending_cc.popleft()
-                chunks.append(data)
+                chunks.append((data, fld))
                 ctype = t
             if chunks:
-                out.add_meta(VideoCaptionMeta(ctype, b"".join(chunks)))
+                if ctype == "cea608-raw" and any(f == 2 for _, f in chunks):
+                    # cc3 channels ride field 2: S334-1A triplets with the
+                    # field marker byte (0x80 = field 1)
+                    tri = bytearray()
+                    for data, fld in chunks:
+                        marker = 0x80 if fld == 1 else 0x00
+                        for i in range(0, len(data) - 1, 2):
+                            tri += bytes((marker, data[i], data[i + 1]))
+                    out.add_meta(VideoCaptionMeta("cea608-s334-1a", bytes(tri)))
+                else:
+                    out.add_meta(VideoCaptionMeta(
+                        ctype, b"".join(d for d, _ in chunks)))
         return self.video_srcpad.push(out)
 
     def _video_event(self, pad: Pad, ev: Event) -> bool:

@@ -138,3 +138,50 @@ class TestTranscriberBin:
                  if isinstance(m, VideoCaptionMeta)]
         assert metas
         assert all(m.caption_type == "cea708-raw" for m in metas)
+
+
+class TestTranslationChannels:
+    def test_translation_languages_cc1_cc3(self):
+        """translation-languages routes per-language captions to their 608
+        channels: cc1 stays field-1, cc3 rides field 2 in S334-1A triplets
+        (parse_language_pair model, transcriberbin/imp.rs:70-120).
+        `identity` as translator keeps the test offline."""
+        from gst_plugins_rs_tpu.core import VideoCaptionMeta
+
+        p, bin_, vsink, asink = _build_transcriber_pipeline(
+            overlay=False,
+            translation_languages="en=cc1,fr=cc3",
+            translator="identity")
+        p.play_until_eos()
+        metas = [m for s in vsink.samples for m in s.buffer.metas
+                 if isinstance(m, VideoCaptionMeta)]
+        assert metas
+        assert all(m.caption_type == "cea608-s334-1a" for m in metas)
+        fields = {d[0] for m in metas for d in
+                  (m.data[i:i + 3] for i in range(0, len(m.data) - 2, 3))}
+        assert fields == {0x80, 0x00}, "both cc1 (field 1) and cc3 (field 2)"
+        # triplet framing intact
+        for m in metas:
+            assert len(m.data) % 3 == 0
+
+    def test_translation_single_cc1_stays_raw(self):
+        from gst_plugins_rs_tpu.core import VideoCaptionMeta
+
+        p, bin_, vsink, asink = _build_transcriber_pipeline(
+            overlay=False,
+            translation_languages="en=cc1",
+            translator="identity")
+        p.play_until_eos()
+        metas = [m for s in vsink.samples for m in s.buffer.metas
+                 if isinstance(m, VideoCaptionMeta)]
+        assert metas
+        assert all(m.caption_type == "cea608-raw" for m in metas)
+
+    def test_bad_channel_rejected(self):
+        import pytest as _pytest
+
+        p, bin_, vsink, asink = _build_transcriber_pipeline(
+            overlay=False, translation_languages="fr=cc7",
+            translator="identity")
+        with _pytest.raises(Exception, match="cc7|channel"):
+            p.play_until_eos()
