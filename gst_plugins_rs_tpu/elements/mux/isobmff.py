@@ -106,6 +106,7 @@ class _Stream:
     def __init__(self, pad: AggregatorPad, track_id: int):
         self.pad = pad
         self.track_id = track_id
+        self.tags: dict = {}  # language-code / image-orientation from TAG events
         self.kind: Optional[str] = None  # "audio" | "video"
         self.ainfo: Optional[AudioInfo] = None
         self.vinfo: Optional[VideoInfo] = None
@@ -118,6 +119,22 @@ class _Stream:
         self.pending_dur = 0  # sum of pending durations (ts units)
         # non-fragmented accumulation
         self.table = bmff.SampleTable()
+
+    def _apply_tags(self, s) -> None:
+        """Per-track language (mdhd) and video orientation (tkhd matrix)
+        from caps fields or TAG events (reference boxes.rs:1137-1231)."""
+        if self.track is None:
+            return
+        lang = s.get("language", None) or self.tags.get("language-code")
+        if lang:
+            self.track.language = str(lang)
+        orient = (s.get("image-orientation", None)
+                  or self.tags.get("image-orientation"))
+        if orient and self.track.handler == "vide":
+            try:
+                self.track.orientation = int(str(orient).replace("rotate-", ""))
+            except ValueError:
+                pass
 
     def configure(self, caps: Caps, first_frame: Optional[bytes] = None) -> None:
         s = caps.structure(0)
@@ -285,6 +302,18 @@ class _Stream:
 class _MuxBase(Aggregator):
     """Shared pad/stream bookkeeping for both muxer families."""
 
+    def sink_event(self, pad, event) -> bool:
+        from ...core.events import EventType
+
+        if event.type == EventType.TAG:
+            st = self._streams.get(pad.name)
+            if st is not None:
+                tags = event.get("tags") or {
+                    k: v for k, v in event.fields.items() if k != "tags"}
+                st.tags.update(tags)
+            return True
+        return super().sink_event(pad, event)
+
     SINK_TEMPLATE_CAPS = _SINK_CAPS
     SINGLE_STREAM = False
     VARIANT = "iso-fragmented"  # src caps "variant" field (fmp4mux/imp.rs:4146-4153)
@@ -328,6 +357,7 @@ class _MuxBase(Aggregator):
                 st.configure(st.pad.current_caps, first_frame=first)
                 if st.track is None:
                     return False  # needs the first frame (AC-3 dac3)
+                st._apply_tags(st.pad.current_caps.structure(0))
                 ct = self.get_property("precision-clock-type")
                 if ct and ct != "none":
                     # ISO/IEC 23001-17 taic inside the sample entry

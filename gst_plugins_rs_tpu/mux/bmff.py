@@ -423,6 +423,11 @@ class TrackConfig:
     # edit list entries: (segment_duration movie-ts, media_time track-ts)
     # (write-edts-mode, reference mod.rs WriteEdtsMode / ElstInfo)
     elst: Optional[List[Tuple[int, int]]] = None
+    # ISO 639-2/T code in mdhd (reference boxes.rs:1198-1231); "und" default
+    language: str = "und"
+    # video rotation in degrees CW (image-orientation tag -> tkhd matrix,
+    # reference boxes.rs:1137-1195 per-stream orientation matrix)
+    orientation: int = 0
 
 
 @dataclass
@@ -462,9 +467,30 @@ def _mvhd(movie_timescale: int, duration: int, next_track_id: int) -> bytes:
     return full_box(b"mvhd", 0, 0, payload)
 
 
+_ROTATION_MATRICES = {
+    # unity-scale 2D rotation in 16.16 fixed point; w = 0x40000000 (2.30)
+    0: (0x10000, 0, 0, 0x10000),
+    90: (0, 0x10000, -0x10000, 0),
+    180: (-0x10000, 0, 0, -0x10000),
+    270: (0, -0x10000, 0x10000, 0),
+}
+
+
 def _tkhd(t: TrackConfig, duration_movie_ts: int) -> bytes:
-    matrix = struct.pack(">9i", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    a, b_, c, d = _ROTATION_MATRICES.get(t.orientation % 360,
+                                         _ROTATION_MATRICES[0])
+    # translate so the rotated frame stays in the positive quadrant
+    tx = t.width << 16 if t.orientation % 360 in (90, 180) else 0
+    ty = t.height << 16 if t.orientation % 360 in (180, 270) else 0
+    if t.orientation % 360 == 90:
+        tx, ty = t.height << 16, 0
+    elif t.orientation % 360 == 270:
+        tx, ty = 0, t.width << 16
+    matrix = struct.pack(">9i", a, b_, 0, c, d, 0, tx, ty, 0x40000000)
     volume = 0x0100 if t.handler == "soun" else 0
+    w, h = t.width, t.height
+    if t.orientation % 180 == 90:
+        w, h = h, w  # presentation size swaps for quarter turns
     payload = (
         struct.pack(">II", 0, 0)
         + struct.pack(">I", t.track_id)
@@ -473,18 +499,25 @@ def _tkhd(t: TrackConfig, duration_movie_ts: int) -> bytes:
         + b"\x00" * 8
         + struct.pack(">hhHH", 0, 0, volume, 0)
         + matrix
-        + struct.pack(">II", t.width << 16, t.height << 16)
+        + struct.pack(">II", w << 16, h << 16)
     )
     return full_box(b"tkhd", 0, 3, payload)  # flags: enabled | in_movie
 
 
-def _mdhd(timescale: int, duration: int) -> bytes:
-    # language 'und' packed as 5-bit letters
-    lang = ((ord("u") - 0x60) << 10) | ((ord("n") - 0x60) << 5) | (ord("d") - 0x60)
+def pack_language(code: str) -> int:
+    """ISO 639-2/T 3-letter code packed as 5-bit letters (boxes.rs:1224)."""
+    code = (code or "und").lower()
+    if len(code) != 3 or not all("a" <= c <= "z" for c in code):
+        code = "und"
+    return (((ord(code[0]) - 0x60) << 10) | ((ord(code[1]) - 0x60) << 5)
+            | (ord(code[2]) - 0x60))
+
+
+def _mdhd(timescale: int, duration: int, language: str = "und") -> bytes:
     payload = (
         struct.pack(">II", 0, 0)
         + struct.pack(">II", timescale, duration)
-        + struct.pack(">HH", lang, 0)
+        + struct.pack(">HH", pack_language(language), 0)
     )
     return full_box(b"mdhd", 0, 0, payload)
 
@@ -573,7 +606,7 @@ def _trak(t: TrackConfig, movie_timescale: int, table: Optional[SampleTable]) ->
     )
     mdia = box(
         b"mdia",
-        _mdhd(t.timescale, duration_ts)
+        _mdhd(t.timescale, duration_ts, t.language)
         + _hdlr(t.handler)
         + box(
             b"minf",
