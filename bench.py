@@ -23,7 +23,9 @@ def _checksum(out):
     relay, block_until_ready acknowledges before execution finishes)."""
     import jax.numpy as jnp
 
-    leaf = out[0] if isinstance(out, tuple) else out
+    import jax
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
     return np.asarray(jnp.sum(leaf.astype(jnp.int32) if leaf.dtype.kind == "u" else leaf))
 
 
@@ -52,7 +54,14 @@ def _bench(step, state, iters=200):
 
     t1 = run(iters)
     t3 = run(3 * iters)  # differential cancels fixed costs
-    return max((t3 - t1) / (2 * iters), 1e-9)
+    dt_diff = (t3 - t1) / (2 * iters)
+    dt_abs = t3 / (3 * iters)  # conservative: includes fixed costs
+    # relay timing variance can make t1 >= t3/3 (differential ~ 0 or
+    # negative); fall back to the absolute rate rather than reporting a
+    # physically impossible number
+    if dt_diff < 0.2 * dt_abs:
+        return dt_abs
+    return dt_diff
 
 
 def main():
