@@ -83,6 +83,21 @@ class BaseSrc(Element):
         self.srcpad.push_event(Event.new_segment(Segment()))
         self._started_stream = True
 
+    def _is_live(self) -> bool:
+        if getattr(self, "IS_LIVE", False):
+            return True
+        return bool(self._props.get("is-live"))
+
+    def _live_wait(self, buf: Buffer) -> None:
+        """Clock-paced live sources: block until the buffer's running time
+        (the C core's sync-to-clock for live sources; with no pipeline
+        clock this is a no-op and the round-robin scheduler free-runs)."""
+        if self.clock is None or buf.pts is None or not self._is_live():
+            return
+        target = self.base_time + buf.pts
+        if self.clock.now() < target:
+            self.clock.new_single_shot_id(target).wait()
+
     def iterate(self) -> FlowReturn:
         """Produce and push one buffer; push EOS when exhausted."""
         if self._eos_sent:
@@ -96,6 +111,7 @@ class BaseSrc(Element):
             self.srcpad.push_event(Event.new_eos())
             self._eos_sent = True
             return FlowReturn.EOS
+        self._live_wait(buf)
         return self.srcpad.push(buf)
 
     def _src_query(self, pad: Pad, query: Query) -> bool:

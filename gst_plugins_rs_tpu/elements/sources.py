@@ -169,6 +169,7 @@ class VideoTestSrc(BaseSrc):
         Prop("pattern", "smpte", type="enum", choices=_PATTERNS),
         Prop("foreground-color", 0xFFFFFFFF, type="uint"),
         Prop("num-buffers", -1, type="int", minimum=-1),
+        Prop("is-live", False, type="bool"),
     ]
 
     def __init__(self, name: Optional[str] = None):

@@ -272,3 +272,30 @@ class TestJitterBufferClocked:
         assert jb._jb.num_lost == 0
         tc.advance(100 * MS)  # timer must not double-release anything
         assert h.pull_all() == []
+
+
+class TestLiveSources:
+    def test_live_source_paces_on_the_clock(self):
+        """is-live sources block until each buffer's running time — a
+        100 ms-per-buffer live pipeline takes real wall time (the C core's
+        live-source clock sync; VERDICT r1 #2 clock-paced live sources)."""
+        p = fx.parse_launch(
+            "audiotestsrc is-live=true num-buffers=3 samplesperbuffer=4800 "
+            "! audio/x-raw,format=F32,rate=48000,channels=1 "
+            "! appsink name=sink")
+        t0 = time.monotonic()
+        p.play_until_eos()
+        elapsed = time.monotonic() - t0
+        # buffers at pts 0/100ms/200ms: the last waits until 200 ms
+        assert elapsed >= 0.18, f"live pipeline finished in {elapsed:.3f}s"
+        assert len(p.by_name("sink").samples) == 3
+
+    def test_non_live_source_free_runs(self):
+        p = fx.parse_launch(
+            "audiotestsrc num-buffers=3 samplesperbuffer=4800 "
+            "! audio/x-raw,format=F32,rate=48000,channels=1 "
+            "! appsink name=sink")
+        t0 = time.monotonic()
+        p.play_until_eos()
+        assert time.monotonic() - t0 < 0.15
+        assert len(p.by_name("sink").samples) == 3
