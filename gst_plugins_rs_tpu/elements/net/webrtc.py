@@ -74,6 +74,14 @@ class WebRtcSink(BaseSink):
         Prop("signaller-uri", "ws://127.0.0.1:8443", type="str"),
         Prop("meta", None, type="object", doc="JSON metadata advertised with the producer"),
         Prop("stun-server", None, type="str", doc="accepted for API parity; host candidates only"),
+        # congestion control (webrtcsink/imp.rs:69-84 defaults; the
+        # reference's homegrown_cc loss-driven controller — full GCC needs
+        # TWCC extension negotiation, documented divergence)
+        Prop("congestion-control", "homegrown", type="enum",
+             choices=["disabled", "homegrown"], mutable="ready"),
+        Prop("min-bitrate", 1000, type="uint", doc="bps"),
+        Prop("max-bitrate", 8_192_000, type="uint", doc="bps"),
+        Prop("start-bitrate", 2_048_000, type="uint", doc="bps"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -85,6 +93,53 @@ class WebRtcSink(BaseSink):
         self._chain_head = None
         self._rtp_media = None  # (media, pt, encoding, rate) for offers
         self._extra_pads = []  # request pads -> extra BUNDLE sections
+        self._cc_encoder = None
+        self._cc_bitrate = 0
+        self._cc_last_update = 0.0
+
+    # -- loss-driven congestion control (homegrown_cc analog) -----------------
+    def _on_rtcp(self, data: bytes) -> None:
+        if self.get_property("congestion-control") == "disabled":
+            return
+        from ...net import rtcp as _rtcp
+
+        try:
+            pkts = _rtcp.parse_compound(data)
+        except Exception:
+            return
+        for pkt in pkts:
+            if isinstance(pkt, _rtcp.ReceiverReport) and pkt.reports:
+                self._cc_update(max(rb.fraction_lost for rb in pkt.reports))
+
+    def _cc_update(self, fraction_lost: int) -> None:
+        import time as _t
+
+        now = _t.monotonic()
+        if now - self._cc_last_update < 0.5:  # rate-limit reconfigs
+            return
+        self._cc_last_update = now
+        if not self._cc_bitrate:
+            self._cc_bitrate = self.get_property("start-bitrate")
+        loss = fraction_lost / 256.0
+        if loss > 0.10:
+            # multiplicative decrease proportional to loss (homegrown_cc)
+            self._cc_bitrate = int(self._cc_bitrate * (1.0 - 0.5 * loss))
+        elif loss < 0.02:
+            self._cc_bitrate = int(self._cc_bitrate * 1.05)
+        self._cc_bitrate = max(self.get_property("min-bitrate"),
+                               min(self.get_property("max-bitrate"),
+                                   self._cc_bitrate))
+        enc = self._cc_encoder
+        if enc is not None and enc.get_property("bitrate") != self._cc_bitrate:
+            enc.set_property("bitrate", self._cc_bitrate)
+        from ...core.caps import Structure
+        from ...core.events import Message, MessageType
+
+        self.post_message(Message(
+            MessageType.ELEMENT,
+            structure=Structure("webrtcsink-congestion",
+                                bitrate=self._cc_bitrate,
+                                fraction_lost=fraction_lost)))
 
     # -- internal encode chain for raw media (webrtcsink/imp.rs encoder role)
     def on_caps(self, caps: Caps) -> None:
@@ -103,6 +158,9 @@ class WebRtcSink(BaseSink):
             enc = element_factory_make("rav1enc", f"{self.name}-enc")
             enc.set_property("low-latency", True)
             enc.set_property("speed-preset", 10)
+            if self.get_property("congestion-control") != "disabled":
+                enc.set_property("bitrate", self.get_property("start-bitrate"))
+                self._cc_encoder = enc
             pay = element_factory_make("rtpav1pay2", f"{self.name}-pay")
             chain = [enc, pay]
             self._rtp_media = ("video", 96, "AV1", 90000)
@@ -226,6 +284,7 @@ class WebRtcSink(BaseSink):
                 and time.monotonic() < deadline:
             time.sleep(0.02)
         pc = PeerConnection(offerer=True)
+        pc.on_rtcp = self._on_rtcp  # loss reports drive the encoder bitrate
         media, pt, enc, rate = self._rtp_media or _caps_media(self.caps)
         pc.set_media(media, pt, enc, rate)
         for entry in self._extra_pads:

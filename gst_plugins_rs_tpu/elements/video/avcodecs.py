@@ -181,7 +181,9 @@ class Rav1Enc(BaseTransform):
         Prop("min-key-frame-interval", 12, type="uint64"),
         Prop("max-key-frame-interval", 240, type="uint64"),
         Prop("switch-frame-interval", 0, type="uint64"),
-        Prop("bitrate", 0, type="int", doc="target bitrate (bps); 0 = constant quantizer"),
+        Prop("bitrate", 0, type="int", mutable="playing",
+             doc="target bitrate (bps); 0 = constant quantizer; live changes "
+                 "rebuild the encoder (keyframe restart)"),
         Prop("quantizer", 100, type="uint", maximum=255),
         Prop("min-quantizer", 0, type="uint", maximum=255),
         Prop("tile-cols", 0, type="uint"),
@@ -257,6 +259,19 @@ class Rav1Enc(BaseTransform):
             if not key:
                 buf.set_flag(BufferFlags.DELTA_UNIT)
             self._pending.append(buf)
+
+    def property_changed(self, name: str, value) -> None:
+        # live bitrate adaptation (webrtcsink congestion control): flush and
+        # rebuild the encoder at the next frame with the new target — the
+        # restart produces a keyframe, which a live viewer needs anyway
+        if name == "bitrate" and self._enc is not None and self._info is not None:
+            self._emit(self._enc.encode(None))
+            fps = self._info.fps
+            self._enc = avlib.VideoEncoder(
+                "librav1e", self._info.width, self._info.height,
+                fps=(fps.numerator, fps.denominator),
+                bitrate=value or 0,
+                opts=self._opts())
 
     def generate_output(self) -> Optional[Buffer]:
         inbuf = self.take_queued_buffer()

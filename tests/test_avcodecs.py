@@ -191,3 +191,38 @@ class TestLewtonDec:
         headers, pkts, _ = self._vorbis_stream(seconds=0.05)
         with pytest.raises(Exception):
             run_pipeline("audio/x-vorbis", "lewtondec", pkts[:1])
+
+
+def test_rav1enc_live_bitrate_reconfigure():
+    """Changing `bitrate` mid-stream (webrtcsink congestion control) flushes
+    and rebuilds the encoder; output continues and restarts on a keyframe."""
+    import gst_plugins_rs_tpu as fx
+    from gst_plugins_rs_tpu.core import Buffer, BufferFlags, Caps, Harness
+
+    enc = fx.element_factory_make("rav1enc")
+    enc.set_property("low-latency", True)
+    enc.set_property("speed-preset", 10)
+    enc.set_property("bitrate", 500_000)
+    h = Harness(enc)
+    h.set_src_caps(Caps.builder("video/x-raw", format="I420", width=64,
+                                height=48, framerate=fx.Fraction("30/1")))
+    import numpy as np
+
+    def frame(i):
+        y = np.full((48, 64), 60 + i, np.uint8)
+        u = np.full((24, 32), 128, np.uint8)
+        v = np.full((24, 32), 128, np.uint8)
+        return Buffer((y, u, v), pts=i * 33_000_000)
+
+    for i in range(4):
+        h.push(frame(i))
+    n_before = len(h.pull_all())
+    enc.set_property("bitrate", 150_000)  # live reconfigure
+    for i in range(4, 8):
+        h.push(frame(i))
+    h.push_eos()
+    after = h.pull_all()
+    assert n_before + len(after) >= 6  # stream kept flowing
+    # the rebuilt encoder's first packet is a keyframe
+    keys = [not b.has_flag(BufferFlags.DELTA_UNIT) for b in after]
+    assert any(keys)

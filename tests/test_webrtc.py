@@ -439,3 +439,57 @@ class TestRtcpReports:
             assert sdes and sdes[0].cname.startswith("gstpu-")
         finally:
             left.close(); right.close()
+
+
+class TestCongestionControl:
+    """webrtcsink loss-driven bitrate adaptation (homegrown_cc analog,
+    webrtcsink/imp.rs:69-84,320-349)."""
+
+    def _sink(self):
+        import gst_plugins_rs_tpu as fx
+
+        sink = fx.element_factory_make("webrtcsink")
+        p = fx.Pipeline()
+        p.add(sink)
+        return p, sink
+
+    def _rr(self, fraction_lost):
+        from gst_plugins_rs_tpu.net import rtcp
+
+        return rtcp.ReceiverReport(
+            1, [rtcp.ReportBlock(2, fraction_lost, 0, 100, 0, 0, 0)]).to_bytes()
+
+    def test_loss_decreases_bitrate(self):
+        from gst_plugins_rs_tpu.core.events import MessageType
+
+        p, sink = self._sink()
+        start = sink.get_property("start-bitrate")
+        sink._cc_last_update = -10.0
+        sink._on_rtcp(self._rr(77))  # 30% loss
+        assert 0 < sink._cc_bitrate < start
+        msgs = [m for m in p.bus.messages(MessageType.ELEMENT)
+                if m.structure and m.structure.name == "webrtcsink-congestion"]
+        assert msgs and msgs[-1].structure.fields["bitrate"] == sink._cc_bitrate
+
+    def test_clean_link_increases_bitrate_to_max(self):
+        p, sink = self._sink()
+        sink.set_property("max-bitrate", 3_000_000)
+        for i in range(40):
+            sink._cc_last_update = -10.0
+            sink._on_rtcp(self._rr(0))
+        assert sink._cc_bitrate == 3_000_000
+
+    def test_floor_at_min_bitrate(self):
+        p, sink = self._sink()
+        sink.set_property("min-bitrate", 100_000)
+        for i in range(60):
+            sink._cc_last_update = -10.0
+            sink._on_rtcp(self._rr(255))  # total loss
+        assert sink._cc_bitrate == 100_000
+
+    def test_disabled_ignores_reports(self):
+        p, sink = self._sink()
+        sink.set_property("congestion-control", "disabled")
+        sink._cc_last_update = -10.0
+        sink._on_rtcp(self._rr(200))
+        assert sink._cc_bitrate == 0  # untouched
