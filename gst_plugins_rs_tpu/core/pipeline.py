@@ -27,6 +27,7 @@ class Pipeline:
         self.clock = None  # selected on PAUSED->PLAYING; use_clock() overrides
         self._forced_clock = False
         self.base_time = 0
+        self._running_offset = 0  # running time accumulated before a pause
         # GSTPU_TRACERS env activation (utils/tracers analog)
         from ..utils.tracers import install_from_env
 
@@ -55,6 +56,12 @@ class Pipeline:
 
     # -- state ---------------------------------------------------------------
     def set_state(self, target: State) -> None:
+        was_playing = any(e.state == State.PLAYING for e in self.elements)
+        if target < State.PLAYING and was_playing and self.clock is not None:
+            # pausing: bank the running time so resume continues from here
+            # instead of restarting at 0 (the C core offsets base_time by
+            # the paused duration)
+            self._running_offset = self.clock.now() - self.base_time
         if target >= State.PLAYING and self.state_below(State.PLAYING):
             # select + distribute the clock and stamp base_time before any
             # element reaches PLAYING (elements arm timers in
@@ -63,10 +70,13 @@ class Pipeline:
                 from .clock import SystemClock
 
                 self.clock = SystemClock.obtain()
-            self.base_time = self.clock.now() if self.clock is not None else 0
+            self.base_time = ((self.clock.now() - self._running_offset)
+                              if self.clock is not None else 0)
             for e in self.elements:
                 e.clock = self.clock
                 e.base_time = self.base_time
+        if target == State.NULL:
+            self._running_offset = 0
         # Sinks first on upward changes (like the C core), sources first on down.
         order = list(reversed(self.elements)) if target > State.NULL else self.elements
         for e in order:

@@ -69,7 +69,7 @@ def _cdp_extract_608_field1(cdp: bytes):
     if len(cdp) < 8 or cdp[0] != 0x96 or cdp[1] != 0x69:
         return
     pos = 7  # magic(2) + len(1) + framerate(1) + flags(1) + seq(2)
-    while pos < len(cdp):
+    while pos + 1 < len(cdp):
         section = cdp[pos]
         if section == 0x71:  # time code
             pos += 5

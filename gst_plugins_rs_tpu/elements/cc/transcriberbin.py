@@ -109,12 +109,36 @@ class TranscriberBin(Element):
         self._transcriber = None
         self._built = False
         self._forwarded_props = {}
-        self._pending_cc = deque()  # (pts, caption_type, bytes)
+        # bounded so a stalled/absent video branch cannot leak forever
+        self._pending_cc = deque(maxlen=512)  # (pts, ctype, bytes, field)
         # route caps queries per stream (audio sink <-> audio src, video
         # sink <-> video src) — the element-level default would proxy every
         # sink to the FIRST src pad
         self.audio_pad.query_function = self._proxy_caps(self.audio_srcpad)
         self.video_pad.query_function = self._proxy_caps(self.video_srcpad)
+        # downstream latency queries arrive at the src pads: forward
+        # upstream through the matching sink pad and add the transcription
+        # latency property (imp.rs latency reporting)
+        self.video_srcpad.query_function = self._src_query_for(self.video_pad)
+        self.audio_srcpad.query_function = self._src_query_for(self.audio_pad)
+
+    def _src_query_for(self, sinkpad: Pad):
+        from ...core import QueryType
+
+        def q(pad: Pad, query) -> bool:
+            if query.type == QueryType.LATENCY:
+                if sinkpad.peer is not None:
+                    sinkpad.peer_query(query)
+                query.result.setdefault("live", False)
+                lat = self.get_property("latency")
+                query.result["min_latency"] = (
+                    query.result.get("min_latency", 0) + lat)
+                if query.result.get("max_latency") is not None:
+                    query.result["max_latency"] += lat
+                return True
+            return self._default_query(pad, query)
+
+        return q
 
     def _proxy_caps(self, srcpad: Pad):
         from ...core import QueryType
@@ -290,6 +314,8 @@ class TranscriberBin(Element):
         if source == "transcription":
             out.metas = [m for m in out.metas
                          if not isinstance(m, VideoCaptionMeta)]
+        if source == "inband":
+            self._pending_cc.clear()  # transcription output is unused
         if source in ("transcription", "both"):
             end = None
             if buf.pts is not None and buf.duration is not None:

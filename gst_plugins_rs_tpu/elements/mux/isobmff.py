@@ -185,9 +185,14 @@ class _Stream:
                     # raw parameter-set NALs instead of a ready hvcC: build
                     # the record from VPS/SPS/PPS (bmff.hvcc_from_parameter_sets)
                     nals = _split_annexb(codec_data)
-                    by_type = {((n[0] >> 1) & 0x3F): n for n in nals}
+                    by_type = {((n[0] >> 1) & 0x3F): n for n in nals if len(n) > 2}
+                    if 33 not in by_type:
+                        raise ValueError(
+                            "video/x-h265 needs codec_data: either a ready "
+                            "hvcC record or Annex-B VPS/SPS/PPS parameter "
+                            "sets (none found)")
                     codec_data = bmff.hvcc_from_parameter_sets(
-                        by_type.get(32, b""), by_type.get(33, b""),
+                        by_type.get(32, b""), by_type[33],
                         by_type.get(34, b""))
                 entry = bmff.hvc1_sample_entry(w, h, codec_data, fourcc=fourcc)
             elif s.name == "video/x-h266":

@@ -62,6 +62,9 @@ def _fixed_caps_query(caps: Caps):
             f = query.fields.get("filter")
             query.result["caps"] = caps if f is None else f.intersect(caps)
             return True
+        # non-CAPS queries (LATENCY etc.) keep the element default routing
+        if pad.element is not None:
+            return pad.element._default_query(pad, query)
         return False
 
     return q
@@ -388,12 +391,21 @@ class RtpRecv(Element):
         return ok
 
     def _rtx_map(self) -> Dict[int, int]:
+        # parsed once per property change, not per packet (hot receive path)
+        cached = getattr(self, "_rtx_map_cache", None)
+        if cached is not None:
+            return cached
         out: Dict[int, int] = {}
         for part in self.get_property("rtx-pt-map").split(","):
             if "=" in part:
                 a, b = part.split("=", 1)
                 out[int(a)] = int(b)
+        self._rtx_map_cache = out
         return out
+
+    def property_changed(self, name: str, value) -> None:
+        if name == "rtx-pt-map":
+            self._rtx_map_cache = None
 
     def _rtcp_out(self, idx: str) -> Optional[Pad]:
         pad = self.pads.get(f"rtcp_src_{idx}")
@@ -487,10 +499,18 @@ class RtpRecv(Element):
         recv, self._twcc_recv = self._twcc_recv, []
         if out is None or not recv:
             return
-        # fill gaps between min and max twcc seq with losses
-        recv.sort()
-        seqs = {s: a for s, a in recv}
-        lo, hi = recv[0][0], recv[-1][0]
+        # unwrap the 16-bit seqs around the first entry so a window that
+        # straddles 65535 -> 0 stays a handful of entries, not ~65536
+        base = recv[0][0]
+
+        def unwrap(s: int) -> int:
+            d = (s - base) & 0xFFFF
+            return base + (d - 0x10000 if d >= 0x8000 else d)
+
+        seqs = {unwrap(s): a for s, a in recv}
+        lo, hi = min(seqs), max(seqs)
+        if hi - lo > 512:
+            return  # wildly disjoint window (stream reset): drop the batch
         packets = [((s & 0xFFFF), seqs.get(s)) for s in range(lo, hi + 1)]
         fb = rtcp.TwccFeedback(self._ssrc_recv, media_ssrc,
                                self._twcc_fb_count & 0xFF, packets)
@@ -594,13 +614,15 @@ class TsJitterBuffer(Element):
             cid.wait_async(self._on_timer)
 
     def _on_timer(self, cid) -> None:
+        # pushes stay inside the lock: ordering is this element's whole
+        # contract, so the timer thread and streaming thread must not
+        # interleave their srcpad.push calls
         with self._lock:
             if cid is not self._timer_id or cid._unscheduled:
                 return
             self._timer_id = None
-            items = self._jb.release_expired(self.clock.now())
-        for item in items:
-            self.srcpad.push(item)
+            for item in self._jb.release_expired(self.clock.now()):
+                self.srcpad.push(item)
         self._arm_timer()
 
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
@@ -608,12 +630,11 @@ class TsJitterBuffer(Element):
         arrival = self.clock.now() if self.clock is not None else None
         ret = FlowReturn.OK
         with self._lock:
-            items = self._jb.insert(pkt.sequence_number, buf, buf.pts,
-                                    arrival=arrival)
-        for item in items:
-            r = self.srcpad.push(item)
-            if r != FlowReturn.OK:
-                ret = r
+            for item in self._jb.insert(pkt.sequence_number, buf, buf.pts,
+                                        arrival=arrival):
+                r = self.srcpad.push(item)
+                if r != FlowReturn.OK:
+                    ret = r
         self._arm_timer()
         return ret
 

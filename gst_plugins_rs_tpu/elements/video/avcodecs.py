@@ -261,21 +261,29 @@ class Rav1Enc(BaseTransform):
             self._pending.append(buf)
 
     def property_changed(self, name: str, value) -> None:
-        # live bitrate adaptation (webrtcsink congestion control): flush and
-        # rebuild the encoder at the next frame with the new target — the
-        # restart produces a keyframe, which a live viewer needs anyway
-        if name == "bitrate" and self._enc is not None and self._info is not None:
-            self._emit(self._enc.encode(None))
-            fps = self._info.fps
-            self._enc = avlib.VideoEncoder(
-                "librav1e", self._info.width, self._info.height,
-                fps=(fps.numerator, fps.denominator),
-                bitrate=value or 0,
-                opts=self._opts())
+        # live bitrate adaptation (webrtcsink congestion control): mark for
+        # rebuild; the STREAMING thread applies it before the next encode —
+        # set_property may run on another thread (e.g. the RTCP receive
+        # thread) and must not race an in-flight encode on the same encoder
+        if name == "bitrate" and self._enc is not None:
+            self._reconfigure = True
+
+    def _apply_reconfigure(self) -> None:
+        if not getattr(self, "_reconfigure", False) or self._info is None:
+            return
+        self._reconfigure = False
+        self._emit(self._enc.encode(None))  # flush; restart on a keyframe
+        fps = self._info.fps
+        self._enc = avlib.VideoEncoder(
+            "librav1e", self._info.width, self._info.height,
+            fps=(fps.numerator, fps.denominator),
+            bitrate=self.get_property("bitrate") or 0,
+            opts=self._opts())
 
     def generate_output(self) -> Optional[Buffer]:
         inbuf = self.take_queued_buffer()
         if inbuf is not None:
+            self._apply_reconfigure()
             y, u, v = inbuf.data
             self._emit(self._enc.encode(np.asarray(y, np.uint8),
                                         np.asarray(u, np.uint8),

@@ -299,3 +299,34 @@ class TestLiveSources:
         p.play_until_eos()
         assert time.monotonic() - t0 < 0.15
         assert len(p.by_name("sink").samples) == 3
+
+
+class TestPauseResume:
+    def test_running_time_survives_pause(self):
+        """Pausing banks the running time: on resume, base_time is offset so
+        running time continues instead of resetting to 0 (review finding:
+        a resumed live pipeline would stall by the pre-pause duration)."""
+        p = fx.parse_launch(
+            "audiotestsrc num-buffers=2 samplesperbuffer=480 "
+            "! audio/x-raw,format=F32,rate=48000,channels=1 "
+            "! appsink name=sink")
+        tc = TestClock(start=0)
+        p.use_clock(tc)
+        p.set_state(State.PLAYING)
+        tc.advance(5 * SECOND)
+        assert p.elements[0].running_time() == 5 * SECOND
+        p.set_state(State.PAUSED)
+        tc.advance(100 * SECOND)  # long pause
+        p.set_state(State.PLAYING)
+        assert p.elements[0].running_time() == 5 * SECOND  # continues, no reset
+        p.set_state(State.NULL)
+
+
+class TestTranscriberLatency:
+    def test_latency_query_includes_transcription_latency(self):
+        b = fx.element_factory_make("transcriberbin")
+        from gst_plugins_rs_tpu.core import Query
+
+        q = Query.new_latency()
+        assert b.pad("src_video").query(q)
+        assert q.result["min_latency"] == 4 * SECOND  # the default property

@@ -381,3 +381,43 @@ class TestTwccEndToEnd:
         assert seqs == sorted(seqs)
         # receiver still got all packets (extension did not break parsing)
         assert len(sink.samples) == 12
+
+
+class TestTwccWraparound:
+    def test_feedback_window_across_seq_wrap(self):
+        """A TWCC feedback window straddling 65535->0 must unwrap, not span
+        65536 entries (review finding: struct.error / phantom losses)."""
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        p = fx.Pipeline()
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("application/x-rtp"))
+        recv = fx.element_factory_make("rtprecv")
+        recv.set_property("twcc-ext-id", 5)
+        recv.set_property("twcc-feedback-count", 4)
+        sink = fx.element_factory_make("appsink")
+        fb_sink = fx.element_factory_make("appsink", "fb")
+        for e in (src, recv, sink, fb_sink):
+            p.add(e)
+        src.pad("src").link(recv.request_sink_pad())
+        recv.pad("rtcp_src_0").link(fb_sink.pad("sink"))
+        recv.link(sink)
+        from gst_plugins_rs_tpu.net.rtp import build_onebyte_extensions
+
+        for i, twcc_seq in enumerate([65534, 65535, 0, 1]):
+            pkt = RtpPacket(96, i, i * 100, 7, b"x" * 20,
+                            extension=build_onebyte_extensions(
+                                {5: twcc_seq.to_bytes(2, "big")}))
+            src.push_buffer(fx.Buffer(
+                np.frombuffer(pkt.to_bytes(), np.uint8),
+                pts=i * 10_000_000))
+        src.end_of_stream()
+        p.play_until_eos()
+        fbs = [x for s in fb_sink.samples
+               for x in rtcp.parse_compound(np.asarray(s.buffer.data).tobytes())
+               if isinstance(x, rtcp.TwccFeedback)]
+        assert fbs, "no TWCC feedback emitted"
+        fb = fbs[-1]
+        assert len(fb.packets) == 4  # unwrapped: no phantom entries
+        assert [s for s, _ in fb.packets] == [65534, 65535, 0, 1]
+        assert all(a is not None for _, a in fb.packets)
