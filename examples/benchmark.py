@@ -12,6 +12,9 @@ over timed windows for N streams in M context groups (`benchmark 100 2
 
     python examples/benchmark.py [n_streams] [window_s] [payload_bytes]
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(globals().get("__file__", "examples/x.py")))))  # run from anywhere
 import socket
 import sys
 import threading

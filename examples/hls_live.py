@@ -1,4 +1,7 @@
 """TPU effect chain into CMAF HLS segments on disk."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(globals().get("__file__", "examples/x.py")))))  # run from anywhere
 import os
 import tempfile
 

@@ -1,4 +1,7 @@
 """EBU R-128 loudness normalization with live level messages."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(globals().get("__file__", "examples/x.py")))))  # run from anywhere
 import gst_plugins_rs_tpu as fx
 
 p = fx.parse_launch(

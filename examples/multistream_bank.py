@@ -1,4 +1,7 @@
 """Many streams, one device dispatch: the threadshare analog."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(globals().get("__file__", "examples/x.py")))))  # run from anywhere
 import numpy as np
 
 from gst_plugins_rs_tpu.parallel.streams import echo_bank

@@ -1,4 +1,7 @@
 """RTP with fountain-code FEC: drop packets, watch them come back."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(globals().get("__file__", "examples/x.py")))))  # run from anywhere
 import numpy as np
 
 import gst_plugins_rs_tpu as fx

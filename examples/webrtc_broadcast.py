@@ -9,6 +9,9 @@ A ticks-wave audio stream is payloaded as L16 RTP, published through
 webrtcsink, and two webrtcsrc consumers each receive their own encrypted
 media leg and depayload back to audio.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(
+    _os.path.abspath(globals().get("__file__", "examples/x.py")))))  # run from anywhere
 import threading
 import time
 
