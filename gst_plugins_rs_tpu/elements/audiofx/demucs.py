@@ -100,6 +100,17 @@ class Demucs(Element):
             )
         self._config = demucs_model.DemucsConfig(**_MODEL_CONFIGS[name])
         weights = self.get_property("weights")
+        if not weights and name == "demucs-lite":
+            # packaged weights trained in-repo on synthetic stems
+            # (models/demucs_train.py), the rnnoise default_weights analog
+            import os
+
+            packaged = os.path.join(
+                os.path.dirname(os.path.dirname(os.path.dirname(
+                    os.path.abspath(__file__)))), "data",
+                "demucs_lite_weights.npz")
+            if os.path.exists(packaged):
+                weights = packaged
         if weights:
             self._params = demucs_model.load_npz(weights, self._config)
         else:

@@ -1,0 +1,63 @@
+"""Held-out quality tests for the in-repo-trained demucs-lite weights:
+the element must actually separate (the rnnoise-weights precedent applied
+to the second gated-weights AI element).  Training eval measured per-stem
+SI-SNR improvements of +10.6 (drums), +16.0 (bass), +17.6 (other),
++11.0 dB (vocals) on held-out synthetic mixtures."""
+import os
+
+import numpy as np
+import pytest
+
+from gst_plugins_rs_tpu.models import demucs as dm
+
+WEIGHTS = os.path.join(os.path.dirname(dm.__file__), "..", "data",
+                       "demucs_lite_weights.npz")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.exists(WEIGHTS), reason="packaged demucs weights not present")
+
+
+def test_separates_synthetic_stems():
+    import jax.numpy as jnp
+
+    from gst_plugins_rs_tpu.models.demucs_train import evaluate, make_example
+
+    cfg = dm.DemucsConfig(channels=16, depth=4, lstm_layers=1)
+    params = dm.load_npz(WEIGHTS, cfg)
+    means = evaluate(cfg, params, trials=3, seed=424242, log=lambda m: None)
+    for stem, gain in means.items():
+        assert gain >= 5.0, f"{stem}: only {gain:.1f} dB SI-SNR improvement"
+
+
+def test_element_uses_packaged_weights_by_default():
+    """demucs-lite picks up the packaged weights: a bass-band input routes
+    mostly to src_bass, not evenly across stems (random weights would)."""
+    import gst_plugins_rs_tpu as fx
+    from gst_plugins_rs_tpu.core.parse import parse_caps
+
+    p = fx.Pipeline()
+    src = fx.element_factory_make("audiotestsrc")
+    src.set_property("wave", "sine")
+    src.set_property("freq", 80.0)  # bass register
+    src.set_property("num-buffers", 10)
+    src.set_property("samplesperbuffer", 4410)
+    caps = fx.element_factory_make("capsfilter")
+    caps.set_property("caps", parse_caps(
+        "audio/x-raw,format=F32,rate=44100,channels=2"))
+    d = fx.element_factory_make("demucs")
+    d.set_property("segment-duration", 500_000_000)
+    sinks = {}
+    for e in (src, caps, d):
+        p.add(e)
+    src.link(caps)
+    caps.pad("src").link(d.pad("sink"))
+    for stem in dm.SOURCES:
+        s = fx.element_factory_make("appsink", stem)
+        p.add(s)
+        d.pad(f"src_{stem}").link(s.pad("sink"))
+        sinks[stem] = s
+    p.play_until_eos()
+    powers = {stem: float(np.mean(np.square(s.concat_audio())))
+              for stem, s in sinks.items()}
+    assert powers["bass"] == max(powers.values()), powers
+    assert powers["bass"] > 3 * powers["drums"], powers
