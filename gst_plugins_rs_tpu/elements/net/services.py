@@ -181,6 +181,7 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
         super().__init__(name)
         self._seq = 0
         self._started = threading.Event()
+        self._eot = threading.Event()
 
     def start(self) -> None:
         from websockets.sync.client import connect as ws_connect
@@ -225,17 +226,26 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
                         if alts:
                             words.append(alts[0].get("content", ""))
                     self._push_result(" ".join(w for w in words if w))
+                elif kind == "EndOfTranscript":
+                    self._eot.set()
                 elif kind == "Error":
                     self._started.set()
+                    self._eot.set()
         except Exception:
             pass
+        finally:
+            self._eot.set()
 
     def _send_audio(self, pcm: bytes) -> None:
         self._ws.send(pcm)  # binary frame = AddAudio
         self._seq += 1
 
     def _close_stream(self) -> None:
+        # like the reference, wait for EndOfTranscript so the final
+        # AddTranscript results flush before EOS propagates downstream
+        self._eot.clear()
         self._ws.send(json.dumps({"message": "EndOfStream", "last_seq_no": self._seq}))
+        self._eot.wait(5.0)
 
 
 @register
