@@ -16,11 +16,14 @@ through a latency-windowed jitterbuffer; emits RTCP RR per interval on
 """
 from __future__ import annotations
 
+import logging
 import time as _time
 from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
+
+log = logging.getLogger(__name__)
 
 from ...core import (
     Buffer,
@@ -49,6 +52,15 @@ from ...net.rtp import (
 RTP_CAPS = Caps.builder("application/x-rtp")
 RTCP_CAPS = Caps.builder("application/x-rtcp")
 DEFAULT_RTCP_INTERVAL = 5 * SECOND  # RFC 3550 §6.2 nominal
+# how long before an un-repaired NACKed seq may be re-requested
+NACK_RETRY_NS = SECOND // 10
+
+
+def _onebyte_profile_ok(extension) -> bool:
+    """True when an extension can safely be rewritten as RFC 8285 one-byte
+    (absent, or already profile 0xBEDE)."""
+    from ...net.rtp import ONE_BYTE_EXT_PROFILE
+    return extension is None or extension[0] == ONE_BYTE_EXT_PROFILE
 
 
 def _fixed_caps_query(caps: Caps):
@@ -106,6 +118,7 @@ class RtpSend(Element):
         self._streams: Dict[int, _SendStream] = {}  # ssrc -> stats
         self._rtcp_started: Dict[str, bool] = {}
         self._twcc_seq = 0
+        self._twcc_profile_warned = False
         # twcc seq -> (send_time_ns, size); bounded
         self._twcc_sent: "OrderedDict[int, Tuple[int, int]]" = OrderedDict()
 
@@ -231,7 +244,15 @@ class RtpSend(Element):
         st.last_rtp_ts = pkt.timestamp
         st.last_pts = buf.pts
         twcc_id = self.get_property("twcc-ext-id")
-        if twcc_id:
+        if twcc_id and not _onebyte_profile_ok(pkt.extension):
+            # The packet already carries a two-byte/unknown-profile header
+            # extension; rewriting it as 0xBEDE would destroy it. Skip TWCC
+            # stamping for this packet rather than corrupting the extension.
+            if not self._twcc_profile_warned:
+                self._twcc_profile_warned = True
+                log.warning("%s: not stamping TWCC: packet has a non-one-byte "
+                            "RTP header extension profile", self.name)
+        elif twcc_id:
             # stamp the transport-wide sequence extension and record the
             # send time/size for later feedback correlation
             self._twcc_seq = (self._twcc_seq + 1) & 0xFFFF
@@ -286,7 +307,10 @@ class _RecvStream:
         self.highest_seq: Optional[int] = None
         self.last_sr_ntp_middle = 0
         self.next_rtcp_pts = 0
-        self.nacked: "OrderedDict[int, bool]" = OrderedDict()  # seqs already NACKed
+        # seq -> time (ns) the last NACK for it was sent; entries are removed
+        # on arrival and re-NACKed when older than NACK_RETRY_NS (the
+        # reference rtpbin2 re-sends NACKs on a timer — session.rs)
+        self.nacked: "OrderedDict[int, int]" = OrderedDict()
 
 
 @register
@@ -462,24 +486,37 @@ class RtpRecv(Element):
         # NACK generation on seq gaps (RFC 4585 §6.2.1)
         if self.get_property("enable-nack"):
             seq = pkt.sequence_number
+            now = buf.pts
+            if now is None:
+                now = self.clock.now() if self.clock is not None else 0
+            # a (re)transmission arriving repairs the hole: stop tracking it
+            st.nacked.pop(seq, None)
+            missing: List[int] = []
             if st.highest_seq is not None:
                 delta = (seq - st.highest_seq) & 0xFFFF
                 if 1 < delta < 0x8000:
                     missing = [(st.highest_seq + k) & 0xFFFF
-                               for k in range(1, delta)]
-                    missing = [s for s in missing if s not in st.nacked]
-                    if missing:
-                        for s in missing:
-                            st.nacked[s] = True
-                        while len(st.nacked) > 1024:
-                            st.nacked.popitem(last=False)
-                        out = self._rtcp_out(idx)
-                        if out is not None:
-                            nack = rtcp.GenericNack(
-                                self._ssrc_recv, pkt.ssrc, missing)
-                            out.push(Buffer(
-                                np.frombuffer(nack.to_bytes(), np.uint8),
-                                pts=buf.pts))
+                               for k in range(1, delta)
+                               if (st.highest_seq + k) & 0xFFFF
+                               not in st.nacked]
+            # age out earlier NACKs whose retransmission was itself lost:
+            # past the retry deadline the seq is eligible to be re-requested
+            retry = [s for s, t in st.nacked.items()
+                     if now - t >= NACK_RETRY_NS]
+            missing.extend(retry)
+            if missing:
+                for s in missing:
+                    st.nacked.pop(s, None)
+                    st.nacked[s] = now
+                while len(st.nacked) > 1024:
+                    st.nacked.popitem(last=False)
+                out = self._rtcp_out(idx)
+                if out is not None:
+                    nack = rtcp.GenericNack(
+                        self._ssrc_recv, pkt.ssrc, missing)
+                    out.push(Buffer(
+                        np.frombuffer(nack.to_bytes(), np.uint8),
+                        pts=buf.pts))
             if st.highest_seq is None or ((seq - st.highest_seq) & 0xFFFF) < 0x8000:
                 st.highest_seq = seq
         out_pad = self._stream_pad(idx, pkt, pad.current_caps)

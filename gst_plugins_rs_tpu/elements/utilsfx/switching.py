@@ -210,9 +210,11 @@ class LiveSync(BaseTransform):
         self._last: Optional[Buffer] = None
         self._lock = threading.RLock()
         self._deadline_id = None
+        self._eos = False
 
     def start(self) -> None:
         self._last = None
+        self._eos = False
 
     # -- clocked deadline pacing (livesync/imp.rs:9-40) --------------------
     def on_paused_to_playing(self) -> None:
@@ -244,6 +246,10 @@ class LiveSync(BaseTransform):
             if cid is not self._deadline_id or cid._unscheduled:
                 return
             self._deadline_id = None
+            # after EOS no more buffers may flow downstream (reference
+            # livesync stops and forwards EOS); don't re-arm either
+            if self._eos:
+                return
             if self._last is not None:
                 # upstream missed its deadline: repeat the last buffer with
                 # advanced timestamps to keep downstream fed
@@ -261,6 +267,13 @@ class LiveSync(BaseTransform):
         return buf
 
     def sink_event(self, event: Event) -> bool:
+        if event.type == EventType.EOS:
+            with self._lock:
+                self._eos = True
+                if self._deadline_id is not None:
+                    self._deadline_id.unschedule()
+                    self._deadline_id = None
+            return True  # forward EOS
         if event.type == EventType.GAP and self._last is not None:
             # repeat the last buffer over the gap (livesync/imp.rs:9-40)
             pts = event.get("pts")

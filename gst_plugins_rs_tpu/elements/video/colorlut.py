@@ -8,9 +8,12 @@ runs on device (ops/colorlut.py).
 """
 from __future__ import annotations
 
+import logging
 from typing import Optional
 
 import jax.numpy as jnp
+
+log = logging.getLogger(__name__)
 
 from ...core import (
     Buffer,
@@ -48,7 +51,9 @@ class ColorLut(VideoFilter):
              mutable="ready",
              doc="exact: f32 table, bit-matches the reference math; "
                  "fast: bf16 table, ~1.4x throughput, <=1 u8 LSB deviation "
-                 "(measured; see PERF_NOTES.md colorlut analysis)"),
+                 "(measured; see PERF_NOTES.md colorlut analysis). Only 3D "
+                 "LUTs of size <= 65 use the fast path; other LUTs run "
+                 "exact with a warning"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -69,8 +74,19 @@ class ColorLut(VideoFilter):
         else:
             self._table = jnp.asarray(self._lut.table)
             self._packed = False
-        if self.get_property("precision") == "fast" and self._packed:
-            self._table = self._table.astype(jnp.bfloat16)
+        if self.get_property("precision") == "fast":
+            if self._packed:
+                self._table = self._table.astype(jnp.bfloat16)
+            else:
+                # 1D LUTs and 3D LUTs over PACKED_TABLE_MAX_SIZE don't take
+                # the packed-corner path, where the bf16 speedup lives; say
+                # so rather than silently running at exact speed
+                log.warning(
+                    "%s: precision=fast has no effect for this LUT (%s, "
+                    "size %d): only 3D LUTs of size <= %d use the packed "
+                    "bf16 path; running exact", self.name,
+                    "3D" if self._lut.is_3d else "1D", self._lut.size,
+                    PACKED_TABLE_MAX_SIZE)
         self._scale = [float(v) for v in self._lut.domain_scale]
         self._offset = [float(v) for v in self._lut.domain_offset]
 

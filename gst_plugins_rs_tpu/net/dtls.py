@@ -339,16 +339,20 @@ class DtlsConnection:
         self._replay[epoch] = (top, mask)
 
     def _handle_record(self, ctype: int, epoch: int, seq48: int, payload: bytes) -> None:
-        if self._replay_stale(epoch, seq48):
-            raise _RecordDropped("replayed/duplicate record")
+        # Anti-replay applies only to AEAD-protected epoch-1 records: a
+        # cleartext epoch-0 record is unauthenticated, so letting it advance
+        # the window would let one off-path spoofed datagram with a large
+        # seq48 blackhole every subsequent legitimate handshake record.
+        # Epoch-0 dedup is already handled by handshake reassembly (message
+        # seq) and the Finished transcript check.
         if epoch == 1:
+            if self._replay_stale(epoch, seq48):
+                raise _RecordDropped("replayed/duplicate record")
             if self._keys is None:
                 return  # too early; peer will retransmit
             payload = self._decrypt(ctype, epoch, seq48, payload)
-        # only records that authenticated (or cleartext epoch-0 handshake
-        # records, which the Finished transcript check covers) advance the
-        # anti-replay window
-        self._replay_mark(epoch, seq48)
+            # only records whose AEAD tag verified advance the window
+            self._replay_mark(epoch, seq48)
         with self._lock:
             if ctype == CT_HANDSHAKE:
                 for msg in self._reasm.push(payload):
@@ -359,7 +363,10 @@ class DtlsConnection:
                 if self.on_data:
                     self.on_data(payload)
             elif ctype == CT_ALERT:
-                if len(payload) >= 2 and payload[1] != 0:
+                # An unauthenticated (epoch-0) alert is trivially spoofable;
+                # ignore it rather than failing the association (RFC 6347
+                # §4.1.2.7 spirit: don't let off-path packets abort).
+                if epoch == 1 and len(payload) >= 2 and payload[1] != 0:
                     self._failed = f"peer alert {payload[0]}/{payload[1]}"
 
     def _send_record(self, ctype: int, payload: bytes, epoch: int) -> None:

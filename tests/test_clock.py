@@ -172,6 +172,24 @@ class TestLiveSyncClocked:
         h.push(Buffer(np.full((48, 1), 0.7, np.float32), pts=3 * MS, duration=MS))
         assert len(h.pull_all()) == 1
 
+    def test_no_buffers_after_eos(self):
+        """EOS cancels the deadline: no repeated buffers may flow after EOS
+        (the reference livesync stops and forwards EOS)."""
+        tc = TestClock()
+        ls = element_factory_make("livesync")
+        h = Harness(ls)
+        h.set_src_caps(Caps.builder(
+            "audio/x-raw", format="F32", rate=48000, channels=1,
+            layout="interleaved"))
+        ls.clock = tc
+        ls.set_state(State.PLAYING)
+        h.push(Buffer(np.full((48, 1), 0.5, np.float32), pts=0, duration=MS))
+        assert len(h.pull_all()) == 1
+        h.push_event(Event.new_eos())
+        tc.advance(MS)
+        tc.advance(MS)
+        assert h.pull_all() == [], "no repeats may be pushed after EOS"
+
 
 class TestPipelineClock:
     def test_pipeline_distributes_clock_and_base_time(self):

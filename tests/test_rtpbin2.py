@@ -326,6 +326,54 @@ class TestNackRtx:
             for s in sink.samples)
         assert seqs == list(range(8)), "lost packets must be recovered via NACK"
 
+    def test_renacks_when_retransmission_also_lost(self):
+        """If the retransmission triggered by the first NACK is itself lost,
+        the seq must be re-requested after the retry deadline (the reference
+        re-sends NACKs on a timer — session.rs); previously the nacked set
+        suppressed it forever."""
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+        from gst_plugins_rs_tpu.core import FlowReturn, Pad, PadDirection
+
+        p = fx.Pipeline()
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("application/x-rtp"))
+        send = fx.element_factory_make("rtpsend")
+        recv = fx.element_factory_make("rtprecv")
+        recv.set_property("enable-nack", True)
+        recv.set_property("latency", 10**12)
+        sink = fx.element_factory_make("appsink")
+        for e in (src, send, recv, sink):
+            p.add(e)
+        src.pad("src").link(send.request_sink_pad())
+        recv_sink = recv.request_sink_pad()
+
+        drops_left = {2: 2}  # drop seq 2 twice: original AND 1st retransmit
+        link = Pad("lossy", PadDirection.SINK)
+
+        def lossy_chain(pad, buf):
+            pkt = RtpPacket.parse(np.asarray(buf.data).tobytes())
+            if drops_left.get(pkt.sequence_number, 0) > 0:
+                drops_left[pkt.sequence_number] -= 1
+                return FlowReturn.OK
+            return recv_sink.chain(buf)
+
+        link.chain_function = lossy_chain
+        link.event_function = lambda pad, ev: recv_sink.send_event(ev)
+        send.pad("rtp_src_0").link(link)
+        recv.pad("rtcp_src_0").link(send.pad("rtcp_sink_0"))
+        recv.link(sink)
+        # 16 buffers span 200 ms of pts — past the 100 ms NACK retry deadline
+        for b in make_rtp_buffers(16, ssrc=7, pt=96):
+            src.push_buffer(b)
+        src.end_of_stream()
+        p.play_until_eos()
+        assert drops_left == {2: 0}
+        seqs = sorted(
+            RtpPacket.parse(np.asarray(s.buffer.data).tobytes()).sequence_number
+            for s in sink.samples)
+        assert seqs == list(range(16)), \
+            "seq 2 must be recovered by the re-sent NACK"
+
     def test_recovers_via_nack_rtx_stream(self):
         p, src, sink, dropped = self._loss_pipeline({3}, rtx_pt=97)
         for b in make_rtp_buffers(8, ssrc=7, pt=96):

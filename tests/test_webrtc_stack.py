@@ -268,6 +268,40 @@ class TestDtls:
         assert got == [b"once"]
         assert server._failed is None
 
+    def test_spoofed_epoch0_record_does_not_wedge_handshake(self):
+        """An off-path attacker sends a cleartext epoch-0 record with a huge
+        seq48 before the handshake: it must NOT advance the anti-replay
+        window (unauthenticated), or every legitimate handshake record would
+        be dropped as 'replayed' and the association permanently wedged."""
+        client, server, pump = _memory_pair()
+        # spoofed epoch-0 handshake-typed record, seq48 near the top
+        spoof_seq = 1 << 40
+        hdr = struct.pack("!BHHHIH", 22, 0xFEFD, 0,
+                          (spoof_seq >> 32) & 0xFFFF,
+                          spoof_seq & 0xFFFFFFFF, 4)
+        server.handle_packet(hdr + b"\x00\x00\x00\x00")
+        assert server._failed is None
+        client.start_handshake()
+        pump()
+        assert client._handshake_done.is_set()
+        assert server._handshake_done.is_set()
+
+    def test_spoofed_cleartext_alert_ignored(self):
+        """A spoofed unauthenticated (epoch-0) fatal alert must not abort the
+        association (RFC 6347 §4.1.2.7 spirit)."""
+        client, server, pump = _memory_pair()
+        client.start_handshake()
+        pump()
+        # epoch-0 CT_ALERT, level fatal(2)/close-ish desc, cleartext
+        hdr = struct.pack("!BHHHIH", 21, 0xFEFD, 0, 0, 99, 2)
+        server.handle_packet(hdr + bytes([2, 40]))
+        assert server._failed is None
+        got = []
+        server.on_data = got.append
+        client.send(b"still-alive")
+        pump()
+        assert got == [b"still-alive"]
+
     def test_client_cert_without_certificateverify_rejected(self):
         """A client replaying a victim's public cert DER without proving key
         possession (no CertificateVerify) must not complete the handshake."""
