@@ -97,6 +97,33 @@ def main():
     results["colorlut_1080p_fps"] = BATCH / dt
     _progress("bench: colorlut done")
 
+    # --- colorlut precision=approx (low-rank CP, gather-free MXU path) ------
+    # Realistic non-separable grade (teal-orange style): fits at rank 64
+    # with <=2 u8 LSB guaranteed over the whole domain (PERF_NOTES.md
+    # "colorlut low-rank breakthrough").
+    from gst_plugins_rs_tpu.ops.colorlut_lowrank import fit_lowrank
+    from gst_plugins_rs_tpu.ops.pallas_colorlut_lowrank import (
+        lut3d_apply_lowrank_fused, pack_factors)
+
+    gg = np.linspace(0, 1, size)
+    Bz, Gy, Rx = np.meshgrid(gg, gg, gg, indexing="ij")
+    Y = 0.299 * Rx + 0.587 * Gy + 0.114 * Bz
+    grade = np.stack([
+        np.clip(Y + 1.3 * (Rx - Y) + 0.04 * (1 - Y) ** 2, 0, 1),
+        np.clip(Y + 1.3 * (Gy - Y) + 0.01, 0, 1),
+        np.clip(Y + 1.3 * (Bz - Y) + 0.06 * (1 - Y) ** 2 - 0.03 * Y, 0, 1),
+    ], -1).reshape(-1, 3).astype(np.float32)
+    fit = fit_lowrank(grade, size, tolerance=2.0 / 255.0)
+    assert fit is not None, "grade LUT must factor within tolerance"
+    ut, vt, wt, cf = (jnp.asarray(a) for a in
+                      pack_factors(fit.U, fit.V, fit.W, fit.C))
+    step = jax.jit(lambda f: lut3d_apply_lowrank_fused(
+        f, ut, vt, wt, cf, scale, offset, size=size, offsets=(0, 1, 2),
+        bits=8))
+    dt = _bench(step, frames_rgba, iters=20)
+    results["colorlut_approx_1080p_fps"] = BATCH / dt
+    _progress(f"bench: colorlut approx done (rank {fit.U.shape[1]})")
+
     # --- echo audio realtime-x (64 streams x 1 s stereo 48 kHz) -------------
     STREAMS, RATE, CH = 64, 48000, 2
     N = RATE * CH  # 1 s interleaved
@@ -115,6 +142,51 @@ def main():
     dt = _bench(echo_step, (x0, hist0), iters=50)
     results["echo_realtime_x"] = STREAMS * 1.0 / dt  # seconds of audio per second
     _progress("bench: echo done")
+
+    # --- hrtfrender binaural FIR realtime-x (BASELINE config 5) -------------
+    # Reference contract: block = interpolation-steps(8) x block-length(512)
+    # = 4096 samples (audio/hrtf/src/hrtf/imp.rs:36-38); 8 input channels
+    # to stereo, 256-tap HRIRs, FFT overlap-add (ops/hrtf.py).
+    from gst_plugins_rs_tpu.ops.hrtf import hrtf_convolve_block
+
+    HC, HSTEPS, HBLK, HL, HRATE = 8, 8, 512, 256, 44100
+    hx = jnp.asarray(rng.uniform(-1, 1, (HC, HSTEPS * HBLK)).astype(np.float32))
+    hirs = jnp.asarray(rng.uniform(-0.1, 0.1,
+                                   (HC, HSTEPS, 2, HL)).astype(np.float32))
+    hgains = jnp.ones((HC, HSTEPS), jnp.float32)
+    htails0 = jnp.zeros((HC, 2, HL - 1), jnp.float32)
+
+    def hrtf_step(state):
+        x, tails = state
+        out, tails = hrtf_convolve_block(x, hirs, hgains, tails,
+                                         block_len=HBLK, steps=HSTEPS)
+        # chain: feed the stereo mix back into all input channels
+        return jnp.broadcast_to(out.T[:1], x.shape) * 0.5 + x * 0.5, tails
+
+    dt = _bench(hrtf_step, (hx, htails0), iters=50)
+    results["hrtf_realtime_x"] = (HSTEPS * HBLK / HRATE) / dt
+    _progress("bench: hrtf done")
+
+    # --- agingradio realtime-x (64-stream bank, 1 s stereo 48 kHz) ----------
+    from gst_plugins_rs_tpu.ops.agingradio import agingradio_process
+
+    ag_x = jnp.asarray(rng.uniform(-1, 1, (STREAMS, RATE, CH)).astype(np.float32))
+    ag_state = jnp.zeros((STREAMS, CH), jnp.float32)
+    ag_keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(STREAMS))
+    ag_fn = jax.vmap(
+        lambda x, k, st: agingradio_process(
+            x, k, st, 0.02, 0.001, 0.1, 6.0, 0.05, passes=3,
+            use_lowpass=True))
+
+    @jax.jit
+    def ag_step(state):
+        x, st = state
+        out, st = ag_fn(x, ag_keys, st)
+        return out, st
+
+    dt = _bench(ag_step, (ag_x, ag_state), iters=20)
+    results["agingradio_realtime_x"] = STREAMS * 1.0 / dt
+    _progress("bench: agingradio done")
 
     # --- audioloudnorm realtime-x (single stream, 16 frames per dispatch) ---
     from gst_plugins_rs_tpu.ops import loudnorm as LN
@@ -219,8 +291,11 @@ def main():
     targets = {
         "hsv_1080p_fps": 2000.0,
         "colorlut_1080p_fps": 2000.0,
+        "colorlut_approx_1080p_fps": 2000.0,
         "chain_hsv_colorlut_1080p_fps": 2000.0,
         "echo_realtime_x": 100.0,
+        "hrtf_realtime_x": 100.0,
+        "agingradio_realtime_x": 100.0,
         "loudnorm_realtime_x": 100.0,
         "chain_echo_loudnorm_realtime_x": 100.0,
         "rnnoise_realtime_x": 100.0,

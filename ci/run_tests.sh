@@ -4,6 +4,9 @@
 set -e
 cd "$(dirname "$0")/.."
 
+echo "== lint (AST checks — the clippy/cargo-deny analog) =="
+python ci/lint.py
+
 echo "== pytest (forced-CPU, 8-device virtual mesh via tests/conftest.py) =="
 python -m pytest tests/ -q
 

@@ -15,7 +15,6 @@ _sys.path.insert(0, _os.path.dirname(_os.path.dirname(
 import threading
 import time
 
-import numpy as np
 
 import gst_plugins_rs_tpu as fx
 from gst_plugins_rs_tpu.net.webrtc_signalling import SignallingServer

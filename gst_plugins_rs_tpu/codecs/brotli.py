@@ -18,7 +18,6 @@ Brotli bit order: LSB-first within each byte (§2).
 from __future__ import annotations
 
 import ctypes
-from typing import List, Optional
 
 _DEC = None
 _ENC = None

@@ -16,7 +16,6 @@ path except LPC — LPC is covered by a hand-built subframe in the tests.
 """
 from __future__ import annotations
 
-import struct
 from dataclasses import dataclass
 from typing import List, Optional, Tuple
 

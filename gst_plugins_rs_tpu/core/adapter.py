@@ -8,11 +8,11 @@ audioloudnorm imp.rs:218-262).
 from __future__ import annotations
 
 from collections import deque
-from typing import Any, List, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import numpy as np
 
-from .buffer import Buffer, BufferFlags
+from .buffer import Buffer
 
 
 class Adapter:

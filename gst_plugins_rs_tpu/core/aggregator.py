@@ -9,7 +9,7 @@ EOS drain).
 from __future__ import annotations
 
 from collections import deque
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 from .buffer import Buffer
 from .caps import Caps

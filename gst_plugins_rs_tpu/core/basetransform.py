@@ -13,7 +13,7 @@ import enum
 from typing import Optional
 
 from .audio import AudioInfo
-from .buffer import Buffer, BufferFlags
+from .buffer import Buffer
 from .caps import Caps
 from .element import (
     Element,

@@ -9,7 +9,7 @@ gst::ClockTime) — PTS bookkeeping must stay host-side and exact
 from __future__ import annotations
 
 import enum
-from typing import Any, Dict, List, Optional
+from typing import Any, List, Optional
 
 # Sentinel matching GST_CLOCK_TIME_NONE semantics.
 CLOCK_TIME_NONE: Optional[int] = None

@@ -9,7 +9,6 @@ intersection, then fixation picks a single concrete structure.
 """
 from __future__ import annotations
 
-import math
 from fractions import Fraction
 from typing import Any, Dict, Iterable, List, Optional
 

@@ -26,7 +26,7 @@ import itertools
 import threading
 import time
 from enum import IntEnum
-from typing import Callable, List, Optional, Tuple
+from typing import Callable, List, Optional
 
 
 class ClockReturn(IntEnum):

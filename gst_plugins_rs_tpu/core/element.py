@@ -10,12 +10,12 @@ from __future__ import annotations
 
 import enum
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Callable, Dict, List, Optional
 
 from .buffer import Buffer
 from .caps import Caps
-from .events import Event, EventType, Message, MessageType, Query, QueryType
+from .events import Event, EventType, Message, Query, QueryType
 
 log = logging.getLogger("tpufx")
 

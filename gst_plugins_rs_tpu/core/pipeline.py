@@ -9,12 +9,11 @@ batched device dispatches.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 from .basesrc import BaseSrc
 from .bus import Bus
 from .element import Element, State
-from .events import MessageType
 
 
 class Pipeline:

@@ -5,7 +5,7 @@ Reference: gst::Element::register(name, rank, type) per plugin
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Type
+from typing import Dict, List, Optional
 
 _REGISTRY: Dict[str, type] = {}
 _RANKS: Dict[str, int] = {}

@@ -8,7 +8,7 @@ host boundary — on device frames are always densely packed.
 from __future__ import annotations
 
 from fractions import Fraction
-from typing import Optional, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -20,7 +20,6 @@ from ...core import (
     Event,
     EventType,
     FlowReturn,
-    Message,
     Meta,
     Pad,
     PadDirection,

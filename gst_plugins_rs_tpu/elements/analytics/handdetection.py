@@ -13,13 +13,13 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
 from ...core import BaseTransform, Buffer, Prop, TransformMode, VideoInfo, register
 from ...core.events import Event, EventType
-from .meta import AnalyticsRelationMeta, Meta, RelTypes, TensorDataType, TensorDimOrder, TensorMeta
+from .meta import AnalyticsRelationMeta, RelTypes, TensorDataType, TensorMeta
 
 PALM_DETECTION_OUT_ID = "palm-detection-out"
 HAND_CLASS_LABEL = "hand"

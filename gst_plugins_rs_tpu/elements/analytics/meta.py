@@ -8,7 +8,7 @@ analytics/analytics/src/yoloxtensordec/imp.rs:398-428).
 from __future__ import annotations
 
 import enum
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, List, Optional, Tuple
 
 from ...core import Meta

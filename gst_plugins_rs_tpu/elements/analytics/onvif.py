@@ -18,12 +18,10 @@ from ...core import (
     Buffer,
     Caps,
     Meta,
-    Prop,
     SECOND,
     TransformMode,
     register,
 )
-from ...core.events import Event, EventType
 from .meta import AnalyticsRelationMeta
 
 ONVIF_NS = "http://www.onvif.org/ver10/schema"

@@ -16,21 +16,18 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ...core import (
     Buffer,
     Caps,
     IntRange,
     Prop,
-    Structure,
     TransformMode,
     VideoFilter,
-    VideoInfo,
     register,
     video_caps_template,
 )
-from ...models.yolox import Yolox, init_variables, load_torch_weights
+from ...models.yolox import Yolox, load_torch_weights
 from .meta import Tensor, TensorDataType, TensorDimOrder, TensorMeta
 
 YOLOX_OUT = "yolox-out"

@@ -12,22 +12,19 @@ accepted for the TPU compute path).  All per-frame math runs on device
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ...core import (
     Adapter,
     AudioInfo,
     Buffer,
     BufferFlags,
-    Caps,
     Element,
     Event,
     EventType,
-    FlowError,
     FlowReturn,
     Pad,
     PadDirection,

@@ -25,8 +25,6 @@ from ...core import (
     AudioInfo,
     Buffer,
     BufferFlags,
-    Event,
-    EventType,
     Meta,
     Prop,
     SECOND,

@@ -10,7 +10,7 @@ PTS/offset/duration (imp.rs:280-349); flush-stop clears the adapter.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np

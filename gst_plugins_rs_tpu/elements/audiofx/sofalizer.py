@@ -35,7 +35,7 @@ from ...core import (
     register,
 )
 from ...ops.sofa import SofaFile, partition_filter, upols_block
-from .hrtfrender import SpatialObject, _POSITION_COORDS
+from .hrtfrender import SpatialObject
 
 
 def to_system(coord_system: str, obj: SpatialObject):

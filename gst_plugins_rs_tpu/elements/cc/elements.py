@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 from collections import deque
 from fractions import Fraction
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -24,7 +24,6 @@ from ...core import (
     BaseTransform,
     Buffer,
     Caps,
-    FlowReturn,
     PadDirection,
     Prop,
     SECOND,

@@ -23,7 +23,6 @@ from ...core import (
     Caps,
     Element,
     Event,
-    EventType,
     FlowReturn,
     Pad,
     PadDirection,

@@ -34,7 +34,6 @@ from ...core import (
     TransformMode,
     register,
 )
-from ...core.caps import Structure
 from ...core.events import Segment
 from ...ops import st2038
 

@@ -43,7 +43,6 @@ from ...core import (
     Caps,
     Element,
     Event,
-    EventType,
     FlowReturn,
     Pad,
     PadDirection,

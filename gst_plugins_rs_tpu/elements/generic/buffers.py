@@ -6,9 +6,8 @@ a meta before lossy processing so analytics downstream can recover it
 """
 from __future__ import annotations
 
-from typing import Optional
 
-from ...core import BaseTransform, Buffer, Meta, Prop, TransformMode, register
+from ...core import BaseTransform, Buffer, Meta, TransformMode, register
 
 
 class OriginalBufferMeta(Meta):

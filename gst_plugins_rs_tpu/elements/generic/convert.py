@@ -8,13 +8,12 @@ layouts (channel reorder / alpha add-drop).
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import jax.numpy as jnp
 import numpy as np
 
 from ...core import (
-    AudioInfo,
     BaseTransform,
     Buffer,
     Caps,
@@ -25,11 +24,9 @@ from ...core import (
     PadDirection,
     PadPresence,
     PadTemplate,
-    Prop,
     TransformMode,
     ValueList,
     VideoFilter,
-    VideoInfo,
     audio_caps_template,
     register,
     video_caps_template,

@@ -9,7 +9,6 @@ making every AU self-describing for debugging.
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import numpy as np
 

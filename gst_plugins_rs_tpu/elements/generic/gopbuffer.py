@@ -13,8 +13,6 @@ from ...core import (
     BaseTransform,
     Buffer,
     BufferFlags,
-    Event,
-    EventType,
     Prop,
     SECOND,
     TransformMode,

@@ -22,7 +22,6 @@ from ...core import (
     Caps,
     FlowReturn,
     Prop,
-    SECOND,
     TransformMode,
     register,
 )

@@ -14,7 +14,6 @@ Parity targets:
 """
 from __future__ import annotations
 
-import os
 import struct
 import sys
 from collections import deque
@@ -37,7 +36,6 @@ from ...core import (
     PadPresence,
     PadTemplate,
     Prop,
-    SECOND,
     TransformMode,
     register,
 )

@@ -36,7 +36,6 @@ from ...net.nacl import (
     MAC_BYTES,
     NONCE_BYTES,
     crypto_box_beforenm,
-    increment_le,
     secretbox_easy,
     secretbox_open_easy,
 )

@@ -11,7 +11,7 @@ The 300x216 indexed surface is palette-expanded to RGB per emitted frame.
 """
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -20,7 +20,6 @@ from ...core import (
     Buffer,
     Caps,
     PadDirection,
-    Prop,
     SECOND,
     TransformMode,
     register,

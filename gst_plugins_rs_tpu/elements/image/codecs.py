@@ -24,7 +24,6 @@ from ...core import (
     Prop,
     SECOND,
     TransformMode,
-    VideoInfo,
     register,
     video_caps_template,
 )

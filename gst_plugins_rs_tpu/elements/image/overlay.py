@@ -17,8 +17,6 @@ import numpy as np
 
 from ...core import (
     Buffer,
-    Caps,
-    PadDirection,
     Prop,
     TransformMode,
     VideoFilter,

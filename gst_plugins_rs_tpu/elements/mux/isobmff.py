@@ -27,7 +27,6 @@ Behavioral notes vs the reference:
 """
 from __future__ import annotations
 
-from fractions import Fraction
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np

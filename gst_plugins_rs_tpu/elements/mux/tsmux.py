@@ -12,7 +12,7 @@ anything else -> 0x06.
 """
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -12,7 +12,6 @@ Payload convention: audio/x-alaw and audio/x-mulaw buffers carry
 """
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,6 @@ import json
 import queue
 import secrets
 import threading
-import time
 from typing import Dict, Optional
 
 import numpy as np

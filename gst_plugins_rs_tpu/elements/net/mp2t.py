@@ -11,13 +11,7 @@ from typing import Optional
 
 import numpy as np
 
-from ...core import (
-    Buffer,
-    Caps,
-    IntRange,
-    Prop,
-    register,
-)
+from ...core import Buffer, Caps, register
 from ...core.caps import Structure, ValueList
 from ...mux import mpegts
 from ...net.rtp import RtpPacket

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import xml.etree.ElementTree as ET
 from collections import deque
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -24,8 +24,6 @@ from ...core import (
     Buffer,
     Caps,
     Element,
-    Event,
-    EventType,
     FlowReturn,
     Pad,
     PadDirection,

@@ -21,7 +21,7 @@ from __future__ import annotations
 import queue
 import socket
 import threading
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 

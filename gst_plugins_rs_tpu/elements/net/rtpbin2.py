@@ -5,9 +5,10 @@ session.rs, jitterbuffer.rs) and threadshare's ts-jitterbuffer.
 
 rtpsend: request `rtp_sink_%u` -> always-paired `rtp_src_%u` plus
 `rtcp_src_%u`; forwards RTP while tracking per-SSRC packet/octet counts and
-emits compound RTCP SR+SDES on the rtcp pad every rtcp-interval of stream
-time (the reference schedules RTCP on a timer thread; this synchronous
-runtime keys the schedule off buffer pts).
+emits compound RTCP SR+SDES on the rtcp pad.  With a pipeline clock, RTCP
+is timer-scheduled with RFC 3550 §6.3 0.5x-1.5x interval randomization
+(the reference's session.rs scheduling) so a stalled sender still reports;
+media-keyed reports additionally fire every rtcp-interval of stream time.
 
 rtprecv: request `rtp_sink_%u`; demuxes SSRCs to sometimes-pads named
 `rtp_src_%u_%ssrc_%pt` (rtprecv.rs pad naming), reordering each SSRC
@@ -17,6 +18,8 @@ through a latency-windowed jitterbuffer; emits RTCP RR per interval on
 from __future__ import annotations
 
 import logging
+import random as _random
+import threading
 import time as _time
 from collections import OrderedDict
 from typing import Dict, List, Optional, Tuple
@@ -63,6 +66,62 @@ def _onebyte_profile_ok(extension) -> bool:
     return extension is None or extension[0] == ONE_BYTE_EXT_PROFILE
 
 
+class _RtcpTimerMixin:
+    """Clock-armed compound-RTCP scheduling, RFC 3550 §6.3 style.
+
+    The reference schedules RTCP on timers with interval reconsideration
+    (net/rtp/src/rtpbin2/session.rs); keying reports off buffer pts (the
+    pre-clock design here) meant a stalled sender never reported.  With a
+    pipeline clock present, reports fire on randomized 0.5x-1.5x intervals
+    of `rtcp-interval` (the §6.3 timer randomization; Tmin handling is the
+    property's own floor) regardless of media flow.  Clockless pipelines
+    keep the pts-keyed fallback.
+    """
+
+    def _rtcp_timer_init(self) -> None:
+        self._rtcp_timer_id = None
+        self._rtcp_timer_lock = threading.RLock()
+        self._rtcp_clocked = False
+
+    def on_paused_to_playing(self) -> None:
+        if self.clock is not None:
+            self._rtcp_clocked = True
+            self._arm_rtcp_timer()
+
+    def on_playing_to_paused(self) -> None:
+        self._rtcp_clocked = False
+        with self._rtcp_timer_lock:
+            if self._rtcp_timer_id is not None:
+                self._rtcp_timer_id.unschedule()
+                self._rtcp_timer_id = None
+
+    def _arm_rtcp_timer(self) -> None:
+        if self.clock is None or not self._rtcp_clocked:
+            return
+        interval = self.get_property("rtcp-interval")
+        # RFC 3550 §6.3.1: uniformly distributed on [0.5, 1.5] x interval
+        deadline = int(interval * _random.uniform(0.5, 1.5))
+        with self._rtcp_timer_lock:
+            if self._rtcp_timer_id is not None:
+                self._rtcp_timer_id.unschedule()
+            cid = self.clock.new_single_shot_id(self.clock.now() + deadline)
+            self._rtcp_timer_id = cid
+            cid.wait_async(self._on_rtcp_timer)
+
+    def _on_rtcp_timer(self, cid) -> None:
+        with self._rtcp_timer_lock:
+            if cid is not self._rtcp_timer_id or cid._unscheduled:
+                return
+            self._rtcp_timer_id = None
+        try:
+            self._rtcp_timer_tick()
+        finally:
+            self._arm_rtcp_timer()
+
+    def _rtcp_timer_tick(self) -> None:  # overridden per element
+        raise NotImplementedError
+
+
 def _fixed_caps_query(caps: Caps):
     """Pads of the session elements answer their own caps instead of
     proxying — the RTCP loopback topology (recv rtcp_src -> send
@@ -96,7 +155,7 @@ class _SendStream:
 
 
 @register
-class RtpSend(Element):
+class RtpSend(_RtcpTimerMixin, Element):
     ELEMENT_NAME = "rtpsend"
     ELEMENT_CLASS = "Network/RTP/Session"
     ELEMENT_DESCRIPTION = "RTP session sender: forwards RTP, generates RTCP SRs"
@@ -121,6 +180,14 @@ class RtpSend(Element):
         self._twcc_profile_warned = False
         # twcc seq -> (send_time_ns, size); bounded
         self._twcc_sent: "OrderedDict[int, Tuple[int, int]]" = OrderedDict()
+        self._rtcp_timer_init()
+
+    def _rtcp_timer_tick(self) -> None:
+        """Clock-scheduled compound SR for every stream — fires even when
+        media has stalled (the pts path can't)."""
+        now = self.running_time()
+        for ssrc, st in list(self._streams.items()):
+            self._send_sr(st.idx, ssrc, st, now)
 
     def request_pad(self, template_name: str = "rtp_sink_%u") -> Pad:
         n = sum(1 for p in self.pads if p.startswith("rtp_sink_"))
@@ -274,6 +341,9 @@ class RtpSend(Element):
         ret = self.pad(f"rtp_src_{idx}").push(buf)
         if ret != FlowReturn.OK:
             return ret
+        # media-keyed reports keep their cadence; the clock timer (when a
+        # clock exists) additionally guarantees reports while stalled
+        # (RFC 3550 §6.3)
         if buf.pts is not None and buf.pts >= st.next_rtcp_pts:
             st.next_rtcp_pts = buf.pts + self.get_property("rtcp-interval")
             self._send_sr(idx, pkt.ssrc, st, buf.pts)
@@ -314,7 +384,7 @@ class _RecvStream:
 
 
 @register
-class RtpRecv(Element):
+class RtpRecv(_RtcpTimerMixin, Element):
     ELEMENT_NAME = "rtprecv"
     ELEMENT_CLASS = "Network/RTP/Session"
     ELEMENT_DESCRIPTION = "RTP session receiver: SSRC demux + jitterbuffer + RTCP RRs"
@@ -340,6 +410,16 @@ class RtpRecv(Element):
         self._media_ssrc_for_pt: Dict[int, int] = {}
         self._twcc_recv: List[Tuple[int, int]] = []  # (seq, arrival_ns)
         self._twcc_fb_count = 0
+        self._rtcp_timer_init()
+
+    def _rtcp_timer_tick(self) -> None:
+        """Clock-scheduled RRs for every stream — a stalled upstream still
+        gets reception reports."""
+        now = self.running_time()
+        for ssrc, st in list(self._streams.items()):
+            idx = self._idx_for_ssrc.get(ssrc)
+            if idx is not None:
+                self._send_rr(idx, ssrc, st, now)
 
     def request_pad(self, template_name: str = "rtp_sink_%u") -> Pad:
         return self.request_sink_pad()

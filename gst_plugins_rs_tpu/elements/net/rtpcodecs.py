@@ -15,7 +15,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ...core import Buffer, BufferFlags, Caps, IntRange, Prop, register
+from ...core import Buffer, BufferFlags, Caps, IntRange, register
 from ...core.caps import Structure
 from ...net.rtp import RtpPacket
 from .rtppay import RtpBaseDepay, RtpBasePay

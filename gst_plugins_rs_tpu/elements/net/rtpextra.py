@@ -17,7 +17,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ...core import Buffer, Caps, Prop, register
+from ...core import Buffer, Caps, register
 from ...core.caps import IntRange, Structure
 from ...net.rtp import RtpPacket
 from ...ops import st2038

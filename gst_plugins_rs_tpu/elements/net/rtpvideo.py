@@ -16,11 +16,11 @@ from __future__ import annotations
 
 import io
 import struct
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Optional
 
 import numpy as np
 
-from ...core import Buffer, BufferFlags, Caps, IntRange, Prop, register
+from ...core import Buffer, BufferFlags, Caps, register
 from ...core.caps import Structure
 from ...net.rtp import RtpPacket
 from .rtppay import RtpBaseDepay, RtpBasePay

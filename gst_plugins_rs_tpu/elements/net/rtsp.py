@@ -176,8 +176,10 @@ class RtspSrc2(BaseSrc):
         self._tcp_buf = bytearray(leftover)
         return head_lines[0], headers, body
 
-    def _request(self, method: str, url: str, extra: Dict[str, str] = {},
+    def _request(self, method: str, url: str,
+                 extra: Optional[Dict[str, str]] = None,
                  _retried: bool = False) -> Tuple[Dict[str, str], bytes]:
+        extra = extra or {}
         self._cseq += 1
         lines = [f"{method} {url} RTSP/1.0", f"CSeq: {self._cseq}"]
         if self._session:

@@ -24,7 +24,6 @@ from __future__ import annotations
 import queue
 import re
 import threading
-import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional

@@ -18,21 +18,17 @@ exercise via DISCONT/gap injection (SURVEY.md §5).
 from __future__ import annotations
 
 import threading
-from typing import Dict, Optional
+from typing import Optional
 
 from ...core import (
     BaseTransform,
     Buffer,
-    Caps,
-    Element,
     Event,
     EventType,
     FlowReturn,
     Message,
     MessageType,
     Pad,
-    PadDirection,
-    PadPresence,
     PadTemplate,
     Prop,
     SECOND,

@@ -18,7 +18,7 @@ boundary and the C shim only does packing.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 
@@ -29,7 +29,6 @@ from ...core import (
     Caps,
     PadDirection,
     Prop,
-    SECOND,
     TransformMode,
     register,
 )

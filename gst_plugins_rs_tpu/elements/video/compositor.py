@@ -14,20 +14,13 @@ alpha), mirroring the reference's pad property names.
 from __future__ import annotations
 
 from functools import partial
-from typing import Dict, List, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...core import (
-    Buffer,
-    Caps,
-    FlowReturn,
-    Prop,
-    register,
-    video_caps_template,
-)
+from ...core import Buffer, FlowReturn, Prop, register, video_caps_template
 from ...core.aggregator import Aggregator, AggregatorPad
 from ...core.events import Event, Segment
 from ...core.video import RGB_FORMATS, VideoInfo

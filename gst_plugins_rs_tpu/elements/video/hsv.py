@@ -18,7 +18,6 @@ from ...core import (
     TransformMode,
     ValueList,
     VideoFilter,
-    VideoInfo,
     register,
     video_caps_template,
 )

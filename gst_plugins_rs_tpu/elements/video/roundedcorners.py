@@ -23,7 +23,6 @@ from ...core import (
     ValueList,
     VideoFilter,
     register,
-    video_caps_template,
 )
 from ...core.caps import IntRange, Structure
 

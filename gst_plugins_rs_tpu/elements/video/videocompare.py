@@ -10,12 +10,9 @@ Hash algorithms: mean/gradient/vertgradient/doublegradient/blockhash
 """
 from __future__ import annotations
 
-from typing import Optional
 
-import numpy as np
 
 from ...core import (
-    Buffer,
     FlowReturn,
     Message,
     MessageType,
@@ -24,7 +21,7 @@ from ...core import (
     register,
     video_caps_template,
 )
-from ...core.aggregator import Aggregator, AggregatorPad
+from ...core.aggregator import Aggregator
 from ...ops.imagehash import hamming, hash_image
 
 _ALGOS = ["mean", "gradient", "vertgradient", "doublegradient", "blockhash"]

@@ -18,8 +18,8 @@ segments per dispatch — the relay punishes chained small dispatches
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import List, Sequence, Tuple
+from dataclasses import dataclass
+from typing import List, Tuple
 
 import flax.linen as nn
 import jax

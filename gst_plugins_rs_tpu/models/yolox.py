@@ -21,7 +21,6 @@ from typing import Any, Dict, List, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 STRIDES = (8, 16, 32)
 PRIOR_PROB = 1e-2

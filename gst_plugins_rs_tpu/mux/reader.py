@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import struct
 from dataclasses import dataclass, field
-from typing import Dict, Iterator, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 CONTAINERS = {
     b"moov", b"trak", b"mdia", b"minf", b"stbl", b"mvex", b"moof", b"traf",

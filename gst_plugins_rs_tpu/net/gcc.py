@@ -9,7 +9,7 @@ per-packet feedback (send time, arrival time, size, lost).
 """
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import List, Optional, Tuple
 
 MS = 1_000_000  # ns per ms

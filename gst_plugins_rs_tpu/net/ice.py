@@ -12,14 +12,13 @@ Demux on the shared socket follows RFC 5764 §5.1.2: STUN (first byte < 64
 """
 from __future__ import annotations
 
-import os
 import secrets
 import socket
 import struct
 import threading
 import time
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
 
 from .stun import (
     BINDING_ERROR,

@@ -11,7 +11,7 @@ expires when the newest arrival's pts exceeds head pts + latency.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Any, List, Optional, Tuple
+from typing import Any, List, Optional
 
 from .rtp import SeqnumTracker
 

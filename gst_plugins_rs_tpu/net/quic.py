@@ -23,7 +23,6 @@ Explicitly out of scope: version negotiation, Retry, key update,
 from __future__ import annotations
 
 import os
-import secrets
 import struct
 import threading
 import time

@@ -7,8 +7,8 @@ Fixed 12-byte header + CSRCs + optional one-/two-byte header extensions.
 from __future__ import annotations
 
 import struct
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Optional, Tuple
 
 VERSION = 2
 HEADER_LEN = 12

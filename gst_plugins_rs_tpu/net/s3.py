@@ -12,7 +12,6 @@ against an in-process fake.
 """
 from __future__ import annotations
 
-import re
 import urllib.parse
 import urllib.request
 from dataclasses import dataclass

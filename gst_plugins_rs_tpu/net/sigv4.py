@@ -12,7 +12,7 @@ import datetime
 import hashlib
 import hmac
 import urllib.parse
-from typing import Dict, Iterable, Mapping, Optional, Tuple
+from typing import Dict, Mapping, Optional, Tuple
 
 ALGORITHM = "AWS4-HMAC-SHA256"
 

@@ -17,7 +17,7 @@ import socket
 import struct
 import zlib
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from typing import List, Optional, Tuple
 
 MAGIC_COOKIE = 0x2112A442
 

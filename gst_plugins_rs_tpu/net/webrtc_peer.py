@@ -19,7 +19,7 @@ import secrets
 import socket
 import threading
 import time
-from typing import Callable, Dict, List, Optional, Tuple
+from typing import Callable, List, Optional
 
 from .dtls import DtlsConnection, certificate_fingerprint, generate_certificate
 from .ice import Candidate, IceAgent, demux_packet

@@ -18,7 +18,6 @@ state matrices on the VPU) instead of a scalar loop.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax

@@ -17,7 +17,6 @@ Works batched over a leading stream axis.
 """
 from __future__ import annotations
 
-import math
 from functools import partial
 
 import jax

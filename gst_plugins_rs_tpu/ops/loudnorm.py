@@ -27,8 +27,7 @@ TPU-native design decisions:
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

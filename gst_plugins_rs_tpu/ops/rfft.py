@@ -15,9 +15,8 @@ All arrays stay real; complex multiplication is explicit on pairs.
 """
 from __future__ import annotations
 
-import math
-from functools import lru_cache, partial
-from typing import Optional, Tuple
+from functools import lru_cache
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ frames advance via lax.scan, channels via vmap.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax

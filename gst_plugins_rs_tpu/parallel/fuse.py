@@ -14,7 +14,7 @@ element.
 """
 from __future__ import annotations
 
-from typing import Callable, List, Optional
+from typing import Callable, List
 
 import jax
 

@@ -228,3 +228,124 @@ void avshim_free(AvShim* s) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// libavformat demux shim: the EXTERNAL oracle for everything the in-repo
+// muxers write (isobmff/mpegts/flv/hls).  The reference's muxers are
+// implicitly interop-validated by the wider GStreamer ecosystem
+// (mux/isobmff/tests/tests_fmp4.rs drives real decoders); here the system
+// ffmpeg demuxers play that role so the byte-layout tests are no longer
+// checked only against the same repo's own reader.
+
+extern "C" {
+#include <libavformat/avformat.h>
+}
+
+struct AvDemux {
+    AVFormatContext* fmt = nullptr;
+    AVPacket* pkt = nullptr;
+};
+
+extern "C" {
+
+// Open a container file with full probing. Returns nullptr on failure.
+AvDemux* avdemux_open(const char* path) {
+    AvDemux* d = new AvDemux();
+    if (avformat_open_input(&d->fmt, path, nullptr, nullptr) < 0) {
+        delete d;
+        return nullptr;
+    }
+    if (avformat_find_stream_info(d->fmt, nullptr) < 0) {
+        avformat_close_input(&d->fmt);
+        delete d;
+        return nullptr;
+    }
+    d->pkt = av_packet_alloc();
+    return d;
+}
+
+// Detected demuxer short name ("mov,mp4,m4a,..." / "mpegts" / "flv").
+int avdemux_format_name(AvDemux* d, char* out, int cap) {
+    if (!d || !d->fmt || !d->fmt->iformat) return -1;
+    snprintf(out, cap, "%s", d->fmt->iformat->name);
+    return 0;
+}
+
+int avdemux_nb_streams(AvDemux* d) {
+    return d && d->fmt ? (int)d->fmt->nb_streams : -1;
+}
+
+long avdemux_duration(AvDemux* d) {  // in AV_TIME_BASE (us)
+    return d && d->fmt ? (long)d->fmt->duration : -1;
+}
+
+// Per-stream info: codec name, type (0 video / 1 audio / other), geometry,
+// rate/channels, time_base, and extradata.
+int avdemux_stream_info(AvDemux* d, int idx, char* codec_name, int name_cap,
+                        int* codec_type, int* width, int* height,
+                        int* sample_rate, int* channels,
+                        int* tb_num, int* tb_den,
+                        uint8_t* extradata, int extradata_cap,
+                        int* extradata_len) {
+    if (!d || idx < 0 || idx >= (int)d->fmt->nb_streams) return -1;
+    AVStream* st = d->fmt->streams[idx];
+    AVCodecParameters* par = st->codecpar;
+    const char* cname = avcodec_get_name(par->codec_id);
+    snprintf(codec_name, name_cap, "%s", cname ? cname : "?");
+    *codec_type = par->codec_type == AVMEDIA_TYPE_VIDEO ? 0
+                : par->codec_type == AVMEDIA_TYPE_AUDIO ? 1 : 2;
+    *width = par->width;
+    *height = par->height;
+    *sample_rate = par->sample_rate;
+    *channels = par->ch_layout.nb_channels;
+    *tb_num = st->time_base.num;
+    *tb_den = st->time_base.den;
+    *extradata_len = par->extradata_size;
+    if (par->extradata && par->extradata_size > 0 &&
+        par->extradata_size <= extradata_cap)
+        memcpy(extradata, par->extradata, par->extradata_size);
+    return 0;
+}
+
+// Per-stream language metadata tag (empty if unset).
+int avdemux_stream_language(AvDemux* d, int idx, char* out, int cap) {
+    if (!d || idx < 0 || idx >= (int)d->fmt->nb_streams) return -1;
+    AVDictionaryEntry* e =
+        av_dict_get(d->fmt->streams[idx]->metadata, "language", nullptr, 0);
+    snprintf(out, cap, "%s", e ? e->value : "");
+    return 0;
+}
+
+// Read the next packet. Returns payload size, -1 at EOF, <-1 on error;
+// -2 when the packet exceeds `cap` (caller retries with a bigger buffer —
+// *size is still filled with the needed capacity).
+int avdemux_read(AvDemux* d, int* stream_index, long* pts, long* dts,
+                 long* duration, int* keyframe, uint8_t* out, int cap,
+                 int* size) {
+    int ret = av_read_frame(d->fmt, d->pkt);
+    if (ret == AVERROR_EOF) return -1;
+    if (ret < 0) return -3;
+    *stream_index = d->pkt->stream_index;
+    *pts = d->pkt->pts;
+    *dts = d->pkt->dts;
+    *duration = d->pkt->duration;
+    *keyframe = (d->pkt->flags & AV_PKT_FLAG_KEY) ? 1 : 0;
+    *size = d->pkt->size;
+    if (d->pkt->size > cap) {
+        av_packet_unref(d->pkt);
+        return -2;
+    }
+    memcpy(out, d->pkt->data, d->pkt->size);
+    int sz = d->pkt->size;
+    av_packet_unref(d->pkt);
+    return sz;
+}
+
+void avdemux_close(AvDemux* d) {
+    if (!d) return;
+    av_packet_free(&d->pkt);
+    avformat_close_input(&d->fmt);
+    delete d;
+}
+
+}  // extern "C"

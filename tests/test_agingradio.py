@@ -3,7 +3,6 @@
 (The reference has no element tests for agingradio — its thread RNG makes it
 nondeterministic, SURVEY.md §4; our seeded PRNG enables real assertions.)"""
 import numpy as np
-import pytest
 
 from gst_plugins_rs_tpu.core import Buffer, Caps, Harness, element_factory_make
 

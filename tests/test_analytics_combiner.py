@@ -2,7 +2,6 @@
 analytics/analytics/tests/analyticscombiner.rs batch semantics +
 analyticssplitter.rs roundtrip)."""
 import numpy as np
-import pytest
 
 from gst_plugins_rs_tpu import parse_launch
 from gst_plugins_rs_tpu.core import (

@@ -7,7 +7,7 @@ import numpy as np
 import pytest
 
 from gst_plugins_rs_tpu import parse_launch
-from gst_plugins_rs_tpu.core import Buffer, Caps, SECOND, State, element_factory_make
+from gst_plugins_rs_tpu.core import Buffer, Caps, SECOND, element_factory_make
 from gst_plugins_rs_tpu.ops.ebur128 import EbuR128
 
 RATE = 192_000
@@ -144,7 +144,7 @@ def test_limiter_on_first_frame():
 
 
 def test_latency_query():
-    from gst_plugins_rs_tpu.core import Harness, Query
+    from gst_plugins_rs_tpu.core import Harness
 
     elem = element_factory_make("audioloudnorm")
     h = Harness(elem)

@@ -2,7 +2,6 @@
 (audio/audiofx/tests/audioloudnorm.rs:40-49 mixes tick trains into a sine
 via audiomixer)."""
 import numpy as np
-import pytest
 
 from gst_plugins_rs_tpu import parse_launch
 from gst_plugins_rs_tpu.core import SECOND

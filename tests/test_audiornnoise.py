@@ -2,7 +2,6 @@
 (audio/audiofx/tests/audiornnoise.rs:38-80: silence in -> exact zeros out,
 in/out sample-count conservation across EOS drain) plus meta/latency checks."""
 import numpy as np
-import pytest
 
 from gst_plugins_rs_tpu.core import Buffer, Caps, Harness, SECOND, element_factory_make
 from gst_plugins_rs_tpu.elements.audiofx.audiornnoise import AudioLevelMeta
@@ -90,15 +89,12 @@ def test_denoiser_state_streams_across_buffers():
 
 
 def test_caps_restricted_to_48k():
-    from gst_plugins_rs_tpu.core import State
 
     elem = element_factory_make("audiornnoise")
     h = Harness(elem)
-    import pytest as _pytest
 
     caps = Caps.builder("audio/x-raw", format="F32", rate=44100, channels=1, layout="interleaved")
     srcpad = h.srcpad
-    from gst_plugins_rs_tpu.core import Event
 
     assert srcpad.peer.pad_template_caps().intersect(caps).is_empty()
 

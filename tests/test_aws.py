@@ -357,7 +357,6 @@ def test_transcriber_streaming():
         p.add(src, el, sink)
         src.link(el)
         el.link(sink)
-        import time
         for i in range(3):
             src.push_buffer(fx.Buffer(np.zeros((1600, 1), np.int16)))
         src.end_of_stream()

@@ -1,11 +1,8 @@
 """Caps algebra and pipeline-language parser tests."""
-import numpy as np
-import pytest
 
 from gst_plugins_rs_tpu.core import (
     Caps,
     IntRange,
-    Structure,
     ValueList,
     parse_caps,
     parse_value,

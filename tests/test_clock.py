@@ -6,7 +6,6 @@ import threading
 import time
 
 import numpy as np
-import pytest
 
 import gst_plugins_rs_tpu as fx
 from gst_plugins_rs_tpu.core import (
@@ -16,7 +15,6 @@ from gst_plugins_rs_tpu.core import (
     Event,
     FlowReturn,
     Harness,
-    MessageType,
     Pad,
     PadDirection,
     SECOND,

@@ -8,7 +8,6 @@ round trips with pts bookkeeping.
 import json
 
 import numpy as np
-import pytest
 
 import gst_plugins_rs_tpu as fx
 from gst_plugins_rs_tpu.elements.cc.files import (

@@ -201,3 +201,107 @@ def test_missing_location_errors(tmp_path):
 
     with pytest.raises(RuntimeError):
         elem.set_state(State.PLAYING)
+
+
+# ---------------------------------------------------------------------------
+# precision=approx: low-rank CP factorization (gather-free MXU path)
+
+
+def _smooth_grade_lut_text(size=17):
+    """A realistic non-separable grade: saturation boost + shadow tint."""
+    g = np.linspace(0, 1, size)
+    Bz, Gy, Rx = np.meshgrid(g, g, g, indexing="ij")
+    Y = 0.299 * Rx + 0.587 * Gy + 0.114 * Bz
+    r = np.clip(Y + 1.25 * (Rx - Y) + 0.04 * (1 - Y) ** 2, 0, 1)
+    gg = np.clip(Y + 1.25 * (Gy - Y) + 0.01, 0, 1)
+    b = np.clip(Y + 1.25 * (Bz - Y) + 0.05 * (1 - Y) ** 2, 0, 1)
+    vals = np.stack([r, gg, b], -1).reshape(-1, 3)
+    return f"LUT_3D_SIZE {size}\n" + "\n".join(
+        " ".join(f"{v:.6f}" for v in row) for row in vals)
+
+
+class TestColorLutApprox:
+    def test_fit_identity_is_near_exact(self):
+        from gst_plugins_rs_tpu.ops.colorlut_lowrank import fit_lowrank
+
+        size = 17
+        g = np.linspace(0, 1, size)
+        Bz, Gy, Rx = np.meshgrid(g, g, g, indexing="ij")
+        table = np.stack([Rx, Gy, Bz], -1).reshape(-1, 3).astype(np.float32)
+        fit = fit_lowrank(table, size, tolerance=0.25 / 255.0)
+        assert fit is not None
+        assert fit.max_node_err <= 0.25 / 255.0
+
+    def test_convexity_bound_holds_offgrid(self):
+        """Max continuous-domain error == max node error (hat weights are a
+        convex combination): check empirically on random off-grid points."""
+        from gst_plugins_rs_tpu.ops.colorlut import lut3d_apply
+        from gst_plugins_rs_tpu.ops.colorlut_lowrank import (
+            fit_lowrank, lut3d_apply_lowrank)
+
+        rng = np.random.RandomState(7)
+        size = 9
+        g = np.linspace(0, 1, size)
+        Bz, Gy, Rx = np.meshgrid(g, g, g, indexing="ij")
+        table = np.stack([
+            np.clip(Rx**1.2 + 0.05 * Gy, 0, 1),
+            np.clip(Gy * 0.9 + 0.05 * Bz, 0, 1),
+            np.clip(Bz**0.8, 0, 1)], -1).reshape(-1, 3).astype(np.float32)
+        fit = fit_lowrank(table, size, tolerance=1.0 / 255.0)
+        assert fit is not None
+        frame = rng.randint(0, 256, (32, 32, 4), np.uint8)
+        import jax.numpy as jnp
+
+        scale, offset = jnp.ones(3), jnp.zeros(3)
+        exact = np.asarray(lut3d_apply(
+            jnp.asarray(frame), jnp.asarray(table), scale, offset,
+            size=size, offsets=(0, 1, 2), bits=8))
+        approx = np.asarray(lut3d_apply_lowrank(
+            jnp.asarray(frame), jnp.asarray(fit.U), jnp.asarray(fit.V),
+            jnp.asarray(fit.W), jnp.asarray(fit.C), scale, offset,
+            size=size, offsets=(0, 1, 2), bits=8, compute_dtype="float32"))
+        # node tolerance 1 LSB + 1 LSB rounding boundary
+        assert np.abs(exact[..., :3].astype(int)
+                      - approx[..., :3].astype(int)).max() <= 2
+
+    def test_element_approx_matches_exact_within_tolerance(self, tmp_path):
+        loc = _write_lut(tmp_path, _smooth_grade_lut_text())
+        frame = np.random.RandomState(3).randint(0, 256, (24, 32, 4), np.uint8)
+        exact = run_colorlut(frame, loc)
+
+        elem = element_factory_make("colorlut")
+        elem.set_property("location", loc)
+        elem.set_property("precision", "approx")
+        h = Harness(elem)
+        h.set_src_caps(Caps.builder("video/x-raw", format="RGBA", width=32,
+                                    height=24, framerate=Fraction(30, 1)))
+        assert elem._cp is not None, "grade LUT must factor within tolerance"
+        h.push(Buffer(frame, pts=0))
+        out = np.asarray(h.pull().data)
+        # APPROX_TOLERANCE_LSB node error + 1 LSB rounding
+        assert np.abs(out[..., :3].astype(int)
+                      - exact[..., :3].astype(int)).max() <= 3
+        np.testing.assert_array_equal(out[..., 3], frame[..., 3])
+
+    def test_element_falls_back_when_unfittable(self, tmp_path):
+        # pure random noise LUT: CP rank <= 128 cannot reach 2 LSB
+        rng = np.random.RandomState(0)
+        size = 9
+        vals = rng.uniform(0, 1, (size**3, 3))
+        text = f"LUT_3D_SIZE {size}\n" + "\n".join(
+            " ".join(f"{v:.6f}" for v in row) for row in vals)
+        loc = _write_lut(tmp_path, text)
+        exact = run_colorlut(
+            np.random.RandomState(3).randint(0, 256, (8, 8, 4), np.uint8), loc)
+
+        elem = element_factory_make("colorlut")
+        elem.set_property("location", loc)
+        elem.set_property("precision", "approx")
+        h = Harness(elem)
+        h.set_src_caps(Caps.builder("video/x-raw", format="RGBA", width=8,
+                                    height=8, framerate=Fraction(30, 1)))
+        assert elem._cp is None, "noise LUT must NOT pass the approx gate"
+        frame = np.random.RandomState(3).randint(0, 256, (8, 8, 4), np.uint8)
+        h.push(Buffer(frame, pts=0))
+        out = np.asarray(h.pull().data)
+        np.testing.assert_array_equal(out, exact)  # ran the exact path

@@ -1,9 +1,8 @@
 """tee / audioconvert / videoconvert tests."""
 import numpy as np
-import pytest
 
 from gst_plugins_rs_tpu import parse_launch
-from gst_plugins_rs_tpu.core import Buffer, Caps, Fraction, Harness, element_factory_make
+from gst_plugins_rs_tpu.core import Caps, Harness, element_factory_make
 
 
 def test_tee_duplicates():
@@ -34,7 +33,6 @@ def test_audioconvert_s16_to_f32():
 def test_audioconvert_f32_to_s16_clips():
     elem = element_factory_make("audioconvert")
     h = Harness(elem)
-    from gst_plugins_rs_tpu.core import Event, Query
 
     # negotiate F32 -> S16 by constraining downstream
     h.sinkpad.chain_function = h._chain

@@ -2,7 +2,6 @@
 import io
 
 import numpy as np
-import pytest
 
 import gst_plugins_rs_tpu as fx
 from gst_plugins_rs_tpu.codecs import flac

@@ -18,9 +18,8 @@ pytestmark = pytest.mark.skipif(
 
 
 def test_separates_synthetic_stems():
-    import jax.numpy as jnp
 
-    from gst_plugins_rs_tpu.models.demucs_train import evaluate, make_example
+    from gst_plugins_rs_tpu.models.demucs_train import evaluate
 
     cfg = dm.DemucsConfig(channels=16, depth=4, lstm_layers=1)
     params = dm.load_npz(WEIGHTS, cfg)

@@ -1,7 +1,6 @@
 """Element-chain fusion tests (parallel/fuse.py — the one-dispatch chain win
 of SURVEY.md §7.4)."""
 import numpy as np
-import pytest
 
 from gst_plugins_rs_tpu import parse_launch
 from gst_plugins_rs_tpu.parallel.fuse import fusable_runs, fuse_pipeline

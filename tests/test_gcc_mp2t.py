@@ -1,6 +1,5 @@
 """GCC bandwidth estimation and MPEG-TS carriage tests."""
 import numpy as np
-import pytest
 
 import gst_plugins_rs_tpu as fx
 from gst_plugins_rs_tpu.core.parse import parse_caps

@@ -1,6 +1,5 @@
 """gopbuffer tests (generic/gopbuffer semantics)."""
 import numpy as np
-import pytest
 
 from gst_plugins_rs_tpu.core import (
     Buffer,

@@ -3,8 +3,6 @@ re-parsed with the independent BMFF reader), sliding window, webvtt and
 multivariant sinks."""
 import os
 
-import numpy as np
-import pytest
 
 import gst_plugins_rs_tpu as fx
 from gst_plugins_rs_tpu.mux import reader

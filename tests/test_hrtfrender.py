@@ -5,7 +5,6 @@ implicit spatial objects from channel positions) plus audio-level checks
 import struct
 
 import numpy as np
-import pytest
 
 from gst_plugins_rs_tpu.core import (
     Buffer,

@@ -2,7 +2,6 @@
 reference math (video/hsv/src/hsvutils.rs:40-198, hsvfilter/imp.rs:96-119,
 hsvdetector/imp.rs:100-160)."""
 import numpy as np
-import pytest
 
 from gst_plugins_rs_tpu.core import Buffer, Caps, Fraction, Harness, element_factory_make
 from gst_plugins_rs_tpu.ops.hsv import EPSILON

@@ -8,7 +8,6 @@ import io
 import struct
 
 import numpy as np
-import pytest
 
 import gst_plugins_rs_tpu as fx
 from gst_plugins_rs_tpu.core.parse import parse_caps

@@ -171,7 +171,6 @@ def test_publish_and_subscribe(janus):
     p_pub.add(appsrc, sink)
     appsrc.link(sink)
 
-    from gst_plugins_rs_tpu.core.element import State
     exc = []
     def run_pub():
         try:

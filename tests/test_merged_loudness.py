@@ -3,7 +3,6 @@ SURVEY.md §2.3 north-star collective)."""
 import numpy as np
 import pytest
 
-import jax
 import jax.numpy as jnp
 
 from gst_plugins_rs_tpu.parallel.streams import make_stream_mesh, r128_bank

@@ -4,7 +4,6 @@ togglerecord, and the registry dump."""
 import json
 
 import numpy as np
-import pytest
 
 from gst_plugins_rs_tpu import parse_launch
 from gst_plugins_rs_tpu.core import (
@@ -18,7 +17,6 @@ from gst_plugins_rs_tpu.core import (
     PadDirection,
     SECOND,
     Segment,
-    State,
     element_factory_make,
 )
 
@@ -51,7 +49,6 @@ def test_inter_bridge():
 
 
 def test_compress_roundtrip():
-    from gst_plugins_rs_tpu.elements.generic.io import CompressDec, CompressEnc
 
     enc = element_factory_make("compressenc")
     h = Harness(enc)
@@ -70,7 +67,6 @@ def test_compress_roundtrip():
 
 
 def test_originalbuffer_save_restore():
-    from gst_plugins_rs_tpu.elements.generic.buffers import OriginalBufferMeta
 
     p = parse_launch(
         "audiotestsrc wave=sine num-buffers=2 samplesperbuffer=480 volume=0.8 "

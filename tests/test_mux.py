@@ -244,7 +244,6 @@ class TestCompressedEntries:
     def test_flv_to_fmp4_remux(self):
         """FLV with AVC video + AAC audio remuxes into fMP4 with avc1/mp4a
         sample entries carrying the codec data (avcC / esds)."""
-        import struct as _struct
 
         from test_image_flv import make_flv
 

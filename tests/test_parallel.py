@@ -6,7 +6,11 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from gst_plugins_rs_tpu.parallel.streams import StreamBank, echo_bank, loudnorm_bank, make_stream_mesh
+from gst_plugins_rs_tpu.parallel.streams import (
+    echo_bank,
+    loudnorm_bank,
+    make_stream_mesh,
+)
 
 
 def test_stream_bank_matches_individual():

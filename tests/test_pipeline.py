@@ -3,7 +3,7 @@ import numpy as np
 import pytest
 
 from gst_plugins_rs_tpu import parse_launch
-from gst_plugins_rs_tpu.core import MessageType, State
+from gst_plugins_rs_tpu.core import MessageType
 
 
 def test_audiotestsrc_to_appsink():

@@ -1,11 +1,8 @@
 """Threaded queue tests: decoupling, ordering, backpressure, EOS drain."""
 import threading
-import time
 
-import numpy as np
 
 import gst_plugins_rs_tpu as fx
-from gst_plugins_rs_tpu.core.parse import parse_caps
 
 
 class TestThreadedQueue:

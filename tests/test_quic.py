@@ -7,7 +7,6 @@ import time
 
 import pytest
 
-from gst_plugins_rs_tpu.net import quic
 from gst_plugins_rs_tpu.net.quic import (
     QuicConnection,
     decode_varint,

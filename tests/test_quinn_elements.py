@@ -5,7 +5,6 @@ import threading
 import time
 
 import numpy as np
-import pytest
 
 import gst_plugins_rs_tpu as fx
 from gst_plugins_rs_tpu.core.parse import parse_caps

@@ -1,7 +1,6 @@
 """raptorqenc/raptorqdec FEC tests: GF(256) fountain math and end-to-end
 loss recovery through the elements."""
 import numpy as np
-import pytest
 
 import gst_plugins_rs_tpu as fx
 from gst_plugins_rs_tpu.core.parse import parse_caps

@@ -2,7 +2,6 @@
 plane generation, mask regeneration only on radius change, I420 passthrough
 at radius 0)."""
 import numpy as np
-import pytest
 
 from gst_plugins_rs_tpu.core import Buffer, Caps, Fraction, Harness, element_factory_make
 

@@ -391,6 +391,89 @@ class TestNackRtx:
         assert repaired.payload == b"x" * 100
 
 
+class TestClockDrivenRtcp:
+    def test_stalled_sender_still_emits_sr(self):
+        """RFC 3550 §6.3: RTCP is timer-scheduled (0.5x-1.5x interval
+        randomization), not media-driven — a sender that stops pushing
+        media for 2x the interval must still emit SR/RR on time
+        (reference: rtpbin2/session.rs RTCP scheduling)."""
+        from gst_plugins_rs_tpu.core import SECOND, State, TestClock
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        from gst_plugins_rs_tpu.core import Event, Segment
+
+        p = fx.Pipeline()
+        send = fx.element_factory_make("rtpsend")
+        send.set_property("rtcp-interval", SECOND)
+        rtp_sink = fx.element_factory_make("appsink")
+        rtcp_sink = fx.element_factory_make("appsink")
+        for e in (send, rtp_sink, rtcp_sink):
+            p.add(e)
+        sinkpad = send.request_sink_pad()
+        send.link(rtp_sink)
+        send.pad("rtcp_src_0").link(
+            next(pp for pp in rtcp_sink.sink_pads()))
+        tc = TestClock()
+        p.use_clock(tc)
+        p.set_state(State.PLAYING)
+        try:
+            sinkpad.send_event(Event.new_stream_start("s"))
+            sinkpad.send_event(Event.new_caps(parse_caps("application/x-rtp")))
+            sinkpad.send_event(Event.new_segment(Segment()))
+            # one media packet establishes the stream, then upstream stalls
+            for b in make_rtp_buffers(1, ssrc=7, pt=96):
+                sinkpad.chain(b)
+            n0 = len(rtcp_sink.samples)
+            tc.advance(2 * SECOND)  # max randomized interval is 1.5x
+            assert len(rtcp_sink.samples) > n0, \
+                "stalled sender must still emit RTCP on the clock"
+            data = np.asarray(rtcp_sink.samples[-1].buffer.data).tobytes()
+            kinds = [type(x).__name__ for x in rtcp.parse_compound(data)]
+            assert "SenderReport" in kinds
+            # keeps reporting every interval while stalled
+            n1 = len(rtcp_sink.samples)
+            tc.advance(2 * SECOND)
+            assert len(rtcp_sink.samples) > n1
+        finally:
+            p.set_state(State.NULL)
+
+    def test_stalled_receiver_still_emits_rr(self):
+        from gst_plugins_rs_tpu.core import SECOND, State, TestClock
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        from gst_plugins_rs_tpu.core import Event, Segment
+
+        p = fx.Pipeline()
+        recv = fx.element_factory_make("rtprecv")
+        recv.set_property("rtcp-interval", SECOND)
+        media_sink = fx.element_factory_make("appsink")
+        rtcp_sink = fx.element_factory_make("appsink")
+        for e in (recv, media_sink, rtcp_sink):
+            p.add(e)
+        sinkpad = recv.request_sink_pad()
+        recv.pad("rtcp_src_0").link(
+            next(pp for pp in rtcp_sink.sink_pads()))
+        recv.link(media_sink)
+        tc = TestClock()
+        p.use_clock(tc)
+        p.set_state(State.PLAYING)
+        try:
+            sinkpad.send_event(Event.new_stream_start("s"))
+            sinkpad.send_event(Event.new_caps(parse_caps("application/x-rtp")))
+            sinkpad.send_event(Event.new_segment(Segment()))
+            for b in make_rtp_buffers(2, ssrc=9, pt=96):
+                sinkpad.chain(b)
+            n0 = len(rtcp_sink.samples)
+            tc.advance(2 * SECOND)
+            assert len(rtcp_sink.samples) > n0, \
+                "stalled receiver must still emit RRs on the clock"
+            data = np.asarray(rtcp_sink.samples[-1].buffer.data).tobytes()
+            kinds = [type(x).__name__ for x in rtcp.parse_compound(data)]
+            assert "ReceiverReport" in kinds
+        finally:
+            p.set_state(State.NULL)
+
+
 class TestTwccEndToEnd:
     def test_feedback_drives_gccbwe(self):
         """app -> rtpgccbwe -> rtpsend (stamps TWCC ext) -> rtprecv

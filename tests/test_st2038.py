@@ -5,7 +5,6 @@ import pytest
 
 import gst_plugins_rs_tpu as fx
 from gst_plugins_rs_tpu.core.parse import parse_caps
-from gst_plugins_rs_tpu.elements.cc.st2038 import St2038AncMeta
 from gst_plugins_rs_tpu.ops import cea608, st2038
 
 

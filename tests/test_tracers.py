@@ -103,7 +103,6 @@ def test_chrome_tracer(tmp_path):
 def test_pcap_writer(tmp_path):
     import struct
 
-    import numpy as np
 
     import gst_plugins_rs_tpu as fx
     from gst_plugins_rs_tpu.utils.tracers import PcapWriterTracer

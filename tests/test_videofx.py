@@ -5,7 +5,7 @@ import pytest
 
 from gst_plugins_rs_tpu import parse_launch
 from gst_plugins_rs_tpu.core import MessageType
-from gst_plugins_rs_tpu.ops.palette import css_color_name, median_cut_palette
+from gst_plugins_rs_tpu.ops.palette import css_color_name
 
 
 def test_css_color_names():

@@ -4,7 +4,6 @@ Mirrors the reference's webrtc test approach (net/webrtc): in-process
 signalling server, producer and consumer pipelines, real media over the
 ICE+DTLS-SRTP stack on loopback.
 """
-import json
 import struct
 import threading
 import time
@@ -196,7 +195,6 @@ class TestRawMediaWebRtcSink:
         # skip when the rav1e shim is unavailable in this environment
         try:
             enc = fx.element_factory_make("rav1enc")
-            from gst_plugins_rs_tpu.elements.video import avcodecs
         except Exception:
             pytest.skip("rav1enc unavailable")
 
