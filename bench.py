@@ -206,6 +206,28 @@ def main():
     results["loudnorm_realtime_x"] = (K * 0.1) / dt
     _progress("bench: loudnorm done")
 
+    # --- loudnorm 16-stream bank aggregate (element-layer batch path) -------
+    # The loudnormbank element's device path: one vmapped dispatch advances
+    # 16 streams' R-128 + limiter state by one 100 ms frame (VERDICT r2 #4).
+    from gst_plugins_rs_tpu.parallel.streams import loudnorm_bank
+
+    LNS = 16
+    lbank = loudnorm_bank(LNS, channels=2, dtype=jnp.float32)
+    first3 = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (LNS, LN.GAIN_LOOKAHEAD, 2)).astype(np.float32))
+    lbank.first_frame(first3)
+    lframe = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (LNS, LN.FRAME, 2)).astype(np.float32))
+
+    def lbank_step(states):
+        lbank.states = states
+        lbank.process(lframe)
+        return lbank.states
+
+    dt = _bench(lbank_step, lbank.states, iters=50)
+    results["loudnorm_bank16_realtime_x"] = LNS * 0.1 / dt
+    _progress("bench: loudnorm bank done")
+
     # --- audiornnoise realtime-x (stereo, 16 frames per dispatch) -----------
     from gst_plugins_rs_tpu.ops import rnnoise as RN
 
@@ -297,6 +319,7 @@ def main():
         "hrtf_realtime_x": 100.0,
         "agingradio_realtime_x": 100.0,
         "loudnorm_realtime_x": 100.0,
+        "loudnorm_bank16_realtime_x": 100.0,
         "chain_echo_loudnorm_realtime_x": 100.0,
         "rnnoise_realtime_x": 100.0,
         "rnnoise_bank16_realtime_x": 100.0,

@@ -10,6 +10,7 @@ from .audiofx import (  # noqa: F401
     audiornnoise,
     ebur128level,
     hrtfrender,
+    loudnormbank,
     lewtondec,
     sofalizer,
     whisper as whisper_element,

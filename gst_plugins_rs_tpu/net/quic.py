@@ -8,8 +8,16 @@ engine in net/tls13.py.  Scope covers what the quinn elements need:
   header protection; Initial secrets validated against the RFC 9001
   Appendix A vectors in tests)
 - CRYPTO / ACK / STREAM / DATAGRAM / PING / HANDSHAKE_DONE /
-  CONNECTION_CLOSE frames; MAX_*/NEW_CONNECTION_ID and friends are
-  parsed and tolerated (flow-control limits are advertised large)
+  CONNECTION_CLOSE frames; NEW_CONNECTION_ID and friends parsed and
+  tolerated
+- real flow-control accounting (RFC 9000 §4): send side clamps to the
+  peer's MAX_DATA/MAX_STREAM_DATA (emitting STREAM_DATA_BLOCKED and
+  releasing on credit); receive side enforces the advertised limits
+  (FLOW_CONTROL_ERROR close on violation) and extends credit at half
+  a window
+- key update (RFC 9001 §6): key-phase bit, per-generation "quic ku"
+  secrets, previous-generation keys retained for reordered packets,
+  automatic follow when the peer initiates
 - bidirectional + unidirectional streams with offset reassembly and
   FIN; unreliable datagrams (RFC 9221) when both sides advertise
   max_datagram_frame_size
@@ -17,8 +25,8 @@ engine in net/tls13.py.  Scope covers what the quinn elements need:
   after a PTO via tick() (simple but sufficient; the reference gets
   RACK-style recovery from quinn)
 
-Explicitly out of scope: version negotiation, Retry, key update,
-0-RTT, connection migration, and real flow-control accounting.
+Explicitly out of scope: version negotiation, Retry, 0-RTT, and
+connection migration.
 """
 from __future__ import annotations
 
@@ -61,6 +69,9 @@ FRAME_MAX_DATA = 0x10
 FRAME_MAX_STREAM_DATA = 0x11
 FRAME_MAX_STREAMS_BIDI = 0x12
 FRAME_MAX_STREAMS_UNI = 0x13
+FRAME_DATA_BLOCKED = 0x14
+FRAME_STREAM_DATA_BLOCKED = 0x15
+ERR_FLOW_CONTROL = 0x03  # RFC 9000 §20.1 FLOW_CONTROL_ERROR
 FRAME_NEW_CONNECTION_ID = 0x18
 FRAME_RETIRE_CONNECTION_ID = 0x19
 FRAME_PATH_CHALLENGE = 0x1A
@@ -139,9 +150,17 @@ def decode_transport_params(data: bytes) -> Dict[int, int]:
 
 class Keys:
     def __init__(self, secret: bytes):
+        self.secret = secret
         self.key = hkdf_expand_label(secret, "quic key", b"", 16)
         self.iv = hkdf_expand_label(secret, "quic iv", b"", 12)
         self.hp = hkdf_expand_label(secret, "quic hp", b"", 16)
+
+    def next_generation(self) -> "Keys":
+        """RFC 9001 §6: secret_{n+1} = HKDF-Expand-Label(secret_n,
+        "quic ku"); the header-protection key is NOT updated."""
+        nxt = Keys(hkdf_expand_label(self.secret, "quic ku", b"", 32))
+        nxt.hp = self.hp
+        return nxt
 
     def _nonce(self, pn: int) -> bytes:
         return bytes(a ^ b for a, b in zip(self.iv, pn.to_bytes(12, "big")))
@@ -239,7 +258,9 @@ class QuicConnection:
                  server_name: Optional[str] = None,
                  certificate=None,
                  enable_datagrams: bool = True,
-                 verify_peer=None):
+                 verify_peer=None,
+                 max_data: int = 1 << 30,
+                 max_stream_data: int = 1 << 28):
         self.is_client = is_client
         self.send_cb = send_cb
         self.scid = os.urandom(8)
@@ -248,10 +269,10 @@ class QuicConnection:
         alpn = alpn or ["gstpu"]
         params = {
             TP_MAX_IDLE_TIMEOUT: 30_000,
-            TP_INITIAL_MAX_DATA: 1 << 30,
-            TP_INITIAL_MAX_STREAM_DATA_BIDI_LOCAL: 1 << 28,
-            TP_INITIAL_MAX_STREAM_DATA_BIDI_REMOTE: 1 << 28,
-            TP_INITIAL_MAX_STREAM_DATA_UNI: 1 << 28,
+            TP_INITIAL_MAX_DATA: max_data,
+            TP_INITIAL_MAX_STREAM_DATA_BIDI_LOCAL: max_stream_data,
+            TP_INITIAL_MAX_STREAM_DATA_BIDI_REMOTE: max_stream_data,
+            TP_INITIAL_MAX_STREAM_DATA_UNI: max_stream_data,
             TP_INITIAL_MAX_STREAMS_BIDI: 1 << 16,
             TP_INITIAL_MAX_STREAMS_UNI: 1 << 16,
         }
@@ -288,6 +309,24 @@ class QuicConnection:
         self._lock = threading.RLock()
         self._hs_done_sent = False
         self._pto = 0.35
+
+        # flow control (RFC 9000 §4) — receive direction: what we allow
+        self._fc_window_conn = max_data
+        self._fc_window_stream = max_stream_data
+        self._fc_local_max_data = max_data  # current advertised conn limit
+        self._fc_local_stream_max: Dict[int, int] = {}  # sid -> advertised
+        self._fc_recv_hi: Dict[int, int] = {}  # sid -> highest offset seen
+        self._fc_recv_total = 0  # sum of highest offsets (conn-level usage)
+        # send direction: what the peer allows (from TP + MAX_* frames)
+        self._fc_peer_max_data: Optional[int] = None
+        self._fc_peer_stream_max: Dict[int, int] = {}
+        self._fc_sent_total = 0
+        self._fc_blocked: List[Tuple[int, int, bytes, bool]] = []
+
+        # key update (RFC 9001 §6): 1-RTT key phase
+        self._key_phase = 0  # our send phase
+        self._rx_phase = 0  # expected receive phase
+        self._prev_rx_keys: Optional[Keys] = None
 
     # -- keys ------------------------------------------------------------------
     def _on_secrets(self, level: str, client_secret: bytes, server_secret: bytes) -> None:
@@ -355,6 +394,26 @@ class QuicConnection:
                 self._queue_frames(LEVEL_APP, frame)
                 self._flush_queued()
             self.closed.set()
+
+    def initiate_key_update(self) -> None:
+        """RFC 9001 §6: roll our 1-RTT send keys to the next generation and
+        flip the key-phase bit; the peer follows on first decrypt."""
+        with self._lock:
+            space = self.spaces[LEVEL_APP]
+            assert self.handshake_done.is_set() and space.tx_keys is not None
+            space.tx_keys = space.tx_keys.next_generation()
+            self._key_phase ^= 1
+
+    def _connection_error(self, code: int, reason: str) -> None:
+        frame = (bytes([FRAME_CONNECTION_CLOSE]) + encode_varint(code)
+                 + encode_varint(0) + encode_varint(len(reason))
+                 + reason.encode())
+        level = LEVEL_APP if self.spaces[LEVEL_APP].tx_keys is not None \
+            else LEVEL_INITIAL
+        self._queue_frames(level, frame)
+        self._flush_queued()
+        self.close_reason = reason
+        self.closed.set()
 
     def tick(self) -> None:
         """Retransmit ack-eliciting packets past their PTO."""
@@ -449,16 +508,55 @@ class QuicConnection:
         pn = candidate
         header = bytes(data[:pn_offset + pn_len])
         ciphertext = bytes(data[pn_offset + pn_len:])
-        try:
-            payload = keys.open(pn, header, ciphertext)
-        except Exception:
-            return
+        if level == LEVEL_APP and not (data[0] & 0x80):
+            # 1-RTT: honor the key-phase bit (RFC 9001 §6)
+            phase = (data[0] >> 2) & 1
+            payload = self._open_1rtt(space, phase, pn, header, ciphertext)
+            if payload is None:
+                return
+        else:
+            try:
+                payload = keys.open(pn, header, ciphertext)
+            except Exception:
+                return
         if pn in space.recv_pns:
             return  # duplicate
         space.recv_pns.add(pn)
         eliciting = self._process_frames(level, payload)
         if eliciting:
             space.need_ack = True
+
+    def _open_1rtt(self, space: "_Space", phase: int, pn: int,
+                   header: bytes, ciphertext: bytes) -> Optional[bytes]:
+        """Decrypt a short-header packet honoring key phase (RFC 9001 §6):
+        a flipped bit means the peer rolled to the next generation (follow,
+        and roll our send keys too) or is a reordered previous-generation
+        packet (use the retained old keys)."""
+        if phase == self._rx_phase:
+            try:
+                return space.rx_keys.open(pn, header, ciphertext)
+            except Exception:
+                return None
+        nxt = space.rx_keys.next_generation()
+        try:
+            payload = nxt.open(pn, header, ciphertext)
+        except Exception:
+            # reordered packet from the PREVIOUS generation
+            if self._prev_rx_keys is not None:
+                try:
+                    return self._prev_rx_keys.open(pn, header, ciphertext)
+                except Exception:
+                    return None
+            return None
+        # peer initiated a key update: adopt the new receive generation and
+        # move our send keys with it (§6.2)
+        self._prev_rx_keys = space.rx_keys
+        space.rx_keys = nxt
+        self._rx_phase ^= 1
+        if self._key_phase != self._rx_phase:
+            space.tx_keys = space.tx_keys.next_generation()
+            self._key_phase ^= 1
+        return payload
 
     # -- frames ----------------------------------------------------------------------
     def _process_frames(self, level: str, payload: bytes) -> bool:
@@ -526,10 +624,21 @@ class QuicConnection:
             elif ftype == FRAME_NEW_TOKEN:
                 tlen, off = decode_varint(payload, off)
                 off += tlen
-            elif ftype in (FRAME_MAX_DATA, FRAME_MAX_STREAMS_BIDI, FRAME_MAX_STREAMS_UNI,
-                           FRAME_RETIRE_CONNECTION_ID):
-                _v, off = decode_varint(payload, off)
+            elif ftype == FRAME_MAX_DATA:
+                v, off = decode_varint(payload, off)
+                if self._fc_peer_max_data is None or v > self._fc_peer_max_data:
+                    self._fc_peer_max_data = v
+                self._retry_blocked()
             elif ftype == FRAME_MAX_STREAM_DATA:
+                sid, off = decode_varint(payload, off)
+                v, off = decode_varint(payload, off)
+                if v > self._fc_peer_stream_max.get(sid, 0):
+                    self._fc_peer_stream_max[sid] = v
+                self._retry_blocked()
+            elif ftype in (FRAME_MAX_STREAMS_BIDI, FRAME_MAX_STREAMS_UNI,
+                           FRAME_RETIRE_CONNECTION_ID, FRAME_DATA_BLOCKED):
+                _v, off = decode_varint(payload, off)
+            elif ftype == FRAME_STREAM_DATA_BLOCKED:
                 _sid, off = decode_varint(payload, off)
                 _v, off = decode_varint(payload, off)
             elif ftype in (FRAME_PATH_CHALLENGE, FRAME_PATH_RESPONSE):
@@ -566,12 +675,43 @@ class QuicConnection:
         return off
 
     def _on_stream_frame(self, sid: int, offset: int, data: bytes, fin: bool) -> None:
+        # -- receive-direction flow control (RFC 9000 §4.1): a peer writing
+        # past the advertised limits is a FLOW_CONTROL_ERROR
+        end = offset + len(data)
+        stream_limit = self._fc_local_stream_max.setdefault(
+            sid, self._fc_window_stream)
+        if end > stream_limit:
+            self._connection_error(
+                ERR_FLOW_CONTROL,
+                f"stream {sid} exceeded MAX_STREAM_DATA ({end} > {stream_limit})")
+            return
+        prev_hi = self._fc_recv_hi.get(sid, 0)
+        if end > prev_hi:
+            self._fc_recv_total += end - prev_hi
+            self._fc_recv_hi[sid] = end
+            if self._fc_recv_total > self._fc_local_max_data:
+                self._connection_error(
+                    ERR_FLOW_CONTROL,
+                    f"connection exceeded MAX_DATA "
+                    f"({self._fc_recv_total} > {self._fc_local_max_data})")
+                return
         stream = self.recv_streams.get(sid)
         if stream is None:
             stream = self.recv_streams[sid] = RecvStream()
             if self.on_new_stream:
                 self.on_new_stream(sid)
         out = stream.push(offset, data, fin)
+        # data is delivered to the app immediately, so extend credit once
+        # the peer has used half a window (MAX_STREAM_DATA / MAX_DATA)
+        if end > stream_limit - self._fc_window_stream // 2:
+            new_limit = end + self._fc_window_stream
+            self._fc_local_stream_max[sid] = new_limit
+            self._queue_frames(LEVEL_APP, bytes([FRAME_MAX_STREAM_DATA])
+                               + encode_varint(sid) + encode_varint(new_limit))
+        if self._fc_recv_total > self._fc_local_max_data - self._fc_window_conn // 2:
+            self._fc_local_max_data = self._fc_recv_total + self._fc_window_conn
+            self._queue_frames(LEVEL_APP, bytes([FRAME_MAX_DATA])
+                               + encode_varint(self._fc_local_max_data))
         if (out or stream.finished) and self.on_stream_data:
             self.on_stream_data(sid, out, stream.finished)
 
@@ -587,6 +727,27 @@ class QuicConnection:
         if self.tls.peer_transport_params is not None and not self.peer_params:
             self.peer_params = decode_transport_params(self.tls.peer_transport_params)
             self.peer_max_datagram = self.peer_params.get(TP_MAX_DATAGRAM_FRAME_SIZE, 0)
+            if self._fc_peer_max_data is None:
+                self._fc_peer_max_data = self.peer_params.get(
+                    TP_INITIAL_MAX_DATA, 0)
+
+    def _peer_stream_limit(self, sid: int) -> int:
+        """Peer's current receive limit for this stream (initial TP value
+        by stream type, raised by MAX_STREAM_DATA frames)."""
+        explicit = self._fc_peer_stream_max.get(sid, 0)
+        we_initiated = (sid & 0x1) == (0 if self.is_client else 1)
+        if sid & 0x2:
+            tp = TP_INITIAL_MAX_STREAM_DATA_UNI
+        elif we_initiated:
+            tp = TP_INITIAL_MAX_STREAM_DATA_BIDI_REMOTE
+        else:
+            tp = TP_INITIAL_MAX_STREAM_DATA_BIDI_LOCAL
+        return max(explicit, self.peer_params.get(tp, 0))
+
+    def _retry_blocked(self) -> None:
+        if self._fc_blocked:
+            self._pending_stream = self._fc_blocked + self._pending_stream
+            self._fc_blocked = []
 
     # -- send path ----------------------------------------------------------------------
     _queued: Dict[str, List[bytes]] = {}
@@ -607,10 +768,30 @@ class QuicConnection:
                 self._queue_frames(level, frame)
                 pos += len(chunk)
         self._after_tls()
-        # 2. application data
+        # 2. application data, clamped to the peer's flow-control limits
+        # (RFC 9000 §4.1): anything over goes to the blocked queue and is
+        # released by MAX_DATA / MAX_STREAM_DATA
         if self.handshake_done.is_set() and self.spaces[LEVEL_APP].tx_keys is not None:
             pending, self._pending_stream = self._pending_stream, []
             for sid, soff, data, fin in pending:
+                conn_limit = self._fc_peer_max_data
+                conn_avail = (len(data) if conn_limit is None
+                              else max(0, conn_limit - self._fc_sent_total))
+                stream_avail = max(0, self._peer_stream_limit(sid) - soff) \
+                    if self.peer_params else len(data)
+                allowed = min(len(data), conn_avail, stream_avail)
+                if allowed < len(data):
+                    self._fc_blocked.append(
+                        (sid, soff + allowed, data[allowed:], fin))
+                    blocked_at = soff + allowed
+                    self._queue_frames(
+                        LEVEL_APP, bytes([FRAME_STREAM_DATA_BLOCKED])
+                        + encode_varint(sid) + encode_varint(blocked_at))
+                    data = data[:allowed]
+                    if not data:
+                        continue
+                    fin = False
+                self._fc_sent_total += len(data)
                 pos = 0
                 while True:
                     chunk = data[pos:pos + 1100]
@@ -713,7 +894,7 @@ class QuicConnection:
         pn_bytes = _encode_pn(pn)
         dcid = self.peer_cid if self.peer_cid is not None else self.dcid
         if level == LEVEL_APP:
-            header = bytearray([0x40 | 0x03]) + dcid
+            header = bytearray([0x40 | (self._key_phase << 2) | 0x03]) + dcid
         else:
             ptype = PT_INITIAL if level == LEVEL_INITIAL else PT_HANDSHAKE
             header = bytearray([0xC0 | (ptype << 4) | 0x03])

@@ -287,3 +287,116 @@ class TestSecurity:
                 break
         assert client.handshake_done.is_set()
         assert client.tls.peer_cert_der == cert[0]
+
+
+class TestFlowControl:
+    def test_sender_respects_peer_window_then_credit_releases(self):
+        """RFC 9000 §4.1: the sender may not exceed the peer's advertised
+        MAX_STREAM_DATA; delivery-driven credit (MAX_STREAM_DATA frames)
+        releases the blocked tail."""
+        client, server, pump, *_ = _pair(max_stream_data=1000,
+                                         max_data=100_000)
+        got = []
+        server.on_stream_data = lambda sid, data, fin: got.append(data)
+        client.connect()
+        pump()
+        assert client.handshake_done.is_set()
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"x" * 2500, fin=True)
+        pump(rounds=200)
+        # everything arrives: first 1000 within the initial window, the
+        # rest after MAX_STREAM_DATA credit extensions
+        assert sum(len(d) for d in got) == 2500
+        assert server.recv_streams[sid].finished
+
+    def test_conn_level_window_blocks_then_releases(self):
+        client, server, pump, *_ = _pair(max_data=1500,
+                                         max_stream_data=100_000)
+        got = []
+        server.on_stream_data = lambda sid, data, fin: got.append(data)
+        client.connect()
+        pump()
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"y" * 4000, fin=True)
+        pump(rounds=300)
+        assert sum(len(d) for d in got) == 4000
+
+    def test_receiver_rejects_stream_limit_violation(self):
+        """A peer writing past the advertised MAX_STREAM_DATA must be
+        rejected with FLOW_CONTROL_ERROR (RFC 9000 §4.1)."""
+        from gst_plugins_rs_tpu.net.quic import (
+            FRAME_STREAM_BASE, LEVEL_APP, encode_varint)
+
+        client, server, pump, *_ = _pair(max_stream_data=1000)
+        client.connect()
+        pump()
+        # craft a STREAM frame far past the limit and inject it directly
+        # (the send path would clamp it, which is exactly what an attacker
+        # would not do)
+        frame = (bytes([FRAME_STREAM_BASE | 0x04 | 0x02])
+                 + encode_varint(2) + encode_varint(5000)
+                 + encode_varint(4) + b"evil")
+        server._process_frames(LEVEL_APP, frame)
+        assert server.closed.is_set()
+        assert "MAX_STREAM_DATA" in (server.close_reason or "")
+
+    def test_receiver_rejects_conn_limit_violation(self):
+        from gst_plugins_rs_tpu.net.quic import (
+            FRAME_STREAM_BASE, LEVEL_APP, encode_varint)
+
+        client, server, pump, *_ = _pair(max_data=1000,
+                                         max_stream_data=100_000)
+        client.connect()
+        pump()
+        frame = (bytes([FRAME_STREAM_BASE | 0x04 | 0x02])
+                 + encode_varint(2) + encode_varint(1500)
+                 + encode_varint(4) + b"evil")
+        server._process_frames(LEVEL_APP, frame)
+        assert server.closed.is_set()
+        assert "MAX_DATA" in (server.close_reason or "")
+
+
+class TestKeyUpdate:
+    def test_key_update_roundtrip(self):
+        """RFC 9001 §6: client rolls its 1-RTT keys; data keeps flowing both
+        ways and the server follows onto the new generation."""
+        client, server, pump, *_ = _pair()
+        got_s, got_c = [], []
+        server.on_stream_data = lambda sid, data, fin: got_s.append(data)
+        client.on_stream_data = lambda sid, data, fin: got_c.append(data)
+        client.connect()
+        pump()
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"before-update")
+        pump()
+        assert b"".join(got_s) == b"before-update"
+
+        client.initiate_key_update()
+        assert client._key_phase == 1
+        client.send_stream(sid, b"after-update")
+        pump()
+        assert b"".join(got_s) == b"before-updateafter-update"
+        # server followed: its receive phase AND send phase flipped
+        assert server._rx_phase == 1
+        assert server._key_phase == 1
+        # server -> client under the new generation
+        sid2 = server.open_uni_stream()
+        server.send_stream(sid2, b"reply-newgen")
+        pump()
+        assert b"".join(got_c) == b"reply-newgen"
+        assert client._rx_phase == 1
+
+    def test_second_key_update(self):
+        client, server, pump, *_ = _pair()
+        got = []
+        server.on_stream_data = lambda sid, data, fin: got.append(data)
+        client.connect()
+        pump()
+        sid = client.open_uni_stream()
+        for i in range(2):
+            client.initiate_key_update()
+            client.send_stream(sid, b"gen%d" % (i + 1))
+            pump()
+        assert b"".join(got) == b"gen1gen2"
+        assert client._key_phase == 0  # two flips wrap to phase 0
+        assert server._rx_phase == 0
