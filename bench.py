@@ -295,14 +295,16 @@ def main():
 
     model = Yolox.from_variant("tiny")
     YB = 8  # measured saturation point: 850 fps at batch 8, 857 at 16
-    img = jnp.asarray(rng.randint(0, 256, (YB, 640, 640, 3), np.uint8), jnp.float32)
+    # u8 frames, cast in-jit (round 3: the f32 [H,W,3] input layout was
+    # 60% of the model's time via 3->128 lane padding)
+    img = jnp.asarray(rng.randint(0, 256, (YB, 640, 640, 3), np.uint8))
     variables = model.init(jax.random.PRNGKey(0), img)
     fwd = jax.jit(lambda im: model.apply(variables, im))
 
     def yolox_step(im):
         out = fwd(im)
         # chain dependency through a no-op image perturbation
-        return im + 0.0 * jnp.mean(out)
+        return (im.astype(jnp.float32) + 0.0 * jnp.mean(out)).astype(jnp.uint8)
 
     dt = _bench(yolox_step, img, iters=20)
     results["yolox_tiny_640_fps"] = YB / dt

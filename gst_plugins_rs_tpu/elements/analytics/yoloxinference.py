@@ -108,7 +108,9 @@ class YoloxInference(VideoFilter):
         assert info is not None
         h, w = info.height, info.width
         self._ensure_vars(h, w)
-        img = jnp.asarray(buf.data, jnp.float32)[None]  # [1, H, W, 3], 0..255 raw
+        # keep the frame u8 — the model casts in-jit (6.5x faster stem: the
+        # f32 [H,W,3] layout lane-pads 3->128; PERF_NOTES round-3 YOLOX)
+        img = jnp.asarray(buf.data)[None]  # [1, H, W, 3] u8, 0..255 raw
         out = self._apply(self._vars, img)  # [1, N, 5+classes]
         n, cols = int(out.shape[1]), int(out.shape[2])
         meta = TensorMeta(

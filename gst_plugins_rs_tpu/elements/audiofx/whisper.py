@@ -7,12 +7,15 @@ the baked-in `transformers` Whisper implementation:
 
 - `model-path` loads a local pretrained checkpoint directory
   (processor + weights); there is no network egress in this environment,
-  so no model download happens — same gating as rnnoise/demucs weights.
-- without a model-path the element refuses to start unless
-  `allow-random-weights=true`, which wires the full pipeline (log-mel
-  feature extraction -> encoder/decoder generate) through a tiny
-  random-init config and emits the raw token ids as text — for tests and
-  latency measurement only, clearly not a transcription.
+  so no model download happens.
+- WITHOUT a model-path the element now falls back to the **builtin
+  asr-lite model** (ops/asr.py): a BiGRU-CTC recognizer whose weights
+  were TRAINED IN-REPO on the formant synthesizer (models/asr_train.py)
+  — real speech-to-text over a documented ~30-word command vocabulary
+  (ops/speechsynth.LEXICON), the same no-pretrained-checkpoint strategy
+  that made audiornnoise and demucs functional.
+- `allow-random-weights=true` still wires the Whisper architecture with
+  random weights (token-id output; test wiring only).
 
 Input: audio/x-raw F32 16 kHz mono (Whisper's native rate); output:
 text/x-raw utf8 buffers per chunk with pts/duration spanning the chunk.
@@ -65,6 +68,7 @@ class WhisperTranscriber(BaseTransform):
         self._model = None
         self._fe = None
         self._tokenizer = None
+        self._asr_weights = None
         self._acc: List[np.ndarray] = []
         self._acc_len = 0
         self._pos = 0
@@ -79,8 +83,8 @@ class WhisperTranscriber(BaseTransform):
         import os
 
         os.environ.setdefault("HF_HUB_OFFLINE", "1")
-        from transformers import WhisperFeatureExtractor
 
+        self._asr_weights = None
         path = self.get_property("model-path")
         if path:
             from transformers import WhisperForConditionalGeneration, WhisperProcessor
@@ -90,7 +94,8 @@ class WhisperTranscriber(BaseTransform):
             self._tokenizer = processor.tokenizer
             self._model = WhisperForConditionalGeneration.from_pretrained(path).eval()
         elif self.get_property("allow-random-weights"):
-            from transformers import WhisperConfig, WhisperForConditionalGeneration
+            from transformers import (WhisperConfig, WhisperFeatureExtractor,
+                                      WhisperForConditionalGeneration)
 
             cfg = WhisperConfig(
                 d_model=64, encoder_layers=1, decoder_layers=1,
@@ -102,11 +107,16 @@ class WhisperTranscriber(BaseTransform):
             self._fe = WhisperFeatureExtractor()
             self._tokenizer = None
         else:
-            raise RuntimeError(
-                "whispertranscriber needs model-path (no model downloads in "
-                "this environment); set allow-random-weights=true to wire the "
-                "architecture with random weights for testing"
-            )
+            # builtin asr-lite: in-repo-trained BiGRU-CTC (ops/asr.py)
+            from ...ops import asr as asr_ops
+
+            if not os.path.exists(asr_ops.DEFAULT_WEIGHTS):
+                raise RuntimeError(
+                    "whispertranscriber: no model-path and the builtin "
+                    "asr-lite weights are missing (train with "
+                    "python -m gst_plugins_rs_tpu.models.asr_train); or set "
+                    "allow-random-weights=true for architecture wiring only")
+            self._asr_weights = asr_ops.load_weights()
         self._acc = []
         self._acc_len = 0
         self._pos = 0
@@ -115,11 +125,16 @@ class WhisperTranscriber(BaseTransform):
         self._model = None
         self._fe = None
         self._tokenizer = None
+        self._asr_weights = None
 
     def _chunk_samples(self) -> int:
         return self.get_property("chunk-duration") * 16000 // SECOND
 
     def _transcribe(self, audio: np.ndarray) -> str:
+        if self._asr_weights is not None:
+            from ...ops import asr as asr_ops
+
+            return asr_ops.transcribe(self._asr_weights, audio)
         import torch
 
         feats = self._fe(audio, sampling_rate=16000, return_tensors="pt").input_features

@@ -84,14 +84,21 @@ class Focus(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        # NHWC space-to-depth; channel order matches the reference cat:
-        # top_left, bottom_left, top_right, bottom_right (blocks.rs:196-205)
-        tl = x[:, ::2, ::2, :]
-        bl = x[:, 1::2, ::2, :]
-        tr = x[:, ::2, 1::2, :]
-        br = x[:, 1::2, 1::2, :]
-        x = jnp.concatenate([tl, bl, tr, br], axis=-1)
-        return BaseConv(self.out_ch, self.k, self.stride, name="conv")(x)
+        # NHWC space-to-depth via reshape/transpose; channel order matches
+        # the reference cat: top_left, bottom_left, top_right, bottom_right
+        # (blocks.rs:196-205).  The reshape form measured 1.27x faster than
+        # four strided slices + concat on v5e, and 6.5x when the input
+        # arrives as u8 and is cast in-jit (PERF_NOTES.md round-3 YOLOX) —
+        # the [B,H,W,3] f32 layout lane-pads 3 -> 128 and dominates the
+        # whole model otherwise.
+        b, h, w, c = x.shape
+        y = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        perm = [hb * 2 * c + wb * c + ci
+                for (hb, wb) in ((0, 0), (1, 0), (0, 1), (1, 1))
+                for ci in range(c)]
+        y = y[..., jnp.asarray(perm)]
+        return BaseConv(self.out_ch, self.k, self.stride, name="conv")(y)
 
 
 class Bottleneck(nn.Module):
@@ -276,6 +283,12 @@ class Yolox(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # accept u8 frames directly: casting INSIDE the jit keeps the
+        # [B,H,W,3] tensor in HBM as 3-byte pixels instead of a lane-padded
+        # f32 layout — measured 6.5x on the stem (PERF_NOTES round 3).
+        # float inputs (f32/bf16) pass through at their own precision.
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            x = x.astype(jnp.float32)
         features = Pafpn(self.depth, self.width, self.depthwise, name="backbone")(x)
         return Head(self.num_classes, self.width, self.depthwise, name="head")(features)
 

@@ -7,10 +7,19 @@ from gst_plugins_rs_tpu.core.parse import parse_caps
 
 
 class TestWhisper:
-    def test_requires_model_or_optin(self):
+    def test_no_model_path_uses_builtin_or_errors(self):
+        import os
+
+        from gst_plugins_rs_tpu.ops import asr
+
         el = fx.element_factory_make("whispertranscriber")
-        with pytest.raises(RuntimeError, match="model-path"):
-            el.set_state(fx.State.PAUSED)
+        if os.path.exists(asr.DEFAULT_WEIGHTS):
+            el.set_state(fx.State.PAUSED)  # builtin asr-lite loads
+            assert el._asr_weights is not None
+            el.set_state(fx.State.NULL)
+        else:
+            with pytest.raises(RuntimeError, match="asr-lite"):
+                el.set_state(fx.State.PAUSED)
 
     def test_random_weights_pipeline(self):
         p = fx.parse_launch(
