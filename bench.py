@@ -103,7 +103,7 @@ def main():
     # "colorlut low-rank breakthrough").
     from gst_plugins_rs_tpu.ops.colorlut_lowrank import fit_lowrank
     from gst_plugins_rs_tpu.ops.pallas_colorlut_lowrank import (
-        lut3d_apply_lowrank_fused, pack_factors)
+        lut3d_apply_lowrank_packed, pack_factors)
 
     gg = np.linspace(0, 1, size)
     Bz, Gy, Rx = np.meshgrid(gg, gg, gg, indexing="ij")
@@ -117,7 +117,7 @@ def main():
     assert fit is not None, "grade LUT must factor within tolerance"
     ut, vt, wt, cf = (jnp.asarray(a) for a in
                       pack_factors(fit.U, fit.V, fit.W, fit.C))
-    step = jax.jit(lambda f: lut3d_apply_lowrank_fused(
+    step = jax.jit(lambda f: lut3d_apply_lowrank_packed(
         f, ut, vt, wt, cf, scale, offset, size=size, offsets=(0, 1, 2),
         bits=8))
     dt = _bench(step, frames_rgba, iters=20)
@@ -147,24 +147,28 @@ def main():
     # Reference contract: block = interpolation-steps(8) x block-length(512)
     # = 4096 samples (audio/hrtf/src/hrtf/imp.rs:36-38); 8 input channels
     # to stereo, 256-tap HRIRs, FFT overlap-add (ops/hrtf.py).
-    from gst_plugins_rs_tpu.ops.hrtf import hrtf_convolve_block
+    from gst_plugins_rs_tpu.ops.hrtf import hrtf_convolve_blocks
 
     HC, HSTEPS, HBLK, HL, HRATE = 8, 8, 512, 256, 44100
-    hx = jnp.asarray(rng.uniform(-1, 1, (HC, HSTEPS * HBLK)).astype(np.float32))
+    HK = 16  # queued blocks per dispatch (hrtf_convolve_blocks scan), the
+    # same dispatch amortization as loudnorm's 16-frame inner scan
+    hx = jnp.asarray(rng.uniform(
+        -1, 1, (HC, HK, HSTEPS * HBLK)).astype(np.float32))
     hirs = jnp.asarray(rng.uniform(-0.1, 0.1,
                                    (HC, HSTEPS, 2, HL)).astype(np.float32))
     hgains = jnp.ones((HC, HSTEPS), jnp.float32)
     htails0 = jnp.zeros((HC, 2, HL - 1), jnp.float32)
 
+    @jax.jit
     def hrtf_step(state):
         x, tails = state
-        out, tails = hrtf_convolve_block(x, hirs, hgains, tails,
-                                         block_len=HBLK, steps=HSTEPS)
-        # chain: feed the stereo mix back into all input channels
-        return jnp.broadcast_to(out.T[:1], x.shape) * 0.5 + x * 0.5, tails
+        outs, tails = hrtf_convolve_blocks(x, hirs, hgains, tails,
+                                           block_len=HBLK, steps=HSTEPS)
+        # chain: feed the stereo mixes back into all input channels
+        return jnp.broadcast_to(outs[None, :, :, 0], x.shape) * 0.5 + x * 0.5, tails
 
-    dt = _bench(hrtf_step, (hx, htails0), iters=50)
-    results["hrtf_realtime_x"] = (HSTEPS * HBLK / HRATE) / dt
+    dt = _bench(hrtf_step, (hx, htails0), iters=30)
+    results["hrtf_realtime_x"] = (HK * HSTEPS * HBLK / HRATE) / dt
     _progress("bench: hrtf done")
 
     # --- agingradio realtime-x (64-stream bank, 1 s stereo 48 kHz) ----------
@@ -216,16 +220,17 @@ def main():
     first3 = jnp.asarray(
         rng.uniform(-0.5, 0.5, (LNS, LN.GAIN_LOOKAHEAD, 2)).astype(np.float32))
     lbank.first_frame(first3)
-    lframe = jnp.asarray(
-        rng.uniform(-0.5, 0.5, (LNS, LN.FRAME, 2)).astype(np.float32))
+    LKB = 16  # queued frames per stream per dispatch (process_many scan)
+    lframes = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (LNS, LKB, LN.FRAME, 2)).astype(np.float32))
 
     def lbank_step(states):
         lbank.states = states
-        lbank.process(lframe)
+        lbank.process_many(lframes)
         return lbank.states
 
-    dt = _bench(lbank_step, lbank.states, iters=50)
-    results["loudnorm_bank16_realtime_x"] = LNS * 0.1 / dt
+    dt = _bench(lbank_step, lbank.states, iters=20)
+    results["loudnorm_bank16_realtime_x"] = LNS * LKB * 0.1 / dt
     _progress("bench: loudnorm bank done")
 
     # --- audiornnoise realtime-x (stereo, 16 frames per dispatch) -----------

@@ -34,7 +34,7 @@ from ...core import (
     audio_caps_template,
     register,
 )
-from ...ops.hrtf import HrirSphere, hrtf_convolve_block
+from ...ops.hrtf import HrirSphere, hrtf_convolve_block, hrtf_convolve_blocks
 
 # Default speaker-position coordinates, left-handed (spatial.rs:183-212)
 _POSITION_COORDS = {
@@ -176,15 +176,12 @@ class HrtfRender(BaseTransform):
             self._props[name] = [SpatialObject.from_any(o) for o in value]
 
     # -- processing ------------------------------------------------------------
-    def _process_block(self, block):
-        """block: [steps*blk, C] -> [steps*blk, 2]"""
-        steps = self.get_property("interpolation-steps")
-        blk = self.get_property("block-length")
-        objs: List[SpatialObject] = self.get_property("spatial-objects")
-        prev = self._prev_obj or objs
+    def _hrir_tables(self, prev, objs, steps):
+        """Per-step interpolated HRIR/gain tables for one block transition
+        prev -> objs (imp.rs interpolation-steps contract).  When
+        prev == objs every step's table is the steady-state table."""
         C = self._in_info.channels
         L = self._sphere.length
-
         hrirs = np.zeros((C, steps, 2, L), np.float32)
         gains = np.zeros((C, steps), np.float32)
         for c, (po, no) in enumerate(zip(prev, objs)):
@@ -197,13 +194,39 @@ class HrtfRender(BaseTransform):
                 hrirs[c, s, 0] = l
                 hrirs[c, s, 1] = r
                 gains[c, s] = po.distance_gain + (no.distance_gain - po.distance_gain) * t
+        return jnp.asarray(hrirs), jnp.asarray(gains)
+
+    def _process_block(self, block):
+        """block: [steps*blk, C] -> [steps*blk, 2]"""
+        steps = self.get_property("interpolation-steps")
+        blk = self.get_property("block-length")
+        objs: List[SpatialObject] = self.get_property("spatial-objects")
+        hrirs, gains = self._hrir_tables(self._prev_obj or objs, objs, steps)
         self._prev_obj = list(objs)
 
         x = block.T  # [C, n]
         out, self._tails = hrtf_convolve_block(
-            x, jnp.asarray(hrirs), jnp.asarray(gains), self._tails, block_len=blk, steps=steps
+            x, hrirs, gains, self._tails, block_len=blk, steps=steps
         )
         return out
+
+    def _process_blocks(self, blocks):
+        """blocks: [K, steps*blk, C] -> [K*steps*blk, 2].  The first block
+        interpolates prev->current objects; the remaining K-1 run steady
+        state batched through ONE dispatch (hrtf_convolve_blocks scan) —
+        bit-equal to K sequential _process_block calls."""
+        out0 = self._process_block(blocks[0])
+        if blocks.shape[0] == 1:
+            return out0
+        steps = self.get_property("interpolation-steps")
+        blk = self.get_property("block-length")
+        objs: List[SpatialObject] = self.get_property("spatial-objects")
+        hrirs, gains = self._hrir_tables(objs, objs, steps)
+        xs = jnp.moveaxis(blocks[1:], 2, 0)  # [C, K-1, steps*blk]
+        outs, self._tails = hrtf_convolve_blocks(
+            xs, hrirs, gains, self._tails, block_len=blk, steps=steps
+        )
+        return jnp.concatenate([out0, outs.reshape(-1, 2)], axis=0)
 
     def submit_input_buffer(self, buf: Buffer) -> None:
         self._adapter.push(buf)
@@ -217,8 +240,8 @@ class HrtfRender(BaseTransform):
         n_blocks = self._adapter.available() // self._block_samples
         n = n_blocks * self._block_samples
         data = self._adapter.take(n)
-        outs = [self._process_block(data[i : i + self._block_samples]) for i in range(0, n, self._block_samples)]
-        out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+        out = self._process_blocks(
+            jnp.asarray(data).reshape(n_blocks, self._block_samples, -1))
         out_pts = None if pts is None else pts + dist * SECOND // info.rate
         out_off = None if off is None else off + dist
         return Buffer(out, pts=out_pts, offset=out_off, duration=n * SECOND // info.rate)

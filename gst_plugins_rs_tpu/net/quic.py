@@ -750,8 +750,6 @@ class QuicConnection:
             self._fc_blocked = []
 
     # -- send path ----------------------------------------------------------------------
-    _queued: Dict[str, List[bytes]] = {}
-
     def _queue_frames(self, level: str, frames: bytes) -> None:
         self.__dict__.setdefault("_queued_frames", {}).setdefault(level, []).append(frames)
 

@@ -154,4 +154,22 @@ def hrtf_convolve_block(x, hrirs, gains, tails, *, block_len: int, steps: int):
     return out.T, new_tails  # [n, 2]
 
 
-__all__ = ["HrirSphere", "hrtf_convolve_block"]
+@partial(jax.jit, static_argnames=("block_len", "steps"))
+def hrtf_convolve_blocks(x, hrirs, gains, tails, *, block_len: int, steps: int):
+    """Convolve K queued blocks in ONE dispatch (lax.scan over blocks,
+    chaining the overlap-add tails).  Bit-equal to K sequential
+    hrtf_convolve_block calls; amortizes per-dispatch latency the same way
+    loudnorm's inner_frames_scan does for 100 ms frames.
+
+    x: [C, K, steps*block_len] -> (out [K, steps*block_len, 2], tails)."""
+
+    def body(tails, xk):
+        out, tails = hrtf_convolve_block(
+            xk, hrirs, gains, tails, block_len=block_len, steps=steps)
+        return tails, out
+
+    new_tails, outs = jax.lax.scan(body, tails, jnp.moveaxis(x, 1, 0))
+    return outs, new_tails
+
+
+__all__ = ["HrirSphere", "hrtf_convolve_block", "hrtf_convolve_blocks"]

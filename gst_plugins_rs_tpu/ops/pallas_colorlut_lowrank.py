@@ -143,5 +143,121 @@ def lut3d_apply_lowrank_fused(frame, ut, vt, wt, c, scale, offset, *,
     return jnp.stack(chans, axis=-1)
 
 
-__all__ = ["lowrank_sample_pallas", "pack_factors",
-           "lut3d_apply_lowrank_fused", "SB", "TPL"]
+# ---------------------------------------------------------------------------
+# fully-packed variant: u32 RGBA pixels in, u32 RGBA pixels out.
+# The f32 wrapper traffic (xyz [3,P] + out [3,P] + channel restack,
+# ~950 MB/batch-8) still cost ~30% on top of the bare kernel; packing the
+# whole pixel through the kernel cuts io to 2 x 66 MB.  Integer unpack/
+# repack (shifts/masks) runs on the VPU; the alpha byte rides through.
+
+ROWS = 8  # sublane rows per block (u32 tile granularity)
+
+
+def _packed_kernel(params_ref, px_ref, ut_ref, vt_ref, wt_ref, c_ref,
+                   out_ref, *, size, compute_dtype):
+    cdt = jnp.dtype(compute_dtype)
+    f32 = jnp.float32
+    iota_rows = jax.lax.broadcasted_iota(
+        jnp.int32, (SB, TPL), 0).astype(f32)
+    mm = partial(
+        jax.lax.dot_general,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=f32,
+    )
+    maxval = params_ref[6]
+    i32 = lambda n: jnp.int32(n)  # literals stay int32 under jax_enable_x64
+    m255 = i32(255)
+    for row in range(ROWS):
+        px = px_ref[row, :]  # [TPL] int32 bit pattern
+        r = jnp.bitwise_and(px, m255).astype(f32)
+        g = jnp.bitwise_and(jax.lax.shift_right_logical(px, i32(8)), m255).astype(f32)
+        b = jnp.bitwise_and(jax.lax.shift_right_logical(px, i32(16)), m255).astype(f32)
+        a = jnp.bitwise_and(jax.lax.shift_right_logical(px, i32(24)), m255)
+
+        def norm(v, comp):
+            vv = v / maxval
+            vv = jnp.clip(vv * params_ref[comp] + params_ref[3 + comp],
+                          0.0, 1.0)
+            return vv * (size - 1.0)
+
+        def hats(x):
+            return jnp.maximum(
+                0.0, 1.0 - jnp.abs(x[None, :] - iota_rows)).astype(cdt)
+
+        u = mm(ut_ref[:].astype(cdt), hats(norm(r, 0)))
+        v = mm(vt_ref[:].astype(cdt), hats(norm(g, 1)))
+        w = mm(wt_ref[:].astype(cdt), hats(norm(b, 2)))
+        prod = u * v * w  # [K, TPL]
+        c = c_ref[:]
+        outs = []
+        for ch in range(3):
+            y = jnp.sum(prod * c[ch, :][:, None], axis=0)
+            outs.append(jnp.round(
+                jnp.clip(y, 0.0, 1.0) * maxval).astype(jnp.int32))
+        packed = (outs[0]
+                  | jax.lax.shift_left(outs[1], i32(8))
+                  | jax.lax.shift_left(outs[2], i32(16))
+                  | jax.lax.shift_left(a, i32(24)))
+        out_ref[row, :] = packed
+
+
+@partial(jax.jit, static_argnames=("size", "compute_dtype", "interpret"))
+def lowrank_sample_pallas_packed(px, params, ut, vt, wt, c, *, size: int,
+                                 compute_dtype="bfloat16",
+                                 interpret: bool = False):
+    """px [Pr, TPL] int32 RGBA bit patterns; params [8] f32 =
+    (scale0..2, offset0..2, maxval, 0).  Returns [Pr, TPL] int32."""
+    pr = px.shape[0]
+    k = ut.shape[0]
+    grid = (pr // ROWS,)
+    return pl.pallas_call(
+        partial(_packed_kernel, size=size, compute_dtype=compute_dtype),
+        grid=grid,
+        out_shape=jax.ShapeDtypeStruct((pr, TPL), jnp.int32),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+            pl.BlockSpec((ROWS, TPL), lambda j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, SB), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, SB), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, SB), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROWS, TPL), lambda j: (j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(params, px, ut, vt, wt, c)
+
+
+@partial(jax.jit, static_argnames=("size", "offsets", "bits", "compute_dtype",
+                                  "interpret"))
+def lut3d_apply_lowrank_packed(frame, ut, vt, wt, c, scale, offset, *,
+                               size: int, offsets, bits: int,
+                               compute_dtype: str = "bfloat16",
+                               interpret: bool = False):
+    """Fully-fused path for RGBA u8 frames (offsets (0,1,2), bits 8): the
+    frame is bitcast to u32 pixels and the whole unpack/sample/repack runs
+    in one kernel.  Falls back is the caller's job for other layouts."""
+    assert bits == 8 and tuple(offsets) == (0, 1, 2) and frame.shape[-1] == 4
+    shp = frame.shape
+    px = jax.lax.bitcast_convert_type(
+        frame.reshape(-1, 4), jnp.int32).reshape(-1)  # little-endian RGBA
+    p = px.shape[0]
+    blk = ROWS * TPL
+    pp = -(-p // blk) * blk
+    if pp != p:
+        px = jnp.pad(px, (0, pp - p))
+    params = jnp.asarray(
+        [scale[0], scale[1], scale[2], offset[0], offset[1], offset[2],
+         float(2**bits - 1), 0.0], jnp.float32)
+    out = lowrank_sample_pallas_packed(
+        px.reshape(-1, TPL), params, ut, vt, wt, c, size=size,
+        compute_dtype=compute_dtype, interpret=interpret)
+    out = out.reshape(-1)[:p]
+    return jax.lax.bitcast_convert_type(
+        out.reshape(-1, 1), jnp.uint8).reshape(shp)
+
+
+__all__ = ["lowrank_sample_pallas", "lowrank_sample_pallas_packed",
+           "pack_factors", "lut3d_apply_lowrank_fused",
+           "lut3d_apply_lowrank_packed", "ROWS", "SB", "TPL"]

@@ -53,6 +53,8 @@ class StreamBank:
                 lambda a: jax.device_put(a, sharding), self.states
             )
         self._step = jax.jit(jax.vmap(step_fn))
+        self._step_many = jax.jit(
+            jax.vmap(lambda s, xs: jax.lax.scan(step_fn, s, xs)))
 
     def shard(self, x):
         """Place a [n_streams, ...] batch with the bank's stream sharding."""
@@ -64,6 +66,14 @@ class StreamBank:
         """x: [n_streams, ...] one buffer per stream -> [n_streams, ...]."""
         self.states, y = self._step(self.states, x)
         return y
+
+    def process_many(self, xs):
+        """xs: [n_streams, k, ...] — k queued buffers per stream advanced in
+        ONE dispatch (per-stream lax.scan); bit-equal to k process() calls.
+        Amortizes dispatch latency when buffers back up (the threadshare
+        analog of draining a socket's pending datagrams in one wakeup)."""
+        self.states, ys = self._step_many(self.states, xs)
+        return ys
 
 
 def loudnorm_bank(n_streams: int, channels: int = 2, mesh: Optional[Mesh] = None,

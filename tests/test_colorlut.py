@@ -305,3 +305,36 @@ class TestColorLutApprox:
         h.push(Buffer(frame, pts=0))
         out = np.asarray(h.pull().data)
         np.testing.assert_array_equal(out, exact)  # ran the exact path
+
+    def test_packed_kernel_matches_fused(self):
+        """The fully-packed u32 kernel (RGBA in-kernel unpack/repack) is
+        bit-equal to the f32-wrapper fused kernel, alpha riding through."""
+        from gst_plugins_rs_tpu.ops.colorlut_lowrank import fit_lowrank
+        from gst_plugins_rs_tpu.ops.pallas_colorlut_lowrank import (
+            lut3d_apply_lowrank_fused, lut3d_apply_lowrank_packed,
+            pack_factors)
+        import jax.numpy as jnp
+
+        size = 17
+        g = np.linspace(0, 1, size)
+        Bz, Gy, Rx = np.meshgrid(g, g, g, indexing="ij")
+        Y = 0.299 * Rx + 0.587 * Gy + 0.114 * Bz
+        table = np.stack([
+            np.clip(Y + 1.2 * (Rx - Y), 0, 1),
+            np.clip(Y + 1.2 * (Gy - Y), 0, 1),
+            np.clip(Y + 1.2 * (Bz - Y) + 0.03, 0, 1)], -1
+        ).reshape(-1, 3).astype(np.float32)
+        fit = fit_lowrank(table, size, tolerance=2.0 / 255.0)
+        assert fit is not None
+        ut, vt, wt, c = (jnp.asarray(a) for a in
+                         pack_factors(fit.U, fit.V, fit.W, fit.C))
+        frame = jnp.asarray(np.random.RandomState(5).randint(
+            0, 256, (48, 64, 4), np.uint8))
+        kw = dict(size=size, offsets=(0, 1, 2), bits=8, interpret=True)
+        scale = [1.05, 1.0, 0.95]
+        offset = [0.01, 0.0, -0.02]
+        a = np.asarray(lut3d_apply_lowrank_fused(
+            frame, ut, vt, wt, c, scale, offset, **kw))
+        b = np.asarray(lut3d_apply_lowrank_packed(
+            frame, ut, vt, wt, c, scale, offset, **kw))
+        np.testing.assert_array_equal(a, b)

@@ -79,3 +79,61 @@ def test_loudnorm_bank_normalizes_all_streams():
         r = EbuR128(2, rate)
         r.add_frames(full[i, 2 * rate :])
         assert abs(r.loudness_global() + 24.0) < 2.0, f"stream {i}: {r.loudness_global()}"
+
+
+def test_process_many_matches_sequential():
+    """k queued buffers per stream advanced in one dispatch (process_many)
+    must be bit-equal to k process() ticks — the dispatch-amortized drain
+    path used by loudnormbank and the bench."""
+    from gst_plugins_rs_tpu.parallel.streams import loudnorm_bank
+    from gst_plugins_rs_tpu.ops import loudnorm as LN
+
+    rng = np.random.RandomState(7)
+    N, K = 4, 5
+    first3 = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (N, LN.GAIN_LOOKAHEAD, 2)).astype(np.float32))
+    frames = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (N, K, LN.FRAME, 2)).astype(np.float32))
+
+    a = loudnorm_bank(N, channels=2)
+    a.first_frame(first3)
+    seq = [a.process(frames[:, k]) for k in range(K)]
+
+    b = loudnorm_bank(N, channels=2)
+    b.first_frame(first3)
+    many = b.process_many(frames)  # [N, K, FRAME, 2]
+
+    for k in range(K):
+        np.testing.assert_array_equal(np.asarray(many[:, k]),
+                                      np.asarray(seq[k]), err_msg=f"k={k}")
+    for la, lb in zip(jax.tree_util.tree_leaves(a.states),
+                      jax.tree_util.tree_leaves(b.states)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+
+def test_hrtf_convolve_blocks_matches_sequential():
+    """hrtf_convolve_blocks (K blocks, one dispatch, scanned tails) is
+    bit-equal to K sequential hrtf_convolve_block calls."""
+    from gst_plugins_rs_tpu.ops.hrtf import (hrtf_convolve_block,
+                                             hrtf_convolve_blocks)
+
+    rng = np.random.RandomState(11)
+    C, S, B, L, K = 4, 2, 64, 16, 6
+    hrirs = jnp.asarray(rng.uniform(-0.1, 0.1, (C, S, 2, L)).astype(np.float32))
+    gains = jnp.asarray(rng.uniform(0.5, 1.0, (C, S)).astype(np.float32))
+    x = jnp.asarray(rng.uniform(-1, 1, (C, K, S * B)).astype(np.float32))
+    tails0 = jnp.zeros((C, 2, L - 1), jnp.float32)
+
+    tails = tails0
+    seq = []
+    for k in range(K):
+        out, tails = hrtf_convolve_block(x[:, k], hrirs, gains, tails,
+                                         block_len=B, steps=S)
+        seq.append(np.asarray(out))
+
+    outs, tails_many = hrtf_convolve_blocks(x, hrirs, gains, tails0,
+                                            block_len=B, steps=S)
+    for k in range(K):
+        np.testing.assert_array_equal(np.asarray(outs[k]), seq[k],
+                                      err_msg=f"block {k}")
+    np.testing.assert_array_equal(np.asarray(tails_many), np.asarray(tails))
