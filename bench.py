@@ -220,17 +220,20 @@ def main():
     first3 = jnp.asarray(
         rng.uniform(-0.5, 0.5, (LNS, LN.GAIN_LOOKAHEAD, 2)).astype(np.float32))
     lbank.first_frame(first3)
-    LKB = 16  # queued frames per stream per dispatch (process_many scan)
-    lframes = jnp.asarray(
-        rng.uniform(-0.5, 0.5, (LNS, LKB, LN.FRAME, 2)).astype(np.float32))
+    # steady state: one 100 ms frame per stream per dispatch.  The batched
+    # limiter's REAL cond fast path (ops/loudnorm._limiter_scan_batched)
+    # makes this 1.3 ms/dispatch; the old vmapped bank always ran the
+    # 19200-step limiter scan (34 ms, 26x slower — PERF_NOTES.md).
+    lframe = jnp.asarray(
+        rng.uniform(-0.5, 0.5, (LNS, LN.FRAME, 2)).astype(np.float32))
 
     def lbank_step(states):
         lbank.states = states
-        lbank.process_many(lframes)
+        lbank.process(lframe)
         return lbank.states
 
-    dt = _bench(lbank_step, lbank.states, iters=20)
-    results["loudnorm_bank16_realtime_x"] = LNS * LKB * 0.1 / dt
+    dt = _bench(lbank_step, lbank.states, iters=50)
+    results["loudnorm_bank16_realtime_x"] = LNS * 0.1 / dt
     _progress("bench: loudnorm bank done")
 
     # --- audiornnoise realtime-x (stereo, 16 frames per dispatch) -----------

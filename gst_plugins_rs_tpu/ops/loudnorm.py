@@ -171,15 +171,11 @@ def _precompute_peaks(window, target_tp):
     return pk, pv, future
 
 
-def _limiter_scan(window, carry, target_tp):
-    """Run the per-sample limiter FSM over the first FRAME samples of window.
-
-    carry = (lim_state, env_cnt, sustain_cnt, gr0, gr1).
-    Returns (out [FRAME, ch], new_carry)."""
-    dtype = window.dtype
-    pk, pv, future = _precompute_peaks(window, target_tp)
-    xs = window[:FRAME]
-
+def _make_limiter_step(target_tp, dtype):
+    """The per-sample limiter FSM step, shape-polymorphic: every carry leaf
+    and input is either scalar (single stream) or [N] (batched bank) — all
+    ops are elementwise, so the same step serves both `_limiter_scan` and
+    `_limiter_scan_batched` bit-identically."""
     att_den = jnp.asarray(LIMITER_ATTACK - 1.0, dtype)
     rel_den = jnp.asarray(LIMITER_RELEASE - 1.0, dtype)
 
@@ -252,11 +248,24 @@ def _limiter_scan(window, carry, target_tp):
         mult = jnp.where(st == ST_OUT, 1.0,
                jnp.where(st == ST_ATTACK, env_att,
                jnp.where(st == ST_SUSTAIN, gr1, env_rel)))
-        y = x * mult
+        y = x * mult[..., None]  # mult broadcasts over channels ([] or [N])
 
         env = jnp.where((st == ST_ATTACK) | (st == ST_RELEASE), env + 1, env)
         sus = jnp.where((st == ST_SUSTAIN) & (sus > 0) & ~pk_n, sus - 1, sus)
         return (st, env, sus, gr0, gr1), y
+
+    return step
+
+
+def _limiter_scan(window, carry, target_tp):
+    """Run the per-sample limiter FSM over the first FRAME samples of window.
+
+    carry = (lim_state, env_cnt, sustain_cnt, gr0, gr1).
+    Returns (out [FRAME, ch], new_carry)."""
+    dtype = window.dtype
+    pk, pv, future = _precompute_peaks(window, target_tp)
+    xs = window[:FRAME]
+    step = _make_limiter_step(target_tp, dtype)
 
     def run_scan(_):
         return jax.lax.scan(step, carry, (xs, pk, pv, future))
@@ -269,6 +278,60 @@ def _limiter_scan(window, carry, target_tp):
     new_carry, out = jax.lax.cond(idle, fast_path, run_scan, None)
 
     # final clamp for rounding (imp.rs:1417-1423)
+    out = jnp.clip(out, -target_tp, target_tp)
+    return out, new_carry
+
+
+def _limiter_scan_batched(windows, carry, target_tp, block: int = LIMITER_ATTACK):
+    """Batched (N-stream) limiter: bit-equal to vmapping `_limiter_scan`,
+    but the idle fast path survives batching.  `jax.vmap` lowers `lax.cond`
+    to a select that executes BOTH branches, so a vmapped bank always pays
+    the 19 200-step per-sample scan (~34 ms/frame measured on v5e) even for
+    silence.  Here the conds run OUTSIDE any vmap: one frame-level cond
+    skips peak-free frames entirely, and a blocked scan (10 ms blocks) conds
+    per block so a single peaky stream only drags the bank through the
+    blocks that actually contain peaks.
+
+    windows: [N, W, ch]; carry leaves [N].  Returns (out [N, FRAME, ch],
+    carry).  The FSM step itself is `_make_limiter_step` — the same
+    elementwise code the single-stream path scans — so slow-path results
+    are bit-identical to sequential per-stream processing."""
+    dtype = windows.dtype
+    n, _, ch = windows.shape
+    pk, pv, future = jax.vmap(lambda w: _precompute_peaks(w, target_tp))(windows)
+    xs = windows[:, :FRAME]
+    step = _make_limiter_step(target_tp, dtype)
+
+    nb = FRAME // block
+    assert nb * block == FRAME
+    # [nb, block, N(, ch)] so the block axis scans and N rides the lanes
+    xsb = jnp.moveaxis(xs, 0, 1).reshape(nb, block, n, ch)
+    pkb = jnp.moveaxis(pk, 0, 1).reshape(nb, block, n)
+    pvb = jnp.moveaxis(pv, 0, 1).reshape(nb, block, n)
+    futb = jnp.moveaxis(future, 0, 1).reshape(nb, block, n)
+
+    def blk(c, inp):
+        xb, pb, vb, fb = inp
+        idle = jnp.all(c[0] == ST_OUT) & ~jnp.any(pb)
+
+        def fast(c):
+            return c, xb
+
+        def slow(c):
+            return jax.lax.scan(step, c, (xb, pb, vb, fb))
+
+        return jax.lax.cond(idle, fast, slow, c)
+
+    def run_blocked(c):
+        c, outb = jax.lax.scan(blk, c, (xsb, pkb, pvb, futb))
+        return c, outb.reshape(FRAME, n, ch)
+
+    def frame_fast(c):
+        return c, jnp.moveaxis(xs, 0, 1)
+
+    idle_frame = jnp.all(carry[0] == ST_OUT) & ~jnp.any(pk)
+    new_carry, out = jax.lax.cond(idle_frame, frame_fast, run_blocked, carry)
+    out = jnp.moveaxis(out, 0, 1)
     out = jnp.clip(out, -target_tp, target_tp)
     return out, new_carry
 
@@ -392,6 +455,94 @@ def inner_frame_step(state: LoudnormState, params: LoudnormParams, src):
     state, out = _scale_and_limit(state, params, scale_src)
     state = state._replace(r128_out=r128_add_full_subblocks(state.r128_out, rp, out))
     state = _update_gain(state, params)
+    return state, out
+
+
+def first_frame_step_batched(state: LoudnormState, params: LoudnormParams, src):
+    """N-stream first_frame_step: state leaves carry a leading [N] axis,
+    src is [N, 3 s, ch].  Identical math to vmapping `first_frame_step`
+    except the limiter goes through `_limiter_scan_batched`, whose idle
+    fast path survives batching (see its docstring)."""
+    dtype = src.dtype
+    rp = params.r128
+    vm = jax.vmap
+    r128_in = vm(lambda r, s: r128_add_full_subblocks(r, rp, s))(state.r128_in, src)
+    shortterm = vm(lambda r: loudness_shortterm(r, rp))(r128_in)
+
+    above = shortterm >= -70.0
+    env_shortterm = jnp.where(above, params.target_i - shortterm, 0.0)
+    d0 = (10.0 ** (env_shortterm / 20.0)).astype(dtype)
+    delta = jnp.broadcast_to(d0[:, None], (d0.shape[0], 30))
+    prev_delta = d0
+
+    window = src[:, : FRAME + TAIL] * (prev_delta * state.offset)[:, None, None]
+
+    mx = jnp.max(jnp.abs(window[:, : LIMITER_LOOKAHEAD + 1]), axis=(1, 2))
+    over = mx > params.target_tp
+    lim_state = jnp.where(over, ST_SUSTAIN, ST_OUT).astype(jnp.int32)
+    sustain_cnt = jnp.where(over, LIMITER_LOOKAHEAD, -1).astype(jnp.int32)
+    gr1 = jnp.where(over, params.target_tp / jnp.where(mx > 0, mx, 1.0), 0.0).astype(dtype)
+
+    n = src.shape[0]
+    carry = (lim_state, jnp.zeros((n,), jnp.int32), sustain_cnt,
+             jnp.zeros((n,), dtype), gr1)
+    out, carry = _limiter_scan_batched(window, carry, params.target_tp)
+
+    r128_out = vm(lambda r, o: r128_add_full_subblocks(r, rp, o))(state.r128_out, out)
+    new_state = state._replace(
+        backlog=src[:, FRAME + TAIL :],
+        tail=window[:, FRAME:],
+        delta=delta,
+        prev_delta=prev_delta,
+        above_threshold=above,
+        lim_state=carry[0],
+        env_cnt=carry[1],
+        sustain_cnt=carry[2],
+        gr0=carry[3],
+        gr1=carry[4],
+        r128_in=r128_in,
+        r128_out=r128_out,
+    )
+    return new_state, out
+
+
+def inner_frame_step_batched(state: LoudnormState, params: LoudnormParams, src):
+    """N-stream inner_frame_step: state leaves carry a leading [N] axis,
+    src is [N, FRAME, ch].  Bit-equal per stream to `inner_frame_step`
+    (same elementwise ops; the only restructured part is the limiter, via
+    `_limiter_scan_batched`)."""
+    rp = params.r128
+    vm = jax.vmap
+    dtype = src.dtype
+    state = state._replace(
+        r128_in=vm(lambda r, s: r128_add_full_subblocks(r, rp, s))(state.r128_in, src))
+    scale_src = state.backlog[:, :FRAME]
+    state = state._replace(
+        backlog=jnp.concatenate([state.backlog[:, FRAME:], src], axis=1))
+
+    gain = vm(lambda d, i: _gaussian_gain(d, params.weights, jnp.mod(i + 10, 30)))(
+        state.delta, state.index)
+    gain_next = vm(lambda d, i: _gaussian_gain(d, params.weights, jnp.mod(i + 11, 30)))(
+        state.delta, state.index)
+    ns = jnp.arange(FRAME, dtype=dtype)
+    gains = (gain[:, None] + (ns[None, :] / FRAME) * (gain_next - gain)[:, None]) \
+        * state.offset[:, None]
+    scaled = scale_src * gains[:, :, None]
+    window = jnp.concatenate([state.tail, scaled], axis=1)
+
+    carry = (state.lim_state, state.env_cnt, state.sustain_cnt, state.gr0, state.gr1)
+    out, carry = _limiter_scan_batched(window, carry, params.target_tp)
+    state = state._replace(
+        tail=window[:, FRAME:],
+        lim_state=carry[0],
+        env_cnt=carry[1],
+        sustain_cnt=carry[2],
+        gr0=carry[3],
+        gr1=carry[4],
+    )
+    state = state._replace(
+        r128_out=vm(lambda r, o: r128_add_full_subblocks(r, rp, o))(state.r128_out, out))
+    state = vm(lambda s: _update_gain(s, params))(state)
     return state, out
 
 

