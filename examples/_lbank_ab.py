@@ -1,4 +1,4 @@
-import numpy as np, jax, jax.numpy as jnp
+import numpy as np, jax.numpy as jnp
 from bench import _bench
 from gst_plugins_rs_tpu.parallel.streams import loudnorm_bank
 from gst_plugins_rs_tpu.ops import loudnorm as LN

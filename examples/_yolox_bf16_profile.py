@@ -10,7 +10,7 @@ import jax
 import jax.numpy as jnp
 
 from bench import _bench
-from gst_plugins_rs_tpu.models.yolox import CspBlock, Focus, Pafpn, Yolox
+from gst_plugins_rs_tpu.models.yolox import CspBlock, Focus, Yolox
 
 B = 8
 REP = 16

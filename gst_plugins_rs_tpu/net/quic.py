@@ -21,12 +21,15 @@ engine in net/tls13.py.  Scope covers what the quinn elements need:
 - bidirectional + unidirectional streams with offset reassembly and
   FIN; unreliable datagrams (RFC 9221) when both sides advertise
   max_datagram_frame_size
-- loss recovery: ack-eliciting packets are retransmitted wholesale
-  after a PTO via tick() (simple but sufficient; the reference gets
-  RACK-style recovery from quinn)
+- loss recovery (RFC 9002): ACK-driven detection with the
+  kPacketThreshold=3 / 9/8-time-threshold rules over an EWMA RTT
+  estimator that also feeds the PTO; tick()'s PTO retransmission is
+  the backstop (the reference gets the same shape from quinn)
+- version negotiation (RFC 9000 §6): servers answer unknown-version
+  first flights with a VN packet; clients abort on a valid VN and
+  ignore spoofs (listed-own-version or wrong dcid)
 
-Explicitly out of scope: version negotiation, Retry, 0-RTT, and
-connection migration.
+Explicitly out of scope: Retry, 0-RTT, and connection migration.
 """
 from __future__ import annotations
 
@@ -310,6 +313,13 @@ class QuicConnection:
         self._hs_done_sent = False
         self._pto = 0.35
 
+        # loss detection (RFC 9002): RTT estimator feeding the PTO plus
+        # packet/time reordering thresholds applied on every ACK
+        self._srtt: Optional[float] = None
+        self._rttvar = 0.0
+        self._latest_rtt = 0.0
+        self._any_rx = False  # a packet from the peer decrypted OK
+
         # flow control (RFC 9000 §4) — receive direction: what we allow
         self._fc_window_conn = max_data
         self._fc_window_stream = max_stream_data
@@ -416,7 +426,8 @@ class QuicConnection:
         self.closed.set()
 
     def tick(self) -> None:
-        """Retransmit ack-eliciting packets past their PTO."""
+        """Retransmit ack-eliciting packets past their PTO (the backstop
+        behind the ACK-driven loss detection in _detect_lost)."""
         with self._lock:
             now = time.monotonic()
             for level, space in self.spaces.items():
@@ -454,7 +465,18 @@ class QuicConnection:
             scid = data[pos + 1:pos + 1 + scil]
             pos += 1 + scil
             ptype = (first >> 4) & 0x3
-            if version != QUIC_VERSION or ptype == PT_RETRY:
+            if version == 0:  # Version Negotiation packet (RFC 9000 §17.2.1)
+                self._handle_version_negotiation(dcid, data[pos:])
+                return len(data)
+            if version != QUIC_VERSION:
+                # server answers an unknown-version first flight with a VN
+                # packet (RFC 9000 §6.1); the >=1200 floor keeps it from
+                # being an amplification vector
+                if (not self.is_client and len(data) >= 1200
+                        and self.spaces[LEVEL_INITIAL].rx_keys is None):
+                    self._send_version_negotiation(dcid, scid)
+                return len(data)
+            if ptype == PT_RETRY:
                 return len(data)
             if ptype == PT_INITIAL:
                 token_len, pos = decode_varint(data, pos)
@@ -477,6 +499,32 @@ class QuicConnection:
         else:  # short header (1-RTT)
             self._decrypt_and_process(LEVEL_APP, data, 1 + len(self.scid))
             return len(data)
+
+    def _send_version_negotiation(self, peer_dcid: bytes, peer_scid: bytes) -> None:
+        """RFC 9000 §17.2.1: long header, version 0, CIDs echoed swapped,
+        then the list of versions we speak (v1 only)."""
+        pkt = bytearray([0x80 | 0x40])
+        pkt += b"\x00\x00\x00\x00"
+        pkt += bytes([len(peer_scid)]) + peer_scid
+        pkt += bytes([len(peer_dcid)]) + peer_dcid
+        pkt += struct.pack("!I", QUIC_VERSION)
+        self.send_cb(bytes(pkt))
+
+    def _handle_version_negotiation(self, dcid: bytes, versions_blob: bytes) -> None:
+        """RFC 9000 §6.2: clients act on a VN packet only before any packet
+        from the server has been processed; one listing the version we are
+        already using MUST be ignored (it is a spoof or a broken server).
+        The dcid must echo our scid — the only off-path defense VN has."""
+        if (not self.is_client or self._any_rx or self.handshake_done.is_set()
+                or dcid != self.scid):
+            return
+        versions = [struct.unpack("!I", versions_blob[i:i + 4])[0]
+                    for i in range(0, len(versions_blob) - 3, 4)]
+        if QUIC_VERSION in versions:
+            return
+        self.close_reason = ("version negotiation: peer offers none of ours "
+                             + f"({[hex(v) for v in versions]})")
+        self.closed.set()
 
     def _decrypt_and_process(self, level: str, packet: bytes, pn_offset: int) -> None:
         space = self.spaces[level]
@@ -521,6 +569,7 @@ class QuicConnection:
                 return
         if pn in space.recv_pns:
             return  # duplicate
+        self._any_rx = True  # an authenticated peer packet: VN no longer valid
         space.recv_pns.add(pn)
         eliciting = self._process_frames(level, payload)
         if eliciting:
@@ -651,15 +700,26 @@ class QuicConnection:
                 break  # unknown frame: stop parsing this packet
         return eliciting
 
+    K_PACKET_THRESHOLD = 3  # RFC 9002 §6.1.1
+    K_TIME_THRESHOLD = 9 / 8  # RFC 9002 §6.1.2
+    K_GRANULARITY = 0.001
+
     def _handle_ack(self, level: str, payload: bytes, off: int, has_ecn: bool) -> int:
         largest, off = decode_varint(payload, off)
         _delay, off = decode_varint(payload, off)
         range_count, off = decode_varint(payload, off)
         first_range, off = decode_varint(payload, off)
         space = self.spaces[level]
+        newly: Dict[int, Tuple[bytes, bool, float]] = {}
+
+        def ack(pn: int) -> None:
+            ent = space.unacked.pop(pn, None)
+            if ent is not None:
+                newly[pn] = ent
+
         lo = largest - first_range
         for pn in range(lo, largest + 1):
-            space.unacked.pop(pn, None)
+            ack(pn)
         cur = lo
         for _ in range(range_count):
             gap, off = decode_varint(payload, off)
@@ -667,12 +727,48 @@ class QuicConnection:
             hi = cur - gap - 2
             lo = hi - rng
             for pn in range(lo, hi + 1):
-                space.unacked.pop(pn, None)
+                ack(pn)
             cur = lo
         if has_ecn:
             for _ in range(3):
                 _v, off = decode_varint(payload, off)
+        now = time.monotonic()
+        if largest in newly and newly[largest][1]:
+            # RTT sample only when the largest acked is newly acked and
+            # ack-eliciting (RFC 9002 §5.1); §5.3 EWMA
+            latest = max(now - newly[largest][2], self.K_GRANULARITY)
+            if self._srtt is None:
+                self._srtt, self._rttvar = latest, latest / 2
+            else:
+                self._rttvar = 0.75 * self._rttvar + 0.25 * abs(self._srtt - latest)
+                self._srtt = 0.875 * self._srtt + 0.125 * latest
+            self._latest_rtt = latest
+            self._pto = max(0.05, self._srtt + 4 * self._rttvar + 0.025)
+        if newly:
+            self._detect_lost(level, space, largest, now)
         return off
+
+    def _detect_lost(self, level: str, space: _Space, largest_acked: int,
+                     now: float) -> None:
+        """RFC 9002 §6.1: a packet is lost once one sent after it has been
+        acked AND it trails by >= kPacketThreshold pns or by the time
+        threshold.  Lost ack-eliciting frames retransmit immediately —
+        a single lost packet recovers in ~1 RTT instead of a full PTO
+        (the reference inherits the same behavior from quinn)."""
+        rtt = max(self._srtt or 0.0, self._latest_rtt)
+        time_thresh = self.K_TIME_THRESHOLD * rtt if rtt else None
+        lost = []
+        for pn in sorted(space.unacked):
+            if pn >= largest_acked:
+                break  # not yet reorderable: nothing after it was acked
+            frames, eliciting, sent = space.unacked[pn]
+            if (largest_acked - pn >= self.K_PACKET_THRESHOLD
+                    or (time_thresh is not None and now - sent > time_thresh)):
+                del space.unacked[pn]
+                if eliciting:
+                    lost.append(frames)
+        for frames in lost:
+            self._queue_frames(level, frames)
 
     def _on_stream_frame(self, sid: int, offset: int, data: bytes, fin: bool) -> None:
         # -- receive-direction flow control (RFC 9000 §4.1): a peer writing

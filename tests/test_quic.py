@@ -400,3 +400,130 @@ class TestKeyUpdate:
         assert b"".join(got) == b"gen1gen2"
         assert client._key_phase == 0  # two flips wrap to phase 0
         assert server._rx_phase == 0
+
+
+class TestAckLossDetection:
+    """RFC 9002 ACK-driven loss detection (packet + time thresholds)."""
+
+    def test_packet_threshold_retransmits_without_pto(self):
+        """A dropped packet trailing >=3 acked pns retransmits on the ACK
+        alone — no tick(), no PTO wait."""
+        client, server, pump, to_server, to_client = _pair()
+        got = {}
+        server.on_stream_data = (
+            lambda sid, d, f: got.setdefault(sid, bytearray()).extend(d))
+        client.connect()
+        pump()
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"AAAA")
+        to_server.clear()  # drop it
+        for chunk in (b"BBBB", b"CCCC", b"DDDD"):
+            client.send_stream(sid, chunk)
+        t0 = time.monotonic()
+        pump()  # acks for B..D reach the client -> A declared lost -> resent
+        assert bytes(got[sid]) == b"AAAABBBBCCCCDDDD"
+        assert time.monotonic() - t0 < client._pto  # beat the PTO backstop
+
+    def test_time_threshold_retransmits(self):
+        """One trailing packet (below the pn threshold) is still declared
+        lost once it is older than 9/8 RTT when a later ack arrives."""
+        client, server, pump, to_server, to_client = _pair()
+        got = {}
+        server.on_stream_data = (
+            lambda sid, d, f: got.setdefault(sid, bytearray()).extend(d))
+        client.connect()
+        pump()
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"lostlost")
+        to_server.clear()  # drop it
+        time.sleep(0.05)  # >> 9/8 x in-memory RTT
+        client.send_stream(sid, b"laterpkt")  # only +1 pn: below threshold
+        pump()
+        assert bytes(got[sid]) == b"lostlostlaterpkt"
+
+    def test_rtt_estimate_feeds_pto(self):
+        client, server, pump, *_ = _pair()
+        client.connect()
+        pump()
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"ping")
+        pump()
+        assert client._srtt is not None
+        # in-memory RTT is sub-millisecond: the PTO collapses from the
+        # 350 ms pre-handshake default toward the 50 ms floor
+        assert client._pto <= 0.1
+
+
+def _unknown_version_initial(dcid=b"\x11" * 8, scid=b"\x22" * 8,
+                             version=0x1A2A3A4A, size=1200):
+    pkt = bytearray([0xC0])
+    pkt += version.to_bytes(4, "big")
+    pkt += bytes([len(dcid)]) + dcid
+    pkt += bytes([len(scid)]) + scid
+    pkt += b"\x00" * (size - len(pkt))
+    return bytes(pkt)
+
+
+def _vn_packet(dcid, scid, versions):
+    pkt = bytearray([0x80 | 0x40])
+    pkt += b"\x00\x00\x00\x00"
+    pkt += bytes([len(dcid)]) + dcid
+    pkt += bytes([len(scid)]) + scid
+    for v in versions:
+        pkt += v.to_bytes(4, "big")
+    return bytes(pkt)
+
+
+class TestVersionNegotiation:
+    def test_server_answers_unknown_version(self):
+        out = []
+        server = QuicConnection(False, out.append)
+        server.handle_datagram(_unknown_version_initial())
+        assert len(out) == 1
+        vn = out[0]
+        assert vn[0] & 0x80
+        assert vn[1:5] == b"\x00\x00\x00\x00"
+        # CIDs echoed swapped: our dcid = peer scid, our scid = peer dcid
+        assert vn[5] == 8 and vn[6:14] == b"\x22" * 8
+        assert vn[14] == 8 and vn[15:23] == b"\x11" * 8
+        assert (1).to_bytes(4, "big") in [vn[23 + i:27 + i]
+                                          for i in range(0, len(vn) - 26, 4)]
+
+    def test_server_ignores_short_unknown_version(self):
+        """< 1200 bytes: answering would be an amplification vector."""
+        out = []
+        server = QuicConnection(False, out.append)
+        server.handle_datagram(_unknown_version_initial(size=100))
+        assert out == []
+
+    def test_client_aborts_on_valid_vn(self):
+        to_server = []
+        client = QuicConnection(True, to_server.append)
+        client.connect()
+        client.handle_datagram(_vn_packet(client.scid, b"\x33" * 8, [0x2]))
+        assert client.closed.is_set()
+        assert "version negotiation" in client.close_reason
+
+    def test_client_ignores_vn_listing_own_version(self):
+        """RFC 9000 §6.2: a VN listing the version in use MUST be ignored."""
+        to_server = []
+        client = QuicConnection(True, to_server.append)
+        client.connect()
+        client.handle_datagram(_vn_packet(client.scid, b"\x33" * 8, [0x1, 0x2]))
+        assert not client.closed.is_set()
+
+    def test_client_ignores_vn_with_wrong_dcid(self):
+        """The dcid echo is the only off-path defense VN has."""
+        to_server = []
+        client = QuicConnection(True, to_server.append)
+        client.connect()
+        client.handle_datagram(_vn_packet(b"\x99" * 8, b"\x33" * 8, [0x2]))
+        assert not client.closed.is_set()
+
+    def test_client_ignores_vn_after_server_packet(self):
+        client, server, pump, to_server, to_client = _pair()
+        client.connect()
+        pump()
+        assert client.handshake_done.is_set()
+        client.handle_datagram(_vn_packet(client.scid, b"\x33" * 8, [0x2]))
+        assert not client.closed.is_set()
