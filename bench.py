@@ -192,6 +192,28 @@ def main():
     results["agingradio_realtime_x"] = STREAMS * 1.0 / dt
     _progress("bench: agingradio done")
 
+    # --- compositor: 4x 540p pads blended onto one 1080p canvas -------------
+    # (examples-tier coverage: the element's fused resize->blend->paste jit,
+    # gst_plugins_rs_tpu/elements/video/compositor.py::_composite)
+    from gst_plugins_rs_tpu.elements.video.compositor import _composite
+
+    pads = tuple(
+        jnp.asarray(rng.randint(0, 256, (540, 960, 3), np.uint8))
+        for _ in range(4))
+    placements = ((0, 0, 960, 540), (960, 0, 960, 540),
+                  (0, 540, 960, 540), (960, 540, 960, 540))
+    alphas = jnp.asarray([1.0, 0.8, 0.6, 0.4], jnp.float32)
+
+    def comp_step(frames):
+        canvas = _composite(frames, alphas, placements=placements,
+                            out_h=1080, out_w=1920, channels=3)
+        # chain: feed a slice of the canvas back as the first pad
+        return (canvas[:540, :960],) + frames[1:]
+
+    dt = _bench(comp_step, pads, iters=40)
+    results["compositor_4pad_1080p_fps"] = 1.0 / dt
+    _progress("bench: compositor done")
+
     # --- audioloudnorm realtime-x (single stream, 16 frames per dispatch) ---
     from gst_plugins_rs_tpu.ops import loudnorm as LN
 
