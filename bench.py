@@ -321,7 +321,11 @@ def main():
     _progress("bench: echo+loudnorm chain done")
 
     # --- YOLOX-tiny 640x640 inference fps -----------------------------------
+    # the element's default engine: s2d-domain stem/dark2 + folded BN
+    # (models/yolox_fast.py — numerically equivalent to the flax graph,
+    # 1.65x measured same-run; PERF_NOTES.md "YOLOX s2d engine")
     from gst_plugins_rs_tpu.models.yolox import Yolox
+    from gst_plugins_rs_tpu.models.yolox_fast import apply_fast
 
     model = Yolox.from_variant("tiny")
     YB = 8  # measured saturation point: 850 fps at batch 8, 857 at 16
@@ -329,7 +333,7 @@ def main():
     # 60% of the model's time via 3->128 lane padding)
     img = jnp.asarray(rng.randint(0, 256, (YB, 640, 640, 3), np.uint8))
     variables = model.init(jax.random.PRNGKey(0), img)
-    fwd = jax.jit(lambda im: model.apply(variables, im))
+    fwd = jax.jit(lambda im: apply_fast(model, variables, im))
 
     def yolox_step(im):
         out = fwd(im)

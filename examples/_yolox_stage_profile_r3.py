@@ -7,6 +7,7 @@ so the relay's per-dispatch fixed cost amortizes away.
 Run (alone — never concurrent with another TPU job):
     python examples/_yolox_stage_profile_r3.py
 """
+import flax.linen as nn
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -88,11 +89,15 @@ def profile(name, module, vs, in_spec, iters=8, cast=None):
 
 
 # ---- full model, f32 vs bf16 params+activations ---------------------------
-profile("FULL u8/f32", model, variables, [((B, 640, 640, 3), jnp.uint8)])
+# cast u8 -> float INSIDE the profile jit (same as the model's own in-jit
+# cast; needed so the scan body depends on the carry and can't be hoisted)
+profile("FULL u8/f32", model, variables, [((B, 640, 640, 3), jnp.uint8)],
+        cast=jnp.float32)
 vb = bf16_vars(variables)
 
 
 class YoloxBf16(Yolox):
+    @nn.compact
     def __call__(self, x):
         if not jnp.issubdtype(x.dtype, jnp.floating):
             x = x.astype(jnp.bfloat16)
@@ -103,7 +108,8 @@ class YoloxBf16(Yolox):
 
 
 mb = YoloxBf16(num_classes=80, depth=d, width=w_, depthwise=dw)
-profile("FULL u8/bf16", mb, vb, [((B, 640, 640, 3), jnp.uint8)])
+profile("FULL u8/bf16", mb, vb, [((B, 640, 640, 3), jnp.uint8)],
+        cast=jnp.bfloat16)
 
 # ---- stages (f32) ----------------------------------------------------------
 stages = [

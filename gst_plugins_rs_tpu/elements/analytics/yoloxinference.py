@@ -28,6 +28,7 @@ from ...core import (
     video_caps_template,
 )
 from ...models.yolox import Yolox, load_torch_weights
+from ...models.yolox_fast import apply_fast
 from .meta import Tensor, TensorDataType, TensorDimOrder, TensorMeta
 
 YOLOX_OUT = "yolox-out"
@@ -61,10 +62,14 @@ class YoloxInference(VideoFilter):
              doc="Accepted for API parity; inference always runs on the JAX device"),
         Prop("precision", "f32", type="enum", choices=["f32", "bf16"],
              mutable="ready",
-             doc="bf16 halves weight memory and measures ~10% faster than "
-                 "f32 with the round-3 u8-input layout (same-run A/B 1361 "
-                 "vs 1229 fps, PERF_NOTES.md); bf16 activations also halve "
-                 "the lane-pad traffic in the small-channel backbone stages"),
+             doc="bf16 compute halves activation traffic in the "
+                 "small-channel backbone stages (PERF_NOTES.md round-3 "
+                 "YOLOX s2d engine measurements)"),
+        Prop("engine", "fast", type="enum", choices=["fast", "reference"],
+             mutable="ready",
+             doc="fast = s2d-domain inference engine (models/yolox_fast.py, "
+                 "numerically equivalent, measured ~2x on v5e); reference = "
+                 "the reference-shaped flax graph (models/yolox.py)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -93,7 +98,14 @@ class YoloxInference(VideoFilter):
         path = self.get_property("weights-path")
         if path:
             self._vars = load_torch_weights(path, self._vars)
-        if self.get_property("precision") == "bf16":
+        dtype = (jnp.bfloat16 if self.get_property("precision") == "bf16"
+                 else jnp.float32)
+        if self.get_property("engine") == "fast":
+            # weights stay f32 in the tree; apply_fast folds BN and casts
+            # per-conv at trace time (constant-folded by XLA)
+            self._apply = jax.jit(
+                lambda v, img: apply_fast(model, v, img, dtype=dtype))
+        elif dtype == jnp.bfloat16:
             self._vars = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
                 self._vars,

@@ -92,12 +92,12 @@ class Focus(nn.Module):
         # the [B,H,W,3] f32 layout lane-pads 3 -> 128 and dominates the
         # whole model otherwise.
         b, h, w, c = x.shape
+        # dims (b, h2, hb, w2, wb, c) -> (b, h2, w2, wb, hb, c): flattening
+        # wb-major/hb-minor IS the reference cat order (top_left, bottom_left,
+        # top_right, bottom_right) — a pure transpose, no channel gather
+        # (bit-equal to the old reshape+perm form, verified).
         y = x.reshape(b, h // 2, 2, w // 2, 2, c)
-        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
-        perm = [hb * 2 * c + wb * c + ci
-                for (hb, wb) in ((0, 0), (1, 0), (0, 1), (1, 1))
-                for ci in range(c)]
-        y = y[..., jnp.asarray(perm)]
+        y = y.transpose(0, 1, 3, 4, 2, 5).reshape(b, h // 2, w // 2, 4 * c)
         return BaseConv(self.out_ch, self.k, self.stride, name="conv")(y)
 
 
@@ -180,8 +180,12 @@ class CspDarknet(nn.Module):
 
 
 def _upsample2(x):
+    # nearest 2x via broadcast (bit-equal to jax.image.resize nearest,
+    # verified) — resize lowers to gathers, which issue ~1 row/5 cycles on
+    # this TPU (PERF_NOTES colorlut analysis); the broadcast form is a copy.
     b, h, w, c = x.shape
-    return jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return y.reshape(b, h * 2, w * 2, c)
 
 
 class Pafpn(nn.Module):
