@@ -197,7 +197,13 @@ def _stem_dark2_s2d(params, stats, x, base_depth):
                      d2s["conv"]["bn"])
     y = _conv(y, s2d_kernel_s2(W), _tile4(bb), stride=2)  # [B,80,80,8*bc]
 
-    c3p, c3s = d2p["c3"], d2s["c3"]
+    y = _c3_s2d(d2p["c3"], d2s["c3"], y, base_depth)
+    return un_s2d(y)                                      # [B,160,160,2*bc]
+
+
+def _c3_s2d(c3p, c3s, y, n):
+    """CspBottleneck (shortcut branch form — the non-SPP CspBlock C3) on an
+    s2d-domain input, entirely in the s2d domain."""
     W1, b1 = _fold_bn(c3p["conv1"]["conv"], c3p["conv1"]["bn"],
                       c3s["conv1"]["bn"])
     W2, b2 = _fold_bn(c3p["conv2"]["conv"], c3p["conv2"]["bn"],
@@ -205,7 +211,7 @@ def _stem_dark2_s2d(params, stats, x, base_depth):
     hidden = W1.shape[3]
     x1 = _conv(y, s2d_kernel_1x1(W1), _tile4(b1))
     x2 = _conv(y, s2d_kernel_1x1(W2), _tile4(b2))
-    for i in range(base_depth):
+    for i in range(n):
         mp, ms = c3p[f"m_{i}"], c3s[f"m_{i}"]
         Wa, ba = _fold_bn(mp["conv1"]["conv"], mp["conv1"]["bn"],
                           ms["conv1"]["bn"])
@@ -213,12 +219,11 @@ def _stem_dark2_s2d(params, stats, x, base_depth):
                            ms["conv2"]["bn"])
         t = _conv(x1, s2d_kernel_1x1(Wa), _tile4(ba))
         t = _conv(t, s2d_kernel_s1(Wb), _tile4(bbk))
-        x1 = x1 + t  # dark2 C3 always shortcut (not spp)
+        x1 = x1 + t  # non-SPP C3 always shortcut
     W3, b3 = _fold_bn(c3p["conv3"]["conv"], c3p["conv3"]["bn"],
                       c3s["conv3"]["bn"])
     K3 = _interleave_rows(s2d_kernel_1x1(W3), hidden, hidden)
-    y = _conv(jnp.concatenate([x1, x2], axis=-1), K3, _tile4(b3))
-    return un_s2d(y)                                      # [B,160,160,2*bc]
+    return _conv(jnp.concatenate([x1, x2], axis=-1), K3, _tile4(b3))
 
 
 def apply_fast(model: Yolox, variables: Dict[str, Any], x,
@@ -241,6 +246,10 @@ def apply_fast(model: Yolox, variables: Dict[str, Any], x,
     n_neck = round(3 * model.depth)
 
     x = _stem_dark2_s2d(bbp, bbs, x, base_depth)
+    # dark3 stays NHWC: running its C3 in s2d measured 4.2x on the isolated
+    # 3x3/s1 convs but a same-process full-model A/B was a wash (within the
+    # ±6% relay noise) — the s2d/un_s2d transitions eat the conv gain at
+    # this stage's size (PERF_NOTES "YOLOX s2d engine").
     f1 = _csp_block(bbp["dark3"], bbs["dark3"], x, base_depth * 3, False)
     f2 = _csp_block(bbp["dark4"], bbs["dark4"], f1, base_depth * 3, False)
     f3 = _csp_block(bbp["dark5"], bbs["dark5"], f2, base_depth, True)
