@@ -34,8 +34,13 @@ def _composite(frames: Tuple[jnp.ndarray, ...], alphas: jnp.ndarray,
                *, placements: Tuple[Tuple[int, int, int, int], ...],
                out_h: int, out_w: int, channels: int) -> jnp.ndarray:
     """frames: per-pad [h, w, c]; placements: (x, y, w, h) per pad (already
-    clipped); alphas: [n] f32.  One fused program: resize -> blend -> paste."""
-    canvas = jnp.zeros((out_h, out_w, channels), jnp.float32)
+    clipped); alphas: [n] f32.  One fused program: resize -> blend -> paste.
+
+    The blend runs on a 2D [H, W*c] canvas: a [H,W,3] f32 tensor lane-pads
+    3 -> 128 in the (8,128) TPU tile (~42x the traffic), while the flattened
+    form is dense.  Bit-identical math — the blend is per-channel
+    independent and the flatten is a pure reshape."""
+    canvas = jnp.zeros((out_h, out_w * channels), jnp.float32)
     for i, (frame, (x, y, w, h)) in enumerate(zip(frames, placements)):
         img = frame.astype(jnp.float32)
         if img.shape[-1] != channels:
@@ -46,10 +51,12 @@ def _composite(frames: Tuple[jnp.ndarray, ...], alphas: jnp.ndarray,
                 img = rgb
         if (img.shape[0], img.shape[1]) != (h, w):
             img = jax.image.resize(img, (h, w, channels), method="nearest")
-        region = jax.lax.dynamic_slice(canvas, (y, x, 0), (h, w, channels))
+        img = img.reshape(h, w * channels)
+        region = jax.lax.dynamic_slice(canvas, (y, x * channels), (h, w * channels))
         blended = region * (1.0 - alphas[i]) + img * alphas[i]
-        canvas = jax.lax.dynamic_update_slice(canvas, blended, (y, x, 0))
-    return jnp.clip(canvas, 0.0, 255.0).astype(jnp.uint8)
+        canvas = jax.lax.dynamic_update_slice(canvas, blended, (y, x * channels))
+    out = jnp.clip(canvas, 0.0, 255.0).astype(jnp.uint8)
+    return out.reshape(out_h, out_w, channels)
 
 
 class CompositorPad(AggregatorPad):
