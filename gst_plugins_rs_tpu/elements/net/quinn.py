@@ -70,6 +70,9 @@ class _UdpQuicEndpoint:
         self._thread = threading.Thread(target=self._recv_loop, daemon=True)
         if peer is not None:
             self.conn = conn_factory(lambda d: self._send(d, peer))
+            # address-aware path: enables RFC 9000 §9 connection migration
+            self.conn.sendto_cb = self._send
+            self.conn.peer_addr = peer
         self._thread.start()
 
     def _send(self, datagram: bytes, addr: Tuple[str, int]) -> None:
@@ -92,7 +95,8 @@ class _UdpQuicEndpoint:
             if self.conn is None:  # server: first datagram creates the connection
                 self.peer = addr
                 self.conn = self._conn_factory(lambda d: self._send(d, addr))
-            self.conn.handle_datagram(data)
+                self.conn.sendto_cb = self._send
+            self.conn.handle_datagram(data, addr)
 
     @property
     def bound_port(self) -> int:

@@ -29,7 +29,16 @@ engine in net/tls13.py.  Scope covers what the quinn elements need:
   first flights with a VN packet; clients abort on a valid VN and
   ignore spoofs (listed-own-version or wrong dcid)
 
-Explicitly out of scope: Retry, 0-RTT, and connection migration.
+- connection migration (RFC 9000 §9) on address-aware transports
+  (sendto_cb + handle_datagram(..., addr)): an authenticated 1-RTT
+  packet from a new source address triggers PATH_CHALLENGE validation
+  of that path; the matching PATH_RESPONSE migrates sending and resets
+  the RTT estimator (§9.4); challenges are address-pinned with their
+  own retransmit timer; probes padded to 1200 (§8.2.1); responses go
+  out on the arrival path (§8.2.2).  probe_path() gives the client
+  side explicit migration.
+
+Explicitly out of scope: Retry and 0-RTT.
 """
 from __future__ import annotations
 
@@ -263,7 +272,8 @@ class QuicConnection:
                  enable_datagrams: bool = True,
                  verify_peer=None,
                  max_data: int = 1 << 30,
-                 max_stream_data: int = 1 << 28):
+                 max_stream_data: int = 1 << 28,
+                 sendto_cb: Optional[Callable[[bytes, object], None]] = None):
         self.is_client = is_client
         self.send_cb = send_cb
         self.scid = os.urandom(8)
@@ -337,6 +347,15 @@ class QuicConnection:
         self._key_phase = 0  # our send phase
         self._rx_phase = 0  # expected receive phase
         self._prev_rx_keys: Optional[Keys] = None
+
+        # connection migration (RFC 9000 §9): active only when the transport
+        # supplies addresses (sendto_cb + handle_datagram(..., addr=...));
+        # the plain send_cb transports never see any of this
+        self.sendto_cb = sendto_cb
+        self.peer_addr = None  # current validated send path
+        self._rx_addr = None  # source address of the packet being processed
+        self._path_challenges: Dict[bytes, object] = {}  # data -> probed addr
+        self._probed_addrs: Set[object] = set()
 
     # -- keys ------------------------------------------------------------------
     def _on_secrets(self, level: str, client_secret: bytes, server_secret: bytes) -> None:
@@ -441,17 +460,22 @@ class QuicConnection:
                         resend.append(frames)
                 for frames in resend:
                     self._queue_frames(level, frames)
+            self._tick_path_probes()
             self._flush_queued()
 
     # -- datagram receive ------------------------------------------------------------
-    def handle_datagram(self, datagram: bytes) -> None:
+    def handle_datagram(self, datagram: bytes, addr: object = None) -> None:
         with self._lock:
+            self._rx_addr = addr
+            if addr is not None and self.peer_addr is None:
+                self.peer_addr = addr  # handshake path is implicitly validated
             off = 0
             while off < len(datagram):
                 consumed = self._handle_packet(datagram[off:])
                 if consumed <= 0:
                     break
                 off += consumed
+            self._rx_addr = None
             self._pump()
 
     def _handle_packet(self, data: bytes) -> int:
@@ -571,6 +595,12 @@ class QuicConnection:
             return  # duplicate
         self._any_rx = True  # an authenticated peer packet: VN no longer valid
         space.recv_pns.add(pn)
+        if (level == LEVEL_APP and self._rx_addr is not None
+                and self.peer_addr is not None
+                and self._rx_addr != self.peer_addr):
+            # authenticated 1-RTT packet from a new source address: the peer
+            # migrated — validate the new path (RFC 9000 §9.3)
+            self._probe_path_locked(self._rx_addr)
         eliciting = self._process_frames(level, payload)
         if eliciting:
             space.need_ack = True
@@ -694,8 +724,23 @@ class QuicConnection:
                 data = payload[off:off + 8]
                 off += 8
                 if ftype == FRAME_PATH_CHALLENGE:
-                    self._queue_frames(LEVEL_APP,
-                                       bytes([FRAME_PATH_RESPONSE]) + data)
+                    # respond on the path the challenge arrived on (§8.2.2)
+                    resp = bytes([FRAME_PATH_RESPONSE]) + data
+                    if self.sendto_cb is not None and self._rx_addr is not None:
+                        self._send_path_frames(self._rx_addr, resp)
+                    else:
+                        self._queue_frames(LEVEL_APP, resp)
+                else:
+                    entry = self._path_challenges.pop(data, None)
+                    if entry is not None:
+                        addr = entry[0]
+                        # new path validated: migrate sending (§9.3), reset
+                        # the RTT estimator for the new path (§9.4)
+                        self.peer_addr = addr
+                        self._probed_addrs.discard(addr)
+                        self._srtt = None
+                        self._rttvar = 0.0
+                        self._pto = 0.35
             else:
                 break  # unknown frame: stop parsing this packet
         return eliciting
@@ -978,7 +1023,56 @@ class QuicConnection:
         if self.is_client and len(datagram) < 1200 and datagram[0] & 0x80 \
                 and ((datagram[0] >> 4) & 3) == PT_INITIAL:
             datagram += b"\x00" * (1200 - len(datagram))
-        self.send_cb(datagram)
+        if self.sendto_cb is not None and self.peer_addr is not None:
+            self.sendto_cb(datagram, self.peer_addr)
+        else:
+            self.send_cb(datagram)
+
+    # -- connection migration (RFC 9000 §9) ------------------------------------------
+    def probe_path(self, addr: object) -> None:
+        """Validate `addr` as a new peer path (PATH_CHALLENGE); sending
+        migrates there when the matching PATH_RESPONSE arrives.  Requires an
+        address-aware transport (sendto_cb)."""
+        with self._lock:
+            self._probe_path_locked(addr)
+
+    def _probe_path_locked(self, addr: object) -> None:
+        if self.sendto_cb is None or addr in self._probed_addrs:
+            return
+        data = os.urandom(8)
+        self._probed_addrs.add(addr)
+        self._path_challenges[data] = [addr, time.monotonic(), 0]
+        self._send_path_frames(addr, bytes([FRAME_PATH_CHALLENGE]) + data)
+
+    def _tick_path_probes(self) -> None:
+        """Resend lost PATH_CHALLENGEs on their own timer (they must go to
+        the probed address, so the normal PTO retransmit path can't carry
+        them); give up after 5 tries so a dead path can be re-probed later."""
+        now = time.monotonic()
+        for data in list(self._path_challenges):
+            entry = self._path_challenges[data]
+            addr, sent, attempts = entry
+            if now - sent < max(2 * self._pto, 0.2):
+                continue
+            if attempts >= 5:
+                del self._path_challenges[data]
+                self._probed_addrs.discard(addr)
+                continue
+            entry[1], entry[2] = now, attempts + 1
+            self._send_path_frames(addr, bytes([FRAME_PATH_CHALLENGE]) + data)
+
+    def _send_path_frames(self, addr: object, frames: bytes) -> None:
+        """One immediate 1-RTT packet to a specific address, padded to 1200
+        so the probe also validates the path's MTU (§8.2.1)."""
+        space = self.spaces[LEVEL_APP]
+        if space.tx_keys is None:
+            return
+        frames = frames + b"\x00" * max(0, 1200 - len(frames) - 64)
+        pkt = self._build_packet(LEVEL_APP, frames)
+        # keep it off the PTO ledger: a retransmit there would ride the
+        # CURRENT path, but these frames are address-pinned
+        space.unacked.pop(space.send_pn - 1, None)
+        self.sendto_cb(pkt, addr)
 
     def _build_packet(self, level: str, frames: bytes) -> bytes:
         space = self.spaces[level]

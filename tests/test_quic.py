@@ -527,3 +527,127 @@ class TestVersionNegotiation:
         assert client.handshake_done.is_set()
         client.handle_datagram(_vn_packet(client.scid, b"\x33" * 8, [0x2]))
         assert not client.closed.is_set()
+
+
+class TestMigration:
+    """Connection migration (RFC 9000 §9) over an address-aware wire.
+
+    Reference analog: quinn handles migration below the quinn elements
+    (net/quinn/src/quinnquicsink/imp.rs assumes the transport survives a
+    client NAT rebind)."""
+
+    @staticmethod
+    def _addr_pair(unroutable=()):
+        to_server, to_client = [], []   # (datagram, src_addr)
+        client_addr = ["c1"]            # mutable: simulates a NAT rebind
+        server_sent_to = []
+
+        client = QuicConnection(True, lambda d: to_server.append((d, client_addr[0])))
+
+        def server_sendto(d, addr):
+            server_sent_to.append(addr)
+            if addr in unroutable:      # off-path address: black hole
+                return
+            to_client.append((d, "s"))  # NAT still routes to the client
+
+        server = QuicConnection(False, lambda d: to_client.append((d, "s")),
+                                sendto_cb=server_sendto)
+
+        def pump(rounds=40):
+            for _ in range(rounds):
+                moved = False
+                while to_server:
+                    d, a = to_server.pop(0)
+                    server.handle_datagram(d, a)
+                    moved = True
+                while to_client:
+                    d, a = to_client.pop(0)
+                    client.handle_datagram(d, a)
+                    moved = True
+                if not moved:
+                    break
+
+        return client, server, pump, client_addr, server_sent_to
+
+    def test_server_follows_client_rebind(self):
+        client, server, pump, client_addr, sent_to = self._addr_pair()
+        got = []
+        server.on_stream_data = lambda sid, data, fin: got.append(data)
+        client.connect()
+        pump()
+        assert server.peer_addr == "c1"
+
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"before")
+        pump()
+
+        # NAT rebind: same client, new apparent source address
+        client_addr[0] = "c2"
+        client.send_stream(sid, b"after")
+        pump()
+
+        # the server validated the new path (challenge went to c2) and
+        # migrated: everything it now sends goes to c2
+        assert "c2" in sent_to
+        assert server.peer_addr == "c2"
+        assert b"".join(got) == b"beforeafter"
+        idx = sent_to.index("c2")
+        assert all(a == "c2" for a in sent_to[idx + 1:] if a != "c1"), sent_to
+        # new path's RTT estimator restarted (§9.4)
+        assert server._srtt is None
+
+        # data keeps flowing after migration
+        client.send_stream(sid, b"more", fin=True)
+        pump()
+        assert b"".join(got) == b"beforeaftermore"
+
+    def test_unvalidated_response_does_not_migrate(self):
+        """An off-path spoof (authenticated packet with a forged source
+        address, volunteering a PATH_RESPONSE the server never challenged
+        for) must not move the path: the server probes the new address,
+        the probe black-holes, and sending stays on the validated path."""
+        client, server, pump, client_addr, sent_to = self._addr_pair(
+            unroutable={"evil"})
+        client.connect()
+        pump()
+        assert server.peer_addr == "c1"
+        server.handle_datagram(
+            client._build_packet("app", bytes([0x1B]) + b"\x00" * 8), "evil")
+        pump()
+        assert server.peer_addr == "c1"
+        # the probe went out to the claimed address and nowhere else new
+        assert "evil" in sent_to
+
+    def test_client_probe_path_migrates_explicitly(self):
+        to_server, to_client = [], []
+        client_sent_to = []
+
+        def client_sendto(d, addr):
+            client_sent_to.append(addr)
+            to_server.append((d, "c"))
+
+        client = QuicConnection(True, lambda d: to_server.append((d, "c")),
+                                sendto_cb=client_sendto)
+        server = QuicConnection(False, lambda d: to_client.append((d, "s")))
+
+        def pump(rounds=40):
+            for _ in range(rounds):
+                moved = False
+                while to_server:
+                    d, a = to_server.pop(0)
+                    server.handle_datagram(d, a)
+                    moved = True
+                while to_client:
+                    d, a = to_client.pop(0)
+                    client.handle_datagram(d, a)
+                    moved = True
+                if not moved:
+                    break
+
+        client.connect()
+        pump()
+        assert client.peer_addr == "s"
+        client.probe_path("s2")  # e.g. the server's preferred address
+        pump()
+        assert client.peer_addr == "s2"
+        assert "s2" in client_sent_to
