@@ -29,6 +29,17 @@ engine in net/tls13.py.  Scope covers what the quinn elements need:
   first flights with a VN packet; clients abort on a valid VN and
   ignore spoofs (listed-own-version or wrong dcid)
 
+- session resumption + 0-RTT (RFC 9001 §4.5/§4.6): servers issue
+  NewSessionTickets (surfaced as `session_ticket`); a client built with
+  `session=` resumes over the PSK and may send stream/datagram data in
+  0-RTT packets with the first flight (remembered transport params cap
+  it; rejected 0-RTT falls back to PTO-driven 1-RTT retransmission).
+  The TLS binder/PSK schedule is validated against openssl s_server
+  (tests/test_tls13_openssl_interop.py)
+- stateless-style Retry address validation (RFC 9000 §8.1.2): servers
+  built with `retry=True` demand a token round-trip before doing any
+  handshake work; the RFC 9001 §5.8 integrity tag is produced and
+  verified (spoofed Retry packets are ignored)
 - connection migration (RFC 9000 §9) on address-aware transports
   (sendto_cb + handle_datagram(..., addr)): an authenticated 1-RTT
   packet from a new source address triggers PATH_CHALLENGE validation
@@ -38,7 +49,6 @@ engine in net/tls13.py.  Scope covers what the quinn elements need:
   out on the arrival path (§8.2.2).  probe_path() gives the client
   side explicit migration.
 
-Explicitly out of scope: Retry and 0-RTT.
 """
 from __future__ import annotations
 
@@ -64,6 +74,14 @@ from .tls13 import (
 
 QUIC_VERSION = 0x00000001
 INITIAL_SALT_V1 = bytes.fromhex("38762cf7f55934b34d179ae6a4c80cadccbb7f0a")
+# Retry integrity tag key/nonce for v1 (RFC 9001 §5.8)
+RETRY_INTEGRITY_KEY = bytes.fromhex("be0c690b9f66575a1d766b54e368c84e")
+RETRY_INTEGRITY_NONCE = bytes.fromhex("461599d35d632bf2239825bb")
+
+
+def hmac_compare(a: bytes, b: bytes) -> bool:
+    import hmac as _hmac
+    return _hmac.compare_digest(a, b)
 
 # long header packet types (RFC 9000 §17.2)
 PT_INITIAL = 0
@@ -273,7 +291,10 @@ class QuicConnection:
                  verify_peer=None,
                  max_data: int = 1 << 30,
                  max_stream_data: int = 1 << 28,
-                 sendto_cb: Optional[Callable[[bytes, object], None]] = None):
+                 sendto_cb: Optional[Callable[[bytes, object], None]] = None,
+                 session: Optional[dict] = None,
+                 ticket_key: Optional[bytes] = None,
+                 retry: bool = False):
         self.is_client = is_client
         self.send_cb = send_cb
         self.scid = os.urandom(8)
@@ -293,10 +314,26 @@ class QuicConnection:
             params[TP_MAX_DATAGRAM_FRAME_SIZE] = 65527
         tp = encode_transport_params(params)
         tls_cls = QuicTlsClient if is_client else QuicTlsServer
-        kwargs = {"server_name": server_name} if is_client else {}
+        if is_client:
+            kwargs = {"server_name": server_name, "session": session}
+        else:
+            kwargs = {"ticket_key": ticket_key} if ticket_key else {}
         self.tls = tls_cls(alpn, tp, certificate=certificate,
                            verify_peer=verify_peer, **kwargs)
         self.tls.on_secrets = self._on_secrets
+        self.tls.on_early_secret = self._on_early_secret
+        self.tls.on_new_session = self._on_new_session
+
+        # 0-RTT (RFC 9001 §4.6) + Retry (RFC 9000 §8.1.2)
+        self._early_tx = False          # client: sending 0-RTT long packets
+        self._early_rx_keys: Optional[Keys] = None  # server: 0-RTT rx keys
+        self._token = b""               # client: retry token for Initials
+        self._retry = retry             # server: demand address validation
+        self._retry_done = False        # client: at most one Retry honored
+        self._retry_secret = os.urandom(16)
+        self.session_ticket: Optional[dict] = None  # from NewSessionTicket
+        self.session_ticket_event = threading.Event()
+        self._resume_session = session if is_client else None
 
         self.spaces = {LEVEL_INITIAL: _Space(), LEVEL_HANDSHAKE: _Space(),
                        LEVEL_APP: _Space()}
@@ -357,6 +394,16 @@ class QuicConnection:
         self._path_challenges: Dict[bytes, object] = {}  # data -> probed addr
         self._probed_addrs: Set[object] = set()
 
+        if (self._resume_session and self._resume_session.get("max_early_data")
+                and self._resume_session.get("transport_params")):
+            # 0-RTT sends are clamped to the REMEMBERED server transport
+            # parameters (RFC 9001 §4.6.1)
+            self.peer_params = decode_transport_params(
+                self._resume_session["transport_params"])
+            self.peer_max_datagram = self.peer_params.get(
+                TP_MAX_DATAGRAM_FRAME_SIZE, 0)
+            self._fc_peer_max_data = self.peer_params.get(TP_INITIAL_MAX_DATA, 0)
+
     # -- keys ------------------------------------------------------------------
     def _on_secrets(self, level: str, client_secret: bytes, server_secret: bytes) -> None:
         space = self.spaces[level]
@@ -366,6 +413,22 @@ class QuicConnection:
         else:
             space.tx_keys = Keys(server_secret)
             space.rx_keys = Keys(client_secret)
+        if level == LEVEL_APP and self.is_client:
+            self._early_tx = False  # 1-RTT keys supersede 0-RTT
+
+    def _on_early_secret(self, secret: bytes) -> None:
+        """client_early_traffic_secret (RFC 9001 §4.6): the client writes
+        0-RTT packets with it; the server reads them.  0-RTT shares the
+        1-RTT packet-number space."""
+        if self.is_client:
+            self.spaces[LEVEL_APP].tx_keys = Keys(secret)
+            self._early_tx = True
+        else:
+            self._early_rx_keys = Keys(secret)
+
+    def _on_new_session(self, session: dict) -> None:
+        self.session_ticket = session
+        self.session_ticket_event.set()
 
     # -- public API ----------------------------------------------------------------
     def connect(self) -> None:
@@ -403,13 +466,13 @@ class QuicConnection:
             off = self._stream_offsets.setdefault(stream_id, 0)
             self._pending_stream.append((stream_id, off, data, fin))
             self._stream_offsets[stream_id] = off + len(data)
-            if self.handshake_done.is_set():
+            if self.handshake_done.is_set() or self._early_tx:
                 self._pump()
 
     def send_datagram(self, data: bytes) -> None:
         with self._lock:
             self._pending_datagrams.append(data)
-            if self.handshake_done.is_set():
+            if self.handshake_done.is_set() or self._early_tx:
                 self._pump()
 
     def close(self, reason: str = "bye") -> None:
@@ -501,15 +564,34 @@ class QuicConnection:
                     self._send_version_negotiation(dcid, scid)
                 return len(data)
             if ptype == PT_RETRY:
+                if self.is_client:
+                    self._handle_retry(scid, data, pos)
                 return len(data)
+            keys_override = None
             if ptype == PT_INITIAL:
                 token_len, pos = decode_varint(data, pos)
+                token = data[pos:pos + token_len]
                 pos += token_len
                 level = LEVEL_INITIAL
+                if not self.is_client and self._retry \
+                        and self.spaces[LEVEL_INITIAL].rx_keys is None:
+                    # address validation via Retry (RFC 9000 §8.1.2): no
+                    # token -> send Retry and process nothing; bad token ->
+                    # drop; valid token -> proceed (keys from the new dcid)
+                    if not token:
+                        self._send_retry(dcid, scid)
+                        return len(data)
+                    if not self._validate_retry_token(token):
+                        return len(data)
             elif ptype == PT_HANDSHAKE:
                 level = LEVEL_HANDSHAKE
+            elif ptype == PT_0RTT and not self.is_client \
+                    and self._early_rx_keys is not None:
+                # 0-RTT shares the 1-RTT packet-number space (RFC 9001 §4.6)
+                level = LEVEL_APP
+                keys_override = self._early_rx_keys
             else:
-                return len(data)  # 0-RTT unsupported
+                return len(data)
             length, pos = decode_varint(data, pos)
             packet_end = pos + length
             if self.peer_cid is None:
@@ -518,11 +600,62 @@ class QuicConnection:
                 ck, sk = initial_keys(dcid)
                 self.spaces[LEVEL_INITIAL].rx_keys = ck
                 self.spaces[LEVEL_INITIAL].tx_keys = sk
-            self._decrypt_and_process(level, data[:packet_end], pos)
+            self._decrypt_and_process(level, data[:packet_end], pos,
+                                      keys_override=keys_override)
             return packet_end
         else:  # short header (1-RTT)
             self._decrypt_and_process(LEVEL_APP, data, 1 + len(self.scid))
             return len(data)
+
+    # -- Retry (RFC 9000 §8.1.2 / RFC 9001 §5.8) -------------------------------------
+    def _retry_token(self, odcid: bytes) -> bytes:
+        import hmac as _hmac
+        import hashlib as _hashlib
+        mac = _hmac.new(self._retry_secret, odcid, _hashlib.sha256).digest()[:16]
+        return bytes([len(odcid)]) + odcid + mac
+
+    def _validate_retry_token(self, token: bytes) -> bool:
+        import hmac as _hmac
+        import hashlib as _hashlib
+        if not token or len(token) < 1 + token[0] + 16:
+            return False
+        odcid = token[1:1 + token[0]]
+        mac = _hmac.new(self._retry_secret, odcid, _hashlib.sha256).digest()[:16]
+        return _hmac.compare_digest(token[1 + token[0]:1 + token[0] + 16], mac)
+
+    def _send_retry(self, odcid: bytes, peer_scid: bytes) -> None:
+        """Retry packet: our scid becomes the client's next dcid; the
+        integrity tag (RFC 9001 §5.8) covers odcid + the whole packet."""
+        pkt = bytearray([0xC0 | (PT_RETRY << 4)])
+        pkt += struct.pack("!I", QUIC_VERSION)
+        pkt += bytes([len(peer_scid)]) + peer_scid
+        pkt += bytes([len(self.scid)]) + self.scid
+        pkt += self._retry_token(odcid)
+        pseudo = bytes([len(odcid)]) + odcid + bytes(pkt)
+        tag = AESGCM(RETRY_INTEGRITY_KEY).encrypt(RETRY_INTEGRITY_NONCE, b"", pseudo)
+        self.send_cb(bytes(pkt) + tag)
+
+    def _handle_retry(self, retry_scid: bytes, data: bytes, pos: int) -> None:
+        """Client: verify the integrity tag against our ORIGINAL dcid,
+        adopt the server's cid + token, recompute Initial keys from the new
+        dcid (RFC 9001 §5.2) and resend the first flight."""
+        if self._retry_done or self._any_rx or len(data) < pos + 16:
+            return
+        token, tag = data[pos:-16], data[-16:]
+        pseudo = bytes([len(self.dcid)]) + self.dcid + data[:-16]
+        expect = AESGCM(RETRY_INTEGRITY_KEY).encrypt(RETRY_INTEGRITY_NONCE, b"", pseudo)
+        if not hmac_compare(tag, expect) or not token:
+            return
+        self._retry_done = True
+        self._token = token
+        self.peer_cid = retry_scid
+        ck, sk = initial_keys(retry_scid)
+        space = self.spaces[LEVEL_INITIAL]
+        space.tx_keys, space.rx_keys = ck, sk
+        # the server discarded our pre-Retry Initial: resend its frames
+        resend = [space.unacked.pop(pn)[0] for pn in sorted(space.unacked)]
+        for frames in resend:
+            self._queue_frames(LEVEL_INITIAL, frames)
 
     def _send_version_negotiation(self, peer_dcid: bytes, peer_scid: bytes) -> None:
         """RFC 9000 §17.2.1: long header, version 0, CIDs echoed swapped,
@@ -550,11 +683,12 @@ class QuicConnection:
                              + f"({[hex(v) for v in versions]})")
         self.closed.set()
 
-    def _decrypt_and_process(self, level: str, packet: bytes, pn_offset: int) -> None:
+    def _decrypt_and_process(self, level: str, packet: bytes, pn_offset: int,
+                             keys_override: Optional[Keys] = None) -> None:
         space = self.spaces[level]
-        if space.rx_keys is None:
+        keys = keys_override if keys_override is not None else space.rx_keys
+        if keys is None:
             return
-        keys = space.rx_keys
         sample = packet[pn_offset + 4:pn_offset + 20]
         if len(sample) < 16:
             return
@@ -910,7 +1044,8 @@ class QuicConnection:
         # 2. application data, clamped to the peer's flow-control limits
         # (RFC 9000 §4.1): anything over goes to the blocked queue and is
         # released by MAX_DATA / MAX_STREAM_DATA
-        if self.handshake_done.is_set() and self.spaces[LEVEL_APP].tx_keys is not None:
+        if (self.handshake_done.is_set() or self._early_tx) \
+                and self.spaces[LEVEL_APP].tx_keys is not None:
             pending, self._pending_stream = self._pending_stream, []
             for sid, soff, data, fin in pending:
                 conn_limit = self._fc_peer_max_data
@@ -1081,16 +1216,19 @@ class QuicConnection:
         space.send_pn += 1
         pn_bytes = _encode_pn(pn)
         dcid = self.peer_cid if self.peer_cid is not None else self.dcid
-        if level == LEVEL_APP:
+        if level == LEVEL_APP and not self._early_tx:
             header = bytearray([0x40 | (self._key_phase << 2) | 0x03]) + dcid
         else:
-            ptype = PT_INITIAL if level == LEVEL_INITIAL else PT_HANDSHAKE
+            if level == LEVEL_APP:
+                ptype = PT_0RTT  # 0-RTT rides long headers (RFC 9000 §17.2.3)
+            else:
+                ptype = PT_INITIAL if level == LEVEL_INITIAL else PT_HANDSHAKE
             header = bytearray([0xC0 | (ptype << 4) | 0x03])
             header += struct.pack("!I", QUIC_VERSION)
             header += bytes([len(dcid)]) + dcid
             header += bytes([len(self.scid)]) + self.scid
             if level == LEVEL_INITIAL:
-                header += encode_varint(0)  # token length
+                header += encode_varint(len(self._token)) + self._token
             header += encode_varint(len(pn_bytes) + len(frames) + 16)
         pn_offset = len(header)
         header += pn_bytes

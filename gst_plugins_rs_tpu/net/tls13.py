@@ -12,6 +12,11 @@ Scope is exactly what QUIC needs:
   quic_transport_parameters extension (0x39) carried opaquely
 - HKDF key schedule with hkdf_expand_label, Finished HMAC, ECDSA
   CertificateVerify with the RFC 8446 §4.4.3 context string
+- session resumption (§4.6.1): NewSessionTickets sealing the PSK under
+  a server ticket key, psk_dhe_ke offers with binders (§4.2.11), the
+  early-secret schedule and client_early_traffic_secret for QUIC 0-RTT
+  (RFC 9001 §4.6) — binder/PSK math validated against openssl s_server
+  in tests/test_tls13_openssl_interop.py
 
 No record layer: QUIC carries raw handshake messages in CRYPTO frames.
 """
@@ -35,6 +40,7 @@ from .dtls import generate_certificate  # same self-signed ECDSA P-256 certs
 HASH_LEN = 32
 
 HT_CLIENT_HELLO = 1
+HT_NEW_SESSION_TICKET = 4
 HT_SERVER_HELLO = 2
 HT_ENCRYPTED_EXTENSIONS = 8
 HT_CERTIFICATE = 11
@@ -45,7 +51,10 @@ EXT_SERVER_NAME = 0x0000
 EXT_SUPPORTED_GROUPS = 0x000A
 EXT_SIGNATURE_ALGORITHMS = 0x000D
 EXT_ALPN = 0x0010
+EXT_PRE_SHARED_KEY = 0x0029
+EXT_EARLY_DATA = 0x002A
 EXT_SUPPORTED_VERSIONS = 0x002B
+EXT_PSK_KEY_EXCHANGE_MODES = 0x002D
 EXT_KEY_SHARE = 0x0033
 EXT_QUIC_TRANSPORT_PARAMETERS = 0x0039
 
@@ -150,6 +159,17 @@ class QuicTls:
         self._server_hs_secret: Optional[bytes] = None
         self.client_random = os.urandom(32)
 
+        # session resumption / 0-RTT (RFC 8446 §2.2/§2.3, RFC 9001 §4.5/§4.6)
+        self._early_secret: Optional[bytes] = None  # HKDF-Extract(0, PSK)
+        self._res_master: Optional[bytes] = None
+        self.psk_accepted = False       # this handshake resumed via PSK
+        self.early_data_accepted = False
+        # called with client_early_traffic_secret when 0-RTT keys exist
+        self.on_early_secret: Optional[Callable[[bytes], None]] = None
+        # client: filled by NewSessionTicket — pass back as `session=` later
+        self.new_session: Optional[Dict[str, object]] = None
+        self.on_new_session: Optional[Callable[[Dict[str, object]], None]] = None
+
     # -- helpers ---------------------------------------------------------------
     def _emit(self, level: str, msg: bytes, transcript: bool = True) -> None:
         if transcript:
@@ -166,7 +186,7 @@ class QuicTls:
 
     # -- key schedule ------------------------------------------------------------
     def _derive_handshake(self, shared: bytes) -> None:
-        early = hkdf_extract(b"", b"\x00" * HASH_LEN)
+        early = self._early_secret or hkdf_extract(b"", b"\x00" * HASH_LEN)
         self._hs_secret = hkdf_extract(
             derive_secret(early, "derived", b""), shared)
         t = bytes(self._transcript)
@@ -186,6 +206,29 @@ class QuicTls:
         finished_key = hkdf_expand_label(base_secret, "finished", b"", HASH_LEN)
         return hmac.new(finished_key, hashlib.sha256(transcript).digest(),
                         hashlib.sha256).digest()
+
+    def _derive_resumption(self) -> None:
+        """resumption_master_secret over the transcript through the client
+        Finished (RFC 8446 §7.1)."""
+        self._res_master = derive_secret(self._master, "res master",
+                                         bytes(self._transcript))
+
+    @staticmethod
+    def _psk_binder(early_secret: bytes, truncated_transcript: bytes) -> bytes:
+        """PSK binder (RFC 8446 §4.2.11.2): Finished-style HMAC over the
+        ClientHello truncated before the binders list."""
+        binder_key = derive_secret(early_secret, "res binder", b"")
+        fk = hkdf_expand_label(binder_key, "finished", b"", HASH_LEN)
+        return hmac.new(fk, hashlib.sha256(truncated_transcript).digest(),
+                        hashlib.sha256).digest()
+
+    def _derive_early(self, client_hello_transcript: bytes) -> None:
+        """client_early_traffic_secret over the full ClientHello (§7.1);
+        surfaced via on_early_secret for QUIC 0-RTT packet protection."""
+        ets = derive_secret(self._early_secret, "c e traffic",
+                            client_hello_transcript)
+        if self.on_early_secret:
+            self.on_early_secret(ets)
 
     # -- message input -------------------------------------------------------------
     def handle(self, level: str, data: bytes) -> None:
@@ -247,9 +290,12 @@ class QuicTls:
 
 
 class QuicTlsClient(QuicTls):
-    def __init__(self, *args, server_name: Optional[str] = None, **kwargs):
+    def __init__(self, *args, server_name: Optional[str] = None,
+                 session: Optional[Dict[str, object]] = None, **kwargs):
         super().__init__(True, *args, **kwargs)
         self.server_name = server_name
+        self.session = session  # from a previous connection's new_session
+        self._offered_psk = False
         self._sent_hello = False
 
     def start(self) -> None:
@@ -271,10 +317,34 @@ class QuicTlsClient(QuicTls):
         ks = struct.pack("!HH", GROUP_X25519, len(key_share)) + key_share
         exts += _ext(EXT_KEY_SHARE, struct.pack("!H", len(ks)) + ks)
         exts += _ext(EXT_QUIC_TRANSPORT_PARAMETERS, self.transport_params)
+        if self.session:
+            # offer resumption: psk_dhe_ke mode, early_data if the ticket
+            # allows it, pre_shared_key MUST be last (RFC 8446 §4.2.11)
+            self._offered_psk = True
+            exts += _ext(EXT_PSK_KEY_EXCHANGE_MODES, b"\x01\x01")
+            if self.session.get("max_early_data"):
+                exts += _ext(EXT_EARLY_DATA, b"")
+            ticket = self.session["ticket"]
+            ident = (struct.pack("!H", len(ticket)) + ticket
+                     + struct.pack("!I", int(self.session.get("age_add", 0))))
+            psk_body = (struct.pack("!H", len(ident)) + ident
+                        + struct.pack("!H", 1 + HASH_LEN))
+            exts += _ext(EXT_PRE_SHARED_KEY,
+                         psk_body + bytes([HASH_LEN]) + b"\x00" * HASH_LEN)
         body = struct.pack("!H", 0x0303) + self.client_random + b"\x00"
         body += struct.pack("!HH", 2, CIPHER_AES_128_GCM_SHA256) + b"\x01\x00"
         body += struct.pack("!H", len(exts)) + exts
-        self._emit(LEVEL_INITIAL, _hs(HT_CLIENT_HELLO, body))
+        ch = _hs(HT_CLIENT_HELLO, body)
+        if self.session:
+            # compute the real binder over the truncated ClientHello and
+            # splice it into the placeholder (§4.2.11.2)
+            self._early_secret = hkdf_extract(b"", self.session["psk"])
+            binders_len = 2 + 1 + HASH_LEN
+            binder = self._psk_binder(self._early_secret, ch[:-binders_len])
+            ch = ch[:-HASH_LEN] + binder
+        self._emit(LEVEL_INITIAL, ch)
+        if self.session and self.session.get("max_early_data"):
+            self._derive_early(bytes(self._transcript))
 
     def _handle_msg(self, level: str, msg: bytes) -> None:
         t = msg[0]
@@ -292,6 +362,15 @@ class QuicTlsClient(QuicTls):
             ks = exts.get(EXT_KEY_SHARE)
             if ks is None or struct.unpack("!H", ks[:2])[0] != GROUP_X25519:
                 raise TlsError("server key_share missing or wrong group")
+            if EXT_PRE_SHARED_KEY in exts:
+                if not self._offered_psk:
+                    raise TlsError("server selected a PSK we never offered")
+                self.psk_accepted = True
+            elif self._offered_psk:
+                # full handshake fallback: forget the PSK early secret so
+                # the key schedule starts from zeros (§4.2.11); any 0-RTT
+                # data is implicitly rejected
+                self._early_secret = None
             peer_pub = X25519PublicKey.from_public_bytes(ks[4:4 + 32])
             shared = self._x25519.exchange(peer_pub)
             self._derive_handshake(shared)
@@ -302,8 +381,12 @@ class QuicTlsClient(QuicTls):
                 alpn = exts[EXT_ALPN]
                 n = alpn[2]
                 self.negotiated_alpn = alpn[3:3 + n].decode()
+            elif self.psk_accepted and self.session and self.session.get("alpn"):
+                self.negotiated_alpn = str(self.session["alpn"])
             if EXT_QUIC_TRANSPORT_PARAMETERS in exts:
                 self.peer_transport_params = exts[EXT_QUIC_TRANSPORT_PARAMETERS]
+            self.early_data_accepted = (self.psk_accepted
+                                        and EXT_EARLY_DATA in exts)
         elif t == HT_CERTIFICATE:
             self._transcript += msg
             self._parse_certificate(body)
@@ -322,28 +405,92 @@ class QuicTlsClient(QuicTls):
             self._derive_app()  # app secrets use transcript through server Finished
             self._transcript += fin
             self._out.append((LEVEL_HANDSHAKE, fin))
+            self._derive_resumption()
             self.handshake_complete = True
+        elif t == HT_NEW_SESSION_TICKET:
+            # post-handshake: lifetime(4) age_add(4) nonce ticket exts
+            off = 0
+            lifetime, age_add = struct.unpack("!II", body[:8]); off = 8
+            nlen = body[off]; nonce = body[off + 1:off + 1 + nlen]
+            off += 1 + nlen
+            tlen = struct.unpack("!H", body[off:off + 2])[0]
+            ticket = body[off + 2:off + 2 + tlen]
+            off += 2 + tlen
+            exts = _parse_extensions(
+                body[off + 2:off + 2 + struct.unpack("!H", body[off:off + 2])[0]])
+            max_early = 0
+            if EXT_EARLY_DATA in exts:
+                max_early = struct.unpack("!I", exts[EXT_EARLY_DATA][:4])[0]
+            psk = hkdf_expand_label(self._res_master, "resumption", nonce,
+                                    HASH_LEN)
+            self.new_session = {
+                "psk": psk, "ticket": ticket, "age_add": age_add,
+                "lifetime": lifetime, "max_early_data": max_early,
+                "alpn": self.negotiated_alpn,
+                "transport_params": self.peer_transport_params,
+            }
+            if self.on_new_session:
+                self.on_new_session(self.new_session)
 
 
 class QuicTlsServer(QuicTls):
-    def __init__(self, *args, **kwargs):
+    def __init__(self, *args, ticket_key: Optional[bytes] = None, **kwargs):
         super().__init__(False, *args, **kwargs)
         self._client_fin_expected: Optional[bytes] = None
+        # static key sealing session tickets (share across server instances
+        # to resume over restarts; random = tickets valid per-process)
+        self.ticket_key = ticket_key or os.urandom(16)
+        self.send_session_tickets = True
 
     def _handle_msg(self, level: str, msg: bytes) -> None:
         t = msg[0]
         body = msg[4:]
         if t == HT_CLIENT_HELLO:
             self._transcript += msg
-            self._on_client_hello(body)
+            self._on_client_hello(body, msg)
         elif t == HT_FINISHED:
             expect = self._finished_mac(self._client_hs_secret, bytes(self._transcript))
             if not hmac.compare_digest(expect, body):
                 raise TlsError("client Finished mismatch")
             self._transcript += msg
+            self._derive_resumption()
             self.handshake_complete = True
+            if self.send_session_tickets:
+                self._emit_session_ticket()
 
-    def _on_client_hello(self, body: bytes) -> None:
+    def _emit_session_ticket(self) -> None:
+        """NewSessionTicket (RFC 8446 §4.6.1) with QUIC's early_data
+        sentinel 0xffffffff (RFC 9001 §4.6.1); the ticket seals the PSK
+        under ticket_key so a fresh server instance can resume it."""
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        nonce = os.urandom(8)
+        psk = hkdf_expand_label(self._res_master, "resumption", nonce, HASH_LEN)
+        state = psk + struct.pack("!H", len((self.negotiated_alpn or "").encode())) \
+            + (self.negotiated_alpn or "").encode()
+        tnonce = os.urandom(12)
+        ticket = tnonce + AESGCM(self.ticket_key).encrypt(tnonce, state, b"")
+        exts = _ext(EXT_EARLY_DATA, struct.pack("!I", 0xFFFFFFFF))
+        body = (struct.pack("!II", 7 * 24 * 3600, struct.unpack("!I", os.urandom(4))[0])
+                + bytes([len(nonce)]) + nonce
+                + struct.pack("!H", len(ticket)) + ticket
+                + struct.pack("!H", len(exts)) + exts)
+        self._emit(LEVEL_APP, _hs(HT_NEW_SESSION_TICKET, body),
+                   transcript=False)
+
+    def _open_ticket(self, ticket: bytes) -> Optional[Tuple[bytes, str]]:
+        from cryptography.hazmat.primitives.ciphers.aead import AESGCM
+
+        try:
+            state = AESGCM(self.ticket_key).decrypt(ticket[:12], ticket[12:], b"")
+            psk = state[:HASH_LEN]
+            alen = struct.unpack("!H", state[HASH_LEN:HASH_LEN + 2])[0]
+            alpn = state[HASH_LEN + 2:HASH_LEN + 2 + alen].decode()
+            return psk, alpn
+        except Exception:
+            return None
+
+    def _on_client_hello(self, body: bytes, raw_msg: bytes) -> None:
         off = 2 + 32
         sid_len = body[off]
         legacy_sid = body[off + 1:off + 1 + sid_len]  # echoed per RFC 8446 §4.1.3
@@ -389,12 +536,39 @@ class QuicTlsServer(QuicTls):
             if self.negotiated_alpn is None and offered:
                 raise TlsError("no common ALPN")
 
+        # PSK resumption (RFC 8446 §4.2.11): first identity only; a ticket
+        # that fails to open or a bad binder falls back to a full handshake
+        if EXT_PRE_SHARED_KEY in exts:
+            pskext = exts[EXT_PRE_SHARED_KEY]
+            ids_len = struct.unpack("!H", pskext[:2])[0]
+            tlen = struct.unpack("!H", pskext[2:4])[0]
+            ticket = pskext[4:4 + tlen]
+            binders_off = 2 + ids_len
+            blen = struct.unpack("!H", pskext[binders_off:binders_off + 2])[0]
+            first_binder = pskext[binders_off + 3:binders_off + 3
+                                  + pskext[binders_off + 2]]
+            opened = self._open_ticket(ticket)
+            if opened is not None:
+                early = hkdf_extract(b"", opened[0])
+                truncated = raw_msg[:-(2 + blen)]
+                if hmac.compare_digest(self._psk_binder(early, truncated),
+                                       first_binder):
+                    self._early_secret = early
+                    self.psk_accepted = True
+                    if self.negotiated_alpn is None:
+                        self.negotiated_alpn = opened[1] or None
+        if self.psk_accepted and EXT_EARLY_DATA in exts:
+            self.early_data_accepted = True
+            self._derive_early(bytes(self._transcript))  # transcript == CH
+
         # ServerHello
         key_share = self._x25519.public_key().public_bytes(
             serialization.Encoding.Raw, serialization.PublicFormat.Raw)
         sh_exts = _ext(EXT_SUPPORTED_VERSIONS, struct.pack("!H", TLS13))
         sh_exts += _ext(EXT_KEY_SHARE,
                         struct.pack("!HH", GROUP_X25519, len(key_share)) + key_share)
+        if self.psk_accepted:
+            sh_exts += _ext(EXT_PRE_SHARED_KEY, struct.pack("!H", 0))
         sh = struct.pack("!H", 0x0303) + os.urandom(32)
         sh += bytes([len(legacy_sid)]) + legacy_sid
         sh += struct.pack("!H", CIPHER_AES_128_GCM_SHA256) + b"\x00"
@@ -410,10 +584,15 @@ class QuicTlsServer(QuicTls):
             a = self.negotiated_alpn.encode()
             ee_exts += _ext(EXT_ALPN, struct.pack("!HB", len(a) + 1, len(a)) + a)
         ee_exts += _ext(EXT_QUIC_TRANSPORT_PARAMETERS, self.transport_params)
+        if self.early_data_accepted:
+            ee_exts += _ext(EXT_EARLY_DATA, b"")
         self._emit(LEVEL_HANDSHAKE, _hs(HT_ENCRYPTED_EXTENSIONS,
                                         struct.pack("!H", len(ee_exts)) + ee_exts))
-        self._emit(LEVEL_HANDSHAKE, self._certificate_msg())
-        self._emit(LEVEL_HANDSHAKE, self._certificate_verify_msg(server=True))
+        if not self.psk_accepted:
+            # resumed handshakes authenticate via the PSK (the original
+            # connection verified the certificate); §4.4.2
+            self._emit(LEVEL_HANDSHAKE, self._certificate_msg())
+            self._emit(LEVEL_HANDSHAKE, self._certificate_verify_msg(server=True))
         fin = _hs(HT_FINISHED,
                   self._finished_mac(self._server_hs_secret, bytes(self._transcript)))
         self._emit(LEVEL_HANDSHAKE, fin)

@@ -2,6 +2,7 @@
 datagrams, loss recovery."""
 import os
 import socket
+import struct
 import threading
 import time
 
@@ -651,3 +652,140 @@ class TestMigration:
         pump()
         assert client.peer_addr == "s2"
         assert "s2" in client_sent_to
+
+
+class TestResumptionAnd0Rtt:
+    """Session tickets -> PSK resumption -> 0-RTT (RFC 9001 §4.5/§4.6).
+
+    The TLS-level binder/PSK math is ALSO validated against openssl
+    s_server in tests/test_tls13_openssl_interop.py — this class covers
+    the QUIC plumbing (ticket surfacing, 0-RTT packets, rejection)."""
+
+    @staticmethod
+    def _pair_with(client_kwargs=None, server_kwargs=None):
+        to_server, to_client = [], []
+        client = QuicConnection(True, to_server.append, **(client_kwargs or {}))
+        server = QuicConnection(False, to_client.append, **(server_kwargs or {}))
+
+        def pump(rounds=40):
+            for _ in range(rounds):
+                moved = False
+                while to_server:
+                    server.handle_datagram(to_server.pop(0))
+                    moved = True
+                while to_client:
+                    client.handle_datagram(to_client.pop(0))
+                    moved = True
+                if not moved:
+                    break
+
+        return client, server, pump
+
+    def _ticket(self):
+        tkey = b"k" * 16
+        client, server, pump = self._pair_with(server_kwargs={"ticket_key": tkey})
+        client.connect()
+        pump()
+        assert client.handshake_done.is_set()
+        assert client.session_ticket is not None, "no session ticket surfaced"
+        return client.session_ticket, tkey
+
+    def test_session_ticket_resumption(self):
+        session, tkey = self._ticket()
+        c2, s2, pump = self._pair_with(
+            client_kwargs={"session": session},
+            server_kwargs={"ticket_key": tkey})
+        c2.connect()
+        pump()
+        assert c2.handshake_done.is_set() and s2.handshake_done.is_set()
+        assert c2.tls.psk_accepted and s2.tls.psk_accepted
+        assert c2.tls.negotiated_alpn == "gstpu"
+
+    def test_0rtt_data_arrives_before_handshake_completes(self):
+        session, tkey = self._ticket()
+        got = []
+        c2, s2, pump = self._pair_with(
+            client_kwargs={"session": session},
+            server_kwargs={"ticket_key": tkey})
+        s2.on_stream_data = lambda sid, data, fin: got.append((bytes(data),
+                                                               s2.handshake_done.is_set()))
+        c2.connect()
+        sid = c2.open_uni_stream()
+        c2.send_stream(sid, b"zero rtt payload")  # before ANY server flight
+        # deliver ONLY the client's first flight: the server must produce the
+        # stream data from the 0-RTT packets alone
+        for _ in range(4):
+            pump(rounds=1)
+            if got:
+                break
+        assert got and got[0][0] == b"zero rtt payload"
+        pump()
+        assert c2.handshake_done.is_set() and s2.handshake_done.is_set()
+        assert s2.tls.early_data_accepted
+
+    def test_0rtt_rejected_falls_back_to_1rtt(self):
+        """Server without the ticket key rejects the PSK; the 0-RTT data
+        must still arrive, retransmitted under 1-RTT keys."""
+        session, _ = self._ticket()
+        got = []
+        c2, s2, pump = self._pair_with(
+            client_kwargs={"session": session},
+            server_kwargs={"ticket_key": b"wrong-key-16byte"})
+        s2.on_stream_data = lambda sid, data, fin: got.append(bytes(data))
+        c2.connect()
+        sid = c2.open_uni_stream()
+        c2.send_stream(sid, b"early hopeful data")
+        pump()
+        assert c2.handshake_done.is_set() and s2.handshake_done.is_set()
+        assert not s2.tls.psk_accepted
+        for _ in range(6):
+            if got:
+                break
+            time.sleep(0.4)  # let the PTO elapse
+            c2.tick()  # PTO retransmission under 1-RTT keys
+            pump()
+        assert b"".join(got) == b"early hopeful data"
+
+
+class TestRetry:
+    def test_retry_roundtrip(self):
+        to_server, to_client = [], []
+        client = QuicConnection(True, to_server.append)
+        server = QuicConnection(False, to_client.append, retry=True)
+        got = []
+        server.on_stream_data = lambda sid, data, fin: got.append(bytes(data))
+        client.connect()
+        for _ in range(40):
+            moved = False
+            while to_server:
+                server.handle_datagram(to_server.pop(0)); moved = True
+            while to_client:
+                client.handle_datagram(to_client.pop(0)); moved = True
+            if not moved:
+                break
+        assert client.handshake_done.is_set() and server.handshake_done.is_set()
+        assert client._retry_done, "client never honored the Retry"
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"post-retry data", fin=True)
+        for _ in range(10):
+            while to_server:
+                server.handle_datagram(to_server.pop(0))
+            while to_client:
+                client.handle_datagram(to_client.pop(0))
+        assert b"".join(got) == b"post-retry data"
+
+    def test_bad_retry_tag_ignored(self):
+        """A spoofed Retry (wrong integrity tag) must not redirect the
+        client (RFC 9001 §5.8)."""
+        to_server = []
+        client = QuicConnection(True, to_server.append)
+        client.connect()
+        scid = b"\x11" * 8
+        pkt = bytearray([0xC0 | (3 << 4)])
+        pkt += struct.pack("!I", 1)
+        pkt += bytes([len(client.scid)]) + client.scid
+        pkt += bytes([len(scid)]) + scid
+        pkt += b"sometoken" + b"\x00" * 16  # garbage tag
+        client.handle_datagram(bytes(pkt))
+        assert not client._retry_done
+        assert client._token == b""

@@ -258,3 +258,60 @@ class TestServerAgainstOpensslClient:
             proc.kill()
             proc.wait(5)
             lsock.close()
+
+
+class TestResumptionAgainstOpensslServer:
+    def test_psk_resumption_binder_accepted(self, tmp_path):
+        """The PSK binder math is validated by a REAL peer: openssl
+        s_server processes our ticket offer and aborts the handshake on a
+        bad binder (RFC 8446 §4.2.11.2), so a completed resumed handshake
+        with a selected PSK is external proof of the §7.1 early-secret /
+        binder-key derivations (net/tls13.py)."""
+        key = tmp_path / "key.pem"
+        cert = tmp_path / "cert.pem"
+        subprocess.run(
+            ["openssl", "req", "-x509", "-newkey", "ec", "-pkeyopt",
+             "ec_paramgen_curve:P-256", "-keyout", str(key), "-out", str(cert),
+             "-days", "2", "-nodes", "-subj", "/CN=tls13"],
+            check=True, capture_output=True)
+        srv = socket.socket()
+        srv.bind(("127.0.0.1", 0))
+        port = srv.getsockname()[1]
+        srv.close()
+        proc = subprocess.Popen(
+            ["openssl", "s_server", "-tls1_3", "-accept", str(port),
+             "-cert", str(cert), "-key", str(key),
+             "-ciphersuites", "TLS_AES_128_GCM_SHA256",
+             "-alpn", "gstpu-interop", "-quiet", "-naccept", "2"],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
+        try:
+            time.sleep(0.6)
+            # --- connection 1: full handshake, collect the session ticket
+            sock = socket.create_connection(("127.0.0.1", port), timeout=5)
+            engine = QuicTlsClient(["gstpu-interop"], b"", server_name="tls13")
+            driver = TcpTls13(engine, sock)
+            engine.start()
+            assert driver.run_until_complete(10.0)
+            deadline = time.monotonic() + 5
+            while time.monotonic() < deadline and engine.new_session is None:
+                driver.pump_once()  # drain NewSessionTicket records
+            assert engine.new_session is not None, "no NewSessionTicket"
+            sock.close()
+
+            # --- connection 2: resume with the PSK
+            time.sleep(0.3)
+            sock2 = socket.create_connection(("127.0.0.1", port), timeout=5)
+            engine2 = QuicTlsClient(["gstpu-interop"], b"", server_name="tls13",
+                                    session=engine.new_session)
+            # TCP TLS has no 0-RTT here: offer the PSK without early_data
+            engine2.session = dict(engine.new_session, max_early_data=0)
+            driver2 = TcpTls13(engine2, sock2)
+            engine2.start()
+            assert driver2.run_until_complete(10.0), \
+                "resumed handshake failed (binder rejected?)"
+            assert engine2.psk_accepted, "server did not select our PSK"
+            assert engine2.negotiated_alpn == "gstpu-interop"
+            sock2.close()
+        finally:
+            proc.kill()
+            proc.wait(5)
