@@ -197,6 +197,23 @@ int avshim_send_audio_f32(AvShim* s, const float* interleaved, int nsamples,
         }
     } else if (f->format == AV_SAMPLE_FMT_FLT) {
         memcpy(f->data[0], interleaved, sizeof(float) * nsamples * ch);
+    } else if (f->format == AV_SAMPLE_FMT_S16) {
+        // mirror of receive_audio's /32768 so n/32768.0f round-trips exactly
+        int16_t* dst = (int16_t*)f->data[0];
+        for (int i = 0; i < nsamples * ch; i++) {
+            float x = interleaved[i] * 32768.0f;
+            dst[i] = (int16_t)(x < -32768.f ? -32768 : x > 32767.f ? 32767
+                               : lrintf(x));
+        }
+    } else if (f->format == AV_SAMPLE_FMT_S16P) {
+        for (int c = 0; c < ch; c++) {
+            int16_t* dst = (int16_t*)f->data[c];
+            for (int i = 0; i < nsamples; i++) {
+                float x = interleaved[(size_t)i * ch + c] * 32768.0f;
+                dst[i] = (int16_t)(x < -32768.f ? -32768 : x > 32767.f ? 32767
+                                   : lrintf(x));
+            }
+        }
     } else {
         return -1001;
     }
