@@ -19,4 +19,13 @@ if ! diff -q docs/elements.json /tmp/_elements_ci.json >/dev/null; then
     exit 1
 fi
 echo "registry dump is fresh"
+
+echo "== migration table freshness (docs/MIGRATION.md vs both registries) =="
+cp docs/MIGRATION.md /tmp/_migration_ci.md
+python ci/gen_migration.py >/dev/null
+if ! diff -q /tmp/_migration_ci.md docs/MIGRATION.md >/dev/null; then
+    echo "ERROR: docs/MIGRATION.md was stale — regenerated; commit the update"
+    exit 1
+fi
+echo "migration table is fresh"
 echo "CI OK"
