@@ -138,21 +138,29 @@ class AudioConvert(BaseTransform):
         return out
 
 
+_VC_FORMATS = tuple(RGB_FORMATS) + ("I420", "NV12")
+
+
 @register
 class VideoConvert(VideoFilter):
+    """Packed RGB-family repacks AND BT.601 4:2:0 colorspace conversion
+    (I420/NV12 <-> any RGB format, ops/yuv.py device kernels) — the bridge
+    between the RGB-domain compute elements and the I420-domain codecs.
+    4:2:0 formats need even width/height (same constraint as the codecs)."""
+
     ELEMENT_NAME = "videoconvert"
     ELEMENT_CLASS = "Filter/Converter/Video"
-    ELEMENT_DESCRIPTION = "Converts between packed RGB-family video formats"
+    ELEMENT_DESCRIPTION = "Converts video formats (RGB family, I420/NV12 4:2:0)"
     MODE = TransformMode.NEVER_IN_PLACE
-    SINK_CAPS = video_caps_template(tuple(RGB_FORMATS))
-    SRC_CAPS = video_caps_template(tuple(RGB_FORMATS))
+    SINK_CAPS = video_caps_template(_VC_FORMATS)
+    SRC_CAPS = video_caps_template(_VC_FORMATS)
 
     def transform_caps(self, direction: PadDirection, caps: Caps, filter_: Optional[Caps]) -> Caps:
         out = caps.copy()
         if out.is_any():
             out = (self.SRC_CAPS if direction == PadDirection.SINK else self.SINK_CAPS).copy()
         for s in out.structures:
-            s["format"] = ValueList(tuple(RGB_FORMATS))
+            s["format"] = ValueList(_VC_FORMATS)
         if filter_ is not None:
             out = filter_.intersect(out)
         return out
@@ -161,18 +169,98 @@ class VideoConvert(VideoFilter):
         in_fmt = caps.structure(0).get("format")
         return othercaps.fixate({"format": in_fmt})
 
+    # -- packed-pixel plane access ------------------------------------------
+    @staticmethod
+    def _norm_u8(c, maxv_in):
+        # components normalized to 0..255 float for the colorspace matrix
+        c = c.astype(jnp.float32)
+        return c * (1.0 / 257.0) if maxv_in == 65535 else c
+
+    def _to_planes(self, frame, info):
+        """Any sink format -> (y, u, v) u8 planes (u/v None for GRAY8 path
+        stays full RGB: GRAY8 uses offsets (0,0,0))."""
+        from ...ops.yuv import nv12_to_uv, rgb_planes_to_i420
+
+        if info.format == "I420":
+            y, u, v = frame
+            return y, u, v
+        if info.format == "NV12":
+            y, uv = frame
+            u, v = nv12_to_uv(jnp.asarray(uv))
+            return jnp.asarray(y), u, v
+        ir, ig, ib, _ = info.rgb_offsets
+        maxv = 255 if info.dtype == np.uint8 else 65535
+        return rgb_planes_to_i420(
+            self._norm_u8(frame[..., ir], maxv),
+            self._norm_u8(frame[..., ig], maxv),
+            self._norm_u8(frame[..., ib], maxv),
+        )
+
     def transform(self, inbuf: Buffer) -> Buffer:
         in_info, out_info = self.video_info, self.out_video_info
         assert in_info is not None and out_info is not None
+        in_planar = in_info.is_planar
+        out_planar = out_info.is_planar
         if in_info.format == out_info.format:
             out = Buffer(inbuf.data)
             out.copy_metadata_from(inbuf)
             return out
-        ir, ig, ib, ia = in_info.rgb_offsets
-        our, oug, oub, oa = out_info.rgb_offsets
-        maxv_in = 255 if in_info.dtype == np.uint8 else 65535
-        maxv_out = 255 if out_info.dtype == np.uint8 else 65535
+        if (in_planar or out_planar) and (in_info.width % 2 or in_info.height % 2):
+            raise ValueError(
+                f"{self.name}: 4:2:0 conversion needs even dimensions, got "
+                f"{in_info.width}x{in_info.height}")
         frame = inbuf.data
+
+        if out_planar:  # RGB/I420/NV12 -> I420/NV12
+            from ...ops.yuv import uv_to_nv12
+
+            y, u, v = self._to_planes(frame, in_info)
+            payload = (y, uv_to_nv12(u, v)) if out_info.format == "NV12" else (y, u, v)
+            out = Buffer(tuple(jnp.asarray(p) for p in payload))
+            out.copy_metadata_from(inbuf)
+            return out
+
+        our, oug, oub, oa = out_info.rgb_offsets
+        maxv_out = 255 if out_info.dtype == np.uint8 else 65535
+        dtype = jnp.uint8 if out_info.dtype == np.uint8 else jnp.uint16
+        h, w = in_info.height, in_info.width
+
+        if in_planar:  # I420/NV12 -> packed
+            from ...ops.yuv import i420_to_rgb_planes, nv12_to_uv
+
+            if in_info.format == "NV12":
+                y, uv = frame
+                u, v = nv12_to_uv(jnp.asarray(uv))
+            else:
+                y, u, v = frame
+            if out_info.format == "GRAY8":
+                # GRAY8 is full-range luma; rescale studio-swing Y directly
+                g8 = jnp.clip(jnp.round(
+                    (jnp.asarray(y).astype(jnp.float32) - 16.0) * (255.0 / 219.0)),
+                    0.0, 255.0).astype(jnp.uint8)
+                out = Buffer(g8[..., None])
+                out.copy_metadata_from(inbuf)
+                return out
+            r, g, b = i420_to_rgb_planes(jnp.asarray(y), u, v)
+
+            def comp_from(plane):
+                if maxv_out == 65535:
+                    return (plane.astype(jnp.uint32) * 257).astype(dtype)
+                return plane.astype(dtype)
+
+            out_frame = jnp.zeros((h, w, out_info.components), dtype)
+            out_frame = out_frame.at[..., our].set(comp_from(r))
+            out_frame = out_frame.at[..., oug].set(comp_from(g))
+            out_frame = out_frame.at[..., oub].set(comp_from(b))
+            if oa is not None:
+                out_frame = out_frame.at[..., oa].set(jnp.asarray(maxv_out, dtype))
+            out = Buffer(out_frame)
+            out.copy_metadata_from(inbuf)
+            return out
+
+        # packed -> packed (channel reorder / alpha add-drop / depth rescale)
+        ir, ig, ib, ia = in_info.rgb_offsets
+        maxv_in = 255 if in_info.dtype == np.uint8 else 65535
 
         def comp(off):
             c = frame[..., off]
@@ -180,8 +268,6 @@ class VideoConvert(VideoFilter):
                 c = (c.astype(jnp.uint32) * maxv_out // maxv_in)
             return c
 
-        h, w = frame.shape[0], frame.shape[1]
-        dtype = jnp.uint8 if out_info.dtype == np.uint8 else jnp.uint16
         out_frame = jnp.zeros((h, w, out_info.components), dtype)
         out_frame = out_frame.at[..., our].set(comp(ir).astype(dtype))
         out_frame = out_frame.at[..., oug].set(comp(ig).astype(dtype))

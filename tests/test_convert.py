@@ -68,3 +68,70 @@ def test_videoconvert_same_format_passthrough():
     )
     p.play_until_eos()
     assert np.asarray(p.by_name("sink").samples[0].buffer.data).shape == (16, 16, 3)
+
+
+# ---------------------------------------------------------------------------
+# BT.601 4:2:0 colorspace conversion (ops/yuv.py via videoconvert)
+# ---------------------------------------------------------------------------
+def _yuv_of(rgb_triplet):
+    from gst_plugins_rs_tpu.ops.yuv import rgb_to_i420
+
+    frame = np.tile(np.asarray(rgb_triplet, np.uint8), (8, 8, 1))
+    y, u, v = (np.asarray(p) for p in rgb_to_i420(frame))
+    return int(y[0, 0]), int(u[0, 0]), int(v[0, 0])
+
+
+def test_rgb_to_i420_bt601_reference_colors():
+    # ITU-R BT.601 studio-swing anchor points
+    assert _yuv_of((255, 255, 255)) == (235, 128, 128)
+    assert _yuv_of((0, 0, 0)) == (16, 128, 128)
+    assert _yuv_of((255, 0, 0)) == (81, 90, 240)
+    assert _yuv_of((0, 255, 0)) == (145, 54, 34)
+    assert _yuv_of((0, 0, 255)) == (41, 240, 110)
+
+
+def test_i420_roundtrip_close_on_block_constant_image():
+    from gst_plugins_rs_tpu.ops.yuv import i420_to_rgb, rgb_to_i420
+
+    rng = np.random.default_rng(5)
+    # constant 2x2 blocks: chroma subsampling is lossless there, so the
+    # round trip error is pure matrix+quantization (<= 2 LSB)
+    small = rng.integers(0, 256, (16, 16, 3), np.uint8)
+    img = np.repeat(np.repeat(small, 2, axis=0), 2, axis=1)
+    back = np.asarray(i420_to_rgb(*rgb_to_i420(img)))
+    assert np.max(np.abs(back.astype(int) - img.astype(int))) <= 2
+
+
+def test_nv12_repack_bit_exact():
+    from gst_plugins_rs_tpu.ops.yuv import nv12_to_uv, uv_to_nv12
+
+    rng = np.random.default_rng(6)
+    u = rng.integers(0, 256, (8, 12), np.uint8)
+    v = rng.integers(0, 256, (8, 12), np.uint8)
+    u2, v2 = (np.asarray(p) for p in nv12_to_uv(uv_to_nv12(u, v)))
+    np.testing.assert_array_equal(u2, u)
+    np.testing.assert_array_equal(v2, v)
+
+
+def test_videoconvert_rgb_to_i420_pipeline():
+    p = parse_launch(
+        "videotestsrc pattern=red num-buffers=1 ! video/x-raw,format=RGB,width=32,height=16 "
+        "! videoconvert ! video/x-raw,format=I420 ! appsink name=sink"
+    )
+    p.play_until_eos()
+    y, u, v = (np.asarray(pl) for pl in p.by_name("sink").samples[0].buffer.data)
+    assert y.shape == (16, 32) and u.shape == (8, 16) and v.shape == (8, 16)
+    assert int(y[0, 0]) == 81 and int(u[0, 0]) == 90 and int(v[0, 0]) == 240
+
+
+def test_videoconvert_i420_to_bgrx_pipeline():
+    p = parse_launch(
+        "videotestsrc pattern=red num-buffers=1 ! video/x-raw,format=RGB,width=32,height=16 "
+        "! videoconvert ! video/x-raw,format=NV12 "
+        "! videoconvert ! video/x-raw,format=BGRx ! appsink name=sink"
+    )
+    p.play_until_eos()
+    frame = np.asarray(p.by_name("sink").samples[0].buffer.data)
+    assert frame.shape == (16, 32, 4)
+    b, g, r = int(frame[0, 0, 0]), int(frame[0, 0, 1]), int(frame[0, 0, 2])
+    assert r > 245 and g < 10 and b < 10  # red survives the 4:2:0 trip
