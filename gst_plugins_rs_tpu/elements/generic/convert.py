@@ -169,115 +169,128 @@ class VideoConvert(VideoFilter):
         in_fmt = caps.structure(0).get("format")
         return othercaps.fixate({"format": in_fmt})
 
-    # -- packed-pixel plane access ------------------------------------------
-    @staticmethod
-    def _norm_u8(c, maxv_in):
-        # components normalized to 0..255 float for the colorspace matrix
-        c = c.astype(jnp.float32)
-        return c * (1.0 / 257.0) if maxv_in == 65535 else c
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._converters = {}  # (in_fmt, out_fmt) -> jitted payload->payload
 
-    def _to_planes(self, frame, info):
-        """Any sink format -> (y, u, v) u8 planes (u/v None for GRAY8 path
-        stays full RGB: GRAY8 uses offsets (0,0,0))."""
-        from ...ops.yuv import nv12_to_uv, rgb_planes_to_i420
+    def _build_converter(self, in_info, out_info):
+        """One jitted function per format pair: the whole conversion is a
+        single XLA program (one dispatch per frame, fused end to end)."""
+        import jax
 
-        if info.format == "I420":
-            y, u, v = frame
-            return y, u, v
-        if info.format == "NV12":
-            y, uv = frame
-            u, v = nv12_to_uv(jnp.asarray(uv))
-            return jnp.asarray(y), u, v
-        ir, ig, ib, _ = info.rgb_offsets
-        maxv = 255 if info.dtype == np.uint8 else 65535
-        return rgb_planes_to_i420(
-            self._norm_u8(frame[..., ir], maxv),
-            self._norm_u8(frame[..., ig], maxv),
-            self._norm_u8(frame[..., ib], maxv),
+        from ...ops.yuv import (
+            i420_to_rgb_planes,
+            nv12_to_uv,
+            rgb_planes_to_i420,
+            uv_to_nv12,
         )
 
-    def transform(self, inbuf: Buffer) -> Buffer:
-        in_info, out_info = self.video_info, self.out_video_info
-        assert in_info is not None and out_info is not None
-        in_planar = in_info.is_planar
-        out_planar = out_info.is_planar
-        if in_info.format == out_info.format:
-            out = Buffer(inbuf.data)
-            out.copy_metadata_from(inbuf)
-            return out
-        if (in_planar or out_planar) and (in_info.width % 2 or in_info.height % 2):
-            raise ValueError(
-                f"{self.name}: 4:2:0 conversion needs even dimensions, got "
-                f"{in_info.width}x{in_info.height}")
-        frame = inbuf.data
+        in_planar, out_planar = in_info.is_planar, out_info.is_planar
+        in_fmt, out_fmt = in_info.format, out_info.format
+
+        def to_planes(frame):
+            """Any input payload -> (y, u, v) u8 planes."""
+            if in_fmt == "I420":
+                return frame
+            if in_fmt == "NV12":
+                y, uv = frame
+                u, v = nv12_to_uv(uv)
+                return y, u, v
+            ir, ig, ib, _ = in_info.rgb_offsets
+            scale = (1.0 / 257.0) if in_info.dtype != np.uint8 else 1.0
+            return rgb_planes_to_i420(
+                frame[..., ir].astype(jnp.float32) * scale,
+                frame[..., ig].astype(jnp.float32) * scale,
+                frame[..., ib].astype(jnp.float32) * scale,
+            )
 
         if out_planar:  # RGB/I420/NV12 -> I420/NV12
-            from ...ops.yuv import uv_to_nv12
 
-            y, u, v = self._to_planes(frame, in_info)
-            payload = (y, uv_to_nv12(u, v)) if out_info.format == "NV12" else (y, u, v)
-            out = Buffer(tuple(jnp.asarray(p) for p in payload))
-            out.copy_metadata_from(inbuf)
-            return out
+            def convert(frame):
+                y, u, v = to_planes(frame)
+                return (y, uv_to_nv12(u, v)) if out_fmt == "NV12" else (y, u, v)
+
+            return jax.jit(convert)
 
         our, oug, oub, oa = out_info.rgb_offsets
         maxv_out = 255 if out_info.dtype == np.uint8 else 65535
         dtype = jnp.uint8 if out_info.dtype == np.uint8 else jnp.uint16
-        h, w = in_info.height, in_info.width
 
         if in_planar:  # I420/NV12 -> packed
-            from ...ops.yuv import i420_to_rgb_planes, nv12_to_uv
 
-            if in_info.format == "NV12":
-                y, uv = frame
-                u, v = nv12_to_uv(jnp.asarray(uv))
-            else:
-                y, u, v = frame
-            if out_info.format == "GRAY8":
-                # GRAY8 is full-range luma; rescale studio-swing Y directly
-                g8 = jnp.clip(jnp.round(
-                    (jnp.asarray(y).astype(jnp.float32) - 16.0) * (255.0 / 219.0)),
-                    0.0, 255.0).astype(jnp.uint8)
-                out = Buffer(g8[..., None])
-                out.copy_metadata_from(inbuf)
-                return out
-            r, g, b = i420_to_rgb_planes(jnp.asarray(y), u, v)
+            def convert(frame):
+                y, u, v = to_planes(frame)
+                if out_fmt == "GRAY8":
+                    # GRAY8 is full-range luma; rescale studio-swing Y directly
+                    g8 = jnp.clip(jnp.round(
+                        (y.astype(jnp.float32) - 16.0) * (255.0 / 219.0)),
+                        0.0, 255.0).astype(jnp.uint8)
+                    return g8[..., None]
+                r, g, b = i420_to_rgb_planes(y, u, v)
 
-            def comp_from(plane):
-                if maxv_out == 65535:
-                    return (plane.astype(jnp.uint32) * 257).astype(dtype)
-                return plane.astype(dtype)
+                def comp_from(plane):
+                    if maxv_out == 65535:
+                        return (plane.astype(jnp.uint32) * 257).astype(dtype)
+                    return plane.astype(dtype)
 
-            out_frame = jnp.zeros((h, w, out_info.components), dtype)
-            out_frame = out_frame.at[..., our].set(comp_from(r))
-            out_frame = out_frame.at[..., oug].set(comp_from(g))
-            out_frame = out_frame.at[..., oub].set(comp_from(b))
-            if oa is not None:
-                out_frame = out_frame.at[..., oa].set(jnp.asarray(maxv_out, dtype))
-            out = Buffer(out_frame)
-            out.copy_metadata_from(inbuf)
-            return out
+                h, w = y.shape
+                out_frame = jnp.zeros((h, w, out_info.components), dtype)
+                out_frame = out_frame.at[..., our].set(comp_from(r))
+                out_frame = out_frame.at[..., oug].set(comp_from(g))
+                out_frame = out_frame.at[..., oub].set(comp_from(b))
+                if oa is not None:
+                    out_frame = out_frame.at[..., oa].set(jnp.asarray(maxv_out, dtype))
+                return out_frame
+
+            return jax.jit(convert)
 
         # packed -> packed (channel reorder / alpha add-drop / depth rescale)
         ir, ig, ib, ia = in_info.rgb_offsets
         maxv_in = 255 if in_info.dtype == np.uint8 else 65535
 
-        def comp(off):
-            c = frame[..., off]
-            if maxv_in != maxv_out:
-                c = (c.astype(jnp.uint32) * maxv_out // maxv_in)
-            return c
+        def convert(frame):
+            def comp(off):
+                c = frame[..., off]
+                if maxv_in != maxv_out:
+                    c = (c.astype(jnp.uint32) * maxv_out // maxv_in)
+                return c
 
-        out_frame = jnp.zeros((h, w, out_info.components), dtype)
-        out_frame = out_frame.at[..., our].set(comp(ir).astype(dtype))
-        out_frame = out_frame.at[..., oug].set(comp(ig).astype(dtype))
-        out_frame = out_frame.at[..., oub].set(comp(ib).astype(dtype))
-        if oa is not None:
-            if ia is not None:
-                out_frame = out_frame.at[..., oa].set(comp(ia).astype(dtype))
-            else:
-                out_frame = out_frame.at[..., oa].set(jnp.asarray(maxv_out, dtype))
-        out = Buffer(out_frame)
+            h, w = frame.shape[0], frame.shape[1]
+            out_frame = jnp.zeros((h, w, out_info.components), dtype)
+            out_frame = out_frame.at[..., our].set(comp(ir).astype(dtype))
+            out_frame = out_frame.at[..., oug].set(comp(ig).astype(dtype))
+            out_frame = out_frame.at[..., oub].set(comp(ib).astype(dtype))
+            if oa is not None:
+                if ia is not None:
+                    out_frame = out_frame.at[..., oa].set(comp(ia).astype(dtype))
+                else:
+                    out_frame = out_frame.at[..., oa].set(jnp.asarray(maxv_out, dtype))
+            return out_frame
+
+        return jax.jit(convert)
+
+    def transform(self, inbuf: Buffer) -> Buffer:
+        in_info, out_info = self.video_info, self.out_video_info
+        assert in_info is not None and out_info is not None
+        if in_info.format == out_info.format:
+            out = Buffer(inbuf.data)
+            out.copy_metadata_from(inbuf)
+            return out
+        if (in_info.is_planar or out_info.is_planar) and (
+                in_info.width % 2 or in_info.height % 2):
+            raise ValueError(
+                f"{self.name}: 4:2:0 conversion needs even dimensions, got "
+                f"{in_info.width}x{in_info.height}")
+        key = (in_info.format, out_info.format)
+        fn = self._converters.get(key)
+        if fn is None:
+            fn = self._converters[key] = self._build_converter(in_info, out_info)
+        data = inbuf.data
+        if in_info.is_planar:
+            data = tuple(jnp.asarray(p) for p in data)
+        payload = fn(data)
+        out = Buffer(payload if not isinstance(payload, (tuple, list))
+                     else tuple(payload))
         out.copy_metadata_from(inbuf)
         return out
 
