@@ -32,10 +32,13 @@ class BitReader:
 
     def read(self, n: int) -> int:
         out = 0
-        for _ in range(n):
-            byte = self.data[self.pos >> 3]
-            out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
-            self.pos += 1
+        try:
+            for _ in range(n):
+                byte = self.data[self.pos >> 3]
+                out = (out << 1) | ((byte >> (7 - (self.pos & 7))) & 1)
+                self.pos += 1
+        except IndexError:
+            raise ValueError("truncated FLAC data") from None
         return out
 
     def read_signed(self, n: int) -> int:
@@ -172,6 +175,8 @@ def parse_header(data: bytes) -> Tuple[StreamInfo, int]:
     pos = 4
     info: Optional[StreamInfo] = None
     while True:
+        if pos >= len(data):
+            raise ValueError("truncated FLAC metadata")
         hdr = data[pos]
         last = bool(hdr & 0x80)
         btype = hdr & 0x7F

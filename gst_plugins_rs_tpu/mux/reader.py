@@ -10,9 +10,28 @@ through qtdemux).
 """
 from __future__ import annotations
 
+import functools
 import struct
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
+
+
+def _graceful(fn):
+    """Malformed input raises ValueError, never an internal error type.
+
+    Box payloads are untrusted bytes: a file that parses as a box tree can
+    still carry short/missing sub-boxes, so downstream struct.unpack and
+    attribute access on find() results become ValueError here (the contract
+    tests/test_parser_robustness.py pins)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except (struct.error, AttributeError, IndexError, TypeError) as e:
+            raise ValueError(f"corrupt mp4 structure: {e}") from None
+
+    return wrapper
 
 CONTAINERS = {
     b"moov", b"trak", b"mdia", b"minf", b"stbl", b"mvex", b"moof", b"traf",
@@ -92,7 +111,8 @@ def _decode_stbl(stbl: BoxNode, track: TrackInfo) -> None:
     stsd = stbl.find(b"stsd")
     _v, _f, rest = _full(stsd.payload)
     (count,) = struct.unpack_from(">I", rest, 0)
-    assert count >= 1
+    if count < 1:
+        raise ValueError("empty stsd")
     entry_size, entry_type = struct.unpack_from(">I4s", rest, 4)
     track.sample_entry_type = entry_type.decode("latin1")
     entry = rest[12:]
@@ -145,8 +165,11 @@ def _decode_stbl(stbl: BoxNode, track: TrackInfo) -> None:
         track.sync_samples = [struct.unpack_from(">I", p, 4 + 4 * i)[0] for i in range(n)]
 
 
+@_graceful
 def decode_tracks(tree: List[BoxNode]) -> List[TrackInfo]:
-    moov = next(b for b in tree if b.type == b"moov")
+    moov = next((b for b in tree if b.type == b"moov"), None)
+    if moov is None:
+        raise ValueError("no moov box")
     tracks = []
     for trak in moov.find_all(b"trak"):
         _v, _f, tkhd = _full(trak.find(b"tkhd").payload)
@@ -162,13 +185,17 @@ def decode_tracks(tree: List[BoxNode]) -> List[TrackInfo]:
     return tracks
 
 
+@_graceful
 def movie_timescale(tree: List[BoxNode]) -> Tuple[int, int]:
     """(timescale, duration) from mvhd."""
-    moov = next(b for b in tree if b.type == b"moov")
+    moov = next((b for b in tree if b.type == b"moov"), None)
+    if moov is None:
+        raise ValueError("no moov box")
     _v, _f, mvhd = _full(moov.find(b"mvhd").payload)
     return struct.unpack_from(">II", mvhd, 8)
 
 
+@_graceful
 def extract_samples(data: bytes, track: TrackInfo) -> bytes:
     return b"".join(
         data[off : off + size] for off, size in zip(track.sample_offsets, track.sample_sizes)
@@ -189,6 +216,7 @@ class FragmentRun:
     data: bytes
 
 
+@_graceful
 def decode_fragments(data: bytes, tree: Optional[List[BoxNode]] = None) -> List[FragmentRun]:
     tree = parse_boxes(data) if tree is None else tree
     out: List[FragmentRun] = []

@@ -265,6 +265,14 @@ class TwccFeedback:
 
 
 def parse_compound(data: bytes) -> List[Packet]:
+    try:
+        return _parse_compound(data)
+    except (struct.error, IndexError) as e:
+        # short/corrupt packet bodies surface as the one documented error
+        raise ValueError(f"corrupt RTCP packet: {e}") from None
+
+
+def _parse_compound(data: bytes) -> List[Packet]:
     out: List[Packet] = []
     pos = 0
     while pos + 4 <= len(data):

@@ -41,6 +41,8 @@ def parse_sdp(text: str) -> Sdp:
             sdp.session_name = value
         elif key == "m":
             parts = value.split()
+            if len(parts) < 4:
+                raise ValueError(f"malformed SDP m-line: {line!r}")
             current = SdpMedia(parts[0], int(parts[1]), parts[2], int(parts[3]))
             sdp.medias.append(current)
         elif key == "a":
