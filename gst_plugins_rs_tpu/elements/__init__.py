@@ -23,4 +23,4 @@ from .image import cdg as image_cdg, codecs as image_codecs, overlay as image_ov
 from .cc import elements as cc_elements, files as cc_files, overlay as cc_overlay  # noqa: F401
 from .text import elements as text_elements  # noqa: F401
 from .utilsfx import fallbacksrc, switching  # noqa: F401
-from .video import avcodecs, colordetect, colorlut, compositor, hsv, roundedcorners, videocompare  # noqa: F401
+from .video import avcodecs, colordetect, colorlut, compositor, hsv, roundedcorners, videocompare, videoscale  # noqa: F401

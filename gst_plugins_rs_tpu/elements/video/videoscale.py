@@ -1,0 +1,134 @@
+"""videoscale — MXU-matmul separable resampler (ops/resize.py).
+
+The reference's pipelines lean on GStreamer core's videoconvertscale for
+this step (the yoloxinference example resizes decoder output before
+inference — analytics/burn/src/yoloxinference/imp.rs docs pipeline); this
+element fills that role for self-contained pipelines here.  Properties
+follow videoscale: `method` nearest|bilinear (the two the kernel's
+matrix form covers exactly).
+
+Negotiation: format is preserved; width/height renegotiate freely on the
+other side (a downstream caps filter picks the target size).  4:2:0
+formats scale luma and chroma with per-plane matrices (even output
+dimensions required).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ...core import (
+    Buffer,
+    Caps,
+    IntRange,
+    PadDirection,
+    Prop,
+    TransformMode,
+    VideoFilter,
+    register,
+    video_caps_template,
+)
+from ...core.video import RGB_FORMATS
+
+_U8_RGB = tuple(f for f in RGB_FORMATS
+                if RGB_FORMATS[f][1].__name__ == "uint8")
+_FORMATS = _U8_RGB + ("I420", "NV12")
+
+
+@register
+class VideoScale(VideoFilter):
+    ELEMENT_NAME = "videoscale"
+    ELEMENT_CLASS = "Filter/Converter/Video/Scaler"
+    ELEMENT_DESCRIPTION = "Resizes video (separable MXU-matmul resampling)"
+    MODE = TransformMode.NEVER_IN_PLACE
+    SINK_CAPS = video_caps_template(_FORMATS)
+    SRC_CAPS = video_caps_template(_FORMATS)
+    PROPERTIES = [
+        Prop("method", "bilinear", type="enum",
+             choices=["bilinear", "nearest"], mutable="ready",
+             doc="Resampling filter (one-hot matrices make nearest "
+                 "bit-identical to the gather form)"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._fn = None
+
+    def transform_caps(self, direction: PadDirection, caps: Caps,
+                       filter_: Optional[Caps]) -> Caps:
+        out = caps.copy()
+        if out.is_any():
+            out = (self.SRC_CAPS if direction == PadDirection.SINK
+                   else self.SINK_CAPS).copy()
+        for s in out.structures:
+            s["width"] = IntRange(1, 32768)
+            s["height"] = IntRange(1, 32768)
+        if filter_ is not None:
+            out = filter_.intersect(out)
+        return out
+
+    def fixate_caps(self, direction, caps, othercaps):
+        s = caps.structure(0)
+        return othercaps.fixate({"width": s.get("width"),
+                                 "height": s.get("height")})
+
+    def setup(self, in_info, out_info) -> None:
+        from ...ops.resize import resize_matrix, resize_u8
+
+        self._fn = None
+        if (in_info.width, in_info.height) == (out_info.width, out_info.height):
+            return  # passthrough
+        method = self.get_property("method")
+        if in_info.is_planar:
+            if out_info.width % 2 or out_info.height % 2:
+                raise ValueError(
+                    f"{self.name}: 4:2:0 output needs even dimensions, got "
+                    f"{out_info.width}x{out_info.height}")
+            ah = jnp.asarray(resize_matrix(out_info.height, in_info.height, method))
+            aw = jnp.asarray(resize_matrix(out_info.width, in_info.width, method))
+            ah2 = jnp.asarray(resize_matrix(
+                out_info.height // 2, in_info.height // 2, method))
+            aw2 = jnp.asarray(resize_matrix(
+                out_info.width // 2, in_info.width // 2, method))
+            if in_info.format == "NV12":
+
+                def fn(payload):
+                    from ...ops.yuv import nv12_to_uv, uv_to_nv12
+
+                    y, uv = payload
+                    u, v = nv12_to_uv(uv)
+                    return (resize_u8(y, ah, aw),
+                            uv_to_nv12(resize_u8(u, ah2, aw2),
+                                       resize_u8(v, ah2, aw2)))
+            else:
+
+                def fn(payload):
+                    y, u, v = payload
+                    return (resize_u8(y, ah, aw),
+                            resize_u8(u, ah2, aw2),
+                            resize_u8(v, ah2, aw2))
+
+            self._fn = jax.jit(fn)
+        else:
+            ah = jnp.asarray(resize_matrix(out_info.height, in_info.height, method))
+            aw = jnp.asarray(resize_matrix(out_info.width, in_info.width, method))
+            self._fn = jax.jit(lambda img: resize_u8(img, ah, aw))
+
+    def transform(self, inbuf: Buffer) -> Buffer:
+        if self._fn is None:
+            out = Buffer(inbuf.data)
+            out.copy_metadata_from(inbuf)
+            return out
+        data = inbuf.data
+        if self.video_info.is_planar:
+            payload = self._fn(tuple(jnp.asarray(p) for p in data))
+            out = Buffer(tuple(payload))
+        else:
+            out = Buffer(self._fn(jnp.asarray(data)))
+        out.copy_metadata_from(inbuf)
+        return out
+
+
+__all__ = ["VideoScale"]
