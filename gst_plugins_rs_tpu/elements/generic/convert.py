@@ -174,100 +174,10 @@ class VideoConvert(VideoFilter):
         self._converters = {}  # (in_fmt, out_fmt) -> jitted payload->payload
 
     def _build_converter(self, in_info, out_info):
-        """One jitted function per format pair: the whole conversion is a
-        single XLA program (one dispatch per frame, fused end to end)."""
         import jax
 
-        from ...ops.yuv import (
-            i420_to_rgb_planes,
-            nv12_to_uv,
-            rgb_planes_to_i420,
-            uv_to_nv12,
-        )
+        return jax.jit(build_format_converter(in_info, out_info))
 
-        in_planar, out_planar = in_info.is_planar, out_info.is_planar
-        in_fmt, out_fmt = in_info.format, out_info.format
-
-        def to_planes(frame):
-            """Any input payload -> (y, u, v) u8 planes."""
-            if in_fmt == "I420":
-                return frame
-            if in_fmt == "NV12":
-                y, uv = frame
-                u, v = nv12_to_uv(uv)
-                return y, u, v
-            ir, ig, ib, _ = in_info.rgb_offsets
-            scale = (1.0 / 257.0) if in_info.dtype != np.uint8 else 1.0
-            return rgb_planes_to_i420(
-                frame[..., ir].astype(jnp.float32) * scale,
-                frame[..., ig].astype(jnp.float32) * scale,
-                frame[..., ib].astype(jnp.float32) * scale,
-            )
-
-        if out_planar:  # RGB/I420/NV12 -> I420/NV12
-
-            def convert(frame):
-                y, u, v = to_planes(frame)
-                return (y, uv_to_nv12(u, v)) if out_fmt == "NV12" else (y, u, v)
-
-            return jax.jit(convert)
-
-        our, oug, oub, oa = out_info.rgb_offsets
-        maxv_out = 255 if out_info.dtype == np.uint8 else 65535
-        dtype = jnp.uint8 if out_info.dtype == np.uint8 else jnp.uint16
-
-        if in_planar:  # I420/NV12 -> packed
-
-            def convert(frame):
-                y, u, v = to_planes(frame)
-                if out_fmt == "GRAY8":
-                    # GRAY8 is full-range luma; rescale studio-swing Y directly
-                    g8 = jnp.clip(jnp.round(
-                        (y.astype(jnp.float32) - 16.0) * (255.0 / 219.0)),
-                        0.0, 255.0).astype(jnp.uint8)
-                    return g8[..., None]
-                r, g, b = i420_to_rgb_planes(y, u, v)
-
-                def comp_from(plane):
-                    if maxv_out == 65535:
-                        return (plane.astype(jnp.uint32) * 257).astype(dtype)
-                    return plane.astype(dtype)
-
-                h, w = y.shape
-                out_frame = jnp.zeros((h, w, out_info.components), dtype)
-                out_frame = out_frame.at[..., our].set(comp_from(r))
-                out_frame = out_frame.at[..., oug].set(comp_from(g))
-                out_frame = out_frame.at[..., oub].set(comp_from(b))
-                if oa is not None:
-                    out_frame = out_frame.at[..., oa].set(jnp.asarray(maxv_out, dtype))
-                return out_frame
-
-            return jax.jit(convert)
-
-        # packed -> packed (channel reorder / alpha add-drop / depth rescale)
-        ir, ig, ib, ia = in_info.rgb_offsets
-        maxv_in = 255 if in_info.dtype == np.uint8 else 65535
-
-        def convert(frame):
-            def comp(off):
-                c = frame[..., off]
-                if maxv_in != maxv_out:
-                    c = (c.astype(jnp.uint32) * maxv_out // maxv_in)
-                return c
-
-            h, w = frame.shape[0], frame.shape[1]
-            out_frame = jnp.zeros((h, w, out_info.components), dtype)
-            out_frame = out_frame.at[..., our].set(comp(ir).astype(dtype))
-            out_frame = out_frame.at[..., oug].set(comp(ig).astype(dtype))
-            out_frame = out_frame.at[..., oub].set(comp(ib).astype(dtype))
-            if oa is not None:
-                if ia is not None:
-                    out_frame = out_frame.at[..., oa].set(comp(ia).astype(dtype))
-                else:
-                    out_frame = out_frame.at[..., oa].set(jnp.asarray(maxv_out, dtype))
-            return out_frame
-
-        return jax.jit(convert)
 
     def transform(self, inbuf: Buffer) -> Buffer:
         in_info, out_info = self.video_info, self.out_video_info
@@ -295,4 +205,103 @@ class VideoConvert(VideoFilter):
         return out
 
 
-__all__ = ["Tee", "AudioConvert", "VideoConvert"]
+
+def build_format_converter(in_info, out_info):
+    """Raw (unjitted) payload->payload converter for a format pair.
+
+    Dimension-agnostic: geometry comes from the arrays, so callers can jit
+    it alone (videoconvert) or fuse it with scaling (videoconvertscale).
+    """
+    from ...ops.yuv import (
+        i420_to_rgb_planes,
+        nv12_to_uv,
+        rgb_planes_to_i420,
+        uv_to_nv12,
+    )
+
+    in_planar, out_planar = in_info.is_planar, out_info.is_planar
+    in_fmt, out_fmt = in_info.format, out_info.format
+
+    def to_planes(frame):
+        """Any input payload -> (y, u, v) u8 planes."""
+        if in_fmt == "I420":
+            return frame
+        if in_fmt == "NV12":
+            y, uv = frame
+            u, v = nv12_to_uv(uv)
+            return y, u, v
+        ir, ig, ib, _ = in_info.rgb_offsets
+        scale = (1.0 / 257.0) if in_info.dtype != np.uint8 else 1.0
+        return rgb_planes_to_i420(
+            frame[..., ir].astype(jnp.float32) * scale,
+            frame[..., ig].astype(jnp.float32) * scale,
+            frame[..., ib].astype(jnp.float32) * scale,
+        )
+
+    if out_planar:  # RGB/I420/NV12 -> I420/NV12
+
+        def convert(frame):
+            y, u, v = to_planes(frame)
+            return (y, uv_to_nv12(u, v)) if out_fmt == "NV12" else (y, u, v)
+
+        return convert
+
+    our, oug, oub, oa = out_info.rgb_offsets
+    maxv_out = 255 if out_info.dtype == np.uint8 else 65535
+    dtype = jnp.uint8 if out_info.dtype == np.uint8 else jnp.uint16
+
+    if in_planar:  # I420/NV12 -> packed
+
+        def convert(frame):
+            y, u, v = to_planes(frame)
+            if out_fmt == "GRAY8":
+                # GRAY8 is full-range luma; rescale studio-swing Y directly
+                g8 = jnp.clip(jnp.round(
+                    (y.astype(jnp.float32) - 16.0) * (255.0 / 219.0)),
+                    0.0, 255.0).astype(jnp.uint8)
+                return g8[..., None]
+            r, g, b = i420_to_rgb_planes(y, u, v)
+
+            def comp_from(plane):
+                if maxv_out == 65535:
+                    return (plane.astype(jnp.uint32) * 257).astype(dtype)
+                return plane.astype(dtype)
+
+            h, w = y.shape
+            out_frame = jnp.zeros((h, w, out_info.components), dtype)
+            out_frame = out_frame.at[..., our].set(comp_from(r))
+            out_frame = out_frame.at[..., oug].set(comp_from(g))
+            out_frame = out_frame.at[..., oub].set(comp_from(b))
+            if oa is not None:
+                out_frame = out_frame.at[..., oa].set(jnp.asarray(maxv_out, dtype))
+            return out_frame
+
+        return convert
+
+    # packed -> packed (channel reorder / alpha add-drop / depth rescale)
+    ir, ig, ib, ia = in_info.rgb_offsets
+    maxv_in = 255 if in_info.dtype == np.uint8 else 65535
+
+    def convert(frame):
+        def comp(off):
+            c = frame[..., off]
+            if maxv_in != maxv_out:
+                c = (c.astype(jnp.uint32) * maxv_out // maxv_in)
+            return c
+
+        h, w = frame.shape[0], frame.shape[1]
+        out_frame = jnp.zeros((h, w, out_info.components), dtype)
+        out_frame = out_frame.at[..., our].set(comp(ir).astype(dtype))
+        out_frame = out_frame.at[..., oug].set(comp(ig).astype(dtype))
+        out_frame = out_frame.at[..., oub].set(comp(ib).astype(dtype))
+        if oa is not None:
+            if ia is not None:
+                out_frame = out_frame.at[..., oa].set(comp(ia).astype(dtype))
+            else:
+                out_frame = out_frame.at[..., oa].set(jnp.asarray(maxv_out, dtype))
+        return out_frame
+
+    return convert
+
+
+__all__ = ["Tee", "AudioConvert", "VideoConvert", "build_format_converter"]

@@ -80,3 +80,37 @@ def test_pipeline_i420_upscale():
     p.play_until_eos()
     y, u, v = (np.asarray(pl) for pl in p.by_name("sink").samples[0].buffer.data)
     assert y.shape == (96, 128) and u.shape == (48, 64) and v.shape == (48, 64)
+
+
+def test_videoconvertscale_fused_rgb_to_i420_downscale():
+    p = parse_launch(
+        "videotestsrc pattern=red num-buffers=1 "
+        "! video/x-raw,format=RGB,width=64,height=48 "
+        "! videoconvertscale ! video/x-raw,format=I420,width=32,height=24 "
+        "! appsink name=sink")
+    p.play_until_eos()
+    y, u, v = (np.asarray(pl) for pl in p.by_name("sink").samples[0].buffer.data)
+    assert y.shape == (24, 32) and u.shape == (12, 16)
+    # flat red field: scaling cannot change the BT.601 anchor values
+    assert (int(y[5, 5]), int(u[5, 5]), int(v[5, 5])) == (81, 90, 240)
+
+
+def test_videoconvertscale_i420_to_packed_upscale():
+    p = parse_launch(
+        "videotestsrc pattern=smpte num-buffers=1 "
+        "! video/x-raw,format=RGB,width=32,height=24 "
+        "! videoconvert ! video/x-raw,format=I420 "
+        "! videoconvertscale ! video/x-raw,format=BGRx,width=64,height=48 "
+        "! appsink name=sink")
+    p.play_until_eos()
+    assert np.asarray(p.by_name("sink").samples[0].buffer.data).shape == (48, 64, 4)
+
+
+def test_videoconvertscale_passthrough():
+    p = parse_launch(
+        "videotestsrc pattern=gradient num-buffers=1 "
+        "! video/x-raw,format=RGB,width=16,height=16 "
+        "! videoconvertscale ! video/x-raw,format=RGB,width=16,height=16 "
+        "! appsink name=sink")
+    p.play_until_eos()
+    assert np.asarray(p.by_name("sink").samples[0].buffer.data).shape == (16, 16, 3)
