@@ -142,6 +142,86 @@ _VC_FORMATS = tuple(RGB_FORMATS) + ("I420", "NV12")
 
 
 @register
+class AudioResample(BaseTransform):
+    """Rational sample-rate conversion (ops/resample.py: the polyphase
+    resampler as ONE dilated XLA conv on the MXU).  Bridges the
+    fixed-rate compute elements — audiornnoise is 48 kHz-only while
+    audioloudnorm is 192 kHz-only (the reference inherits this pairing
+    problem and solves it with GStreamer-core audioresample; see
+    audio/audiofx/src/audioloudnorm/imp.rs:207-214).
+
+    F32 interleaved; output PTS runs on the output-sample counter
+    anchored at the first input PTS (gap-free timeline)."""
+
+    ELEMENT_NAME = "audioresample"
+    ELEMENT_CLASS = "Filter/Converter/Audio"
+    ELEMENT_DESCRIPTION = "Resamples audio (polyphase Kaiser-sinc on MXU)"
+    MODE = TransformMode.NEVER_IN_PLACE
+    SINK_CAPS = audio_caps_template(formats=("F32",))
+    SRC_CAPS = audio_caps_template(formats=("F32",))
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._rs = None
+        self._out_rate = 0
+        self._base_pts = None
+        self._out_samples = 0
+
+    def transform_caps(self, direction: PadDirection, caps: Caps, filter_: Optional[Caps]) -> Caps:
+        from ...core import IntRange
+
+        out = caps.copy()
+        if out.is_any():
+            out = (self.SRC_CAPS if direction == PadDirection.SINK else self.SINK_CAPS).copy()
+        for s in out.structures:
+            s["rate"] = IntRange(1, 2_822_400)
+        if filter_ is not None:
+            out = filter_.intersect(out)
+        return out
+
+    def fixate_caps(self, direction, caps, othercaps):
+        s = caps.structure(0)
+        return othercaps.fixate({"rate": s.get("rate")})
+
+    def set_caps(self, incaps: Caps, outcaps: Caps) -> None:
+        from ...ops.resample import Resampler
+
+        in_rate = incaps.structure(0)["rate"]
+        self._out_rate = outcaps.structure(0)["rate"]
+        self._rs = Resampler(in_rate, self._out_rate)
+        self._base_pts = None
+        self._out_samples = 0
+
+    def _emit(self, y, inbuf: Buffer) -> Buffer:
+        pts = None
+        if self._base_pts is not None:
+            pts = self._base_pts + self._out_samples * 1_000_000_000 // self._out_rate
+        out = Buffer(y, pts=pts,
+                     duration=y.shape[0] * 1_000_000_000 // self._out_rate)
+        self._out_samples += int(y.shape[0])
+        return out
+
+    def transform(self, inbuf: Buffer) -> Buffer:
+        if self._base_pts is None:
+            self._base_pts = inbuf.pts if inbuf.pts is not None else 0
+        y = self._rs.process(jnp.atleast_2d(inbuf.data))
+        return self._emit(y, inbuf)
+
+    def drain(self) -> Optional[Buffer]:
+        if self._rs is None or self._rs.identity or self._base_pts is None:
+            return None
+        y = self._rs.drain()
+        return self._emit(y, None) if y.shape[0] else None
+
+    def on_paused_to_ready(self) -> None:
+        super().on_paused_to_ready()
+        if self._rs is not None:
+            self._rs.reset()
+        self._base_pts = None
+        self._out_samples = 0
+
+
+@register
 class VideoConvert(VideoFilter):
     """Packed RGB-family repacks AND BT.601 4:2:0 colorspace conversion
     (I420/NV12 <-> any RGB format, ops/yuv.py device kernels) — the bridge
