@@ -16,7 +16,7 @@ from .audiofx import (  # noqa: F401
     whisper as whisper_element,
 )
 from .analytics import combiner, handdetection, meta, onvif as analytics_onvif, yoloxinference, yoloxtensordec  # noqa: F401
-from .generic import basic, buffers, convert, debugsei, decodebin, gopbuffer, io, misc, sodium, threadshare_extra  # noqa: F401
+from .generic import basic, buffers, convert, corefx, debugsei, decodebin, gopbuffer, io, misc, sodium, threadshare_extra  # noqa: F401
 from .mux import flv, isobmff, tsmux  # noqa: F401
 from .net import codecs as net_codecs, rtppay, udp  # noqa: F401
 from .image import cdg as image_cdg, codecs as image_codecs, overlay as image_overlay  # noqa: F401
