@@ -102,3 +102,25 @@ def test_pipeline_timeline_is_gap_free():
     for prev, cur in zip(samples, samples[1:]):
         end = prev.buffer.pts + prev.buffer.duration
         assert abs(cur.buffer.pts - end) <= 1  # ns rounding only
+
+
+def test_pipeline_full_production_audio_chain():
+    """denoise (48 kHz-only) -> resample -> loudnorm (192 kHz-only) ->
+    R-128 meter: the production chain that needs the rate bridge."""
+    p = fx.parse_launch(
+        "audiotestsrc wave=sine num-buffers=60 samplesperbuffer=4800 "
+        "! audio/x-raw,format=F32,rate=48000,channels=1 "
+        "! audiornnoise "
+        "! audioresample ! audio/x-raw,rate=192000 "
+        "! audioloudnorm ! ebur128level interval=1000000000 "
+        "! appsink name=sink")
+    p.play_until_eos()
+    a = p.by_name("sink").concat_audio()
+    assert abs(a.shape[0] - 60 * 4800 * 4) < 2000
+    levels = [m for m in p.bus.messages()
+              if m.structure is not None
+              and getattr(m.structure, "name", "") == "ebur128-level"]
+    assert levels, "no loudness messages through the chain"
+    final = levels[-1].structure
+    # audioloudnorm targets -24 LUFS; the meter must re-measure it there
+    assert abs(final["global-loudness"] + 24.0) < 1.5, dict(final.fields)
