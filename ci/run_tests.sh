@@ -11,10 +11,10 @@ echo "== pytest (forced-CPU, 8-device virtual mesh via tests/conftest.py) =="
 python -m pytest tests/ -q
 
 echo "== registry dump freshness (docs/elements.json vs live registry) =="
-python -m gst_plugins_rs_tpu.utils.registry_dump /tmp/_elements_ci.json
+python ci/dump_registry.py /tmp/_elements_ci.json
 if ! diff -q docs/elements.json /tmp/_elements_ci.json >/dev/null; then
     echo "ERROR: docs/elements.json is stale — regenerate with:"
-    echo "  python -m gst_plugins_rs_tpu.utils.registry_dump docs/elements.json"
+    echo "  python ci/dump_registry.py docs/elements.json"
     diff docs/elements.json /tmp/_elements_ci.json | head -20
     exit 1
 fi

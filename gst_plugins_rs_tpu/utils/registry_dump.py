@@ -98,6 +98,14 @@ def dump_registry() -> Dict[str, Any]:
 
 
 def main():
+    # introspection needs no accelerator: force CPU so CI never blocks on
+    # (or competes with) the TPU relay
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass  # backend already initialized by the embedding process
     out = sys.argv[1] if len(sys.argv) > 1 else "docs/elements.json"
     data = dump_registry()
     import os
