@@ -258,6 +258,14 @@ class VideoConvert(VideoFilter):
 
         return jax.jit(build_format_converter(in_info, out_info))
 
+    def pure_kernel(self):
+        """Chain-fusion hook (parallel/fuse.py): the raw converter closed
+        over the negotiated formats."""
+        in_info, out_info = self.video_info, self.out_video_info
+        if in_info is None or out_info is None or in_info.format == out_info.format:
+            return lambda d: d
+        return build_format_converter(in_info, out_info)
+
 
     def transform(self, inbuf: Buffer) -> Buffer:
         in_info, out_info = self.video_info, self.out_video_info

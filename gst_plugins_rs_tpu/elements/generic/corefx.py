@@ -90,26 +90,31 @@ class VideoFlip(VideoFilter):
             out = filter_.intersect(out)
         return out
 
-    def transform(self, inbuf: Buffer) -> Buffer:
-        m = self.get_property("method")
-        x = inbuf.data
+    @staticmethod
+    def _apply(m: str, x):
         if m == "clockwise":
-            y = jnp.rot90(x, k=-1, axes=(0, 1))
-        elif m == "counterclockwise":
-            y = jnp.rot90(x, k=1, axes=(0, 1))
-        elif m == "rotate-180":
-            y = x[::-1, ::-1]
-        elif m == "horizontal-flip":
-            y = x[:, ::-1]
-        elif m == "vertical-flip":
-            y = x[::-1, :]
-        elif m == "upper-left-diagonal":
-            y = jnp.swapaxes(x, 0, 1)
-        elif m == "upper-right-diagonal":
-            y = jnp.swapaxes(x[::-1, ::-1], 0, 1)
-        else:
-            y = x
-        out = Buffer(y)
+            return jnp.rot90(x, k=-1, axes=(0, 1))
+        if m == "counterclockwise":
+            return jnp.rot90(x, k=1, axes=(0, 1))
+        if m == "rotate-180":
+            return x[::-1, ::-1]
+        if m == "horizontal-flip":
+            return x[:, ::-1]
+        if m == "vertical-flip":
+            return x[::-1, :]
+        if m == "upper-left-diagonal":
+            return jnp.swapaxes(x, 0, 1)
+        if m == "upper-right-diagonal":
+            return jnp.swapaxes(x[::-1, ::-1], 0, 1)
+        return x
+
+    def pure_kernel(self):
+        """Chain-fusion hook (parallel/fuse.py)."""
+        m = self.get_property("method")
+        return lambda x: self._apply(m, x)
+
+    def transform(self, inbuf: Buffer) -> Buffer:
+        out = Buffer(self._apply(self.get_property("method"), inbuf.data))
         out.copy_metadata_from(inbuf)
         return out
 

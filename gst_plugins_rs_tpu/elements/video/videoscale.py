@@ -123,6 +123,17 @@ class VideoScale(VideoFilter):
                           self.get_property("method"))
         self._fn = jax.jit(fn) if fn is not None else None
 
+    def pure_kernel(self):
+        """Chain-fusion hook: the raw scaler closed over the negotiated
+        geometry (identity when dimensions match)."""
+        in_info, out_info = self.video_info, self.out_video_info
+        if in_info is None or out_info is None:
+            return lambda d: d
+        fn = build_scaler(in_info.format, in_info.height, in_info.width,
+                          out_info.height, out_info.width,
+                          self.get_property("method"))
+        return fn if fn is not None else (lambda d: d)
+
     def transform(self, inbuf: Buffer) -> Buffer:
         if self._fn is None:
             out = Buffer(inbuf.data)
@@ -200,7 +211,13 @@ class VideoConvertScale(VideoScale):
                 payload = scale(payload)
             return payload
 
+        self._raw_fn = fn
         self._fn = jax.jit(fn)
+
+    def pure_kernel(self):
+        """Chain-fusion hook: the composed convert+scale kernel."""
+        fn = getattr(self, "_raw_fn", None)
+        return fn if fn is not None else (lambda d: d)
 
     def transform(self, inbuf: Buffer) -> Buffer:
         if self._fn is None:

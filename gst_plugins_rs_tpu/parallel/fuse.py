@@ -40,8 +40,16 @@ def fuse(elements: List[BaseTransform]) -> Callable:
     return fused
 
 
+def _is_identity(e) -> bool:
+    # capsfilter/identity: pure passthrough — may sit INSIDE a run (so
+    # caps constraints don't break fusion) but never extend its ends or
+    # count toward the 2-element threshold
+    return getattr(e, "FUSE_IDENTITY", False)
+
+
 def fusable_runs(pipeline) -> List[List[BaseTransform]]:
-    """Find maximal linked runs of >= 2 fusable in-place transforms."""
+    """Find maximal linked runs with >= 2 fusable non-passthrough
+    transforms; interior capsfilter/identity elements are carried along."""
     runs: List[List[BaseTransform]] = []
     seen = set()
     for e in pipeline.elements:
@@ -59,7 +67,11 @@ def fusable_runs(pipeline) -> List[List[BaseTransform]]:
                 cur = nxt
             else:
                 break
-        if len(run) >= 2:
+        while run and _is_identity(run[0]):
+            run.pop(0)
+        while run and _is_identity(run[-1]):
+            run.pop()
+        if sum(1 for x in run if not _is_identity(x)) >= 2:
             runs.append(run)
     return runs
 

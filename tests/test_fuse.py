@@ -56,3 +56,29 @@ def test_no_fuse_single_element():
     assert fuse_pipeline(p) == 0
     p.play_until_eos()
     assert len(p.by_name("sink").samples) == 1
+
+
+def test_mixed_chain_with_scaler_and_flip_fuses(tmp_path):
+    """hsvfilter + videoscale + videoflip compose into ONE dispatch and
+    match the unfused pipeline bit-exactly (late-round-3 elements join
+    the fusion protocol)."""
+    desc = (
+        "videotestsrc pattern=smpte num-buffers=2 "
+        "! video/x-raw,format=RGB,width=128,height=64 "
+        "! hsvfilter hue-shift=90 "
+        "! videoscale method=nearest ! video/x-raw,format=RGB,width=64,height=32 "
+        "! videoflip method=rotate-180 ! appsink name=sink")
+    p1 = parse_launch(desc)
+    p1.play_until_eos()
+    ref = np.asarray(p1.by_name("sink").samples[0].buffer.data)
+
+    p2 = parse_launch(desc)
+    runs = fusable_runs(p2)
+    # the interior capsfilter rides along as an identity kernel
+    assert [e.ELEMENT_NAME for e in runs[0]] == [
+        "hsvfilter", "videoscale", "capsfilter", "videoflip"]
+    assert fuse_pipeline(p2) == 1
+    p2.play_until_eos()
+    got = np.asarray(p2.by_name("sink").samples[0].buffer.data)
+    assert got.shape == (32, 64, 3)
+    np.testing.assert_array_equal(got, ref)
