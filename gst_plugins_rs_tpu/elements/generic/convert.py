@@ -201,10 +201,12 @@ class AudioResample(BaseTransform):
         self._out_samples += int(y.shape[0])
         return out
 
-    def transform(self, inbuf: Buffer) -> Buffer:
+    def transform(self, inbuf: Buffer) -> Optional[Buffer]:
         if self._base_pts is None:
             self._base_pts = inbuf.pts if inbuf.pts is not None else 0
         y = self._rs.process(jnp.atleast_2d(inbuf.data))
+        if y.shape[0] == 0:
+            return None  # polyphase warm-up: nothing to push yet
         return self._emit(y, inbuf)
 
     def drain(self) -> Optional[Buffer]:
@@ -370,6 +372,21 @@ def build_format_converter(in_info, out_info):
     ir, ig, ib, ia = in_info.rgb_offsets
     maxv_in = 255 if in_info.dtype == np.uint8 else 65535
 
+    if out_fmt == "GRAY8":
+        # GRAY8 is full-range BT.601 luma, not a channel copy (offsets
+        # (0,0,0) would otherwise make the three writes last-write-win)
+        from ...ops.yuv import KB, KG, KR
+
+        def convert(frame):
+            scale = (1.0 / 257.0) if maxv_in == 65535 else 1.0
+            r = frame[..., ir].astype(jnp.float32) * scale
+            g = frame[..., ig].astype(jnp.float32) * scale
+            b = frame[..., ib].astype(jnp.float32) * scale
+            y = jnp.clip(jnp.round(KR * r + KG * g + KB * b), 0.0, 255.0)
+            return y.astype(jnp.uint8)[..., None]
+
+        return convert
+
     def convert(frame):
         def comp(off):
             c = frame[..., off]
@@ -392,4 +409,5 @@ def build_format_converter(in_info, out_info):
     return convert
 
 
-__all__ = ["Tee", "AudioConvert", "VideoConvert", "build_format_converter"]
+__all__ = ["Tee", "AudioConvert", "AudioResample", "VideoConvert",
+           "build_format_converter"]

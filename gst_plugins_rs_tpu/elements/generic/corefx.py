@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import List, Optional
 
 import jax.numpy as jnp
+import numpy as np
 
 from ...core import (
     BaseTransform,
@@ -47,7 +48,17 @@ class Volume(BaseTransform):
 
     def transform(self, inbuf: Buffer) -> Buffer:
         g = 0.0 if self.get_property("mute") else self.get_property("volume")
-        out = Buffer(inbuf.data if g == 1.0 else inbuf.data * jnp.float32(g))
+        d = inbuf.data
+        if g != 1.0:
+            import jax
+
+            if (getattr(d, "dtype", None) == np.float64
+                    and not jax.config.jax_enable_x64):
+                # keep F64 payloads F64 (jax would silently demote to f32)
+                d = np.asarray(d) * np.float64(g)
+            else:
+                d = d * jnp.asarray(g, getattr(d, "dtype", jnp.float32))
+        out = Buffer(d)
         out.copy_metadata_from(inbuf)
         return out
 
@@ -155,6 +166,14 @@ class VideoCrop(VideoFilter):
             out = filter_.intersect(out)
         return out
 
+    def setup(self, in_info, out_info) -> None:
+        dx = self.get_property("left") + self.get_property("right")
+        dy = self.get_property("top") + self.get_property("bottom")
+        if dx >= in_info.width or dy >= in_info.height:
+            raise ValueError(
+                f"{self.name}: crop ({dx}x{dy}) consumes the whole "
+                f"{in_info.width}x{in_info.height} frame")
+
     def transform(self, inbuf: Buffer) -> Buffer:
         t, b = self.get_property("top"), self.get_property("bottom")
         l, r = self.get_property("left"), self.get_property("right")
@@ -189,9 +208,17 @@ class VideoRate(VideoFilter):
         if out.is_any():
             out = (self.SRC_CAPS if direction == PadDirection.SINK
                    else self.SINK_CAPS).copy()
+        # preference order: keep the stream's framerate (first structure);
+        # fall back to a framerate-free wildcard that adopts ANY peer rate
+        # (absent field = wildcard under Structure.intersect)
+        structures = []
         for s in out.structures:
-            # absent field = wildcard: any peer framerate intersects
-            s.fields.pop("framerate", None)
+            if s.get("framerate") is not None:
+                structures.append(s.copy())
+            wild = s.copy()
+            wild.fields.pop("framerate", None)
+            structures.append(wild)
+        out = Caps(structures)
         if filter_ is not None:
             out = filter_.intersect(out)
         return out
@@ -270,8 +297,12 @@ class AudioRate(BaseTransform):
         x = jnp.atleast_2d(inbuf.data)
         if self._base_pts is None:
             self._base_pts = inbuf.pts if inbuf.pts is not None else 0
-        pts = inbuf.pts if inbuf.pts is not None else self._base_pts
-        want = round((pts - self._base_pts) * self._rate / 1_000_000_000)
+        if inbuf.pts is not None:
+            pts = inbuf.pts
+            want = round((pts - self._base_pts) * self._rate / 1_000_000_000)
+        else:
+            # no timestamp = contiguous with the running timeline
+            want = self._next_sample
         delta = want - self._next_sample
         if delta > 0:  # gap: prepend silence
             x = jnp.concatenate(

@@ -192,23 +192,39 @@ class VideoConvertScale(VideoScale):
                                                         out_info.height)
         if same_fmt and same_dims:
             return  # passthrough
-        if (in_info.is_planar or out_info.is_planar) and (
-                in_info.width % 2 or in_info.height % 2
-                or out_info.width % 2 or out_info.height % 2):
+        # 4:2:0 work happens wherever the payload is planar; the packed
+        # side tolerates any geometry.  Order the two stages so scaling
+        # runs in the packed domain when one exists:
+        #   packed -> planar: scale (packed, input format) THEN convert
+        #   planar -> packed: convert THEN scale (packed, output format)
+        # so only the planar side's dimensions must be even.
+        scale_first = out_info.is_planar and not in_info.is_planar
+        if in_info.is_planar and (in_info.width % 2 or in_info.height % 2):
             raise ValueError(
-                f"{self.name}: 4:2:0 needs even dimensions "
-                f"({in_info.width}x{in_info.height} -> "
-                f"{out_info.width}x{out_info.height})")
+                f"{self.name}: 4:2:0 input needs even dimensions, got "
+                f"{in_info.width}x{in_info.height}")
+        if out_info.is_planar and (out_info.width % 2 or out_info.height % 2):
+            raise ValueError(
+                f"{self.name}: 4:2:0 output needs even dimensions, got "
+                f"{out_info.width}x{out_info.height}")
         conv = None if same_fmt else build_format_converter(in_info, out_info)
-        scale = build_scaler(out_info.format, in_info.height, in_info.width,
-                             out_info.height, out_info.width,
-                             self.get_property("method"))
+        scale = build_scaler(
+            in_info.format if scale_first else out_info.format,
+            in_info.height, in_info.width,
+            out_info.height, out_info.width,
+            self.get_property("method"))
 
         def fn(payload):
-            if conv is not None:
-                payload = conv(payload)
-            if scale is not None:
-                payload = scale(payload)
+            if scale_first:
+                if scale is not None:
+                    payload = scale(payload)
+                if conv is not None:
+                    payload = conv(payload)
+            else:
+                if conv is not None:
+                    payload = conv(payload)
+                if scale is not None:
+                    payload = scale(payload)
             return payload
 
         self._raw_fn = fn

@@ -124,3 +124,16 @@ def test_pipeline_full_production_audio_chain():
     final = levels[-1].structure
     # audioloudnorm targets -24 LUFS; the meter must re-measure it there
     assert abs(final["global-loudness"] + 24.0) < 1.5, dict(final.fields)
+
+
+def test_short_first_buffer_pushes_no_empty_output():
+    p = fx.parse_launch(
+        "appsrc name=src caps=audio/x-raw,format=F32,rate=48000,channels=1 "
+        "! audioresample ! audio/x-raw,rate=192000 ! appsink name=sink")
+    src = p.by_name("src")
+    src.push_buffer(fx.Buffer(np.zeros((4, 1), np.float32), pts=0))
+    src.push_buffer(fx.Buffer(np.ones((480, 1), np.float32), pts=83_333))
+    src.end_of_stream()
+    p.play_until_eos()
+    for s in p.by_name("sink").samples:
+        assert np.asarray(s.buffer.data).shape[0] > 0

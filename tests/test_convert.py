@@ -135,3 +135,14 @@ def test_videoconvert_i420_to_bgrx_pipeline():
     assert frame.shape == (16, 32, 4)
     b, g, r = int(frame[0, 0, 0]), int(frame[0, 0, 1]), int(frame[0, 0, 2])
     assert r > 245 and g < 10 and b < 10  # red survives the 4:2:0 trip
+
+
+def test_videoconvert_rgb_to_gray8_is_luma():
+    p = parse_launch(
+        "videotestsrc pattern=red num-buffers=1 "
+        "! video/x-raw,format=RGB,width=8,height=8 "
+        "! videoconvert ! video/x-raw,format=GRAY8 ! appsink name=sink")
+    p.play_until_eos()
+    g = np.asarray(p.by_name("sink").samples[0].buffer.data)
+    # full-range BT.601 luma of pure red = 0.299*255 = 76, NOT the blue channel
+    assert int(g[0, 0, 0]) == 76

@@ -123,3 +123,56 @@ def test_audiorate_drops_overlap():
     a = p.by_name("sink").concat_audio()
     assert a.shape[0] == 4800 + 2400
     assert float(a[4800]) == 2.0  # overlap head was dropped, not doubled
+
+
+# --- review-pass regressions (round-3 inline review) -----------------------
+def test_videorate_preserves_input_rate_when_unconstrained():
+    p = fx.parse_launch(
+        "videotestsrc num-buffers=10 "
+        "! video/x-raw,format=RGB,width=8,height=8,framerate=25/1 "
+        "! videorate ! appsink name=sink")
+    p.play_until_eos()
+    samples = p.by_name("sink").samples
+    assert len(samples) == 10  # no silent retime to a 30 fps default
+    assert samples[1].buffer.pts - samples[0].buffer.pts == 40_000_000
+
+
+def test_audiorate_untimestamped_buffers_are_contiguous():
+    p = fx.parse_launch(
+        "appsrc name=src caps=audio/x-raw,format=F32,rate=48000,channels=1 "
+        "! audiorate ! appsink name=sink")
+    src = p.by_name("src")
+    for _ in range(3):
+        src.push_buffer(fx.Buffer(np.ones((4800, 1), np.float32)))
+    src.end_of_stream()
+    p.play_until_eos()
+    assert p.by_name("sink").concat_audio().shape[0] == 3 * 4800
+
+
+def test_videocrop_overcrop_fails_cleanly():
+    p = fx.parse_launch(
+        "videotestsrc num-buffers=1 ! video/x-raw,format=RGB,width=32,height=16 "
+        "! videocrop left=20 right=20 ! appsink name=sink")
+    try:
+        p.play_until_eos()
+        frames = p.by_name("sink").samples
+        assert not frames or all(
+            np.asarray(s.buffer.data).shape[1] > 0 for s in frames), \
+            "zero-width frames must not reach downstream"
+        raised = False
+    except Exception:
+        raised = True
+    assert raised, "over-cropping must fail, not emit empty frames"
+
+
+def test_volume_preserves_f64_dtype():
+    p = fx.parse_launch(
+        "appsrc name=src caps=audio/x-raw,format=F64,rate=48000,channels=1 "
+        "! volume volume=0.5 ! appsink name=sink")
+    src = p.by_name("src")
+    src.push_buffer(fx.Buffer(np.ones((64, 1), np.float64)))
+    src.end_of_stream()
+    p.play_until_eos()
+    out = p.by_name("sink").samples[0].buffer.data
+    assert np.asarray(out).dtype == np.float64
+    assert float(np.asarray(out)[0, 0]) == 0.5

@@ -114,3 +114,29 @@ def test_videoconvertscale_passthrough():
         "! appsink name=sink")
     p.play_until_eos()
     assert np.asarray(p.by_name("sink").samples[0].buffer.data).shape == (16, 16, 3)
+
+
+def test_convertscale_planar_to_odd_packed_dims():
+    """I420 (even) -> RGB at odd output dims is legal: scaling runs in the
+    packed domain after conversion."""
+    p = parse_launch(
+        "videotestsrc pattern=smpte num-buffers=1 "
+        "! video/x-raw,format=RGB,width=64,height=48 "
+        "! videoconvert ! video/x-raw,format=I420 "
+        "! videoconvertscale ! video/x-raw,format=RGB,width=33,height=25 "
+        "! appsink name=sink")
+    p.play_until_eos()
+    assert np.asarray(p.by_name("sink").samples[0].buffer.data).shape == (25, 33, 3)
+
+
+def test_convertscale_odd_packed_to_planar_dims():
+    """RGB at odd input dims -> I420 (even out) is legal: scaling runs in
+    the packed domain before conversion."""
+    p = parse_launch(
+        "videotestsrc pattern=smpte num-buffers=1 "
+        "! video/x-raw,format=RGB,width=33,height=25 "
+        "! videoconvertscale ! video/x-raw,format=I420,width=64,height=48 "
+        "! appsink name=sink")
+    p.play_until_eos()
+    y, u, v = (np.asarray(pl) for pl in p.by_name("sink").samples[0].buffer.data)
+    assert y.shape == (48, 64) and u.shape == (24, 32)
