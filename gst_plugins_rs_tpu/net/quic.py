@@ -25,6 +25,12 @@ engine in net/tls13.py.  Scope covers what the quinn elements need:
   kPacketThreshold=3 / 9/8-time-threshold rules over an EWMA RTT
   estimator that also feeds the PTO; tick()'s PTO retransmission is
   the backstop (the reference gets the same shape from quinn)
+- congestion control (RFC 9002 §7, NewReno): slow start doubling to
+  ssthresh, AIMD afterwards, one cwnd halving per recovery epoch;
+  ack-eliciting 1-RTT packets beyond cwnd are held and released by
+  ACKs (ACK/CLOSE-led packets always flow, so the feedback loop and
+  shutdown cannot deadlock).  Persistent-congestion collapse and
+  pacing are out of scope
 - version negotiation (RFC 9000 §6): servers answer unknown-version
   first flights with a VN packet; clients abort on a valid VN and
   ignore spoofs (listed-own-version or wrong dcid)
@@ -367,6 +373,14 @@ class QuicConnection:
         self._latest_rtt = 0.0
         self._any_rx = False  # a packet from the peer decrypted OK
 
+        # congestion control (RFC 9002 §7, NewReno): slow start + AIMD
+        # with one cwnd halving per recovery epoch; ack-eliciting APP
+        # packets over cwnd stay queued until ACKs free the window
+        self._cwnd = 10 * self.MTU
+        self._ssthresh = float("inf")
+        self._in_flight = 0
+        self._recovery_start: Optional[float] = None
+
         # flow control (RFC 9000 §4) — receive direction: what we allow
         self._fc_window_conn = max_data
         self._fc_window_stream = max_stream_data
@@ -517,9 +531,10 @@ class QuicConnection:
                     continue
                 resend = []
                 for pn in sorted(space.unacked):
-                    frames, eliciting, sent = space.unacked[pn]
+                    frames, eliciting, sent, size = space.unacked[pn]
                     if eliciting and now - sent > self._pto:
                         del space.unacked[pn]
+                        self._in_flight = max(0, self._in_flight - size)
                         resend.append(frames)
                 for frames in resend:
                     self._queue_frames(level, frames)
@@ -912,6 +927,16 @@ class QuicConnection:
             for _ in range(3):
                 _v, off = decode_varint(payload, off)
         now = time.monotonic()
+        for _pn, (_fr, _el, _sent, _size) in newly.items():
+            if not _el:
+                continue
+            self._in_flight = max(0, self._in_flight - _size)
+            if self._recovery_start is not None and _sent <= self._recovery_start:
+                continue  # no growth for packets sent before recovery began
+            if self._cwnd < self._ssthresh:
+                self._cwnd += _size  # slow start
+            else:
+                self._cwnd += self.MTU * _size / self._cwnd  # AIMD
         if largest in newly and newly[largest][1]:
             # RTT sample only when the largest acked is newly acked and
             # ack-eliciting (RFC 9002 §5.1); §5.3 EWMA
@@ -937,15 +962,26 @@ class QuicConnection:
         rtt = max(self._srtt or 0.0, self._latest_rtt)
         time_thresh = self.K_TIME_THRESHOLD * rtt if rtt else None
         lost = []
+        latest_lost_sent = None
         for pn in sorted(space.unacked):
             if pn >= largest_acked:
                 break  # not yet reorderable: nothing after it was acked
-            frames, eliciting, sent = space.unacked[pn]
+            frames, eliciting, sent, size = space.unacked[pn]
             if (largest_acked - pn >= self.K_PACKET_THRESHOLD
                     or (time_thresh is not None and now - sent > time_thresh)):
                 del space.unacked[pn]
                 if eliciting:
+                    self._in_flight = max(0, self._in_flight - size)
                     lost.append(frames)
+                    if latest_lost_sent is None or sent > latest_lost_sent:
+                        latest_lost_sent = sent
+        if latest_lost_sent is not None and (
+                self._recovery_start is None
+                or latest_lost_sent > self._recovery_start):
+            # RFC 9002 §7.3.2: one cwnd reduction per recovery epoch
+            self._recovery_start = now
+            self._ssthresh = max(self._cwnd / 2.0, 2 * self.MTU)
+            self._cwnd = self._ssthresh
         for frames in lost:
             self._queue_frames(level, frames)
 
@@ -1139,7 +1175,19 @@ class QuicConnection:
                 cur += frame
             if cur:
                 groups.append(bytes(cur))
+            held: List[bytes] = []
             for chunk in groups:
+                # congestion window (RFC 9002 §7): hold ack-eliciting APP
+                # chunks that don't fit; ACK/CLOSE-led chunks always flow
+                # (a held chunk is released by the next ACK's _pump)
+                first = chunk[0]
+                eliciting = first != FRAME_PADDING and not (
+                    FRAME_ACK <= first <= FRAME_ACK + 1)
+                if (level == LEVEL_APP and eliciting
+                        and self.handshake_done.is_set()
+                        and self._in_flight + len(chunk) + 64 > self._cwnd):
+                    held.append(chunk)
+                    continue
                 pkt = self._build_packet(level, chunk)
                 if len(datagram) + len(pkt) > self.MTU and datagram:
                     self._emit_datagram(bytes(datagram))
@@ -1150,6 +1198,8 @@ class QuicConnection:
                     # always last (RFC 9000 §12.2)
                     self._emit_datagram(bytes(datagram))
                     datagram = bytearray()
+            if held:
+                queued.setdefault(level, [])[:0] = held
         if datagram:
             self._emit_datagram(bytes(datagram))
 
@@ -1244,5 +1294,7 @@ class QuicConnection:
             packet[pn_offset + i] ^= mask[1 + i]
         eliciting = any(f not in (FRAME_PADDING,) and not (FRAME_ACK <= f <= FRAME_ACK + 1)
                         for f in [frames[0]])
-        space.unacked[pn] = (frames, eliciting, time.monotonic())
+        space.unacked[pn] = (frames, eliciting, time.monotonic(), len(packet))
+        if eliciting:
+            self._in_flight += len(packet)
         return bytes(packet)

@@ -789,3 +789,74 @@ class TestRetry:
         client.handle_datagram(bytes(pkt))
         assert not client._retry_done
         assert client._token == b""
+
+
+class TestCongestionControl:
+    """RFC 9002 §7 NewReno: cwnd-limited sending, slow start, recovery."""
+
+    def _handshaken(self):
+        client, server, pump, to_server, to_client = _pair()
+        got = []
+        server.on_stream_data = lambda sid, data, fin: got.append(data)
+        client.connect()
+        pump()
+        assert client.handshake_done.is_set()
+        to_server.clear()
+        to_client.clear()
+        return client, server, pump, to_server, to_client, got
+
+    def test_initial_burst_is_cwnd_limited(self):
+        client, server, pump, to_server, to_client, got = self._handshaken()
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"x" * 300_000, fin=True)
+        burst = sum(len(d) for d in to_server)
+        # the first flight must stay near the initial window, not 300 kB
+        assert burst <= client._cwnd + 2 * client.MTU, burst
+        assert burst > 0
+
+    def test_all_data_delivered_and_window_grows(self):
+        client, server, pump, to_server, to_client, got = self._handshaken()
+        initial_cwnd = client._cwnd
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"y" * 300_000, fin=True)
+        for _ in range(200):
+            pump()
+            client.tick()
+            if sum(len(d) for d in got) >= 300_000:
+                break
+        assert sum(len(d) for d in got) == 300_000
+        assert client._cwnd > initial_cwnd  # slow start grew the window
+        assert client._in_flight == 0      # everything acked
+
+    def test_loss_event_halves_the_window_once(self):
+        client, server, pump, to_server, to_client, got = self._handshaken()
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"z" * 100_000, fin=True)
+        pump()
+        client.tick()
+        pump()
+        grown = client._cwnd
+        # drop a full in-flight burst, then let ACK-driven detection fire
+        client.send_stream(sid, b"z" * 50_000)
+        to_server.clear()
+        client.send_stream(sid, b"t" * 2_000)
+        for _ in range(200):
+            pump()
+            client.tick()
+            if client._recovery_start is not None:
+                break
+        assert client._recovery_start is not None
+        # the window was halved from whatever it had grown to by the loss
+        # (a little more growth can land between the snapshot and the event)
+        assert client._ssthresh < grown * 0.75
+        # post-recovery growth is congestion-avoidance from ssthresh
+        assert client._ssthresh >= 2 * client.MTU
+        assert client._cwnd >= client._ssthresh
+        # and the stream still completes after recovery
+        total_target = 100_000 + 50_000 + 2_000
+        for _ in range(300):
+            pump()
+            client.tick()
+            if sum(len(d) for d in got) >= total_target:
+                break
+        assert sum(len(d) for d in got) == total_target
