@@ -381,6 +381,11 @@ class QuicConnection:
         self._in_flight = 0
         self._recovery_start: Optional[float] = None
 
+        # idle timeout (RFC 9000 §10.1): effective value is the min of both
+        # sides' max_idle_timeout transport params; reset on authenticated rx
+        self.idle_timeout_ms = 30_000
+        self._last_rx = time.monotonic()
+
         # flow control (RFC 9000 §4) — receive direction: what we allow
         self._fc_window_conn = max_data
         self._fc_window_stream = max_stream_data
@@ -523,9 +528,19 @@ class QuicConnection:
 
     def tick(self) -> None:
         """Retransmit ack-eliciting packets past their PTO (the backstop
-        behind the ACK-driven loss detection in _detect_lost)."""
+        behind the ACK-driven loss detection in _detect_lost); enforce the
+        idle timeout (RFC 9000 §10.1: close SILENTLY — no packets)."""
         with self._lock:
             now = time.monotonic()
+            if self._any_rx and not self.closed.is_set():
+                idle_ms = self.idle_timeout_ms
+                peer_ms = self.peer_params.get(TP_MAX_IDLE_TIMEOUT, 0)
+                if peer_ms:
+                    idle_ms = min(idle_ms, peer_ms)
+                if idle_ms and (now - self._last_rx) * 1000.0 > idle_ms:
+                    self.close_reason = "idle timeout"
+                    self.closed.set()
+                    return
             for level, space in self.spaces.items():
                 if space.tx_keys is None:
                     continue
@@ -743,6 +758,7 @@ class QuicConnection:
         if pn in space.recv_pns:
             return  # duplicate
         self._any_rx = True  # an authenticated peer packet: VN no longer valid
+        self._last_rx = time.monotonic()
         space.recv_pns.add(pn)
         if (level == LEVEL_APP and self._rx_addr is not None
                 and self.peer_addr is not None

@@ -860,3 +860,30 @@ class TestCongestionControl:
             if sum(len(d) for d in got) >= total_target:
                 break
         assert sum(len(d) for d in got) == total_target
+
+
+class TestIdleTimeout:
+    def test_idle_connection_closes_silently(self):
+        client, server, pump, to_server, to_client = _pair()
+        client.connect()
+        pump()
+        assert client.handshake_done.is_set()
+        client.tick()
+        assert not client.closed.is_set()
+        # simulate silence past the effective idle timeout
+        client._last_rx -= 31.0
+        to_server.clear()
+        client.tick()
+        assert client.closed.is_set()
+        assert client.close_reason == "idle timeout"
+        assert not to_server, "idle close is silent (RFC 9000 §10.1)"
+
+    def test_active_connection_stays_open(self):
+        client, server, pump, *_ = _pair()
+        client.connect()
+        pump()
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"ping")
+        pump()
+        client.tick()
+        assert not client.closed.is_set()
