@@ -300,15 +300,17 @@ class QuicConnection:
                  sendto_cb: Optional[Callable[[bytes, object], None]] = None,
                  session: Optional[dict] = None,
                  ticket_key: Optional[bytes] = None,
-                 retry: bool = False):
+                 retry: bool = False,
+                 idle_timeout_ms: int = 30_000):
         self.is_client = is_client
         self.send_cb = send_cb
         self.scid = os.urandom(8)
         self.dcid = os.urandom(8)  # client: destination for Initial keys
         self.peer_cid: Optional[bytes] = None
         alpn = alpn or ["gstpu"]
+        self.idle_timeout_ms = idle_timeout_ms
         params = {
-            TP_MAX_IDLE_TIMEOUT: 30_000,
+            TP_MAX_IDLE_TIMEOUT: idle_timeout_ms,
             TP_INITIAL_MAX_DATA: max_data,
             TP_INITIAL_MAX_STREAM_DATA_BIDI_LOCAL: max_stream_data,
             TP_INITIAL_MAX_STREAM_DATA_BIDI_REMOTE: max_stream_data,
@@ -382,8 +384,9 @@ class QuicConnection:
         self._recovery_start: Optional[float] = None
 
         # idle timeout (RFC 9000 §10.1): effective value is the min of both
-        # sides' max_idle_timeout transport params; reset on authenticated rx
-        self.idle_timeout_ms = 30_000
+        # sides' max_idle_timeout transport params (floored at 3x PTO), the
+        # timer restarting on authenticated rx AND on sending an
+        # ack-eliciting packet when none was in flight
         self._last_rx = time.monotonic()
 
         # flow control (RFC 9000 §4) — receive direction: what we allow
@@ -419,6 +422,7 @@ class QuicConnection:
             # parameters (RFC 9001 §4.6.1)
             self.peer_params = decode_transport_params(
                 self._resume_session["transport_params"])
+            self._params_remembered = True
             self.peer_max_datagram = self.peer_params.get(
                 TP_MAX_DATAGRAM_FRAME_SIZE, 0)
             self._fc_peer_max_data = self.peer_params.get(TP_INITIAL_MAX_DATA, 0)
@@ -482,6 +486,8 @@ class QuicConnection:
 
     def send_stream(self, stream_id: int, data: bytes, fin: bool = False) -> None:
         with self._lock:
+            if self.closed.is_set():
+                raise QuicError(self.close_reason or "connection closed")
             off = self._stream_offsets.setdefault(stream_id, 0)
             self._pending_stream.append((stream_id, off, data, fin))
             self._stream_offsets[stream_id] = off + len(data)
@@ -490,6 +496,8 @@ class QuicConnection:
 
     def send_datagram(self, data: bytes) -> None:
         with self._lock:
+            if self.closed.is_set():
+                raise QuicError(self.close_reason or "connection closed")
             self._pending_datagrams.append(data)
             if self.handshake_done.is_set() or self._early_tx:
                 self._pump()
@@ -531,16 +539,18 @@ class QuicConnection:
         behind the ACK-driven loss detection in _detect_lost); enforce the
         idle timeout (RFC 9000 §10.1: close SILENTLY — no packets)."""
         with self._lock:
+            if self.closed.is_set():
+                return  # a closed connection transmits nothing (§10.1)
             now = time.monotonic()
-            if self._any_rx and not self.closed.is_set():
-                idle_ms = self.idle_timeout_ms
-                peer_ms = self.peer_params.get(TP_MAX_IDLE_TIMEOUT, 0)
-                if peer_ms:
-                    idle_ms = min(idle_ms, peer_ms)
-                if idle_ms and (now - self._last_rx) * 1000.0 > idle_ms:
-                    self.close_reason = "idle timeout"
-                    self.closed.set()
-                    return
+            idle_ms = self.idle_timeout_ms
+            peer_ms = self.peer_params.get(TP_MAX_IDLE_TIMEOUT, 0)
+            if peer_ms:
+                idle_ms = min(idle_ms, peer_ms)
+            idle_ms = max(idle_ms, 3 * self._pto * 1000.0)  # §10.1 floor
+            if idle_ms and (now - self._last_rx) * 1000.0 > idle_ms:
+                self.close_reason = "idle timeout"
+                self.closed.set()
+                return
             for level, space in self.spaces.items():
                 if space.tx_keys is None:
                     continue
@@ -559,6 +569,8 @@ class QuicConnection:
     # -- datagram receive ------------------------------------------------------------
     def handle_datagram(self, datagram: bytes, addr: object = None) -> None:
         with self._lock:
+            if self.closed.is_set():
+                return  # drained: a closed endpoint neither reads nor replies
             self._rx_addr = addr
             if addr is not None and self.peer_addr is None:
                 self.peer_addr = addr  # handshake path is implicitly validated
@@ -1051,7 +1063,11 @@ class QuicConnection:
                 if not self._hs_done_sent:
                     self._hs_done_sent = True
                     self._queue_frames(LEVEL_APP, bytes([FRAME_HANDSHAKE_DONE]))
-        if self.tls.peer_transport_params is not None and not self.peer_params:
+        if self.tls.peer_transport_params is not None and (
+                not self.peer_params or getattr(self, "_params_remembered", False)):
+            # fresh handshake params replace any 0-RTT remembered set
+            # (RFC 9001 §4.6.1 remembered values only cap EARLY data)
+            self._params_remembered = False
             self.peer_params = decode_transport_params(self.tls.peer_transport_params)
             self.peer_max_datagram = self.peer_params.get(TP_MAX_DATAGRAM_FRAME_SIZE, 0)
             if self._fc_peer_max_data is None:
@@ -1310,7 +1326,10 @@ class QuicConnection:
             packet[pn_offset + i] ^= mask[1 + i]
         eliciting = any(f not in (FRAME_PADDING,) and not (FRAME_ACK <= f <= FRAME_ACK + 1)
                         for f in [frames[0]])
-        space.unacked[pn] = (frames, eliciting, time.monotonic(), len(packet))
+        now = time.monotonic()
+        space.unacked[pn] = (frames, eliciting, now, len(packet))
         if eliciting:
+            if self._in_flight == 0:
+                self._last_rx = max(self._last_rx, now)  # §10.1 restart
             self._in_flight += len(packet)
         return bytes(packet)

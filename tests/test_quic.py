@@ -887,3 +887,37 @@ class TestIdleTimeout:
         pump()
         client.tick()
         assert not client.closed.is_set()
+
+
+class TestClosedConnectionIsSilent:
+    def test_no_transmission_after_idle_close(self):
+        client, server, pump, to_server, to_client = _pair()
+        client.connect()
+        pump()
+        sid = client.open_uni_stream()
+        client.send_stream(sid, b"q")  # leave an unacked packet around
+        client._last_rx -= 9999.0
+        client.tick()
+        assert client.closed.is_set()
+        to_server.clear()
+        to_client.clear()
+        for _ in range(5):
+            client.tick()  # must not resume PTO retransmission
+        assert not to_server
+        # inbound packets are dropped, not acked
+        server.send_stream(server.open_uni_stream(), b"late")
+        while to_client:
+            client.handle_datagram(to_client.pop(0))
+        assert not to_server
+        with pytest.raises(Exception):
+            client.send_stream(sid, b"more")
+
+    def test_black_holed_client_times_out_without_any_rx(self):
+        to_server = []
+        client = QuicConnection(True, to_server.append, idle_timeout_ms=100)
+        client.connect()  # server never answers
+        client._last_rx -= 10.0
+        client._pto = 0.01  # keep the 3x PTO floor below the elapsed time
+        client.tick()
+        assert client.closed.is_set()
+        assert client.close_reason == "idle timeout"
