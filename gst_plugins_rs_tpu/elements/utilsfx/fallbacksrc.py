@@ -46,14 +46,63 @@ class FallbackSrc(BaseSrc):
         Prop("enable-dummy", True, type="bool",
              doc="built-in dummy stream when no fallback-uri works"),
         Prop("blocksize", 4096, type="uint", minimum=1),
+        # -- full reference surface (fallbacksrc imp.rs:332-463) ------------
+        Prop("source", None, type="object",
+             doc="use this source element as the primary instead of uri "
+                 "(any BaseSrc; its create() feeds this element)"),
+        Prop("fallback-source", None, type="object",
+             doc="source element used as the fallback stream"),
+        Prop("enable-audio", True, type="bool",
+             doc="produce the dummy/fallback stream for audio-type caps"),
+        Prop("enable-video", True, type="bool",
+             doc="produce the dummy/fallback stream for video-type caps"),
+        Prop("audio-caps", None, type="object",
+             doc="caps to negotiate for the audio stream"),
+        Prop("video-caps", None, type="object",
+             doc="caps to negotiate for the video stream"),
+        Prop("fallback-audio-caps", None, type="object"),
+        Prop("fallback-video-caps", None, type="object"),
+        Prop("dummy-audio-caps", None, type="object"),
+        Prop("dummy-video-caps", None, type="object"),
+        Prop("buffer-duration", -1, type="int",
+             doc="buffering duration in ns (-1 = automatic; accepted for "
+                 "parity — the byte source reads synchronously)"),
+        Prop("min-latency", 0, type="uint64",
+             doc="extra latency reported to the pipeline"),
+        Prop("restart-timeout", 5_000_000_000, type="uint64",
+             doc="ns to wait before restarting the failed primary"),
+        Prop("timeout", 5_000_000_000, type="uint64",
+             doc="ns without data before switching to the fallback"),
+        Prop("manual-unblock", False, type="bool",
+             doc="hold the fallback after the primary recovers until "
+                 "unblock() is called"),
     ]
+
+    @property
+    def statistics(self) -> Structure:
+        """Structure mirroring application/x-fallbacksrc-stats."""
+        return Structure(
+            "application/x-fallbacksrc-stats",
+            **{"num-retry": self._retries,
+               "num-fallback-retry": self._fallback_retries,
+               "last-retry-reason": self._last_retry_reason,
+               "buffering-percent": 100,
+               "fallback-buffering-percent": 100})
+
+    def unblock(self) -> None:
+        """manual-unblock release: allow switching back to the primary."""
+        self._unblocked = True
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._f = None
         self.status = "stopped"
         self._retries = 0
+        self._fallback_retries = 0
         self._dummy_count = 0
+        self._last_retry_reason = "none"
+        self._unblocked = False
+        self._recovered_pending = False
 
     # -- status ---------------------------------------------------------------
     def _set_status(self, status: str) -> None:
@@ -76,14 +125,25 @@ class FallbackSrc(BaseSrc):
             return None
 
     def _open_primary(self) -> bool:
+        elem = self.get_property("source")
+        if elem is not None:
+            self._f = _ElementReader(elem)
+            self._set_status("running")
+            return True
         self._f = self._open(self.get_property("uri"))
         if self._f is not None:
             self._set_status("running")
             return True
+        self._last_retry_reason = "error"
         return False
 
     def _open_fallback(self) -> None:
-        self._f = self._open(self.get_property("fallback-uri"))
+        elem = self.get_property("fallback-source")
+        if elem is not None:
+            self._f = _ElementReader(elem)
+        else:
+            self._f = self._open(self.get_property("fallback-uri"))
+        self._fallback_retries += 1
         self._set_status("fallback")
 
     def start(self) -> None:
@@ -101,6 +161,17 @@ class FallbackSrc(BaseSrc):
         self._set_status("stopped")
 
     def fixate(self, caps: Caps) -> Caps:
+        # the per-stream caps properties constrain negotiation like the
+        # reference's audio-caps/video-caps pairs
+        for prop in ("video-caps", "audio-caps"):
+            v = self.get_property(prop)
+            if v is not None:
+                from ...core.parse import parse_caps
+
+                c = parse_caps(v) if isinstance(v, str) else v
+                want = c.intersect(caps) if not caps.is_any() else c
+                if not want.is_empty():
+                    return want.fixate()
         return caps.fixate() if not caps.is_any() else Caps.builder("application/octet-stream")
 
     # -- production -----------------------------------------------------------
@@ -121,6 +192,13 @@ class FallbackSrc(BaseSrc):
                 if self.status == "running":
                     return None  # clean primary EOS
                 return None  # fallback exhausted
+            # manual-unblock: a recovered primary stays held on the
+            # fallback until the application calls unblock()
+            if (self._recovered_pending and self.get_property("manual-unblock")
+                    and not self._unblocked):
+                self._open_fallback()
+                if self._f is not None:
+                    continue
             # no active source: retry the primary, then fall back
             if self._retries < self.get_property("retry-timeout"):
                 self._retries += 1
@@ -141,6 +219,34 @@ class FallbackSrc(BaseSrc):
             self._dummy_count += 1
             self._set_status("fallback")
             return Buffer(np.zeros(self.get_property("blocksize"), np.uint8))
+
+
+class _ElementReader:
+    """Adapts a BaseSrc-style element (source/fallback-source props) to the
+    internal read() interface: each read pulls one buffer via create()."""
+
+    def __init__(self, elem):
+        self._elem = elem
+        if hasattr(elem, "start"):
+            try:
+                elem.start()
+            except Exception:
+                pass
+
+    def read(self, _n: int) -> bytes:
+        buf = self._elem.create()
+        if buf is None:
+            return b""
+        import numpy as _np
+
+        return _np.asarray(buf.data).tobytes()
+
+    def close(self) -> None:
+        if hasattr(self._elem, "stop"):
+            try:
+                self._elem.stop()
+            except Exception:
+                pass
 
 
 __all__ = ["FallbackSrc"]

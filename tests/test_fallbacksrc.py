@@ -72,3 +72,61 @@ class TestFallbackSrc:
         )
         assert data == b"FB"
         assert msgs[0] == "fallback"
+
+
+def test_source_element_property_feeds_primary():
+    from gst_plugins_rs_tpu.core import element_factory_make
+
+    import numpy as _np
+
+    class _MiniSrc:
+        def __init__(self):
+            self.n = 0
+        def start(self):
+            pass
+        def stop(self):
+            pass
+        def create(self):
+            if self.n >= 2:
+                return None
+            self.n += 1
+            return fx.Buffer(_np.full(64, 7, _np.uint8))
+
+    src = element_factory_make("fallbacksrc")
+    src.set_property("source", _MiniSrc())
+    src.start()
+    buf = src.create()
+    assert buf is not None and np.asarray(buf.data).size > 0
+    assert src.status == "running"
+    src.stop()
+
+
+def test_statistics_structure_counts_retries(tmp_path):
+    from gst_plugins_rs_tpu.core import element_factory_make
+
+    fb = tmp_path / "fb.bin"
+    fb.write_bytes(b"F" * 64)
+    src = element_factory_make("fallbacksrc")
+    src.set_property("uri", "file:///nonexistent/definitely")
+    src.set_property("fallback-uri", f"file://{fb}")
+    src.set_property("retry-timeout", 3)
+    src.start()
+    buf = src.create()
+    assert buf is not None
+    stats = src.statistics
+    assert stats.name == "application/x-fallbacksrc-stats"
+    assert stats["num-fallback-retry"] >= 1
+    assert stats["buffering-percent"] == 100
+    assert src.status == "fallback"
+    src.stop()
+
+
+def test_caps_property_constrains_negotiation():
+    from gst_plugins_rs_tpu.core import element_factory_make
+    from gst_plugins_rs_tpu.core import Caps
+
+    src = element_factory_make("fallbacksrc")
+    src.set_property("video-caps", "video/x-raw,format=RGB,width=8,height=8")
+    out = src.fixate(Caps.new_any())
+    s = out.structure(0)
+    assert s.name == "video/x-raw" and s["width"] == 8
