@@ -21,6 +21,7 @@ from __future__ import annotations
 import queue
 import socket
 import threading
+import time
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -40,6 +41,7 @@ from ...core import (
     Prop,
     register,
 )
+from ...core.caps import Structure
 from ...core.parse import parse_caps
 from ...net.quic import QuicConnection, decode_varint, encode_varint
 
@@ -60,8 +62,16 @@ class _UdpQuicEndpoint:
     """One UDP socket + receive thread driving a QuicConnection."""
 
     def __init__(self, conn_factory, bind: Tuple[str, int],
-                 peer: Optional[Tuple[str, int]] = None):
+                 peer: Optional[Tuple[str, int]] = None,
+                 keepalive_ns: int = 0,
+                 rcvbuf: int = 0, sndbuf: int = 0):
         self.sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        if rcvbuf:
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, int(rcvbuf))
+        if sndbuf:
+            self.sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, int(sndbuf))
+        self.keepalive_ns = keepalive_ns
+        self._last_ping = time.monotonic()
         self.sock.bind(bind)
         self.peer = peer
         self.conn: Optional[QuicConnection] = None
@@ -89,6 +99,11 @@ class _UdpQuicEndpoint:
             except socket.timeout:
                 if self.conn is not None:
                     self.conn.tick()
+                    if self.keepalive_ns and (
+                            time.monotonic() - self._last_ping
+                            > self.keepalive_ns / 1e9):
+                        self._last_ping = time.monotonic()
+                        self.conn.ping()
                 continue
             except OSError:
                 return
@@ -113,6 +128,22 @@ class _UdpQuicEndpoint:
             pass
 
 
+def _load_pem_pins(path: str):
+    """All certificates in a PEM bundle as a DER pin set."""
+    from cryptography import x509
+    from cryptography.hazmat.primitives import serialization
+
+    pins = set()
+    blob = open(path, "rb").read()
+    marker = b"-----BEGIN CERTIFICATE-----"
+    for part in blob.split(marker)[1:]:
+        pem = marker + part.split(b"-----END CERTIFICATE-----")[0]             + b"-----END CERTIFICATE-----\n"
+        der = x509.load_pem_x509_certificate(pem).public_bytes(
+            serialization.Encoding.DER)
+        pins.add(der)
+    return pins
+
+
 def _pinned_verify_peer(element):
     """Client-side peer-cert policy from secure-connection/certificate-file.
 
@@ -123,6 +154,10 @@ def _pinned_verify_peer(element):
     """
     if not element.get_property("secure-connection"):
         return None
+    db = element.get_property("certificate-database-file")
+    if db:
+        pins = _load_pem_pins(db)
+        return lambda der: der in pins
     path = element.get_property("certificate-file")
     if not path:
         import warnings
@@ -147,17 +182,89 @@ _QUIC_PROPS = [
     Prop("port", 4433, type="uint"),
     Prop("bind-address", "0.0.0.0", type="str"),
     Prop("bind-port", 0, type="uint"),
+    # reference-compatible aliases (net/quinn names them per role)
+    Prop("server-address", "127.0.0.1", type="str",
+         doc="alias of address (kept in sync)"),
+    Prop("server-port", 4433, type="uint", doc="alias of port"),
+    Prop("client-address", "0.0.0.0", type="str", doc="alias of bind-address"),
+    Prop("client-port", 0, type="uint", doc="alias of bind-port"),
+    Prop("server-name", "", type="str",
+         doc="TLS SNI (defaults to address when empty)"),
+    Prop("role", "", type="str",
+         doc="client|server (empty = the element's natural role)"),
     Prop("alpn-protocols", "gst-quinn", type="str", doc="comma separated"),
-    Prop("keep-alive-interval", 0, type="uint64"),
+    Prop("keep-alive-interval", 0, type="uint64",
+         doc="ns between PING frames on an idle connection (0 = off)"),
     Prop("secure-connection", True, type="bool"),
     Prop("certificate-file", None, type="str"),
     Prop("private-key-file", None, type="str"),
+    Prop("certificate-database-file", None, type="str",
+         doc="file of PEM certificates; the peer must present one of them "
+             "(pin set — the in-repo TLS does no webpki chain walk)"),
     Prop("timeout", 5, type="uint", doc="connect timeout (s)"),
+    Prop("initial-mtu", 1200, type="uint", minimum=1200),
+    Prop("min-mtu", 1200, type="uint", minimum=1200),
+    Prop("upper-bound-mtu", 1452, type="uint", minimum=1200, maximum=65527),
+    Prop("max-udp-payload-size", 65527, type="uint", minimum=1200),
+    Prop("datagram-receive-buffer-size", 1_250_000, type="uint64",
+         doc="SO_RCVBUF on the UDP socket"),
+    Prop("datagram-send-buffer-size", 1_048_576, type="uint64",
+         doc="SO_SNDBUF on the UDP socket"),
+    Prop("max-concurrent-uni-streams", 32, type="uint64",
+         doc="initial_max_streams_uni transport parameter"),
+    Prop("send-window", 0, type="uint64",
+         doc="cap on the congestion window in bytes (0 = transport default)"),
+    Prop("stats", None, type="object",
+         doc="(read) live connection statistics structure"),
 ]
+
+_ALIASES = {"server-address": "address", "server-port": "port",
+            "client-address": "bind-address", "client-port": "bind-port"}
+
+
+class _QuicPropsMixin:
+    """Alias syncing + shared ctor kwargs + live stats for quinn elements."""
+
+    def property_changed(self, name, value) -> None:
+        if name in _ALIASES:
+            self._props[_ALIASES[name]] = value
+        else:
+            for alias, real in _ALIASES.items():
+                if real == name:
+                    self._props[alias] = value
+
+    def _conn_kwargs(self) -> dict:
+        sw = self.get_property("send-window")
+        return {
+            "alpn": self.get_property("alpn-protocols").split(","),
+            "max_streams_uni": int(self.get_property("max-concurrent-uni-streams")),
+            "send_window": int(sw) if sw else None,
+        }
+
+    def _configure_conn(self, conn) -> None:
+        mtu = max(self.get_property("min-mtu"),
+                  min(self.get_property("initial-mtu"),
+                      self.get_property("upper-bound-mtu"),
+                      self.get_property("max-udp-payload-size")))
+        conn.MTU = int(mtu)
+
+    def get_property(self, name: str):
+        if name == "stats":
+            conn = self._ep.conn if getattr(self, "_ep", None) else None
+            if conn is None:
+                return Structure("stats")
+            return Structure(
+                "stats",
+                **{"cwnd": int(conn._cwnd),
+                   "bytes-in-flight": int(conn._in_flight),
+                   "srtt-ms": (conn._srtt or 0.0) * 1000.0,
+                   "pto-ms": conn._pto * 1000.0,
+                   "closed": conn.closed.is_set()})
+        return super().get_property(name)
 
 
 @register
-class QuinnQuicSink(BaseSink):
+class QuinnQuicSink(_QuicPropsMixin, BaseSink):
     """QUIC client sink: each buffer goes onto a QUIC stream (default one
     unidirectional stream) or as a datagram when tagged by quinnquicmux."""
 
@@ -166,6 +273,8 @@ class QuinnQuicSink(BaseSink):
     ELEMENT_DESCRIPTION = "Send data over the network via QUIC"
     PROPERTIES = _QUIC_PROPS + [
         Prop("drop-buffer-for-datagram", False, type="bool"),
+        Prop("use-datagram", False, type="bool",
+             doc="send untagged buffers as QUIC datagrams instead of a stream"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -175,13 +284,23 @@ class QuinnQuicSink(BaseSink):
         self._default_stream: Optional[int] = None
 
     def on_ready_to_paused(self) -> None:
-        alpn = self.get_property("alpn-protocols").split(",")
+        kwargs = self._conn_kwargs()
+        sni = self.get_property("server-name") or self.get_property("address")
+
+        def factory(send):
+            conn = QuicConnection(True, send, server_name=sni,
+                                  verify_peer=_pinned_verify_peer(self),
+                                  **kwargs)
+            self._configure_conn(conn)
+            return conn
+
         self._ep = _UdpQuicEndpoint(
-            lambda send: QuicConnection(True, send, alpn=alpn,
-                                        server_name=self.get_property("address"),
-                                        verify_peer=_pinned_verify_peer(self)),
+            factory,
             (self.get_property("bind-address"), self.get_property("bind-port")),
             (self.get_property("address"), self.get_property("port")),
+            keepalive_ns=self.get_property("keep-alive-interval"),
+            rcvbuf=self.get_property("datagram-receive-buffer-size"),
+            sndbuf=self.get_property("datagram-send-buffer-size"),
         )
         self._ep.conn.connect()
         if not self._ep.conn.wait_handshake(self.get_property("timeout")):
@@ -206,6 +325,9 @@ class QuinnQuicSink(BaseSink):
         data = np.asarray(buffer.data, dtype=np.uint8).tobytes()
         meta = next(iter(buffer.iter_meta(QuinnQuicMeta)), None) \
             if hasattr(buffer, "iter_meta") else None
+        if meta is None and self.get_property("use-datagram"):
+            conn.send_datagram(data)
+            return FlowReturn.OK
         if meta is not None and meta.datagram:
             if conn.peer_max_datagram and len(data) + 8 > conn.peer_max_datagram \
                     and self.get_property("drop-buffer-for-datagram"):
@@ -226,7 +348,7 @@ class QuinnQuicSink(BaseSink):
 
 
 @register
-class QuinnQuicSrc(BaseSrc):
+class QuinnQuicSrc(_QuicPropsMixin, BaseSrc):
     """QUIC server source: emits stream data / datagrams as buffers tagged
     with QuinnQuicMeta for quinnquicdemux."""
 
@@ -238,6 +360,12 @@ class QuinnQuicSrc(BaseSrc):
         Prop("caps", None, type="object"),
         Prop("idle-timeout", 2_000_000_000, type="uint64",
              doc="ns without data before EOS (0 = forever)"),
+        Prop("is-live", True, type="bool"),
+        Prop("receive-window", 0, type="uint64",
+             doc="initial_max_data we advertise (0 = default 1 GiB)"),
+        Prop("use-datagram", False, type="bool",
+             doc="accepted for parity; datagrams are always surfaced, "
+                 "tagged datagram=true in QuinnQuicMeta"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -251,10 +379,14 @@ class QuinnQuicSrc(BaseSrc):
         return self._ep.bound_port
 
     def start(self) -> None:
-        alpn = self.get_property("alpn-protocols").split(",")
+        kwargs = self._conn_kwargs()
+        rw = self.get_property("receive-window")
+        if rw:
+            kwargs["max_data"] = int(rw)
 
         def factory(send):
-            conn = QuicConnection(False, send, alpn=alpn)
+            conn = QuicConnection(False, send, **kwargs)
+            self._configure_conn(conn)
             conn.on_stream_data = lambda sid, data, fin: \
                 self._queue.put((sid, data, fin))
             conn.on_datagram = lambda data: self._queue.put((None, data, False))
@@ -265,6 +397,9 @@ class QuinnQuicSrc(BaseSrc):
             (self.get_property("bind-address") if self.get_property("bind-port")
              else self.get_property("address"),
              self.get_property("bind-port") or self.get_property("port")),
+            keepalive_ns=self.get_property("keep-alive-interval"),
+            rcvbuf=self.get_property("datagram-receive-buffer-size"),
+            sndbuf=self.get_property("datagram-send-buffer-size"),
         )
 
     def stop(self) -> None:
@@ -587,8 +722,17 @@ _WT_PROPS = [
     Prop("role", None, type="str", doc="client | server (defaults: sink=client, src=server)"),
     Prop("secure-connection", True, type="bool"),
     Prop("certificate-file", None, type="str"),
+    Prop("certificate-database-file", None, type="str",
+         doc="file of PEM certificates; the peer must present one of them"),
     Prop("private-key-file", None, type="str"),
     Prop("timeout", 5, type="uint"),
+    Prop("initial-mtu", 1200, type="uint", minimum=1200),
+    Prop("min-mtu", 1200, type="uint", minimum=1200),
+    Prop("upper-bound-mtu", 1452, type="uint", minimum=1200, maximum=65527),
+    Prop("max-udp-payload-size", 65527, type="uint", minimum=1200),
+    Prop("datagram-receive-buffer-size", 1_250_000, type="uint64"),
+    Prop("datagram-send-buffer-size", 1_048_576, type="uint64"),
+    Prop("stats", None, type="object", doc="(read) live connection statistics"),
 ]
 
 

@@ -301,7 +301,10 @@ class QuicConnection:
                  session: Optional[dict] = None,
                  ticket_key: Optional[bytes] = None,
                  retry: bool = False,
-                 idle_timeout_ms: int = 30_000):
+                 idle_timeout_ms: int = 30_000,
+                 max_streams_uni: int = 1 << 16,
+                 max_streams_bidi: int = 1 << 16,
+                 send_window: Optional[int] = None):
         self.is_client = is_client
         self.send_cb = send_cb
         self.scid = os.urandom(8)
@@ -315,8 +318,8 @@ class QuicConnection:
             TP_INITIAL_MAX_STREAM_DATA_BIDI_LOCAL: max_stream_data,
             TP_INITIAL_MAX_STREAM_DATA_BIDI_REMOTE: max_stream_data,
             TP_INITIAL_MAX_STREAM_DATA_UNI: max_stream_data,
-            TP_INITIAL_MAX_STREAMS_BIDI: 1 << 16,
-            TP_INITIAL_MAX_STREAMS_UNI: 1 << 16,
+            TP_INITIAL_MAX_STREAMS_BIDI: max_streams_bidi,
+            TP_INITIAL_MAX_STREAMS_UNI: max_streams_uni,
         }
         if enable_datagrams:
             params[TP_MAX_DATAGRAM_FRAME_SIZE] = 65527
@@ -379,6 +382,8 @@ class QuicConnection:
         # with one cwnd halving per recovery epoch; ack-eliciting APP
         # packets over cwnd stay queued until ACKs free the window
         self._cwnd = 10 * self.MTU
+        # optional cap on the congestion window (quinn's send-window knob)
+        self._send_window = send_window
         self._ssthresh = float("inf")
         self._in_flight = 0
         self._recovery_start: Optional[float] = None
@@ -513,6 +518,14 @@ class QuicConnection:
                 self._queue_frames(LEVEL_APP, frame)
                 self._flush_queued()
             self.closed.set()
+
+    def ping(self) -> None:
+        """Queue a PING frame (keep-alive); no-op before 1-RTT keys."""
+        with self._lock:
+            if self.closed.is_set() or self.spaces[LEVEL_APP].tx_keys is None:
+                return
+            self._queue_frames(LEVEL_APP, bytes([FRAME_PING]))
+            self._flush_queued()
 
     def initiate_key_update(self) -> None:
         """RFC 9001 §6: roll our 1-RTT send keys to the next generation and
@@ -965,6 +978,8 @@ class QuicConnection:
                 self._cwnd += _size  # slow start
             else:
                 self._cwnd += self.MTU * _size / self._cwnd  # AIMD
+            if self._send_window is not None:
+                self._cwnd = min(self._cwnd, max(self._send_window, 2 * self.MTU))
         if largest in newly and newly[largest][1]:
             # RTT sample only when the largest acked is newly acked and
             # ack-eliciting (RFC 9002 §5.1); §5.3 EWMA

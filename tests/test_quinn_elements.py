@@ -320,3 +320,62 @@ class TestWebTransport:
         t_cli.join(10)
         p_srv.set_state(State.NULL)
         t_srv.join(10)
+
+
+class TestReferencePropertySurface:
+    def test_aliases_and_stats(self):
+        sink = fx.element_factory_make("quinnquicsink")
+        sink.set_property("server-address", "10.0.0.1")
+        sink.set_property("server-port", 1234)
+        assert sink.get_property("address") == "10.0.0.1"
+        assert sink.get_property("port") == 1234
+        sink.set_property("bind-port", 7)
+        assert sink.get_property("client-port") == 7
+        # stats readable before any connection exists
+        s = sink.get_property("stats")
+        assert s.name == "stats"
+
+    def test_send_window_caps_cwnd_and_stats_live(self):
+        # exercise a pair with tuned transport knobs end to end
+        qsrc = fx.element_factory_make("quinnquicsrc")
+        qsrc.set_property("bind-address", "127.0.0.1")
+        qsrc.set_property("bind-port", 0)
+        qsrc.set_property("receive-window", 1 << 20)
+        qsrc.set_property("max-concurrent-uni-streams", 8)
+        appsink = fx.element_factory_make("appsink")
+        p_srv = fx.Pipeline()
+        p_srv.add(qsrc, appsink)
+        qsrc.link(appsink)
+        from gst_plugins_rs_tpu.core.element import State
+        p_srv.set_state(State.PLAYING)
+        t = threading.Thread(target=p_srv.run, daemon=True)
+        t.start()
+
+        appsrc = fx.element_factory_make("appsrc")
+        appsrc.set_property("caps", parse_caps("application/octet-stream"))
+        qsink = fx.element_factory_make("quinnquicsink")
+        qsink.set_property("port", qsrc.bound_port)
+        qsink.set_property("send-window", 65536)
+        qsink.set_property("initial-mtu", 1280)
+        qsink.set_property("keep-alive-interval", 50_000_000)
+        p_cli = fx.Pipeline()
+        p_cli.add(appsrc, qsink)
+        appsrc.link(qsink)
+        appsrc.push_buffer(fx.Buffer(np.zeros(4096, np.uint8)))
+        p_cli.set_state(State.PLAYING)
+        t_cli = threading.Thread(target=p_cli.run, daemon=True)
+        t_cli.start()
+        deadline = time.monotonic() + 8
+        while time.monotonic() < deadline and not appsink.samples:
+            time.sleep(0.05)
+        assert appsink.samples
+        conn = qsink._ep.conn
+        assert conn.MTU == 1280
+        assert conn._send_window == 65536
+        stats = qsink.get_property("stats")
+        assert stats["cwnd"] > 0
+        appsrc.end_of_stream()
+        t_cli.join(10)
+        p_cli.set_state(State.NULL)
+        p_srv.set_state(State.NULL)
+        t.join(10)
