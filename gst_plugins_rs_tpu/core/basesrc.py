@@ -105,6 +105,7 @@ class BaseSrc(Element):
         if not self._started_stream:
             self.send_stream_start()
         buf = self.create()
+        self._last_was_retry = buf is BaseSrc.RETRY
         if buf is BaseSrc.RETRY:
             return FlowReturn.OK
         if buf is None:

@@ -111,23 +111,66 @@ class Pipeline:
     def run(self, max_iterations: Optional[int] = None) -> None:
         """Drive all sources round-robin until every source hit EOS.
 
+        Sources with a non-empty `context` property are grouped by name
+        and each group is driven on its own thread — threadshare's
+        Context semantics (same context ⇒ same thread, different
+        contexts run in parallel); a group parks `context-wait` ms when
+        every source in it reported no data.  Sources without a context
+        drive on the calling thread, as before.
+
         Must be called with the pipeline in PLAYING state."""
+        import threading
+
+        groups: dict = {}
+        for s in self.sources():
+            groups.setdefault(s._props.get("context") or "", []).append(s)
+        if not groups:
+            raise RuntimeError(f"{self.name}: no sources to drive")
+        main = groups.pop("", [])
+        errors: List[BaseException] = []
+        threads = []
+        for ctx, srcs in groups.items():
+            wait_ms = max((s._props.get("context-wait") or 0) for s in srcs) or 5
+            t = threading.Thread(
+                target=self._drive_group,
+                args=(srcs, max_iterations, wait_ms / 1000.0, errors),
+                daemon=True, name=f"{self.name}-ctx-{ctx}")
+            t.start()
+            threads.append(t)
+        if main:
+            self._drive_group(main, max_iterations, None, errors)
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+
+    def _drive_group(self, srcs, max_iterations, idle_wait, errors) -> None:
         from .element import FlowReturn
 
-        active = {id(s): s for s in self.sources()}
-        if not active:
-            raise RuntimeError(f"{self.name}: no sources to drive")
+        active = {id(s): s for s in srcs}
         iters = 0
-        while active:
-            for key, src in list(active.items()):
-                ret = src.iterate()
-                if ret == FlowReturn.EOS:
-                    del active[key]
-                elif ret == FlowReturn.ERROR:
-                    raise RuntimeError(f"{src.name}: flow error")
-            iters += 1
-            if max_iterations is not None and iters >= max_iterations:
-                break
+        try:
+            while active:
+                all_idle = True
+                for key, src in list(active.items()):
+                    ret = src.iterate()
+                    if ret == FlowReturn.EOS:
+                        del active[key]
+                    elif ret == FlowReturn.ERROR:
+                        raise RuntimeError(f"{src.name}: flow error")
+                    if not getattr(src, "_last_was_retry", False):
+                        all_idle = False
+                iters += 1
+                if max_iterations is not None and iters >= max_iterations:
+                    break
+                if idle_wait and all_idle and active:
+                    import time as _time
+
+                    _time.sleep(idle_wait)
+        except BaseException as e:
+            errors.append(e)
+            if idle_wait is None:  # calling thread: raise directly
+                raise
 
     def play_until_eos(self, max_iterations: Optional[int] = None) -> None:
         self.set_state(State.PLAYING)

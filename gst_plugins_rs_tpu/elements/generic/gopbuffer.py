@@ -29,6 +29,9 @@ class GopBuffer(BaseTransform):
     PROPERTIES = [
         Prop("minimum-duration", SECOND, type="uint64", mutable="playing",
              doc="Minimum duration to buffer before forwarding complete GOPs"),
+        Prop("max-size-time", 0, type="uint64", mutable="playing",
+             doc="Maximum duration to store (0=disable): oldest complete "
+                 "GOPs are dropped when the buffered span exceeds this"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -55,6 +58,11 @@ class GopBuffer(BaseTransform):
             self._gops.append(self._current)
             self._current = []
         self._current.append(buf)
+        # max-size-time: cap the stored span by dropping oldest closed GOPs
+        # (gopbuffer/imp.rs max-size-time semantics)
+        limit = self.get_property("max-size-time")
+        while limit and len(self._gops) > 1 and self._buffered_duration() > limit:
+            self._gops.pop(0)
 
     def generate_output(self) -> Optional[Buffer]:
         # pushes complete GOPs in order directly; always returns None

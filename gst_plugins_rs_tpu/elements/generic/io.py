@@ -97,8 +97,72 @@ class FileSink(BaseSink):
 # ---------------------------------------------------------------------------
 # inter: in-process bridge between pipelines (generic/inter)
 # ---------------------------------------------------------------------------
-_CHANNELS: Dict[str, deque] = {}
-_CHANNEL_CAPS: Dict[str, Caps] = {}
+class InterChannel:
+    """Named producer→consumer channel with byte/time/buffer accounting —
+    the StreamProducer analog (generic/inter/src/sink/mod.rs:9).  Limits
+    are set by the consuming intersrc; when exceeded the OLDEST buffer is
+    dropped (a slow consumer must not stall the producing pipeline)."""
+
+    def __init__(self):
+        self.items: deque = deque()
+        self.caps: Optional[Caps] = None
+        self.level_bytes = 0
+        self.level_time = 0
+        self.n_buffers = 0
+        self.max_buffers = 0
+        self.max_bytes = 0
+        self.max_time = 0
+        self.dropped = 0
+
+    def _account(self, item, sign: int) -> None:
+        kind, payload = item
+        if kind == "buffer":
+            self.n_buffers += sign
+            data = getattr(payload, "data", None)
+            self.level_bytes += sign * int(getattr(data, "nbytes", 0) or 0)
+            self.level_time += sign * (int(payload.duration or 0)
+                                       if getattr(payload, "duration", None) else 0)
+
+    def _full(self) -> bool:
+        return ((self.max_buffers and self.n_buffers >= self.max_buffers)
+                or (self.max_bytes and self.level_bytes >= self.max_bytes)
+                or (self.max_time and self.level_time >= self.max_time))
+
+    def push(self, kind, payload) -> None:
+        if kind == "buffer":
+            while self._full():
+                evicted = False
+                for i, item in enumerate(self.items):
+                    if item[0] == "buffer":
+                        del self.items[i]
+                        self._account(item, -1)
+                        self.dropped += 1
+                        evicted = True
+                        break
+                if not evicted:
+                    break
+        item = (kind, payload)
+        self.items.append(item)
+        self._account(item, +1)
+
+    def pop(self):
+        if not self.items:
+            return None
+        item = self.items.popleft()
+        self._account(item, -1)
+        return item
+
+
+_CHANNELS: Dict[str, InterChannel] = {}
+
+
+def _channel(name: str) -> InterChannel:
+    return _CHANNELS.setdefault(name, InterChannel())
+
+
+# Downstream event types an intersink may forward (reference default: EOS
+# only; gaps/flushes stay pipeline-local).
+_FORWARDABLE = ("eos", "gap", "custom-downstream")
 
 
 @register
@@ -106,20 +170,43 @@ class InterSink(BaseSink):
     ELEMENT_NAME = "intersink"
     ELEMENT_CLASS = "Sink/Generic"
     ELEMENT_DESCRIPTION = "Send buffers to an intersrc in the same process"
-    PROPERTIES = [Prop("producer-name", "default", type="str", mutable="ready")]
+    PROPERTIES = [
+        Prop("producer-name", "default", type="str", mutable="ready"),
+        Prop("event-types", ["eos"], type="object",
+             doc="downstream event type names forwarded to consumers "
+                 f"(of {_FORWARDABLE}); reference default is EOS only"),
+        Prop("sync", False, type="bool",
+             doc="wait for each buffer's running time before forwarding "
+                 "(reference defaults true; false here so non-live "
+                 "pipelines free-run, matching this framework's sinks)"),
+    ]
 
     def on_caps(self, caps: Caps) -> None:
-        _CHANNEL_CAPS[self.get_property("producer-name")] = caps
+        _channel(self.get_property("producer-name")).caps = caps
 
     def render(self, buffer: Buffer) -> FlowReturn:
-        _CHANNELS.setdefault(self.get_property("producer-name"), deque()).append(buffer)
+        if self.get_property("sync") and buffer.pts is not None \
+                and self.clock is not None:
+            target = (self.base_time or 0) + buffer.pts
+            if self.clock.now() < target:
+                self.clock.new_single_shot_id(target).wait()
+        _channel(self.get_property("producer-name")).push("buffer", buffer)
         return FlowReturn.OK
 
     def on_event(self, event) -> None:
         from ...core import EventType
 
-        if event.type == EventType.EOS:
-            _CHANNELS.setdefault(self.get_property("producer-name"), deque()).append(None)
+        wanted = self.get_property("event-types") or []
+        if isinstance(wanted, str):
+            wanted = [w.strip() for w in wanted.split(",") if w.strip()]
+        ch = _channel(self.get_property("producer-name"))
+        if event.type == EventType.EOS and "eos" in wanted:
+            ch.push("eos", None)
+        elif event.type == EventType.GAP and "gap" in wanted:
+            ch.push("event", event)
+        elif event.type == EventType.CUSTOM_DOWNSTREAM \
+                and "custom-downstream" in wanted:
+            ch.push("event", event)
 
 
 @register
@@ -127,20 +214,44 @@ class InterSrc(BaseSrc):
     ELEMENT_NAME = "intersrc"
     ELEMENT_CLASS = "Source/Generic"
     ELEMENT_DESCRIPTION = "Receive buffers from an intersink in the same process"
-    PROPERTIES = [Prop("producer-name", "default", type="str", mutable="ready")]
+    PROPERTIES = [
+        Prop("producer-name", "default", type="str", mutable="ready"),
+        Prop("event-types", [], type="object",
+             doc="upstream event type names forwarded to the producer "
+                 "(accepted for parity; this runtime has no upstream "
+                 "event path across the bridge yet)"),
+        Prop("max-buffers", 0, type="uint64",
+             doc="Maximum number of buffers to queue (0=unlimited)"),
+        Prop("max-bytes", 0, type="uint64",
+             doc="Maximum number of bytes to queue (0=unlimited)"),
+        Prop("max-time", 500_000_000, type="uint64",
+             doc="Maximum number of nanoseconds to queue (0=unlimited)"),
+    ]
+
+    def start(self) -> None:
+        ch = _channel(self.get_property("producer-name"))
+        ch.max_buffers = int(self.get_property("max-buffers"))
+        ch.max_bytes = int(self.get_property("max-bytes"))
+        ch.max_time = int(self.get_property("max-time"))
 
     def negotiate(self) -> Caps:
-        caps = _CHANNEL_CAPS.get(self.get_property("producer-name"))
+        caps = _channel(self.get_property("producer-name")).caps
         if caps is not None:
             return caps
         return super().negotiate()
 
     def create(self):
-        q = _CHANNELS.setdefault(self.get_property("producer-name"), deque())
-        if not q:
+        ch = _channel(self.get_property("producer-name"))
+        item = ch.pop()
+        if item is None:
             return BaseSrc.RETRY
-        item = q.popleft()
-        return None if item is None else item
+        kind, payload = item
+        if kind == "eos":
+            return None
+        if kind == "event":
+            self.srcpad.push_event(payload)
+            return BaseSrc.RETRY
+        return payload
 
 
 # ---------------------------------------------------------------------------

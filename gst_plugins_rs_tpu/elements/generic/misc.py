@@ -382,8 +382,16 @@ class ViuerSink(BaseSink):
 
 
 # in-process proxy bridge keyed by proxy-context (threadshare ts-proxy*)
-_PROXY_QUEUES: Dict[str, Deque] = {}
+# proxy channels reuse the accounted InterChannel container so
+# ts-proxysrc can report/limit queue levels like the reference dataqueue
+from .io import InterChannel as _ProxyChannel  # noqa: E402
+
+_PROXY_QUEUES: Dict[str, "_ProxyChannel"] = {}
 _PROXY_CAPS: Dict[str, Caps] = {}
+
+
+def _proxy_channel(name: str) -> "_ProxyChannel":
+    return _PROXY_QUEUES.setdefault(name, _ProxyChannel())
 
 
 @register
@@ -397,12 +405,12 @@ class TsProxySink(BaseSink):
         _PROXY_CAPS[self.get_property("proxy-context")] = caps
 
     def render(self, buffer: Buffer) -> FlowReturn:
-        _PROXY_QUEUES.setdefault(self.get_property("proxy-context"), deque()).append(buffer)
+        _proxy_channel(self.get_property("proxy-context")).push("buffer", buffer)
         return FlowReturn.OK
 
     def on_event(self, event) -> None:
         if event.type == EventType.EOS:
-            _PROXY_QUEUES.setdefault(self.get_property("proxy-context"), deque()).append(None)
+            _proxy_channel(self.get_property("proxy-context")).push("eos", None)
 
 
 @register
@@ -410,18 +418,55 @@ class TsProxySrc(BaseSrc):
     ELEMENT_NAME = "ts-proxysrc"
     ELEMENT_CLASS = "Source/Generic"
     ELEMENT_DESCRIPTION = "In-process bridge source (pairs with ts-proxysink)"
-    PROPERTIES = [Prop("proxy-context", "", type="str", mutable="ready")]
+    PROPERTIES = [
+        Prop("proxy-context", "", type="str", mutable="ready"),
+        Prop("context", "", type="str",
+             doc="Context name to share threads with (source groups are "
+                 "driven per-context by Pipeline.run)"),
+        Prop("context-wait", 5, type="uint", maximum=1000,
+             doc="Throttle the context loop to at most once per this many ms"),
+        Prop("max-size-buffers", 200, type="uint",
+             doc="Maximum number of buffers to queue (0=unlimited)"),
+        Prop("max-size-bytes", 1_048_576, type="uint",
+             doc="Maximum number of bytes to queue (0=unlimited)"),
+        Prop("max-size-time", 1_000_000_000, type="uint64",
+             doc="Maximum number of nanoseconds to queue (0=unlimited)"),
+        Prop("leaky", "no", type="enum",
+             choices=["no", "upstream", "downstream"],
+             doc="accepted for parity; the proxy channel always drops "
+                 "oldest on overflow (the producer must never stall)"),
+        Prop("current-level-buffers", 0, type="uint",
+             doc="(read) buffers queued in the proxy channel"),
+        Prop("current-level-bytes", 0, type="uint",
+             doc="(read) bytes queued in the proxy channel"),
+        Prop("current-level-time", 0, type="uint64",
+             doc="(read) nanoseconds queued in the proxy channel"),
+    ]
+
+    def start(self) -> None:
+        ch = _proxy_channel(self.get_property("proxy-context"))
+        ch.max_buffers = int(self.get_property("max-size-buffers"))
+        ch.max_bytes = int(self.get_property("max-size-bytes"))
+        ch.max_time = int(self.get_property("max-size-time"))
+
+    def get_property(self, name: str):
+        if name.startswith("current-level-"):
+            ch = _proxy_channel(super().get_property("proxy-context"))
+            return {"current-level-buffers": ch.n_buffers,
+                    "current-level-bytes": ch.level_bytes,
+                    "current-level-time": ch.level_time}[name]
+        return super().get_property(name)
 
     def negotiate(self) -> Caps:
         caps = _PROXY_CAPS.get(self.get_property("proxy-context"))
         return caps if caps is not None else super().negotiate()
 
     def create(self):
-        q = _PROXY_QUEUES.setdefault(self.get_property("proxy-context"), deque())
-        if not q:
+        item = _proxy_channel(self.get_property("proxy-context")).pop()
+        if item is None:
             return BaseSrc.RETRY
-        item = q.popleft()
-        return None if item is None else item
+        kind, payload = item
+        return None if kind == "eos" else payload
 
 
 __all__ = [

@@ -49,22 +49,85 @@ from .basic import Queue
 from .io import InterSink, InterSrc
 
 
+# Shared context selection (threadshare Context::acquire): sources with
+# the same non-empty `context` are driven together on one thread per
+# context by Pipeline.run; queue-like elements with a `context` drain on
+# one shared TaskContext thread per name (core/taskcontext.py).
+_CTX_PROPS = [
+    Prop("context", "", type="str",
+         doc="Context name to share threads with"),
+    Prop("context-wait", 5, type="uint", maximum=1000,
+         doc="Throttle the context loop to at most once every this many ms"),
+]
+
+
 @register
 class TsAppSrc(AppSrc):
     ELEMENT_NAME = "ts-appsrc"
     ELEMENT_DESCRIPTION = "Application-driven source (threadshare analog)"
+    PROPERTIES = AppSrc.PROPERTIES + _CTX_PROPS + [
+        Prop("do-timestamp", False, type="bool",
+             doc="Timestamp buffers with the running time on arrival"),
+        Prop("max-buffers", 10, type="uint", minimum=1,
+             doc="Maximum number of buffers to queue up"),
+    ]
+
+    def push_buffer(self, buf: Buffer):
+        if self.get_property("do-timestamp") and buf.pts is None \
+                and self.clock is not None:
+            buf.pts = max(0, self.clock.now() - (self.base_time or 0))
+        limit = self.get_property("max-buffers")
+        q = getattr(self, "_queue", None)
+        while limit and q is not None and len(q) >= limit:
+            time.sleep(0.001)  # backpressure like the reference dataqueue
+        return super().push_buffer(buf)
 
 
 @register
 class TsAudioTestSrc(AudioTestSrc):
     ELEMENT_NAME = "ts-audiotestsrc"
     ELEMENT_DESCRIPTION = "Test audio source (threadshare analog)"
+    PROPERTIES = AudioTestSrc.PROPERTIES + _CTX_PROPS + [
+        Prop("buffer-duration", 10, type="uint",
+             doc="Buffer duration in ms (alternative to samples-per-buffer)"),
+        Prop("do-timestamp", False, type="bool",
+             doc="Apply current stream time to buffers"),
+        Prop("mute", False, type="bool", mutable="playing", doc="Mute"),
+        Prop("samples-per-buffer", 0, type="uint",
+             doc="Number of samples per output buffer (alias of "
+                 "samplesperbuffer; 0 = use buffer-duration)"),
+    ]
+
+    def property_changed(self, name, value) -> None:
+        if name == "samples-per-buffer" and value:
+            self._props["samplesperbuffer"] = int(value)
+        elif name == "buffer-duration":
+            self._duration_set = True
+
+    def negotiated(self, caps) -> None:
+        super().negotiated(caps)
+        # buffer-duration only applies when samples-per-buffer wasn't set;
+        # resolved here where the negotiated rate is known
+        if getattr(self, "_duration_set", False) \
+                and not self.get_property("samples-per-buffer"):
+            dur = self.get_property("buffer-duration")
+            if dur and self._info is not None:
+                self._props["samplesperbuffer"] = max(
+                    1, int(dur) * self._info.rate // 1000)
+
+    def create(self):
+        buf = super().create()
+        if buf is not None and buf is not AudioTestSrc.RETRY \
+                and self.get_property("mute"):
+            buf.data = np.zeros_like(buf.data)
+        return buf
 
 
 @register
 class TsQueue(Queue):
     ELEMENT_NAME = "ts-queue"
     ELEMENT_DESCRIPTION = "Decoupling queue (threadshare analog)"
+    PROPERTIES = Queue.PROPERTIES + _CTX_PROPS
 
 
 @register
@@ -80,12 +143,68 @@ class TsBlockingAdapter(Queue):
 class TsInterSink(InterSink):
     ELEMENT_NAME = "ts-intersink"
     ELEMENT_DESCRIPTION = "Inter-pipeline sink over a named context channel"
+    PROPERTIES = InterSink.PROPERTIES + [
+        Prop("inter-context", "", type="str",
+             doc="context name shared with ts-intersrc (alias of "
+                 "producer-name, kept in sync)"),
+    ]
+
+    def property_changed(self, name, value) -> None:
+        if name == "inter-context" and value:
+            self._props["producer-name"] = value
+        elif name == "producer-name":
+            self._props["inter-context"] = value
 
 
 @register
 class TsInterSrc(InterSrc):
     ELEMENT_NAME = "ts-intersrc"
     ELEMENT_DESCRIPTION = "Inter-pipeline source over a named context channel"
+    PROPERTIES = InterSrc.PROPERTIES + _CTX_PROPS + [
+        Prop("inter-context", "", type="str",
+             doc="context name shared with ts-intersink (alias of "
+                 "producer-name, kept in sync)"),
+        Prop("max-size-buffers", 200, type="uint",
+             doc="Maximum number of buffers to queue (0=unlimited)"),
+        Prop("max-size-bytes", 1_048_576, type="uint",
+             doc="Maximum number of bytes to queue (0=unlimited)"),
+        Prop("max-size-time", 1_000_000_000, type="uint64",
+             doc="Maximum number of nanoseconds to queue (0=unlimited)"),
+        Prop("leaky", "no", type="enum",
+             choices=["no", "upstream", "downstream"],
+             doc="accepted for parity; the shared channel always drops "
+                 "oldest on overflow (the producer must never stall)"),
+        Prop("current-level-buffers", 0, type="uint",
+             doc="(read) buffers queued in the shared channel"),
+        Prop("current-level-bytes", 0, type="uint",
+             doc="(read) bytes queued in the shared channel"),
+        Prop("current-level-time", 0, type="uint64",
+             doc="(read) nanoseconds queued in the shared channel"),
+    ]
+
+    def property_changed(self, name, value) -> None:
+        if name == "inter-context" and value:
+            self._props["producer-name"] = value
+        elif name == "producer-name":
+            self._props["inter-context"] = value
+
+    def start(self) -> None:
+        from .io import _channel
+
+        ch = _channel(self.get_property("producer-name"))
+        ch.max_buffers = int(self.get_property("max-size-buffers"))
+        ch.max_bytes = int(self.get_property("max-size-bytes"))
+        ch.max_time = int(self.get_property("max-size-time"))
+
+    def get_property(self, name: str):
+        if name.startswith("current-level-"):
+            from .io import _channel
+
+            ch = _channel(super().get_property("producer-name"))
+            return {"current-level-buffers": ch.n_buffers,
+                    "current-level-bytes": ch.level_bytes,
+                    "current-level-time": ch.level_time}[name]
+        return super().get_property(name)
 
 
 @register
@@ -139,6 +258,10 @@ class TsInputSelector(Element):
     ELEMENT_DESCRIPTION = "Forwards the active input, drops the others"
     PROPERTIES = [
         Prop("active-pad", "sink_0", type="str", mutable="playing"),
+        # context selects the scheduler thread in the reference; this
+        # element is passive here (runs on the caller's thread), the
+        # props exist for pipeline-string parity
+        *_CTX_PROPS,
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -206,6 +329,17 @@ class TsRtpDtmfSrc(BaseSrc):
         Prop("tone-duration-ms", 160, type="uint"),
         Prop("packet-ms", 40, type="uint"),
         Prop("volume", 10, type="uint", doc="attenuation dBm0 (0-63)"),
+        *_CTX_PROPS,
+        Prop("packet-redundancy", 1, type="uint", minimum=1, maximum=5,
+             doc="Number of packets sent for DTMF event start and stop"),
+        Prop("seqnum", 0, type="uint",
+             doc="(read) RTP sequence number of the last emitted packet"),
+        Prop("seqnum-offset", -1, type="int", minimum=-1, maximum=65535,
+             doc="Offset added to all outgoing seqnums (-1 = random)"),
+        Prop("timestamp", 0, type="uint",
+             doc="(read) RTP timestamp of the last emitted packet"),
+        Prop("timestamp-offset", -1, type="int", minimum=-1,
+             doc="Offset added to all outgoing timestamps (-1 = random)"),
     ]
 
     _CHARS = {**{str(d): d for d in range(10)}, "*": 10, "#": 11,
@@ -221,10 +355,14 @@ class TsRtpDtmfSrc(BaseSrc):
         self._pending.append(self._CHARS[char.upper()])
 
     def start(self) -> None:
+        import random
+
         tones = self.get_property("tones") or ""
         self._pending = [self._CHARS[c.upper()] for c in tones if c.upper() in self._CHARS]
-        self._seq = 0
-        self._ts = 0
+        so = self.get_property("seqnum-offset")
+        to = self.get_property("timestamp-offset")
+        self._seq = so if so >= 0 else random.randrange(1 << 16)
+        self._ts = to if to >= 0 else random.randrange(1 << 32)
 
     def fixate(self, caps: Caps) -> Caps:
         return parse_caps(
@@ -242,6 +380,7 @@ class TsRtpDtmfSrc(BaseSrc):
         volume = self.get_property("volume") & 0x3F
         pt = self.get_property("pt")
         ssrc = self.get_property("ssrc")
+        redundancy = self.get_property("packet-redundancy")
         out = []
         duration = step
         first = True
@@ -249,23 +388,28 @@ class TsRtpDtmfSrc(BaseSrc):
             end = duration >= tone_samples
             dur = min(duration, tone_samples)
             payload = struct.pack("!BBH", event, (0x80 if end else 0) | volume, dur)
-            marker = 0x80 if first else 0
-            hdr = struct.pack("!BBHII", 0x80, marker | pt, self._seq & 0xFFFF,
-                              self._ts, ssrc)
-            pkt = hdr + payload
-            self._seq += 1
-            out.append(pkt)
+            # packet-redundancy: the start packet is sent that many times
+            # (distinct seqnums, marker on the first), like the reference
+            repeats = redundancy if first else 1
+            for i in range(repeats):
+                marker = 0x80 if (first and i == 0) else 0
+                hdr = struct.pack("!BBHII", 0x80, marker | pt, self._seq & 0xFFFF,
+                                  self._ts & 0xFFFFFFFF, ssrc)
+                out.append(hdr + payload)
+                self._seq += 1
             first = False
             if end:
-                # RFC 4733 §2.5.1.4: retransmit the end packet three times total
-                for _ in range(2):
+                # RFC 4733 §2.5.1.4 triple end, extended by redundancy
+                for _ in range(1 + redundancy):
                     hdr = struct.pack("!BBHII", 0x80, pt, self._seq & 0xFFFF,
-                                      self._ts, ssrc)
+                                      self._ts & 0xFFFFFFFF, ssrc)
                     out.append(hdr + payload)
                     self._seq += 1
                 break
             duration += step
         self._ts += tone_samples
+        self._props["seqnum"] = (self._seq - 1) & 0xFFFF
+        self._props["timestamp"] = (self._ts - tone_samples) & 0xFFFFFFFF
         return Buffer(np.frombuffer(b"".join(
             struct.pack("!H", len(p)) + p for p in out), np.uint8))
 
@@ -284,6 +428,7 @@ class TsTcpClientSrc(BaseSrc):
         Prop("blocksize", 4096, type="uint"),
         Prop("caps", None, type="object"),
         Prop("timeout", 5_000_000_000, type="uint64"),
+        *_CTX_PROPS,
     ]
 
     def __init__(self, name: Optional[str] = None):

@@ -685,6 +685,19 @@ class TsJitterBuffer(Element):
     ELEMENT_DESCRIPTION = "Reorders RTP packets by seqnum within a latency window"
     PROPERTIES = [
         Prop("latency", 200_000_000, type="uint64", doc="reorder window in ns"),
+        Prop("context", "", type="str",
+             doc="Context name to share threads with (parity; this element "
+                 "runs on the caller's thread, timers on the clock)"),
+        Prop("context-wait", 5, type="uint", maximum=1000,
+             doc="Throttle the context loop (parity, see context)"),
+        Prop("do-lost", False, type="bool",
+             doc="Send a GAP event downstream when packets are declared lost"),
+        Prop("max-dropout-time", 60_000, type="uint",
+             doc="max ms of missing packets tolerated before resync"),
+        Prop("max-misorder-time", 2_000, type="uint",
+             doc="max ms of misordered packets tolerated before resync"),
+        Prop("stats", None, type="object",
+             doc="(read) num-pushed/num-lost/num-late/num-duplicates"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -704,9 +717,27 @@ class TsJitterBuffer(Element):
         self._jb = JitterBuffer(self.get_property("latency"))
         self._lock = threading.RLock()
         self._timer_id = None
+        self._num_pushed = 0
+        self._last_seq: Optional[int] = None
+        self._last_pts: Optional[int] = None
 
     def on_ready_to_paused(self) -> None:
         self._jb = JitterBuffer(self.get_property("latency"))
+        self._num_pushed = 0
+        self._last_seq = None
+        self._last_pts = None
+
+    def get_property(self, name: str):
+        if name == "stats":
+            from ...core.caps import Structure
+
+            return Structure(
+                "ts-jitterbuffer-stats",
+                **{"num-pushed": self._num_pushed,
+                   "num-lost": self._jb.num_lost,
+                   "num-late": self._jb.num_late_dropped,
+                   "num-duplicates": self._jb.num_duplicates})
+        return super().get_property(name)
 
     def on_playing_to_paused(self) -> None:
         with self._lock:
@@ -738,29 +769,59 @@ class TsJitterBuffer(Element):
             if cid is not self._timer_id or cid._unscheduled:
                 return
             self._timer_id = None
-            for item in self._jb.release_expired(self.clock.now()):
-                self.srcpad.push(item)
+            self._push_released(self._jb.release_expired(self.clock.now()))
         self._arm_timer()
+
+    def _maybe_resync(self, seq: int, pts: Optional[int]) -> None:
+        """Reference dropout/misorder resync: a forward gap longer than
+        max-dropout-time, or stale backward packets older than
+        max-misorder-time, restart the buffer as a new stream."""
+        if self._last_seq is None or pts is None or self._last_pts is None:
+            return
+        dist = ((seq - self._last_seq + 0x8000) & 0xFFFF) - 0x8000
+        if dist > 0 and pts - self._last_pts > \
+                self.get_property("max-dropout-time") * 1_000_000:
+            self._jb = JitterBuffer(self.get_property("latency"))
+        elif dist < 0 and self._last_pts - pts > \
+                self.get_property("max-misorder-time") * 1_000_000:
+            self._jb = JitterBuffer(self.get_property("latency"))
+
+    def _push_released(self, items) -> FlowReturn:
+        """Push released packets, emitting GAP events on fresh losses when
+        do-lost is set. Caller holds the lock."""
+        ret = FlowReturn.OK
+        do_lost = self.get_property("do-lost")
+        for item in items:
+            if do_lost and self._jb.num_lost > getattr(self, "_lost_seen", 0):
+                self._lost_seen = self._jb.num_lost
+                if getattr(item, "pts", None) is not None:
+                    self.srcpad.push_event(Event.new_gap(item.pts, 0))
+            r = self.srcpad.push(item)
+            self._num_pushed += 1
+            if r != FlowReturn.OK:
+                ret = r
+        if do_lost:
+            self._lost_seen = self._jb.num_lost
+        return ret
 
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
         pkt = RtpPacket.parse(np.asarray(buf.data).tobytes())
         arrival = self.clock.now() if self.clock is not None else None
-        ret = FlowReturn.OK
         with self._lock:
-            for item in self._jb.insert(pkt.sequence_number, buf, buf.pts,
-                                        arrival=arrival):
-                r = self.srcpad.push(item)
-                if r != FlowReturn.OK:
-                    ret = r
+            self._maybe_resync(pkt.sequence_number, buf.pts)
+            self._last_seq = pkt.sequence_number
+            if buf.pts is not None:
+                self._last_pts = buf.pts
+            ret = self._push_released(
+                self._jb.insert(pkt.sequence_number, buf, buf.pts,
+                                arrival=arrival))
         self._arm_timer()
         return ret
 
     def _event(self, pad: Pad, event: Event) -> bool:
         if event.type == EventType.EOS:
             with self._lock:
-                items = self._jb.flush()
-            for item in items:
-                self.srcpad.push(item)
+                self._push_released(self._jb.flush())
         return self.srcpad.push_event(event)
 
 

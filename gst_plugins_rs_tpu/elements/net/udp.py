@@ -96,6 +96,7 @@ class _UdpSrcBase(BaseSrc):
         self._ctx = None
         self._ctx_queue = None
         self._owns_sock = True
+        self._last_addr: Optional[Tuple[str, int]] = None
 
     def start(self) -> None:
         uri = self.get_property("uri")
@@ -205,6 +206,7 @@ class _UdpSrcBase(BaseSrc):
                 data, addr = data
             if not self._accept(addr):
                 continue
+            self._last_addr = addr
             parts.append(bytes(data)[skip:])
             if maxn and self._count + len(parts) >= maxn:
                 break
@@ -228,10 +230,35 @@ class UdpSrc2(_UdpSrcBase):
     ELEMENT_DESCRIPTION = "Receives UDP datagrams as buffers"
 
 
+class NetAddressMeta:
+    """Sender address attached by udp sources (GstNetAddressMeta analog)."""
+
+    def __init__(self, host: str, port: int):
+        self.host = host
+        self.port = port
+
+    def __repr__(self):
+        return f"NetAddressMeta({self.host}:{self.port})"
+
+
 @register
 class TsUdpSrc(_UdpSrcBase):
     ELEMENT_NAME = "ts-udpsrc"
     ELEMENT_DESCRIPTION = "Receives UDP datagrams as buffers (threadshare analog)"
+    PROPERTIES = _UdpSrcBase.PROPERTIES + [
+        Prop("retrieve-sender-address", True, type="bool",
+             doc="attach the sender address to buffers as NetAddressMeta "
+                 "(context-drained datagrams carry no address; disable for "
+                 "a minor fast-path win like the reference)"),
+    ]
+
+    def create(self) -> Optional[Buffer]:
+        buf = super().create()
+        if buf is not None and buf is not _UdpSrcBase.RETRY \
+                and self.get_property("retrieve-sender-address") \
+                and self._last_addr is not None:
+            buf.add_meta(NetAddressMeta(*self._last_addr))
+        return buf
 
 
 @register

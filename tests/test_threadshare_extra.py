@@ -87,6 +87,8 @@ def test_rtpdtmfsrc_rfc4733():
     src.set_property("tone-duration-ms", 120)
     src.set_property("packet-ms", 40)
     src.set_property("ssrc", 42)
+    src.set_property("seqnum-offset", 0)   # default -1 = random
+    src.set_property("timestamp-offset", 0)
     sink = fx.element_factory_make("appsink")
     p = fx.Pipeline()
     p.add(src, sink)
@@ -113,6 +115,7 @@ def test_rtpdtmfsrc_rfc4733():
     seqs = [struct.unpack("!H", pk[2:4])[0] for pk in pkts]
     assert seqs == list(range(5))
     assert pkts[-1][12:] == pkts[-2][12:]
+    assert src.get_property("seqnum") == 4  # read-only last-seq counter
     s = sink.samples[0].caps.structure(0)
     assert s.get("encoding-name") == "TELEPHONE-EVENT"
 
