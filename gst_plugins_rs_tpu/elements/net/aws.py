@@ -39,17 +39,25 @@ from ...net.s3 import S3Client, S3Url
 
 
 def _client_from_props(el, region: Optional[str] = None) -> S3Client:
+    timeout = el._props.get("request-timeout", 15_000)
     return S3Client(
         region=region or el.get_property("region") or "us-east-1",
         access_key=el.get_property("access-key"),
         secret_key=el.get_property("secret-access-key"),
         session_token=el.get_property("session-token"),
         endpoint_uri=el.get_property("endpoint-uri"),
+        force_path_style=bool(el._props.get("force-path-style")),
+        timeout_ms=int(timeout) if timeout is not None else 15_000,
+        retry_attempts=int(el._props.get("retry-attempts", 5)),
     )
 
 
 def _resolve_target(el) -> Tuple[S3Client, str, str]:
-    """(client, bucket, key) from uri= or bucket=/key= properties."""
+    """(client, bucket, key) from s3-uri=, uri= or bucket=/key= properties."""
+    s3uri = el._props.get("s3-uri")
+    if s3uri:
+        u = S3Url.parse_s3uri(s3uri, el.get_property("region") or "us-east-1")
+        return _client_from_props(el, region=u.region), u.bucket, u.key
     uri = el.get_property("uri")
     if uri:
         u = S3Url.parse(uri)
@@ -61,8 +69,27 @@ def _resolve_target(el) -> Tuple[S3Client, str, str]:
     return _client_from_props(el), bucket, key
 
 
+def _object_headers(el) -> dict:
+    """Cache-Control / Content-* / x-amz-meta-* headers from properties."""
+    headers = {
+        "cache-control": el._props.get("cache-control"),
+        "content-disposition": el._props.get("content-disposition"),
+        "content-encoding": el._props.get("content-encoding"),
+        "content-language": el._props.get("content-language"),
+    }
+    meta = el._props.get("metadata")
+    if meta:
+        items = meta.items() if hasattr(meta, "items") else meta
+        for k, v in items:
+            headers[f"x-amz-meta-{k}"] = str(v)
+    return {k: v for k, v in headers.items() if v}
+
+
 _S3_COMMON = [
     Prop("uri", None, type="str", doc="s3://region/bucket/key"),
+    Prop("s3-uri", None, type="str",
+         doc="AWS-standard s3://bucket/key (region from the region "
+             "property); takes precedence over uri"),
     Prop("bucket", None, type="str"),
     Prop("key", None, type="str"),
     Prop("region", "us-east-1", type="str"),
@@ -71,6 +98,21 @@ _S3_COMMON = [
     Prop("session-token", None, type="str"),
     Prop("endpoint-uri", None, type="str"),
     Prop("content-type", None, type="str"),
+    Prop("force-path-style", False, type="bool",
+         doc="Force path-style addressing for buckets (custom endpoints "
+             "are always path-style)"),
+    Prop("request-timeout", 15_000, type="int", minimum=-1,
+         doc="Timeout for S3 requests in ms (-1 = infinity)"),
+    Prop("retry-attempts", 5, type="uint", minimum=1, maximum=10,
+         doc="Request attempts before abandoning (5xx and connection "
+             "errors retry with capped exponential backoff)"),
+]
+
+# deprecated-in-reference per-operation knobs: kept for parity, they feed
+# the same client timeout/retry configuration
+_S3_DEPRECATED_TUNING = [
+    Prop("retry-duration", 75_000, type="int", minimum=-1,
+         doc="(deprecated: use retry-attempts) total retry budget in ms"),
 ]
 
 
@@ -80,7 +122,7 @@ class AwsS3Src(BaseSrc):
     ELEMENT_CLASS = "Source/Network"
     ELEMENT_DESCRIPTION = "Reads an object from Amazon S3 (SigV4 REST)"
     SRC_CAPS = Caps.builder("application/octet-stream")
-    PROPERTIES = _S3_COMMON + [
+    PROPERTIES = _S3_COMMON + _S3_DEPRECATED_TUNING + [
         Prop("blocksize", 1 << 20, type="uint", doc="bytes per ranged GET"),
     ]
 
@@ -115,11 +157,26 @@ class AwsS3Sink(BaseSink):
     ELEMENT_NAME = "awss3sink"
     ELEMENT_CLASS = "Sink/Network"
     ELEMENT_DESCRIPTION = "Streams to an S3 object via multipart upload"
-    PROPERTIES = _S3_COMMON + [
+    PROPERTIES = _S3_COMMON + _S3_DEPRECATED_TUNING + [
         Prop("part-size", 5 * 1024 * 1024, type="uint64",
              doc="multipart part size (AWS minimum 5 MiB except the last)"),
         Prop("on-error", "abort-upload", type="str",
              doc="abort-upload | complete-upload | do-nothing"),
+        Prop("cache-control", None, type="str",
+             doc="Cache-Control header for the uploaded object"),
+        Prop("content-disposition", None, type="str"),
+        Prop("content-encoding", None, type="str"),
+        Prop("content-language", None, type="str"),
+        Prop("metadata", None, type="object",
+             doc="mapping stored as x-amz-meta-* headers"),
+        Prop("complete-upload-request-timeout", 15_000, type="int", minimum=-1,
+             doc="(deprecated: use request-timeout)"),
+        Prop("complete-upload-retry-duration", 75_000, type="int", minimum=-1,
+             doc="(deprecated: use retry-attempts)"),
+        Prop("upload-part-request-timeout", 15_000, type="int", minimum=-1,
+             doc="(deprecated: use request-timeout)"),
+        Prop("upload-part-retry-duration", 75_000, type="int", minimum=-1,
+             doc="(deprecated: use retry-attempts)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -132,12 +189,15 @@ class AwsS3Sink(BaseSink):
 
     def on_ready_to_paused(self) -> None:
         self._client, self._bucket, self._key = _resolve_target(self)
-        self._upload_id = self._client.create_multipart(self._bucket, self._key)
+        self._upload_id = self._client.create_multipart(
+            self._bucket, self._key,
+            content_type=self.get_property("content-type"),
+            extra_headers=_object_headers(self))
         self._parts = []
         self._pending = bytearray()
 
     def render(self, buffer: Buffer) -> FlowReturn:
-        self._pending += np.asarray(buffer.data, dtype=np.uint8).tobytes()
+        self._pending += np.asarray(buffer.data).tobytes()  # raw bytes, never value-cast
         part_size = self.get_property("part-size")
         while len(self._pending) >= part_size:
             chunk, self._pending = bytes(self._pending[:part_size]), self._pending[part_size:]
@@ -178,6 +238,22 @@ class AwsS3PutObjectSink(BaseSink):
     PROPERTIES = _S3_COMMON + [
         Prop("flush-interval-buffers", 0, type="uint", doc="0 = only at EOS"),
         Prop("flush-interval-bytes", 0, type="uint64"),
+        Prop("flush-interval-time", 0, type="uint64",
+             doc="accumulated buffer duration (ns) per write (0 = disable)"),
+        Prop("flush-on-error", False, type="bool",
+             doc="write accumulated data when stopping without EOS"),
+        Prop("next-file", "next-buffer", type="enum",
+             choices=["next-buffer", "key-frame"],
+             doc="when a flush starts a NEW object (key gets a %05d "
+                 "counter) instead of rewriting the same key"),
+        Prop("min-keyframe-distance", 10_000_000_000, type="uint64",
+             doc="minimum pts distance between keyframe-triggered files"),
+        Prop("cache-control", None, type="str"),
+        Prop("content-disposition", None, type="str"),
+        Prop("content-encoding", None, type="str"),
+        Prop("content-language", None, type="str"),
+        Prop("metadata", None, type="object",
+             doc="mapping stored as x-amz-meta-* headers"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -186,30 +262,74 @@ class AwsS3PutObjectSink(BaseSink):
         self._bucket = self._key = ""
         self._data = bytearray()
         self._buffers = 0
+        self._accum_time = 0
+        self._file_index = 0
+        self._last_split_pts: Optional[int] = None
+        self._got_eos = False
 
     def on_ready_to_paused(self) -> None:
         self._client, self._bucket, self._key = _resolve_target(self)
         self._data = bytearray()
         self._buffers = 0
+        self._accum_time = 0
+        self._file_index = 0
+        self._last_split_pts = None
+        self._got_eos = False
+
+    def _object_key(self) -> str:
+        if self.get_property("next-file") == "next-buffer":
+            return self._key
+        key = self._key
+        return (key % self._file_index) if "%" in key \
+            else f"{key}.{self._file_index:05d}"
 
     def render(self, buffer: Buffer) -> FlowReturn:
-        self._data += np.asarray(buffer.data, dtype=np.uint8).tobytes()
+        from ...core.buffer import BufferFlags
+
+        if self.get_property("next-file") == "key-frame" and self._data \
+                and not buffer.has_flag(BufferFlags.DELTA_UNIT):
+            pts = getattr(buffer, "pts", None)
+            dist = self.get_property("min-keyframe-distance")
+            if pts is None or self._last_split_pts is None \
+                    or pts - self._last_split_pts >= dist:
+                self._flush(new_file=True)
+                self._last_split_pts = pts
+        self._data += np.asarray(buffer.data).tobytes()  # raw bytes, never value-cast
         self._buffers += 1
+        self._accum_time += int(buffer.duration or 0) \
+            if getattr(buffer, "duration", None) else 0
         fb = self.get_property("flush-interval-buffers")
         fby = self.get_property("flush-interval-bytes")
-        if (fb and self._buffers % fb == 0) or (fby and len(self._data) >= fby):
+        ft = self.get_property("flush-interval-time")
+        if (fb and self._buffers % fb == 0) or (fby and len(self._data) >= fby) \
+                or (ft and self._accum_time >= ft):
             self._flush()
         return FlowReturn.OK
 
-    def _flush(self) -> None:
-        self._client.put_object(self._bucket, self._key, bytes(self._data),
-                                content_type=self.get_property("content-type"))
+    def _flush(self, new_file: bool = False) -> None:
+        if not self._data:
+            return
+        self._client.put_object(
+            self._bucket, self._object_key(), bytes(self._data),
+            content_type=self.get_property("content-type"),
+            extra_headers=_object_headers(self))
+        self._accum_time = 0
+        if new_file:
+            self._data = bytearray()
+            self._file_index += 1
 
     def on_event(self, event) -> None:
         from ...core.events import EventType
 
         if event.type == EventType.EOS and self._client is not None:
             self._flush()
+            self._got_eos = True
+
+    def on_paused_to_ready(self) -> None:
+        if not self._got_eos and self.get_property("flush-on-error") \
+                and self._client is not None:
+            self._flush()
+        self._client = None
 
 
 @register
@@ -234,6 +354,18 @@ class AwsS3HlsSink(BaseSink):
         Prop("endpoint-uri", None, type="str"),
         Prop("target-duration", 2_000_000_000, type="uint64"),
         Prop("playlist-length", 5, type="uint"),
+        Prop("acl", "private", type="str",
+             doc="canned ACL sent as x-amz-acl on every upload"),
+        Prop("force-path-style", False, type="bool"),
+        Prop("request-timeout", 15_000, type="int", minimum=-1,
+             doc="Timeout for S3 requests in ms"),
+        Prop("retry-attempts", 5, type="uint", minimum=1, maximum=10),
+        Prop("hlssink", None, type="object",
+             doc="(read) underlying HLS sink — the segmenter is built-in "
+                 "here, so this element itself is returned"),
+        Prop("stats", None, type="object",
+             doc="(read) segments-uploaded / bytes-uploaded / "
+                 "playlist-uploads counters"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -243,6 +375,25 @@ class AwsS3HlsSink(BaseSink):
         self._segments: List[Tuple[str, int]] = []
         self._segment_start: Optional[int] = None
         self._index = 0
+        self._bytes_uploaded = 0
+        self._playlist_uploads = 0
+
+    def get_property(self, name: str):
+        if name == "hlssink":
+            return self
+        if name == "stats":
+            from ...core.caps import Structure
+
+            return Structure(
+                "awss3hlssink-stats",
+                **{"segments-uploaded": self._index,
+                   "bytes-uploaded": self._bytes_uploaded,
+                   "playlist-uploads": self._playlist_uploads})
+        return super().get_property(name)
+
+    def _acl_headers(self) -> dict:
+        acl = self.get_property("acl")
+        return {"x-amz-acl": acl} if acl and acl != "private" else {}
 
     def on_ready_to_paused(self) -> None:
         self._client = _client_from_props(self)
@@ -250,12 +401,14 @@ class AwsS3HlsSink(BaseSink):
         self._segments = []
         self._segment_start = None
         self._index = 0
+        self._bytes_uploaded = 0
+        self._playlist_uploads = 0
 
     def render(self, buffer: Buffer) -> FlowReturn:
         pts = getattr(buffer, "pts", None)
         if self._segment_start is None:
             self._segment_start = pts if pts is not None else 0
-        self._segment += np.asarray(buffer.data, dtype=np.uint8).tobytes()
+        self._segment += np.asarray(buffer.data).tobytes()  # raw bytes, never value-cast
         target = self.get_property("target-duration")
         if pts is not None and self._segment_start is not None and \
                 pts - self._segment_start >= target:
@@ -269,7 +422,9 @@ class AwsS3HlsSink(BaseSink):
         prefix = self.get_property("key-prefix").rstrip("/")
         name = f"segment{self._index:05d}.ts"
         self._client.put_object(self.get_property("bucket"), f"{prefix}/{name}",
-                                bytes(self._segment), content_type="video/mp2t")
+                                bytes(self._segment), content_type="video/mp2t",
+                                extra_headers=self._acl_headers())
+        self._bytes_uploaded += len(self._segment)
         self._segments.append((name, duration_ns))
         maxlen = self.get_property("playlist-length")
         self._segments = self._segments[-maxlen:]
@@ -290,7 +445,9 @@ class AwsS3HlsSink(BaseSink):
             self.get_property("bucket"), f"{prefix}/playlist.m3u8",
             ("\n".join(lines) + "\n").encode(),
             content_type="application/vnd.apple.mpegurl",
+            extra_headers=self._acl_headers(),
         )
+        self._playlist_uploads += 1
 
     def on_event(self, event) -> None:
         from ...core.events import EventType
@@ -350,6 +507,22 @@ class AwsPolly(BaseTransform):
         Prop("engine", "standard", type="str"),
         Prop("language-code", None, type="str"),
         Prop("sample-rate", 16000, type="int"),
+        Prop("latency", 2_000, type="uint",
+             doc="ms of latency to report for the Polly round trip"),
+        Prop("lexicon-names", None, type="object",
+             doc="list of lexicon names sent as LexiconNames"),
+        Prop("overflow", "clip", type="enum",
+             choices=["clip", "compress", "nothing"],
+             doc="how audio longer than the text cue's duration is "
+                 "handled: clip truncates, compress time-compresses to "
+                 "fit, nothing passes it through"),
+        Prop("max-overflow", 0, type="uint",
+             doc="ms a cue may overflow its duration (mode=compress)"),
+        Prop("max-compression", 0.0, type="float",
+             doc="maximum compression factor (mode=compress; may cause "
+                 "max-overflow to be ignored)"),
+        Prop("ssml-set-max-duration", False, type="bool",
+             doc="wrap plain text as SSML with amazon:max-duration"),
     ]
 
     def transform_caps(self, direction, caps: Caps, filter_=None) -> Caps:
@@ -374,6 +547,15 @@ class AwsPolly(BaseTransform):
             "VoiceId": self.get_property("voice-id"),
             "Engine": self.get_property("engine"),
         }
+        if self.get_property("ssml-set-max-duration") and buffer.duration:
+            ms = int(buffer.duration / 1e6)
+            payload["Text"] = (f'<speak><prosody amazon:max-duration="{ms}ms">'
+                               f"{text}</prosody></speak>")
+            payload["TextType"] = "ssml"
+        lex = self.get_property("lexicon-names")
+        if lex:
+            payload["LexiconNames"] = list(lex) if not isinstance(lex, str) \
+                else [s.strip() for s in lex.split(",") if s.strip()]
         if self.get_property("language-code"):
             payload["LanguageCode"] = self.get_property("language-code")
         status, body = _aws_json_post(self, endpoint.rstrip("/") + "/v1/speech",
@@ -381,8 +563,34 @@ class AwsPolly(BaseTransform):
         if status != 200:
             raise RuntimeError(f"polly: HTTP {status}: {body[:200]!r}")
         pcm = np.frombuffer(body, "<i2").reshape(-1, 1)
+        pcm = self._apply_overflow(pcm, buffer.duration)
         out = Buffer(pcm, pts=buffer.pts, duration=buffer.duration)
         return out
+
+    def _apply_overflow(self, pcm: np.ndarray, duration) -> np.ndarray:
+        """overflow handling: audio longer than the text cue's duration is
+        clipped or linearly time-compressed (net/aws/src/polly/imp.rs
+        GstAwsOverflow semantics)."""
+        mode = self.get_property("overflow")
+        if mode == "nothing" or not duration:
+            return pcm
+        want = int(duration * self.get_property("sample-rate") / 1e9)
+        if pcm.shape[0] <= want or want <= 0:
+            return pcm
+        if mode == "clip":
+            return pcm[:want]
+        # compress: allow max-overflow ms beyond the cue, bounded by
+        # max-compression; then linear-resample to fit
+        allow = want + int(self.get_property("max-overflow")
+                           * self.get_property("sample-rate") / 1e3)
+        target = min(pcm.shape[0], allow)
+        factor = pcm.shape[0] / max(1, target)
+        maxc = self.get_property("max-compression")
+        if maxc and factor > maxc > 1.0:
+            target = int(np.ceil(pcm.shape[0] / maxc))
+        xs = np.linspace(0, pcm.shape[0] - 1, target)
+        return np.interp(xs, np.arange(pcm.shape[0]),
+                         pcm[:, 0].astype(np.float32)).astype(np.int16).reshape(-1, 1)
 
 
 @register
@@ -403,27 +611,51 @@ class AwsTranslate(BaseTransform):
         Prop("endpoint-uri", None, type="str"),
         Prop("input-language-code", "en", type="str"),
         Prop("output-language-code", "es", type="str"),
+        Prop("latency", 2_000, type="uint",
+             doc="ms of latency to report for the Translate round trip"),
+        Prop("accumulator-lateness", 0, type="uint",
+             doc="ms to shift input timestamps forward"),
+        Prop("brevity-on", False, type="bool",
+             doc="request the Brevity setting on TranslateText"),
+        Prop("tokenization-method", "span-based", type="enum",
+             choices=["span-based", "punctuation"],
+             doc="punctuation splits input at sentence punctuation and "
+                 "translates each span; span-based sends the span whole"),
     ]
 
-    def transform(self, buffer: Buffer) -> Buffer:
-        text = bytes(np.asarray(buffer.data, np.uint8)).decode("utf-8", "replace")
+    def _translate_one(self, text: str) -> str:
         endpoint = self.get_property("endpoint-uri") or \
             f"https://translate.{self.get_property('region')}.amazonaws.com"
+        payload = {
+            "Text": text,
+            "SourceLanguageCode": self.get_property("input-language-code"),
+            "TargetLanguageCode": self.get_property("output-language-code"),
+        }
+        if self.get_property("brevity-on"):
+            payload["Settings"] = {"Brevity": "ON"}
         status, body = _aws_json_post(
             self, endpoint.rstrip("/") + "/",
             "AWSShineFrontendService_20170701.TranslateText",
-            {
-                "Text": text,
-                "SourceLanguageCode": self.get_property("input-language-code"),
-                "TargetLanguageCode": self.get_property("output-language-code"),
-            },
-            "translate",
-        )
+            payload, "translate")
         if status != 200:
             raise RuntimeError(f"translate: HTTP {status}: {body[:200]!r}")
-        translated = json.loads(body).get("TranslatedText", "")
+        return json.loads(body).get("TranslatedText", "")
+
+    def transform(self, buffer: Buffer) -> Buffer:
+        import re as _re
+
+        text = bytes(np.asarray(buffer.data, np.uint8)).decode("utf-8", "replace")
+        if self.get_property("tokenization-method") == "punctuation":
+            spans = [s for s in _re.split(r"(?<=[.!?;])\s+", text) if s]
+            translated = " ".join(self._translate_one(s) for s in spans)
+        else:
+            translated = self._translate_one(text)
+        pts = buffer.pts
+        late = self.get_property("accumulator-lateness")
+        if pts is not None and late:
+            pts += late * 1_000_000
         return Buffer(np.frombuffer(translated.encode(), np.uint8),
-                      pts=buffer.pts, duration=buffer.duration)
+                      pts=pts, duration=buffer.duration)
 
 
 @register
@@ -482,6 +714,24 @@ class AwsTranscriber2(BaseTransform):
         Prop("endpoint-uri", None, type="str"),
         Prop("language-code", "en-US", type="str"),
         Prop("latency", 2_000_000_000, type="uint64"),
+        Prop("lateness", 0, type="uint",
+             doc="ms added to every output timestamp"),
+        Prop("session-id", None, type="str",
+             doc="transcription session id (36 chars), sent as session-id"),
+        Prop("results-stability", "low", type="enum",
+             choices=["low", "medium", "high"],
+             doc="partial-results stabilization level (presign param)"),
+        Prop("show-speaker-label", False, type="bool",
+             doc="request speaker partitioning; labels prefix the text"),
+        Prop("vocabulary-name", None, type="str",
+             doc="custom vocabulary name (presign param)"),
+        Prop("vocabulary-filter-name", None, type="str",
+             doc="custom filter vocabulary name (presign param)"),
+        Prop("vocabulary-filter-method", "mask", type="enum",
+             choices=["mask", "remove", "tag"],
+             doc="how filtered words are edited (needs filter-name)"),
+        Prop("max-observed-delay", 0, type="uint",
+             doc="(read) max ms between sending audio and receiving an item"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -490,6 +740,7 @@ class AwsTranscriber2(BaseTransform):
         self._results: List[str] = []
         self._lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
+        self._last_send_t: Optional[float] = None
 
     def transform_caps(self, direction, caps: Caps, filter_=None) -> Caps:
         from ...core.element import PadDirection
@@ -503,16 +754,32 @@ class AwsTranscriber2(BaseTransform):
             return ep
         region = self.get_property("region")
         base = f"wss://transcribestreaming.{region}.amazonaws.com:8443/stream-transcription-websocket"
+        params = {
+            "language-code": self.get_property("language-code"),
+            "media-encoding": "pcm",
+            "sample-rate": "16000",
+        }
+        if self.get_property("session-id"):
+            params["session-id"] = self.get_property("session-id")
+        if self.get_property("results-stability") != "low":
+            params["enable-partial-results-stabilization"] = "true"
+            params["partial-results-stability"] = \
+                self.get_property("results-stability")
+        if self.get_property("show-speaker-label"):
+            params["show-speaker-label"] = "true"
+        if self.get_property("vocabulary-name"):
+            params["vocabulary-name"] = self.get_property("vocabulary-name")
+        if self.get_property("vocabulary-filter-name"):
+            params["vocabulary-filter-name"] = \
+                self.get_property("vocabulary-filter-name")
+            params["vocabulary-filter-method"] = \
+                self.get_property("vocabulary-filter-method")
         return sigv4.presign_url(
             "GET", base, region, "transcribe",
             self.get_property("access-key") or "anonymous",
             self.get_property("secret-access-key") or "anonymous",
             session_token=self.get_property("session-token"),
-            extra_params={
-                "language-code": self.get_property("language-code"),
-                "media-encoding": "pcm",
-                "sample-rate": "16000",
-            },
+            extra_params=params,
         )
 
     def start(self) -> None:
@@ -547,13 +814,27 @@ class AwsTranscriber2(BaseTransform):
                 if headers.get(":event-type") != "TranscriptEvent":
                     continue
                 doc = json.loads(payload)
+                if self._last_send_t is not None:
+                    import time as _time
+
+                    delay_ms = int((_time.monotonic() - self._last_send_t) * 1e3)
+                    if delay_ms > self._props.get("max-observed-delay", 0):
+                        self._props["max-observed-delay"] = delay_ms
                 for res in doc.get("Transcript", {}).get("Results", []):
                     if res.get("IsPartial"):
                         continue
                     alts = res.get("Alternatives", [])
-                    if alts:
-                        with self._lock:
-                            self._results.append(alts[0].get("Transcript", ""))
+                    if not alts:
+                        continue
+                    text = alts[0].get("Transcript", "")
+                    if self.get_property("show-speaker-label"):
+                        items = alts[0].get("Items", [])
+                        speakers = {i.get("Speaker") for i in items
+                                    if i.get("Speaker") is not None}
+                        if len(speakers) == 1:
+                            text = f"[spk_{next(iter(speakers))}] {text}"
+                    with self._lock:
+                        self._results.append(text)
         except Exception:
             pass
 
@@ -566,21 +847,39 @@ class AwsTranscriber2(BaseTransform):
             pcm = np.asarray(inbuf.data)
             if pcm.dtype != np.int16:
                 pcm = (np.clip(np.asarray(pcm, np.float32), -1, 1) * 32767).astype(np.int16)
+            import time as _time
+
+            self._last_send_t = _time.monotonic()
             self._ws.send(eventstream.encode_message(
                 {":message-type": "event", ":event-type": "AudioEvent",
                  ":content-type": "application/octet-stream"},
                 pcm.tobytes()))
-            import time as _time
             _time.sleep(0.01)  # let the receive thread drain on loopback
         with self._lock:
             if not self._results:
                 return None
             text = self._results.pop(0)
-        return Buffer(np.frombuffer(text.encode(), np.uint8),
-                      pts=getattr(self, "_last_pts", None))
+        pts = getattr(self, "_last_pts", None)
+        late = self.get_property("lateness")
+        if pts is not None and late:
+            pts += late * 1_000_000
+        return Buffer(np.frombuffer(text.encode(), np.uint8), pts=pts)
 
 
 @register
 class AwsTranscriber(AwsTranscriber2):
     ELEMENT_NAME = "awstranscriber"
     ELEMENT_DESCRIPTION = "Streaming speech-to-text with Amazon Transcribe (v1 name)"
+    PROPERTIES = AwsTranscriber2.PROPERTIES + [
+        # v1 carries its own in-element translation channel in the
+        # reference; here translation channels live in transcriberbin
+        # (elements/cc/transcriberbin.py), so the latency split knobs are
+        # carried for pipeline parity and fold into the reported latency
+        Prop("transcribe-latency", 8_000, type="uint",
+             doc="ms budget for the transcribe leg (folds into latency)"),
+        Prop("translate-latency", 500, type="uint",
+             doc="ms budget for the translate leg (transcriberbin wires "
+                 "the actual translation channel)"),
+        Prop("translate-lookahead", 3_000, type="uint",
+             doc="max ms of transcript lookahead before translation"),
+    ]

@@ -367,3 +367,113 @@ def test_transcriber_streaming():
         assert len(texts) >= 2
     finally:
         srv.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# round-3 reference-surface behaviors
+
+
+def test_putobject_next_file_keyframe_split(s3):
+    from gst_plugins_rs_tpu.core.buffer import BufferFlags
+
+    sink = fx.element_factory_make("awss3putobjectsink")
+    _creds(sink, s3.endpoint)
+    sink.set_property("bucket", "vids")
+    sink.set_property("key", "chunk")
+    sink.set_property("next-file", "key-frame")
+    sink.set_property("min-keyframe-distance", 1_000_000_000)
+    src = fx.element_factory_make("appsrc")
+    src.set_property("caps", parse_caps("video/x-raw"))
+    p = fx.Pipeline()
+    p.add(src, sink)
+    src.link(sink)
+    for g in range(3):  # 3 GOPs 1s apart: key + delta
+        key = fx.Buffer(np.full(4, g, np.uint8), pts=g * 1_000_000_000)
+        src.push_buffer(key)
+        delta = fx.Buffer(np.full(4, 0x80 + g, np.uint8),
+                          pts=g * 1_000_000_000 + 500_000_000)
+        delta.set_flag(BufferFlags.DELTA_UNIT)
+        src.push_buffer(delta)
+    src.end_of_stream()
+    p.play_until_eos()
+    # two splits happened (before GOP1 and GOP2 keyframes), final flush at EOS
+    assert "/vids/chunk.00000" in s3.objects
+    assert "/vids/chunk.00001" in s3.objects
+    assert s3.objects["/vids/chunk.00000"] == bytes([0, 0, 0, 0, 0x80, 0x80, 0x80, 0x80])
+
+
+def test_s3_uri_and_metadata_headers(s3):
+    received = {}
+    orig_put = FakeS3Handler.do_PUT
+
+    def spy_put(self):
+        received.update({k.lower(): v for k, v in self.headers.items()})
+        orig_put(self)
+
+    FakeS3Handler.do_PUT = spy_put
+    try:
+        sink = fx.element_factory_make("awss3putobjectsink")
+        _creds(sink, s3.endpoint)
+        sink.set_property("s3-uri", "s3://mybkt/my/key.bin")
+        sink.set_property("cache-control", "max-age=60")
+        sink.set_property("metadata", {"camera": "3"})
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("application/octet-stream"))
+        p = fx.Pipeline()
+        p.add(src, sink)
+        src.link(sink)
+        src.push_buffer(fx.Buffer(np.arange(8, dtype=np.uint8)))
+        src.end_of_stream()
+        p.play_until_eos()
+        assert "/mybkt/my/key.bin" in s3.objects
+        assert received.get("cache-control") == "max-age=60"
+        assert received.get("x-amz-meta-camera") == "3"
+    finally:
+        FakeS3Handler.do_PUT = orig_put
+
+
+def test_polly_overflow_clip_and_compress(aws_api):
+    # fake returns 100 samples @16k = 6.25ms; cue duration 2ms = 32 samples
+    for mode, expect in (("clip", 32), ("nothing", 100)):
+        el = fx.element_factory_make("awspolly")
+        el.set_property("endpoint-uri", aws_api.endpoint)
+        el.set_property("access-key", "AKID")
+        el.set_property("secret-access-key", "secret")
+        el.set_property("overflow", mode)
+        p, src, sink = _text_pipeline(el)
+        src.push_buffer(fx.Buffer(np.frombuffer(b"hello world", np.uint8),
+                                  pts=0, duration=2_000_000))
+        src.end_of_stream()
+        p.play_until_eos()
+        assert np.asarray(sink.samples[0].buffer.data).shape[0] == expect, mode
+    # compress with max-overflow 1ms -> target 32+16=48 samples
+    el = fx.element_factory_make("awspolly")
+    el.set_property("endpoint-uri", aws_api.endpoint)
+    el.set_property("access-key", "AKID")
+    el.set_property("secret-access-key", "secret")
+    el.set_property("overflow", "compress")
+    el.set_property("max-overflow", 1)
+    p, src, sink = _text_pipeline(el)
+    src.push_buffer(fx.Buffer(np.frombuffer(b"hello world", np.uint8),
+                              pts=0, duration=2_000_000))
+    src.end_of_stream()
+    p.play_until_eos()
+    out = np.asarray(sink.samples[0].buffer.data)
+    assert out.shape[0] == 48
+    assert int(out[0, 0]) == len("hello world")  # values survive resampling
+
+
+def test_translate_punctuation_tokenization(aws_api):
+    el = fx.element_factory_make("awstranslate")
+    el.set_property("endpoint-uri", aws_api.endpoint)
+    el.set_property("access-key", "AKID")
+    el.set_property("secret-access-key", "secret")
+    el.set_property("tokenization-method", "punctuation")
+    el.set_property("accumulator-lateness", 5)
+    p, src, sink = _text_pipeline(el)
+    src.push_buffer(fx.Buffer(np.frombuffer(b"one. two! three", np.uint8), pts=0))
+    src.end_of_stream()
+    p.play_until_eos()
+    assert bytes(np.asarray(sink.samples[0].buffer.data, np.uint8)) == \
+        b"ONE. TWO! THREE"
+    assert sink.samples[0].buffer.pts == 5_000_000  # lateness shift
