@@ -54,11 +54,28 @@ class TtToCea608(BaseTransform):
     MODE = TransformMode.NEVER_IN_PLACE
     SINK_CAPS = TEXT_CAPS
     SRC_CAPS = CEA608_CAPS
+    _NEVER = (1 << 64) - 1
+
     PROPERTIES = [
         Prop("mode", "roll-up2", type="enum",
              choices=["pop-on", "paint-on", "roll-up2", "roll-up3", "roll-up4"]),
         Prop("framerate", "30/1", type="str", doc="pair pacing for pts spacing"),
+        Prop("origin-row", -1, type="int", minimum=-1, maximum=14,
+             mutable="playing", doc="Origin row (-1 = automatic)"),
+        Prop("origin-column", 0, type="uint", maximum=31, mutable="playing",
+             doc="Origin column (indent PAC + tab offsets)"),
+        Prop("roll-up-timeout", _NEVER, type="uint64", mutable="playing",
+             doc="ns without text after which display memory is erased "
+                 "in roll-up mode (u64 max = never)"),
+        Prop("speaker-prefix", None, type="str",
+             doc="prefix added on the line after an "
+                 "rstranscribe/speaker-change event"),
     ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._prefix_next = False
+        self._last_text_pts: Optional[int] = None
 
     def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
         out = (CEA608_CAPS if direction == PadDirection.SINK else TEXT_CAPS).copy()
@@ -70,18 +87,48 @@ class TtToCea608(BaseTransform):
         f = Fraction(self.get_property("framerate"))
         return int(SECOND * f.denominator // f.numerator)
 
+    def sink_event(self, event) -> bool:
+        from ...core.events import EventType
+
+        if event.type == EventType.CUSTOM_DOWNSTREAM:
+            name = event.get("name")
+            if name == "rstranscribe/speaker-change":
+                self._prefix_next = True
+                return False  # consumed
+            if name == "rstranscribe/final-transcript":
+                return False
+        return True
+
+    def _position(self):
+        """(base_row, column) from origin-row/origin-column."""
+        row = self.get_property("origin-row")
+        return (14 if row < 0 else max(1, row)), self.get_property("origin-column")
+
     def transform(self, inbuf: Buffer) -> Buffer:
         text = str(inbuf.data)
+        if self._prefix_next and self.get_property("speaker-prefix"):
+            text = self.get_property("speaker-prefix") + text
+        self._prefix_next = False
         mode = self.get_property("mode")
+        row, col = self._position()
+        pairs = []
+        # roll-up-timeout: erase stale display memory before new text
+        timeout = self.get_property("roll-up-timeout")
+        if (mode.startswith("roll-up") and timeout != self._NEVER
+                and inbuf.pts is not None and self._last_text_pts is not None
+                and inbuf.pts - self._last_text_pts > timeout):
+            pairs.extend(cea608.erase_displayed())
+        self._last_text_pts = inbuf.pts
         if mode == "pop-on":
-            pairs = cea608.encode_pop_on(text.split("\n"))
+            pairs += cea608.encode_pop_on(text.split("\n"), base_row=row, column=col)
         elif mode == "paint-on":
-            pairs = [cea608.control_pair(cea608.RCL)] + cea608.encode_pop_on(text.split("\n"))[1:]
+            pairs += [cea608.control_pair(cea608.RCL)] + \
+                cea608.encode_pop_on(text.split("\n"), base_row=row, column=col)[1:]
         else:
             rows = int(mode[-1])
-            pairs = []
             for line in text.split("\n"):
-                pairs.extend(cea608.encode_roll_up(line, rows=rows))
+                pairs.extend(cea608.encode_roll_up(line, rows=rows,
+                                                   base_row=row, column=col))
         out = Buffer(pairs_to_array(pairs))
         out.pts = inbuf.pts
         out.duration = len(pairs) * self._frame_dur()
@@ -157,6 +204,12 @@ class Cea608ToJson(_Cea608DecodeBase):
     ELEMENT_CLASS = "Generic/Converter"
     ELEMENT_DESCRIPTION = "Converts CEA-608 closed captions to JSON"
     SRC_CAPS = JSON_CAPS
+    PROPERTIES = [
+        Prop("unbuffered", False, type="bool",
+             doc="emit at display time instead of buffering to compute "
+                 "durations (this implementation always emits at display "
+                 "time; true is the native path, false is accepted)"),
+    ]
 
     def caption_buffer(self, caption: cea608.Caption, pts) -> Buffer:
         rec = {"mode": caption.mode, "lines": [{"text": t} for t in caption.lines]}
@@ -173,6 +226,11 @@ class TtToJson(BaseTransform):
     MODE = TransformMode.NEVER_IN_PLACE
     SINK_CAPS = TEXT_CAPS
     SRC_CAPS = JSON_CAPS
+    PROPERTIES = [
+        Prop("mode", "roll-up2", type="enum",
+             choices=["pop-on", "paint-on", "roll-up2", "roll-up3", "roll-up4"],
+             doc="caption mode recorded in the JSON records"),
+    ]
 
     def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
         out = (JSON_CAPS if direction == PadDirection.SINK else TEXT_CAPS).copy()
@@ -181,7 +239,7 @@ class TtToJson(BaseTransform):
         return out
 
     def transform(self, inbuf: Buffer) -> Buffer:
-        rec = {"text": str(inbuf.data)}
+        rec = {"text": str(inbuf.data), "mode": self.get_property("mode")}
         if inbuf.duration is not None:
             rec["duration"] = inbuf.duration
         out = Buffer(json.dumps(rec))
@@ -207,6 +265,13 @@ class JsonToVtt(BaseTransform):
     PROPERTIES = [
         Prop("default-duration", 2 * SECOND, type="uint64",
              doc="cue duration when the record has none"),
+        Prop("set-line-attribute", False, type="bool", mutable="playing",
+             doc="set the line attribute on cues from the lowest visible "
+                 "row in the record"),
+        Prop("timeout", (1 << 64) - 1, type="uint64",
+             minimum=16_000_000, mutable="playing",
+             doc="erase-text timeout; cues here always carry explicit end "
+                 "times, so this only bounds a record with no duration"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -228,7 +293,16 @@ class JsonToVtt(BaseTransform):
         text = rec.get("text") or "\n".join(l["text"] for l in rec.get("lines", []))
         pts = inbuf.pts or 0
         dur = inbuf.duration or rec.get("duration") or self.get_property("default-duration")
-        cue = f"{_vtt_ts(pts)} --> {_vtt_ts(pts + dur)}\n{text}\n\n"
+        timeout = self.get_property("timeout")
+        if timeout != (1 << 64) - 1:
+            dur = min(dur, timeout)
+        settings = ""
+        if self.get_property("set-line-attribute"):
+            rows = [l.get("row") for l in rec.get("lines", [])
+                    if isinstance(l, dict) and l.get("row") is not None]
+            if rows:
+                settings = f" line:{min(rows)}"
+        cue = f"{_vtt_ts(pts)} --> {_vtt_ts(pts + dur)}{settings}\n{text}\n\n"
         if not self._sent_header:
             cue = "WEBVTT\n\n" + cue
             self._sent_header = True
@@ -246,39 +320,65 @@ class CCDetect(BaseTransform):
     ELEMENT_CLASS = "Filter/Analysis"
     ELEMENT_DESCRIPTION = "Detects closed caption presence"
     MODE = TransformMode.ALWAYS_IN_PLACE
-    SINK_CAPS = CEA608_CAPS
-    SRC_CAPS = CEA608_CAPS
+    SINK_CAPS = Caps([Structure("closedcaption/x-cea-608", format="raw"),
+                      Structure("closedcaption/x-cea-708")])
+    SRC_CAPS = SINK_CAPS
     PROPERTIES = [
         Prop("window", 10 * SECOND, type="uint64",
              doc="no-data interval after which presence flips off"),
+        Prop("cc608", False, type="bool",
+             doc="(read) whether CEA-608 captions have been detected"),
+        Prop("cc708", False, type="bool",
+             doc="(read) whether CEA-708 cc_data has been detected"),
     ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self.cc608 = False
+        self.cc708 = False
         self._last_data_pts: Optional[int] = None
+        self._is_708 = False
 
     def on_ready_to_paused(self) -> None:
         super().on_ready_to_paused()
         self.cc608 = False
+        self.cc708 = False
         self._last_data_pts = None
 
+    def get_property(self, name: str):
+        if name == "cc608":
+            return self.cc608
+        if name == "cc708":
+            return self.cc708
+        return super().get_property(name)
+
+    def set_caps(self, in_caps: Caps, out_caps: Caps) -> None:
+        self._is_708 = "708" in in_caps.structure(0).name
+
     def _set_presence(self, present: bool) -> None:
-        if present != self.cc608:
+        changed = (present != (self.cc708 if self._is_708 else self.cc608))
+        if self._is_708:
+            self.cc708 = present
+        else:
             self.cc608 = present
+        if changed:
             self.post_message(
                 Message(MessageType.ELEMENT,
-                        structure=Structure("cc-detect", cc608=present, cc708=False))
+                        structure=Structure("cc-detect", cc608=self.cc608,
+                                            cc708=self.cc708))
             )
 
     def transform_ip(self, buf: Buffer) -> Buffer:
-        pairs = np.asarray(buf.data, np.uint8).reshape(-1, 2)
-        has_data = bool((pairs != 0x80).any())
+        data = np.asarray(buf.data, np.uint8)
+        if self._is_708:
+            has_data = data.size > 0
+        else:
+            has_data = bool((data.reshape(-1, 2) != 0x80).any())
         if has_data:
             self._last_data_pts = buf.pts
             self._set_presence(True)
         elif (
-            self.cc608
+            (self.cc708 if self._is_708 else self.cc608)
             and buf.pts is not None
             and self._last_data_pts is not None
             and buf.pts - self._last_data_pts > self.get_property("window")

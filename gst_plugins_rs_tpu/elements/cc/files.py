@@ -143,7 +143,12 @@ class SccEnc(BaseTransform):
     MODE = TransformMode.NEVER_IN_PLACE
     SINK_CAPS = CEA608_CAPS
     SRC_CAPS = SCC_CAPS
-    PROPERTIES = [Prop("framerate", "30000/1001", type="str")]
+    PROPERTIES = [
+        Prop("framerate", "30000/1001", type="str"),
+        Prop("output-padding", True, type="bool",
+             doc="encode padding (0x8080) pairs received from upstream; "
+                 "false strips them from the output words"),
+    ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -162,6 +167,8 @@ class SccEnc(BaseTransform):
     def transform(self, inbuf: Buffer) -> Buffer:
         fps = Fraction(self.get_property("framerate"))
         pairs = np.asarray(inbuf.data, np.uint8).reshape(-1, 2)
+        if not self.get_property("output-padding"):
+            pairs = pairs[~((pairs[:, 0] == 0x80) & (pairs[:, 1] == 0x80))]
         words = " ".join(f"{hi:02x}{lo:02x}" for hi, lo in pairs)
         line = f"{_ns_to_tc(inbuf.pts or 0, fps)}\t{words}\n\n"
         if not self._sent_header:
@@ -272,7 +279,14 @@ class MccEnc(BaseTransform):
     MODE = TransformMode.NEVER_IN_PLACE
     SINK_CAPS = CEA608_CAPS
     SRC_CAPS = MCC_CAPS
-    PROPERTIES = [Prop("framerate", "30000/1001", type="str")]
+    PROPERTIES = [
+        Prop("framerate", "30000/1001", type="str"),
+        Prop("uuid", None, type="str",
+             doc="UUID written in the header (None = fresh uuid4)"),
+        Prop("creation-date", None, type="str",
+             doc="creation date/time for the header, ISO 8601 "
+                 "(None = now)"),
+    ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -319,7 +333,15 @@ class MccEnc(BaseTransform):
                                fps=int(round(float(fps))))
         line = f"{_ns_to_tc(inbuf.pts or 0, fps)}\t{mcc_encode_payload(self._anc_wrap(cdp))}\n"
         if not self._sent_header:
-            line = f"{MCC_HEADER}\n//\nTime Code Rate=30DF\n\n" + line
+            import uuid as _uuid
+            from datetime import datetime, timezone
+
+            uid = self.get_property("uuid") or str(_uuid.uuid4()).upper()
+            created = self.get_property("creation-date") or \
+                datetime.now(timezone.utc).strftime("%a, %b %d, %Y %H:%M:%S")
+            line = (f"{MCC_HEADER}\n//\nUUID={uid}\n"
+                    f"Creation Date={created}\n"
+                    f"Time Code Rate=30DF\n\n") + line
             self._sent_header = True
         return Buffer(line, pts=inbuf.pts, duration=inbuf.duration)
 

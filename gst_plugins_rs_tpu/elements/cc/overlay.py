@@ -52,11 +52,16 @@ def _build_atlas() -> np.ndarray:
     return atlas
 
 
-@jax.jit
-def _composite(frame: jnp.ndarray, mask: jnp.ndarray, box: jnp.ndarray) -> jnp.ndarray:
-    """White text (mask) over a dimmed black box region, fused elementwise."""
+from functools import partial
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _composite(frame: jnp.ndarray, mask: jnp.ndarray, box: jnp.ndarray,
+               box_strength: float = 0.7) -> jnp.ndarray:
+    """White text (mask) over a darkened box region, fused elementwise;
+    box_strength 1.0 = solid black background (black-background=true)."""
     f = frame.astype(jnp.float32)
-    boxed = f * (1.0 - 0.7 * box[..., None])
+    boxed = f * (1.0 - box_strength * box[..., None])
     out = boxed * (1.0 - mask[..., None]) + 255.0 * mask[..., None]
     return jnp.clip(out, 0.0, 255.0).astype(jnp.uint8)
 
@@ -98,6 +103,15 @@ class Cea608Overlay(Element):
     ELEMENT_DESCRIPTION = "Renders CEA-608 captions over video on device"
     PROPERTIES = [
         Prop("scale", 2, type="uint", minimum=1, maximum=8, doc="glyph upscale factor"),
+        Prop("black-background", False, type="bool", mutable="playing",
+             doc="solid black box behind text (false = translucent box; "
+                 "divergence: the reference draws none when false)"),
+        Prop("field", -1, type="int", minimum=-1, maximum=1, mutable="playing",
+             doc="caption field to render from S334-1A/cc_data "
+                 "(-1 = automatic = field 1)"),
+        Prop("timeout", (1 << 64) - 1, type="uint64",
+             minimum=16_000_000_000, mutable="playing",
+             doc="erase the overlay when no cc data arrived for this long"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -135,6 +149,8 @@ class Cea608Overlay(Element):
             self._dec.push_pair(int(hi), int(lo))
         for ev in self._dec.take_events():
             self._lines = [] if ev is None else ev.lines
+        if buf.pts is not None:
+            self._last_cc_pts = buf.pts
         return FlowReturn.OK
 
     # -- video stream ------------------------------------------------------------
@@ -178,18 +194,21 @@ class Cea608Overlay(Element):
             if not isinstance(meta, VideoCaptionMeta):
                 continue
             d = meta.data
+            field = self.get_property("field")
+            want_f1 = field in (-1, 0)  # automatic renders field 1
             if meta.caption_type == "cea608-raw":
                 for i in range(0, len(d) - 1, 2):
                     yield d[i], d[i + 1]
             elif meta.caption_type == "cea608-s334-1a":
-                # SMPTE 334-1 Annex A triplets: keep field-1 (bit 7 set)
+                # SMPTE 334-1 Annex A triplets: bit 7 set = field 1
                 for i in range(0, len(d) - 2, 3):
-                    if d[i] & 0x80:
+                    if bool(d[i] & 0x80) == want_f1:
                         yield d[i + 1], d[i + 2]
             elif meta.caption_type == "cea708-raw":
-                # cc_data triplets: cc_type 0 = NTSC field-1 608 pairs
+                # cc_data triplets: cc_type 0 = field 1, 1 = field 2
+                want_type = 0 if want_f1 else 1
                 for i in range(0, len(d) - 2, 3):
-                    if d[i] & 0x04 and (d[i] & 0x03) == 0:  # cc_valid, type 0
+                    if d[i] & 0x04 and (d[i] & 0x03) == want_type:
                         yield d[i + 1], d[i + 2]
             elif meta.caption_type == "cea708-cdp":
                 for hi, lo in _cdp_extract_608_field1(d):
@@ -203,11 +222,20 @@ class Cea608Overlay(Element):
         if fed:
             for ev in self._dec.take_events():
                 self._lines = [] if ev is None else ev.lines
+            self._last_cc_pts = buf.pts
+        else:
+            timeout = self.get_property("timeout")
+            if (self._lines and timeout != (1 << 64) - 1
+                    and buf.pts is not None
+                    and getattr(self, "_last_cc_pts", None) is not None
+                    and buf.pts - self._last_cc_pts > timeout):
+                self._lines = []
         if self._lines:
             frame = jnp.asarray(buf.data)
             h, w = frame.shape[0], frame.shape[1]
             mask, box = self._render_mask(tuple(self._lines), h, w)
-            out = Buffer(_composite(frame, mask, box))
+            strength = 1.0 if self.get_property("black-background") else 0.7
+            out = Buffer(_composite(frame, mask, box, strength))
             out.copy_metadata_from(buf)
             return self.srcpad.push(out)
         return self.srcpad.push(buf)

@@ -236,7 +236,15 @@ class CcToSt2038Anc(BaseTransform):
         Prop("line-number", 9, type="uint", maximum=2047),
         Prop("horizontal-offset", 0, type="uint", maximum=4095),
         Prop("c-not-y", False, type="bool"),
+        Prop("c-not-y-channel", False, type="bool", mutable="playing",
+             doc="reference name for c-not-y (kept in sync)"),
     ]
+
+    def property_changed(self, name, value) -> None:
+        if name == "c-not-y-channel":
+            self._props["c-not-y"] = value
+        elif name == "c-not-y":
+            self._props["c-not-y-channel"] = value
 
     def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
         out = (ST2038_CAPS if direction == PadDirection.SINK else self.SINK_CAPS).copy()
@@ -271,6 +279,11 @@ class St2038Combiner(Element):
     ELEMENT_NAME = "st2038combiner"
     ELEMENT_CLASS = "Metadata/Combiner"
     ELEMENT_DESCRIPTION = "Combines ST-2038 ancillary data with video"
+    PROPERTIES = [
+        Prop("drop-late-st2038", False, type="bool", mutable="playing",
+             doc="drop ANC buffers whose running time precedes the current "
+                 "video frame instead of attaching them to it"),
+    ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -298,45 +311,99 @@ class St2038Combiner(Element):
 
     def _video_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
         packets: List[st2038.AncPacket] = []
-        end = (buf.pts or 0) + (buf.duration or 0)
+        start = buf.pts or 0
+        end = start + (buf.duration or 0)
+        drop_late = self.get_property("drop-late-st2038")
         while self._pending and (self._pending[0].pts or 0) <= end:
-            packets.extend(st2038.unpack_all(_payload(self._pending.popleft())))
+            anc = self._pending.popleft()
+            if drop_late and (anc.pts or 0) < start:
+                continue  # late ANC: dropped, not attached to this frame
+            packets.extend(st2038.unpack_all(_payload(anc)))
         if packets:
             buf.add_meta(St2038AncMeta(packets))
         return self.srcpad.push(buf)
 
 
 @register
-class St2038Extractor(BaseTransform):
-    """Re-emits attached St2038AncMeta as an ANC byte stream
-    (reference st2038extractor)."""
+class St2038Extractor(Element):
+    """Passes video through while re-emitting attached St2038AncMeta on a
+    sometimes `st2038` src pad (reference st2038extractor pad layout:
+    sink/src video passthrough + optional st2038 src)."""
 
     ELEMENT_NAME = "st2038extractor"
     ELEMENT_CLASS = "Metadata"
     ELEMENT_DESCRIPTION = "Extracts ST-2038 ancillary data from video buffers"
-    MODE = TransformMode.NEVER_IN_PLACE
-    SRC_CAPS = ST2038_CAPS
+    PROPERTIES = [
+        Prop("always-add-st2038-pad", False, type="bool", mutable="playing",
+             doc="add the st2038 pad at start even before any ancillary "
+                 "data was seen"),
+        Prop("remove-ancillary-meta", False, type="bool", mutable="playing",
+             doc="strip St2038AncMeta from outgoing video buffers"),
+    ]
 
-    def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
-        out = (ST2038_CAPS if direction == PadDirection.SINK else Caps.new_any()).copy()
-        if filter_ is not None:
-            out = filter_.intersect(out)
-        return out
-
-    def transform(self, inbuf: Buffer) -> Optional[Buffer]:
-        meta = inbuf.get_meta(St2038AncMeta)
-        if meta is None or not meta.packets:
-            return None
-        data = b"".join(
-            st2038.pack(p.did, p.sdid, p.data, c_not_y=p.c_not_y,
-                        line_number=p.line_number,
-                        horizontal_offset=p.horizontal_offset)
-            for p in meta.packets
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self.sinkpad = self.add_pad(
+            Pad("sink", PadDirection.SINK,
+                PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS, Caps.new_any()))
         )
-        out = Buffer(np.frombuffer(data, np.uint8))
-        out.pts = inbuf.pts
-        out.duration = inbuf.duration
-        return out
+        self.srcpad = self.add_pad(
+            Pad("src", PadDirection.SRC,
+                PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS, Caps.new_any()))
+        )
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = self._event
+        self._anc_pad: Optional[Pad] = None
+        self._anc_started = False
+
+    def on_ready_to_paused(self) -> None:
+        if self.get_property("always-add-st2038-pad"):
+            self._ensure_anc_pad()
+
+    def _ensure_anc_pad(self) -> Pad:
+        if self._anc_pad is None:
+            self._anc_pad = self.add_pad(
+                Pad("st2038", PadDirection.SRC,
+                    PadTemplate("st2038", PadDirection.SRC,
+                                PadPresence.SOMETIMES, ST2038_CAPS))
+            )
+            self.notify_pad_added(self._anc_pad)
+        return self._anc_pad
+
+    def notify_pad_added(self, pad: Pad) -> None:
+        cb = getattr(self, "on_pad_added", None)
+        if cb:
+            cb(pad)
+
+    def _anc_push(self, pad: Pad, buf: Buffer) -> None:
+        if not self._anc_started:
+            self._anc_started = True
+            pad.push_event(Event.new_stream_start(f"{self.name}-st2038"))
+            pad.push_event(Event.new_caps(ST2038_CAPS))
+            pad.push_event(Event.new_segment(Segment()))
+        pad.push(buf)
+
+    def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        meta = buf.get_meta(St2038AncMeta)
+        if meta is not None and meta.packets:
+            data = b"".join(
+                st2038.pack(p.did, p.sdid, p.data, c_not_y=p.c_not_y,
+                            line_number=p.line_number,
+                            horizontal_offset=p.horizontal_offset)
+                for p in meta.packets
+            )
+            anc = Buffer(np.frombuffer(data, np.uint8),
+                         pts=buf.pts, duration=buf.duration)
+            self._anc_push(self._ensure_anc_pad(), anc)
+            if self.get_property("remove-ancillary-meta"):
+                buf.metas.remove(meta)
+        return self.srcpad.push(buf)
+
+    def _event(self, pad: Pad, event: Event) -> bool:
+        if event.type == EventType.EOS and self._anc_pad is not None \
+                and self._anc_started:
+            self._anc_pad.push_event(Event.new_eos())
+        return self.srcpad.push_event(event)
 
 
 __all__ = [

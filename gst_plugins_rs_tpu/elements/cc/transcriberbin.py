@@ -79,6 +79,10 @@ class TranscriberBin(Element):
              choices=["inband", "transcription", "both"]),
         Prop("input-lang-code", "en-US", type="str"),
         Prop("mux-method", "cea608", type="enum", choices=["cea608", "cea708"]),
+        Prop("cc-caps", None, type="object",
+             doc="expected closed-caption format as caps "
+                 "(closedcaption/x-cea-608 or x-cea-708); setting this "
+                 "drives mux-method"),
         Prop("translation-languages", "", type="str",
              doc="per-language caption channels 'lang=cc1,lang=cc3' "
                  "(parse_language_pair analog, transcriberbin/imp.rs:70-120; "
@@ -161,6 +165,15 @@ class TranscriberBin(Element):
                 self._transcriber.set_property(name.split("::", 1)[1], value)
             return
         super().set_property(name, value)
+        if name == "cc-caps" and value is not None:
+            caps = value
+            if isinstance(caps, str):
+                from ...core.parse import parse_caps
+
+                caps = parse_caps(caps)
+                self._props["cc-caps"] = caps
+            self._props["mux-method"] = \
+                "cea708" if "708" in caps.structure(0).name else "cea608"
 
     # -- graph construction -------------------------------------------------
     def _build(self) -> None:

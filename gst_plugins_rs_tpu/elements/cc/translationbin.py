@@ -41,7 +41,23 @@ class TranslationBin(Element):
         Prop("transcriber", "whispertranscriber", type="str"),
         Prop("translator", "awstranslate", type="str"),
         Prop("language-code", "en-US", type="str", doc="input language"),
+        # latency budget split (translationbin/imp.rs); the sum is what
+        # this bin reports on latency queries
+        Prop("lateness", 0, type="uint",
+             doc="ms to offset transcription timestamps by"),
+        Prop("transcribe-latency", 1_000, type="uint",
+             doc="ms allowed for transcription"),
+        Prop("translate-latency", 500, type="uint",
+             doc="ms allowed for translation"),
+        Prop("textaccumulate-latency", 3_000, type="uint",
+             doc="ms allowed for text segmentation"),
     ]
+
+    def latency_additional_ns(self) -> int:
+        return (self.get_property("transcribe-latency")
+                + self.get_property("translate-latency")
+                + self.get_property("textaccumulate-latency")
+                + self.get_property("lateness")) * 1_000_000
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)

@@ -78,9 +78,19 @@ def control_pair(cc2: int) -> Tuple[int, int]:
     return with_parity(CTRL), with_parity(cc2)
 
 
-def pac_pair(row: int) -> Tuple[int, int]:
+def pac_pair(row: int, indent: int = 0) -> Tuple[int, int]:
+    """PAC for a row; indent (0..28, steps of 4) selects the indent PAC
+    form (second byte 0x10-bit set, cursor at column `indent`, white)."""
     a, b = _PAC_ROW[row]
+    if indent:
+        b = b + 0x10 + (min(indent, 28) // 4) * 2
     return with_parity(a), with_parity(b)
+
+
+def tab_offset_pair(cols: int) -> Tuple[int, int]:
+    """Tab Offset 1..3: advances the cursor by `cols` columns after a PAC
+    (CEA-608 §8.4; first byte 0x17 channel 1)."""
+    return with_parity(0x17), with_parity(0x20 + max(1, min(3, cols)))
 
 
 def encode_text_pairs(text: str) -> List[Tuple[int, int]]:
@@ -94,28 +104,39 @@ def encode_text_pairs(text: str) -> List[Tuple[int, int]]:
     return pairs
 
 
-def encode_pop_on(lines: List[str], base_row: int = 14) -> List[Tuple[int, int]]:
+def _position_pairs(row: int, column: int) -> List[Tuple[int, int]]:
+    """Doubled PAC (+ optional Tab Offset) placing the cursor at
+    (row, column): indent PACs move in steps of 4, TO1-3 the remainder."""
+    indent = (column // 4) * 4
+    out = [pac_pair(row, indent), pac_pair(row, indent)]
+    if column % 4:
+        out.append(tab_offset_pair(column % 4))
+        out.append(tab_offset_pair(column % 4))
+    return out
+
+
+def encode_pop_on(lines: List[str], base_row: int = 14,
+                  column: int = 0) -> List[Tuple[int, int]]:
     """Pop-on caption: RCL, ENM, per-line PAC+chars, EOC displays it
     (the sequence tttocea608 emits in PopOn mode, tttocea608/imp.rs:223-261).
     Control codes are doubled per the spec."""
     out = [control_pair(RCL), control_pair(RCL), control_pair(ENM), control_pair(ENM)]
     first_row = max(1, base_row - len(lines) + 1)
     for i, line in enumerate(lines):
-        out.append(pac_pair(first_row + i))
-        out.append(pac_pair(first_row + i))
+        out.extend(_position_pairs(first_row + i, column))
         out.extend(encode_text_pairs(line))
     out.append(control_pair(EOC))
     out.append(control_pair(EOC))
     return out
 
 
-def encode_roll_up(line: str, rows: int = 2, base_row: int = 14) -> List[Tuple[int, int]]:
+def encode_roll_up(line: str, rows: int = 2, base_row: int = 14,
+                   column: int = 0) -> List[Tuple[int, int]]:
     """One roll-up line: RUx, CR (scroll), PAC, chars (tttocea608 RollUp2
     default, tttocea608/imp.rs:25)."""
     ru = {2: RU2, 3: RU3, 4: RU4}[rows]
     out = [control_pair(ru), control_pair(ru), control_pair(CR), control_pair(CR)]
-    out.append(pac_pair(base_row))
-    out.append(pac_pair(base_row))
+    out.extend(_position_pairs(base_row, column))
     out.extend(encode_text_pairs(line))
     return out
 
@@ -185,6 +206,14 @@ class Cea608Decoder:
             self.current_row = _PAC_ROW_REV[(h, l)]
             self.rows.setdefault(self.current_row, "")
             return
+        # indent PAC: same rows, second byte 0x10-bit + indent step bits
+        for (a, b), row in _PAC_ROW_REV.items():
+            if h == a and 0x10 <= int(l) - b <= 0x1E and (int(l) - b) % 2 == 0:
+                self.current_row = row
+                self.rows.setdefault(self.current_row, "")
+                return
+        if h == 0x17 and 0x21 <= l <= 0x23:
+            return  # tab offset: cursor move only, no text effect here
         if h == CTRL:
             self._control(l)
 

@@ -123,8 +123,14 @@ def pack_dtvcc_packet(service_blocks: bytes, sequence: int = 0) -> List[bytes]:
 
 
 def service_block(service: int, data: bytes) -> bytes:
-    if not 0 < service <= 6:
-        raise ValueError("extended service numbers not supported yet")
+    if not 0 < service <= 63:
+        raise ValueError(f"service number out of range: {service}")
+    if service > 6:
+        # extended service: header service bits = 7, next byte carries the
+        # 6-bit extended service number (CEA-708 §6.2.2)
+        if len(data) > 31:
+            raise ValueError("service block payload >31 bytes")
+        return bytes([(7 << 5) | len(data), service & 0x3F]) + data
     if len(data) > 31:
         raise ValueError("service block limited to 31 bytes")
     return bytes([(service << 5) | len(data)]) + data
@@ -145,20 +151,23 @@ def _encode_text(text: str) -> bytes:
 
 def encode_pop_on_text(lines: Sequence[str], service: int = 1,
                        window: int = 0, window_style: int = 0,
-                       pen_style: int = 0) -> List[bytes]:
+                       pen_style: int = 0, anchor_vertical: int = 122,
+                       anchor_horizontal: int = 0,
+                       row_count: int = 0) -> List[bytes]:
     """Pop-on caption as a list of service blocks (chunked <=31 bytes):
-    DLW, DefineWindow (anchor bottom-center, row count), per line
+    DLW, DefineWindow (anchor point from anchor_vertical/horizontal,
+    row count from the lines or an explicit row_count), per line
     SetPenLocation + G0 text, DSW."""
     stream = bytearray()
     stream.append(DLW)
     stream.append(0xFF)  # delete all windows
-    rows = max(len(lines) - 1, 0)
+    rows = max(row_count - 1 if row_count else len(lines) - 1, 0)
     cols = max((len(l) for l in lines), default=0)
     stream += bytes([
         DF0 + window,
         0x18,  # visible=0, row lock/col lock, priority 0
-        0x7A,  # relative=0, anchor vertical 122? -> use fixed anchor point
-        0x00,  # anchor horizontal
+        anchor_vertical & 0x7F,   # relative=0, anchor vertical
+        anchor_horizontal & 0xFF,
         rows & 0x0F,
         min(cols, 41) & 0x3F,
         ((window_style & 0x7) << 3) | (pen_style & 0x7),
@@ -263,6 +272,10 @@ def _dispatch_packet(packet: bytes, decoders: Dict[int, ServiceDecoder]) -> None
         size = hdr & 0x1F
         if service == 0 or size == 0:
             break
+        if service == 7 and pos + 1 < len(packet):
+            # extended service number byte follows the header (§6.2.2)
+            service = packet[pos + 1] & 0x3F
+            pos += 1
         data = packet[pos + 1 : pos + 1 + size]
         decoders.setdefault(service, ServiceDecoder()).feed(data)
         pos += 1 + size

@@ -30,7 +30,15 @@ class TestCodec:
         with pytest.raises(ValueError):
             cea708.service_block(1, b"x" * 32)
         with pytest.raises(ValueError):
-            cea708.service_block(7, b"x")
+            cea708.service_block(64, b"x")
+
+    def test_extended_service_numbers_round_trip(self):
+        # CEA-708 §6.2.2: services 7..63 use the extended header byte
+        blk = cea708.service_block(42, bytes([cea708.DLW, 0xFF]))
+        assert blk[0] >> 5 == 7 and blk[1] == 42
+        trips = b"".join(cea708.pack_dtvcc_packet(blk))
+        decoders = cea708.decode_dtvcc(cea708.parse_cc_data(trips))
+        assert 42 in decoders
 
 
 class TestElements:

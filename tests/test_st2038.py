@@ -119,26 +119,47 @@ class TestDemuxMux:
 
 
 class TestCombinerExtractor:
-    def test_attach_and_extract(self):
+    def _run(self, extract_props=None):
+        from gst_plugins_rs_tpu.elements.cc.st2038 import St2038AncMeta
+
         comb = fx.element_factory_make("st2038combiner")
         extract = fx.element_factory_make("st2038extractor")
-        sink = fx.element_factory_make("appsink")
+        for k, v in (extract_props or {}).items():
+            extract.set_property(k, v)
+        vsink = fx.element_factory_make("appsink")
+        ancsink = fx.element_factory_make("appsink")
+        extract.on_pad_added = lambda pad: pad.link(ancsink.pad("sink"))
         p = fx.Pipeline()
         ancsrc = fx.element_factory_make("appsrc", "anc")
         ancsrc.set_property("caps", parse_caps("meta/x-st-2038"))
         vsrc = fx.element_factory_make("appsrc", "video")
         vsrc.set_property("caps", parse_caps("video/x-raw,format=RGB,width=8,height=8,framerate=30/1"))
-        for e in (comb, extract, sink, ancsrc, vsrc):
+        for e in (comb, extract, vsink, ancsink, ancsrc, vsrc):
             p.add(e)
         vsrc.pad("src").link(comb.pad("video"))
         ancsrc.pad("src").link(comb.pad("anc"))
         comb.pad("src").link(extract.pad("sink"))
-        extract.link(sink)
+        extract.pad("src").link(vsink.pad("sink"))
         anc = st2038.pack(0x61, 0x02, b"\x80\x94\x20", line_number=9)
         ancsrc.push_buffer(fx.Buffer(np.frombuffer(anc, np.uint8), pts=0))
         ancsrc.end_of_stream()
         vsrc.push_buffer(fx.Buffer(np.zeros((8, 8, 3), np.uint8), pts=0, duration=33_000_000))
         vsrc.end_of_stream()
         p.play_until_eos()
-        assert len(sink.samples) == 1
-        assert np.asarray(sink.samples[0].buffer.data).tobytes() == anc
+        return vsink, ancsink, anc, St2038AncMeta
+
+    def test_attach_and_extract(self):
+        # reference pad layout: video passes through src, ANC re-emitted
+        # on the sometimes st2038 pad
+        vsink, ancsink, anc, Meta = self._run()
+        assert len(vsink.samples) == 1
+        assert vsink.samples[0].buffer.data.shape == (8, 8, 3)
+        assert vsink.samples[0].buffer.get_meta(Meta) is not None
+        assert len(ancsink.samples) == 1
+        assert np.asarray(ancsink.samples[0].buffer.data).tobytes() == anc
+
+    def test_remove_ancillary_meta(self):
+        vsink, ancsink, anc, Meta = self._run(
+            {"remove-ancillary-meta": True})
+        assert vsink.samples[0].buffer.get_meta(Meta) is None
+        assert len(ancsink.samples) == 1
