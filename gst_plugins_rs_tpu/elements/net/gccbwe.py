@@ -43,6 +43,11 @@ class RtpGccBwe(BaseTransform):
         Prop("max-bitrate", 50_000_000, type="uint"),
         Prop("estimated-bitrate", 1_000_000, type="uint", mutable="playing",
              doc="current estimate; set = starting bitrate"),
+        Prop("estimator", "kalman", type="enum",
+             choices=["kalman", "linear"],
+             doc="delay-gradient estimator; this implementation's "
+                 "trendline (linear-regression) estimator serves both "
+                 "nicks — kalman is accepted and maps to it"),
     ]
 
     def __init__(self, name: Optional[str] = None):

@@ -11,7 +11,7 @@ from typing import Optional
 
 import numpy as np
 
-from ...core import Buffer, Caps, register
+from ...core import Buffer, Caps, Prop, register
 from ...core.caps import Structure, ValueList
 from ...mux import mpegts
 from ...net.rtp import RtpPacket
@@ -71,12 +71,17 @@ class RtpMp2tDepay(RtpBaseDepay):
     ELEMENT_CLASS = "Codec/Depayloader/Network/RTP"
     ELEMENT_DESCRIPTION = "Depayload MPEG-TS packets from RTP (RFC 2250)"
     SRC_CAPS = MP2T_CAPS
+    PROPERTIES = RtpBaseDepay.PROPERTIES + [
+        Prop("skip-first-bytes", 0, type="uint",
+             doc="bytes to strip from each payload before the TS packets "
+                 "(header extensions some encoders prepend)"),
+    ]
 
     def media_structure(self, s: Structure) -> Structure:
         return Structure("video/mpegts", systemstream=True, packetsize=188)
 
     def depay(self, pkt: RtpPacket, out: Buffer) -> Optional[Buffer]:
-        payload = pkt.payload
+        payload = pkt.payload[self.get_property("skip-first-bytes"):]
         # drop bytes before the first sync (resynchronization)
         start = payload.find(bytes([mpegts.SYNC_BYTE]))
         if start < 0:

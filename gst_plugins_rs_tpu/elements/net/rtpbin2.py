@@ -99,8 +99,10 @@ class _RtcpTimerMixin:
         if self.clock is None or not self._rtcp_clocked:
             return
         interval = self.get_property("rtcp-interval")
-        # RFC 3550 §6.3.1: uniformly distributed on [0.5, 1.5] x interval
+        # RFC 3550 §6.3.1: uniformly distributed on [0.5, 1.5] x interval,
+        # floored by min-rtcp-interval when the element exposes it
         deadline = int(interval * _random.uniform(0.5, 1.5))
+        deadline = max(deadline, self._props.get("min-rtcp-interval", 0))
         with self._rtcp_timer_lock:
             if self._rtcp_timer_id is not None:
                 self._rtcp_timer_id.unschedule()
@@ -154,6 +156,21 @@ class _SendStream:
         self.rtx_seq = 0
 
 
+# rtp-id registry: the reference's rtpsend/rtprecv halves share one
+# session object keyed by rtp-id (rtpbin2/mod.rs). Here the registry
+# pairs the elements so feedback arriving at either half reaches the
+# right session state.
+_RTP_SESSIONS: Dict[str, Dict[str, "Element"]] = {}
+
+
+def _session_register(rtp_id: str, role: str, element) -> None:
+    _RTP_SESSIONS.setdefault(rtp_id, {})[role] = element
+
+
+def _session_peer(rtp_id: str, role: str):
+    return _RTP_SESSIONS.get(rtp_id, {}).get(role)
+
+
 @register
 class RtpSend(_RtcpTimerMixin, Element):
     ELEMENT_NAME = "rtpsend"
@@ -161,6 +178,20 @@ class RtpSend(_RtcpTimerMixin, Element):
     ELEMENT_DESCRIPTION = "RTP session sender: forwards RTP, generates RTCP SRs"
     PROPERTIES = [
         Prop("rtcp-interval", DEFAULT_RTCP_INTERVAL, type="uint64"),
+        Prop("min-rtcp-interval", 0, type="uint64",
+             doc="floor (ns) under the randomized RTCP send interval"),
+        Prop("reduced-size-rtcp", False, type="bool",
+             doc="RFC 5506: allow non-compound RTCP — SDES rides only "
+                 "every fifth report instead of every one"),
+        Prop("rtp-id", "rtp-id", type="str",
+             doc="session id pairing this element with an rtprecv; NACK/"
+                 "TWCC feedback arriving at the paired recv half is "
+                 "forwarded here"),
+        Prop("rtp-profile", "avp", type="enum", choices=["avp", "avpf"],
+             doc="avpf permits reduced-size RTCP; incoming feedback is "
+                 "accepted under either profile (liberal receive)"),
+        Prop("stats", None, type="object",
+             doc="(read) per-ssrc packet/octet counters"),
         Prop("cname", "", type="str", doc="SDES CNAME ('' = element name)"),
         Prop("history-size", 512, type="uint",
              doc="retained packets per SSRC for NACK retransmission"),
@@ -178,9 +209,28 @@ class RtpSend(_RtcpTimerMixin, Element):
         self._rtcp_started: Dict[str, bool] = {}
         self._twcc_seq = 0
         self._twcc_profile_warned = False
+        self._sr_count = 0
         # twcc seq -> (send_time_ns, size); bounded
         self._twcc_sent: "OrderedDict[int, Tuple[int, int]]" = OrderedDict()
         self._rtcp_timer_init()
+        _session_register(self.get_property("rtp-id"), "send", self)
+
+    def property_changed(self, name: str, value) -> None:
+        if name == "rtp-id":
+            _session_register(value, "send", self)
+
+    def get_property(self, name: str):
+        if name == "stats":
+            from ...core.caps import Structure
+
+            fields = {}
+            for ssrc, st in self._streams.items():
+                fields[f"ssrc-{ssrc}"] = Structure(
+                    "source-stats",
+                    **{"packets-sent": st.packet_count,
+                       "octets-sent": st.octet_count})
+            return Structure("rtpsend-stats", **fields)
+        return super().get_property(name)
 
     def _rtcp_timer_tick(self) -> None:
         """Clock-scheduled compound SR for every stream — fires even when
@@ -221,6 +271,9 @@ class RtpSend(_RtcpTimerMixin, Element):
         return sink
 
     # -- RTCP feedback in: NACK -> retransmit, TWCC -> upstream event --------
+    # (incoming feedback is processed under either profile — liberal in
+    # what we accept, like the reference session; the profile gates what
+    # WE emit: reduced-size RTCP requires avpf, session.rs:944)
     def _rtcp_chain(self, pad: Pad, buf: Buffer, idx: str) -> FlowReturn:
         for pkt in rtcp.parse_compound(np.asarray(buf.data).tobytes()):
             if isinstance(pkt, rtcp.GenericNack):
@@ -345,7 +398,9 @@ class RtpSend(_RtcpTimerMixin, Element):
         # clock exists) additionally guarantees reports while stalled
         # (RFC 3550 §6.3)
         if buf.pts is not None and buf.pts >= st.next_rtcp_pts:
-            st.next_rtcp_pts = buf.pts + self.get_property("rtcp-interval")
+            st.next_rtcp_pts = buf.pts + max(
+                self.get_property("rtcp-interval"),
+                self.get_property("min-rtcp-interval"))
             self._send_sr(idx, pkt.ssrc, st, buf.pts)
         return ret
 
@@ -360,13 +415,32 @@ class RtpSend(_RtcpTimerMixin, Element):
             packet_count=st.packet_count,
             octet_count=st.octet_count,
         )
-        cname = self.get_property("cname") or self.name
-        data = sr.to_bytes() + rtcp.Sdes(ssrc, cname).to_bytes()
+        data = sr.to_bytes()
+        self._sr_count += 1
+        # RFC 5506 reduced-size (avpf only, session.rs:944): SDES rides
+        # only every fifth report
+        reduced = self.get_property("reduced-size-rtcp") \
+            and self.get_property("rtp-profile") == "avpf"
+        if not reduced or self._sr_count % 5 == 1:
+            cname = self.get_property("cname") or self.name
+            data += rtcp.Sdes(ssrc, cname).to_bytes()
         rtcp_pad.push(Buffer(np.frombuffer(data, np.uint8), pts=pts))
 
     def on_paused_to_ready(self) -> None:
         self._streams.clear()
         self._rtcp_started.clear()
+
+
+class ReferenceTimestampMeta:
+    """NTP wall-clock reference for a buffer (GstReferenceTimestampMeta
+    analog); timestamp is NTP-era ns reconstructed from sender reports."""
+
+    def __init__(self, reference: str, timestamp: int):
+        self.reference = reference
+        self.timestamp = timestamp
+
+    def __repr__(self):
+        return f"ReferenceTimestampMeta({self.reference}, {self.timestamp})"
 
 
 class _RecvStream:
@@ -376,6 +450,10 @@ class _RecvStream:
         self.packets = 0
         self.highest_seq: Optional[int] = None
         self.last_sr_ntp_middle = 0
+        self.last_sr_ntp: Optional[int] = None  # full 64-bit NTP
+        self.last_sr_rtp: Optional[int] = None
+        self.first_rtp: Optional[int] = None
+        self.first_pts: Optional[int] = None
         self.next_rtcp_pts = 0
         # seq -> time (ns) the last NACK for it was sent; entries are removed
         # on arrival and re-NACKed when older than NACK_RETRY_NS (the
@@ -391,6 +469,21 @@ class RtpRecv(_RtcpTimerMixin, Element):
     PROPERTIES = [
         Prop("latency", 0, type="uint64", doc="jitterbuffer latency in ns"),
         Prop("rtcp-interval", DEFAULT_RTCP_INTERVAL, type="uint64"),
+        Prop("rtp-id", "rtp-id", type="str",
+             doc="session id pairing this element with an rtpsend: NACK/"
+                 "TWCC feedback arriving on this element's rtcp_sink is "
+                 "forwarded to the paired sender (shared-session model)"),
+        Prop("stats", None, type="object",
+             doc="(read) per-ssrc received/lost/late/duplicate counters"),
+        Prop("add-reference-timestamp-meta", False, type="bool",
+             doc="attach ReferenceTimestampMeta with the NTP time "
+                 "reconstructed from sender reports"),
+        Prop("timestamping-mode", "skew", type="enum",
+             choices=["arrival", "rtp", "skew"],
+             doc="output pts source: arrival keeps upstream arrival "
+                 "stamps, rtp derives pts from RTP timestamps anchored at "
+                 "the first packet; skew behaves as rtp with the arrival "
+                 "anchor re-synced on large drift"),
         Prop("enable-nack", False, type="bool",
              doc="send RFC 4585 Generic NACKs for detected seqnum gaps"),
         Prop("rtx-pt-map", "", type="str",
@@ -410,6 +503,23 @@ class RtpRecv(_RtcpTimerMixin, Element):
         self._media_ssrc_for_pt: Dict[int, int] = {}
         self._twcc_recv: List[Tuple[int, int]] = []  # (seq, arrival_ns)
         self._twcc_fb_count = 0
+        self._rtcp_timer_init()
+        _session_register(self.get_property("rtp-id"), "recv", self)
+
+    def get_property(self, name: str):
+        if name == "stats":
+            from ...core.caps import Structure
+
+            fields = {}
+            for ssrc, st in self._streams.items():
+                fields[f"ssrc-{ssrc}"] = Structure(
+                    "source-stats",
+                    **{"packets-received": st.packets,
+                       "lost": st.jb.num_lost,
+                       "late": st.jb.num_late_dropped,
+                       "duplicates": st.jb.num_duplicates})
+            return Structure("rtprecv-stats", **fields)
+        return super().get_property(name)
         self._rtcp_timer_init()
 
     def _rtcp_timer_tick(self) -> None:
@@ -510,6 +620,8 @@ class RtpRecv(_RtcpTimerMixin, Element):
     def property_changed(self, name: str, value) -> None:
         if name == "rtx-pt-map":
             self._rtx_map_cache = None
+        elif name == "rtp-id":
+            _session_register(value, "recv", self)
 
     def _rtcp_out(self, idx: str) -> Optional[Pad]:
         pad = self.pads.get(f"rtcp_src_{idx}")
@@ -599,6 +711,28 @@ class RtpRecv(_RtcpTimerMixin, Element):
                         pts=buf.pts))
             if st.highest_seq is None or ((seq - st.highest_seq) & 0xFFFF) < 0x8000:
                 st.highest_seq = seq
+        # timestamping-mode: rtp/skew derive pts from RTP timestamps
+        # anchored at the first packet's arrival pts (rtpbin2 sync.rs);
+        # arrival keeps the upstream stamps untouched
+        mode = self.get_property("timestamping-mode")
+        clock_rate = (pad.current_caps.structure(0).get("clock-rate", 90000)
+                      if pad.current_caps is not None else 90000)
+        if mode in ("rtp", "skew") and buf.pts is not None:
+            if st.first_rtp is None:
+                st.first_rtp = pkt.timestamp
+                st.first_pts = buf.pts
+            rtp_pts = st.first_pts + ((pkt.timestamp - st.first_rtp)
+                                      & 0xFFFFFFFF) * SECOND // clock_rate
+            if mode == "skew" and abs(rtp_pts - buf.pts) > SECOND:
+                st.first_rtp = pkt.timestamp  # re-anchor on gross drift
+                st.first_pts = buf.pts
+                rtp_pts = buf.pts
+            buf.pts = rtp_pts
+        if self.get_property("add-reference-timestamp-meta") \
+                and st.last_sr_ntp is not None and st.last_sr_rtp is not None:
+            delta = ((pkt.timestamp - st.last_sr_rtp) & 0xFFFFFFFF)
+            ntp_ns = rtcp.ns_from_ntp(st.last_sr_ntp) + delta * SECOND // clock_rate
+            buf.add_meta(ReferenceTimestampMeta("timestamp/x-ntp", ntp_ns))
         out_pad = self._stream_pad(idx, pkt, pad.current_caps)
         ret = FlowReturn.OK
         for item in st.jb.insert(pkt.sequence_number, buf, buf.pts):
@@ -657,9 +791,19 @@ class RtpRecv(_RtcpTimerMixin, Element):
     def _rtcp_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
         for pkt in rtcp.parse_compound(np.asarray(buf.data).tobytes()):
             if isinstance(pkt, rtcp.SenderReport) and pkt.ssrc in self._streams:
-                self._streams[pkt.ssrc].last_sr_ntp_middle = (
-                    (pkt.ntp_timestamp >> 16) & 0xFFFFFFFF
-                )
+                st = self._streams[pkt.ssrc]
+                st.last_sr_ntp_middle = (pkt.ntp_timestamp >> 16) & 0xFFFFFFFF
+                st.last_sr_ntp = pkt.ntp_timestamp
+                st.last_sr_rtp = pkt.rtp_timestamp
+            elif isinstance(pkt, (rtcp.GenericNack, rtcp.TwccFeedback)):
+                # shared-session model: feedback for the SEND half arriving
+                # on the recv half's rtcp socket reaches the paired rtpsend
+                peer = _session_peer(self.get_property("rtp-id"), "send")
+                if peer is not None:
+                    if isinstance(pkt, rtcp.GenericNack):
+                        peer._handle_nack(pkt)
+                    else:
+                        peer._handle_twcc(pkt, "0")
             elif isinstance(pkt, rtcp.Bye):
                 for ssrc in pkt.ssrcs:
                     st = self._streams.get(ssrc)

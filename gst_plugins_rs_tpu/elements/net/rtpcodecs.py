@@ -15,10 +15,15 @@ from typing import List, Optional
 
 import numpy as np
 
-from ...core import Buffer, BufferFlags, Caps, IntRange, register
+from ...core import Buffer, BufferFlags, Caps, IntRange, Prop, register
 from ...core.caps import Structure
 from ...net.rtp import RtpPacket
-from .rtppay import RtpBaseDepay, RtpBasePay
+from .rtppay import (
+    AGGREGATE_PROPS,
+    RtpAggregateMixin,
+    RtpBaseDepay,
+    RtpBasePay,
+)
 
 SECOND = 1_000_000_000
 
@@ -40,16 +45,27 @@ class RtpOpusPay(RtpBasePay):
     ELEMENT_CLASS = "Codec/Payloader/Network/RTP"
     ELEMENT_DESCRIPTION = "Payload Opus audio into RTP packets (RFC 7587)"
     SINK_CAPS = OPUS_CAPS
+    PROPERTIES = RtpBasePay.PROPERTIES + [
+        Prop("dtx", False, type="bool",
+             doc="discontinuous transmission: DTX frames (<=2 byte TOC-only "
+                 "packets from an Opus encoder in DTX mode) are not sent"),
+    ]
 
     def rtp_structure(self, s: Structure) -> Structure:
-        return Structure(
+        st = Structure(
             "application/x-rtp", media="audio",
             **{"encoding-name": "OPUS", "clock-rate": 48000,
                "encoding-params": "2"},
         )
+        if self.get_property("dtx"):
+            st["usedtx"] = "1"
+        return st
 
     def handle_buffer(self, buf: Buffer) -> None:
-        self.queue_packet(_bytes_of(buf), pts=buf.pts, duration=buf.duration)
+        data = _bytes_of(buf)
+        if self.get_property("dtx") and len(data) <= 2:
+            return  # RFC 7587 §3.1.3: suppress DTX frames on the wire
+        self.queue_packet(data, pts=buf.pts, duration=buf.duration)
 
 
 @register
@@ -75,11 +91,12 @@ AC3_CAPS = Caps([Structure("audio/x-ac3", framed=True,
 
 
 @register
-class RtpAc3Pay(RtpBasePay):
+class RtpAc3Pay(RtpAggregateMixin, RtpBasePay):
     ELEMENT_NAME = "rtpac3pay2"
     ELEMENT_CLASS = "Codec/Payloader/Network/RTP"
     ELEMENT_DESCRIPTION = "Payload AC-3 audio into RTP packets (RFC 4184)"
     SINK_CAPS = AC3_CAPS
+    PROPERTIES = RtpBasePay.PROPERTIES + AGGREGATE_PROPS
 
     def rtp_structure(self, s: Structure) -> Structure:
         return Structure(
@@ -91,10 +108,10 @@ class RtpAc3Pay(RtpBasePay):
         frame = _bytes_of(buf)
         maxp = self.max_payload_size() - 2
         if len(frame) <= maxp:
-            # FT=0: one or more complete frames, NF=1
-            self.queue_packet(bytes([0, 1]) + frame, pts=buf.pts,
-                              duration=buf.duration, marker=True)
+            self.aggregate_frame(frame, buf.pts, buf.duration,
+                                 base_overhead=2)
             return
+        self._agg_flush()  # fragments never share a packet
         n_frags = -(-len(frame) // maxp)
         pos = 0
         for i in range(n_frags):
@@ -106,6 +123,12 @@ class RtpAc3Pay(RtpBasePay):
                 ft = 3
             self.queue_packet(bytes([ft, n_frags]) + chunk, pts=buf.pts,
                               marker=i == n_frags - 1)
+
+    def flush_frames(self, frames) -> None:
+        # FT=0: NF complete frames in one packet (RFC 4184 §4.1.1)
+        payload = bytes([0, len(frames)]) + b"".join(f for f, _, _ in frames)
+        dur = sum(d or 0 for _, _, d in frames) or None
+        self.queue_packet(payload, pts=frames[0][1], duration=dur, marker=True)
 
 
 @register
@@ -149,12 +172,13 @@ MPA_CAPS = Caps([Structure("audio/mpeg", mpegversion=1)])
 
 
 @register
-class RtpMpaPay(RtpBasePay):
+class RtpMpaPay(RtpAggregateMixin, RtpBasePay):
     ELEMENT_NAME = "rtpmpapay2"
     ELEMENT_CLASS = "Codec/Payloader/Network/RTP"
     ELEMENT_DESCRIPTION = "Payload MPEG audio into RTP packets (RFC 2250)"
     DEFAULT_PT = 14  # static MPA assignment
     SINK_CAPS = MPA_CAPS
+    PROPERTIES = RtpBasePay.PROPERTIES + AGGREGATE_PROPS
 
     def rtp_structure(self, s: Structure) -> Structure:
         return Structure(
@@ -165,6 +189,11 @@ class RtpMpaPay(RtpBasePay):
     def handle_buffer(self, buf: Buffer) -> None:
         frame = _bytes_of(buf)
         maxp = self.max_payload_size() - 4
+        if len(frame) <= maxp:
+            self.aggregate_frame(frame, buf.pts, buf.duration,
+                                 base_overhead=4)
+            return
+        self._agg_flush()
         pos = 0
         while pos < len(frame):
             chunk = frame[pos : pos + maxp]
@@ -172,6 +201,13 @@ class RtpMpaPay(RtpBasePay):
             self.queue_packet(hdr + chunk, pts=buf.pts, duration=buf.duration,
                               marker=pos + len(chunk) >= len(frame))
             pos += len(chunk)
+
+    def flush_frames(self, frames) -> None:
+        # RFC 2250 §3.5: several complete frames may follow the 4-byte
+        # MPA header (fragment offset 0)
+        payload = struct.pack(">HH", 0, 0) + b"".join(f for f, _, _ in frames)
+        dur = sum(d or 0 for _, _, d in frames) or None
+        self.queue_packet(payload, pts=frames[0][1], duration=dur, marker=True)
 
 
 @register
@@ -273,11 +309,23 @@ _AMR_NB_SIZES = {0: 12, 1: 13, 2: 15, 3: 17, 4: 19, 5: 20, 6: 26, 7: 31, 8: 5}
 
 
 @register
-class RtpAmrPay(RtpBasePay):
+class RtpAmrPay(RtpAggregateMixin, RtpBasePay):
     ELEMENT_NAME = "rtpamrpay2"
     ELEMENT_CLASS = "Codec/Payloader/Network/RTP"
     ELEMENT_DESCRIPTION = "Payload AMR audio into RTP packets (RFC 4867)"
     SINK_CAPS = AMR_CAPS
+    PROPERTIES = RtpBasePay.PROPERTIES + AGGREGATE_PROPS + [
+        Prop("alignment-threshold", 40_000_000, type="uint64",
+             doc="ns of pts discontinuity between frames tolerated inside "
+                 "one aggregated packet before flushing"),
+        Prop("discont-wait", 1_000_000_000, type="uint64",
+             doc="ns of accumulated misalignment before a DISCONT resync"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._expected_pts: Optional[int] = None
+        self._misaligned_since: Optional[int] = None
 
     def rtp_structure(self, s: Structure) -> Structure:
         return Structure(
@@ -292,9 +340,37 @@ class RtpAmrPay(RtpBasePay):
         frame = _bytes_of(buf)
         if not frame:
             return
-        toc = frame[0] & 0x7C  # clear F bit (single frame)
-        payload = bytes([0xF0, toc]) + frame[1:]  # CMR=15 (no request)
-        self.queue_packet(payload, pts=buf.pts, duration=buf.duration, marker=True)
+        # alignment: a pts jump beyond alignment-threshold breaks the
+        # aggregation run; persisting past discont-wait resyncs timing
+        if buf.pts is not None and self._expected_pts is not None:
+            delta = abs(buf.pts - self._expected_pts)
+            if delta > self.get_property("alignment-threshold"):
+                self._agg_flush()
+                if self._misaligned_since is None:
+                    self._misaligned_since = buf.pts
+                elif buf.pts - self._misaligned_since > \
+                        self.get_property("discont-wait"):
+                    self._expected_pts = None
+                    self._misaligned_since = None
+            else:
+                self._misaligned_since = None
+        if buf.pts is not None:
+            self._expected_pts = buf.pts + (buf.duration or 20_000_000)
+        self.aggregate_frame(frame, buf.pts, buf.duration, base_overhead=1)
+
+    def flush_frames(self, frames) -> None:
+        # RFC 4867 §4.4 octet-aligned: CMR, TOC run (F bit chains), frames
+        tocs = bytearray()
+        bodies = bytearray()
+        for i, (frame, _, _) in enumerate(frames):
+            toc = frame[0] & 0x7C
+            if i != len(frames) - 1:
+                toc |= 0x80  # F: another TOC entry follows
+            tocs.append(toc)
+            bodies += frame[1:]
+        payload = bytes([0xF0]) + bytes(tocs) + bytes(bodies)
+        dur = sum(d or 0 for _, _, d in frames) or None
+        self.queue_packet(payload, pts=frames[0][1], duration=dur, marker=True)
 
 
 @register

@@ -17,7 +17,7 @@ from typing import List, Optional
 
 import numpy as np
 
-from ...core import Buffer, Caps, register
+from ...core import Buffer, Caps, Prop, register
 from ...core.caps import IntRange, Structure
 from ...net.rtp import RtpPacket
 from ...ops import st2038
@@ -264,10 +264,17 @@ class RtpVRawDepay(RtpBaseDepay):
     ELEMENT_CLASS = "Codec/Depayloader/Network/RTP"
     ELEMENT_DESCRIPTION = "Depayload raw video from RTP packets (RFC 4175)"
     SRC_CAPS = Caps([Structure("video/x-raw", format=list(_VRAW_PGROUP))])
+    PROPERTIES = [
+        Prop("concealment-method", "last-frame", type="enum",
+             choices=["black", "last-frame"],
+             doc="how pixels lost to packet loss are filled: black zeros "
+                 "them, last-frame repeats the previous frame's content"),
+    ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._frame: Optional[np.ndarray] = None
+        self._last: Optional[np.ndarray] = None
         self._pts: Optional[int] = None
 
     def media_structure(self, s: Structure) -> Structure:
@@ -282,7 +289,12 @@ class RtpVRawDepay(RtpBaseDepay):
         width, height = s["width"], s["height"]
         line_bytes = width * pgroup // pixels_per_group
         if self._frame is None:
-            self._frame = np.zeros((height, line_bytes), np.uint8)
+            if (self.get_property("concealment-method") == "last-frame"
+                    and self._last is not None
+                    and self._last.shape == (height, line_bytes)):
+                self._frame = self._last.copy()
+            else:
+                self._frame = np.zeros((height, line_bytes), np.uint8)
             self._pts = out.pts
         data = pkt.payload
         pos = 2  # skip extended seq
@@ -300,6 +312,7 @@ class RtpVRawDepay(RtpBaseDepay):
             pos += n
         if pkt.marker:
             frame = self._frame
+            self._last = frame
             self._frame = None
             channels = pgroup // pixels_per_group if pixels_per_group == 1 else pgroup
             if pixels_per_group == 1:

@@ -149,6 +149,74 @@ class RtpBasePay(BaseTransform):
         return self._packets.popleft() if self._packets else None
 
 
+AGGREGATE_PROPS = [
+    Prop("aggregate-mode", "auto", type="enum",
+         choices=["auto", "zero-latency", "aggregate"],
+         doc="whether multiple frames share one packet: zero-latency "
+             "sends each frame immediately, aggregate packs frames until "
+             "mtu/max-ptime; auto resolves to zero-latency here (the "
+             "live-safe choice — the reference aggregates for non-live "
+             "sessions)"),
+    Prop("max-ptime", -1, type="int", minimum=-1,
+         doc="maximum duration (ns) of media per packet when aggregating "
+             "(-1 = bound by mtu only)"),
+]
+
+
+class RtpAggregateMixin:
+    """Frame aggregation for payloaders whose wire format packs several
+    complete frames per packet (RFC 4184 AC-3, RFC 2250 MPA, RFC 3640,
+    RFC 4867).  Subclasses implement flush_frames(frames) -> queue_packet
+    calls and call aggregate_frame() from handle_buffer."""
+
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._agg: List[tuple] = []  # (frame_bytes, pts, duration)
+
+    def on_ready_to_paused(self) -> None:
+        super().on_ready_to_paused()
+        self._agg = []
+
+    def _aggregating(self) -> bool:
+        return self.get_property("aggregate-mode") == "aggregate"
+
+    def flush_frames(self, frames: List[tuple]) -> None:
+        raise NotImplementedError
+
+    def _agg_flush(self) -> None:
+        if self._agg:
+            frames, self._agg = self._agg, []
+            self.flush_frames(frames)
+
+    def aggregate_frame(self, frame: bytes, pts, duration,
+                        per_frame_overhead: int = 0,
+                        base_overhead: int = 0) -> None:
+        if not self._aggregating():
+            self.flush_frames([(frame, pts, duration)])
+            return
+        maxp = self.max_payload_size() - base_overhead
+        size = sum(len(f) + per_frame_overhead for f, _, _ in self._agg)
+        dur = sum(d or 0 for _, _, d in self._agg)
+        max_ptime = self.get_property("max-ptime")
+        if self._agg and (
+                size + len(frame) + per_frame_overhead > maxp
+                or (max_ptime >= 0 and dur + (duration or 0) > max_ptime)):
+            self._agg_flush()
+        self._agg.append((frame, pts, duration))
+        size = sum(len(f) + per_frame_overhead for f, _, _ in self._agg)
+        dur = sum(d or 0 for _, _, d in self._agg)
+        if size >= maxp or (max_ptime >= 0 and dur >= max_ptime):
+            self._agg_flush()
+
+    def drain(self) -> Optional[Buffer]:
+        """EOS: flush pending aggregation. All but the last flushed packet
+        push directly (drain's contract returns one residue buffer)."""
+        self._agg_flush()
+        while len(self._packets) > 1:
+            self.srcpad.push(self._packets.popleft())
+        return self._packets.popleft() if self._packets else None
+
+
 class RtpBaseAudioPay(RtpBasePay):
     """Audio payloader: splits constant-bpf streams at MTU boundaries
     (reference baseaudiopay/)."""

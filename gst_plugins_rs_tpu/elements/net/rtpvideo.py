@@ -20,10 +20,15 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
-from ...core import Buffer, BufferFlags, Caps, register
+from ...core import Buffer, BufferFlags, Caps, Prop, register
 from ...core.caps import Structure
 from ...net.rtp import RtpPacket
-from .rtppay import RtpBaseDepay, RtpBasePay
+from .rtppay import (
+    AGGREGATE_PROPS,
+    RtpAggregateMixin,
+    RtpBaseDepay,
+    RtpBasePay,
+)
 
 
 def _bytes_of(buf: Buffer) -> bytes:
@@ -53,24 +58,55 @@ class _FragmentingPay(RtpBasePay):
             first = False
 
 
+KEYFRAME_RECOVERY_PROPS = [
+    Prop("request-keyframe", False, type="bool",
+         doc="send an upstream force-key-unit event when packet loss "
+             "corrupts a frame"),
+    Prop("wait-for-keyframe", False, type="bool",
+         doc="after loss, drop frames until the next keyframe instead of "
+             "forwarding potentially corrupt inter frames"),
+]
+
+
 class _ReassemblingDepay(RtpBaseDepay):
     """Shared marker-based reassembly; subclasses strip descriptors."""
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._frags: List[bytes] = []
+        self._waiting_keyframe = False
 
     def strip(self, payload: bytes, first: bool) -> bytes:
         raise NotImplementedError
 
+    def frame_is_keyframe(self, frame: bytes) -> Optional[bool]:
+        """None = unknown (recovery gating passes the frame through)."""
+        return None
+
+    def _request_keyframe(self) -> None:
+        from ...core import Event, EventType
+
+        self.sinkpad.push_event(Event(
+            EventType.CUSTOM_UPSTREAM, name="GstForceKeyUnit",
+            **{"all-headers": True}))
+
     def depay(self, pkt: RtpPacket, out: Buffer) -> Optional[Buffer]:
         if out.has_flag(BufferFlags.DISCONT):
             self._frags.clear()
+            if self._props.get("request-keyframe"):
+                self._request_keyframe()
+            if self._props.get("wait-for-keyframe"):
+                self._waiting_keyframe = True
         self._frags.append(self.strip(pkt.payload, first=not self._frags))
         if not pkt.marker:
             return None
-        out.data = np.frombuffer(b"".join(self._frags), np.uint8)
+        frame = b"".join(self._frags)
         self._frags.clear()
+        if self._waiting_keyframe:
+            if self.frame_is_keyframe(frame) is False:
+                return None  # dropped: waiting for a clean keyframe
+            self._waiting_keyframe = False
+        out.data = np.frombuffer(frame, np.uint8)
         return out
 
 
@@ -80,19 +116,73 @@ class _ReassemblingDepay(RtpBaseDepay):
 VP8_CAPS = Caps.builder("video/x-vp8")
 
 
+_PICTURE_ID_PROPS = [
+    Prop("picture-id-mode", "none", type="enum",
+         choices=["none", "7-bit", "15-bit"],
+         doc="whether/how a PictureID travels in the payload descriptor"),
+    Prop("picture-id-offset", -1, type="int", minimum=-1, maximum=0x7FFF,
+         doc="initial PictureID (-1 = random)"),
+    Prop("picture-id", 0, type="int",
+         doc="(read) current PictureID"),
+]
+
+
+class _PictureIdMixin:
+    """PictureID state shared by the VP8/VP9 payloaders."""
+
+    def on_ready_to_paused(self) -> None:
+        super().on_ready_to_paused()
+        import random as _random
+
+        off = self.get_property("picture-id-offset")
+        mode = self.get_property("picture-id-mode")
+        mask = 0x7F if mode == "7-bit" else 0x7FFF
+        self._picture_id = (_random.getrandbits(15) if off < 0 else off) & mask
+        self._props["picture-id"] = self._picture_id
+
+    def _picture_id_bytes(self) -> bytes:
+        mode = self.get_property("picture-id-mode")
+        if mode == "none":
+            return b""
+        if mode == "7-bit":
+            return bytes([self._picture_id & 0x7F])
+        return bytes([0x80 | (self._picture_id >> 8), self._picture_id & 0xFF])
+
+    def _advance_picture_id(self) -> None:
+        mode = self.get_property("picture-id-mode")
+        if mode == "none":
+            return
+        mask = 0x7F if mode == "7-bit" else 0x7FFF
+        self._picture_id = (self._picture_id + 1) & mask
+        self._props["picture-id"] = self._picture_id
+
+
 @register
-class RtpVp8Pay(_FragmentingPay):
+class RtpVp8Pay(_PictureIdMixin, _FragmentingPay):
     ELEMENT_NAME = "rtpvp8pay2"
     ELEMENT_CLASS = "Codec/Payloader/Network/RTP"
     ELEMENT_DESCRIPTION = "Payload VP8 into RTP packets (RFC 7741)"
     SINK_CAPS = VP8_CAPS
+    PROPERTIES = _FragmentingPay.PROPERTIES + _PICTURE_ID_PROPS + [
+        Prop("fragmentation-mode", "none", type="enum",
+             choices=["none", "partition-start", "every-partition"],
+             doc="none packs as much as fits per packet; partition modes "
+                 "are accepted for parity (this payloader does not parse "
+                 "VP8 partition boundaries)"),
+    ]
 
     def rtp_structure(self, s: Structure) -> Structure:
         return Structure("application/x-rtp", media="video",
                          **{"encoding-name": "VP8", "clock-rate": 90000})
 
     def frag_header(self, first: bool, last: bool, frame: bytes) -> bytes:
-        return bytes([0x10 if first else 0x00])  # S bit, PID=0
+        pid = self._picture_id_bytes()
+        if last:
+            self._advance_picture_id()
+        if not pid:
+            return bytes([0x10 if first else 0x00])  # S bit, PID=0
+        # X + I: extended control bits carrying the PictureID (RFC 7741 §4.2)
+        return bytes([(0x10 if first else 0x00) | 0x80, 0x80]) + pid
 
 
 @register
@@ -101,9 +191,15 @@ class RtpVp8Depay(_ReassemblingDepay):
     ELEMENT_CLASS = "Codec/Depayloader/Network/RTP"
     ELEMENT_DESCRIPTION = "Depayload VP8 from RTP packets (RFC 7741)"
     SRC_CAPS = VP8_CAPS
+    PROPERTIES = _ReassemblingDepay.PROPERTIES + KEYFRAME_RECOVERY_PROPS
 
     def media_structure(self, s: Structure) -> Structure:
         return Structure("video/x-vp8")
+
+    def frame_is_keyframe(self, frame: bytes) -> Optional[bool]:
+        # VP8 uncompressed header: frame_type is bit 0 of the first byte
+        # (0 = key frame)
+        return (frame[0] & 0x01) == 0 if frame else None
 
     def strip(self, payload: bytes, first: bool) -> bytes:
         pos = 1
@@ -127,18 +223,25 @@ VP9_CAPS = Caps.builder("video/x-vp9")
 
 
 @register
-class RtpVp9Pay(_FragmentingPay):
+class RtpVp9Pay(_PictureIdMixin, _FragmentingPay):
     ELEMENT_NAME = "rtpvp9pay2"
     ELEMENT_CLASS = "Codec/Payloader/Network/RTP"
     ELEMENT_DESCRIPTION = "Payload VP9 into RTP packets"
     SINK_CAPS = VP9_CAPS
+    PROPERTIES = _FragmentingPay.PROPERTIES + _PICTURE_ID_PROPS
 
     def rtp_structure(self, s: Structure) -> Structure:
         return Structure("application/x-rtp", media="video",
                          **{"encoding-name": "VP9", "clock-rate": 90000})
 
     def frag_header(self, first: bool, last: bool, frame: bytes) -> bytes:
-        return bytes([(0x08 if first else 0) | (0x04 if last else 0)])  # B|E
+        be = (0x08 if first else 0) | (0x04 if last else 0)  # B|E
+        pid = self._picture_id_bytes()
+        if last:
+            self._advance_picture_id()
+        if not pid:
+            return bytes([be])
+        return bytes([be | 0x80]) + pid  # I bit + PictureID
 
 
 @register
@@ -147,6 +250,7 @@ class RtpVp9Depay(_ReassemblingDepay):
     ELEMENT_CLASS = "Codec/Depayloader/Network/RTP"
     ELEMENT_DESCRIPTION = "Depayload VP9 from RTP packets"
     SRC_CAPS = VP9_CAPS
+    PROPERTIES = _ReassemblingDepay.PROPERTIES + KEYFRAME_RECOVERY_PROPS
 
     def media_structure(self, s: Structure) -> Structure:
         return Structure("video/x-vp9")
@@ -158,7 +262,14 @@ class RtpVp9Depay(_ReassemblingDepay):
             pos += 2 if payload[pos] & 0x80 else 1
         if b0 & 0x20 and b0 & 0x10:  # L+F: layer indices
             pos += 1
+        if first:
+            # descriptor P bit: inter-picture predicted (0 = keyframe)
+            self._first_desc_p = bool(b0 & 0x40)
         return payload[pos:]
+
+    def frame_is_keyframe(self, frame: bytes) -> Optional[bool]:
+        p = getattr(self, "_first_desc_p", None)
+        return (not p) if p is not None else None
 
 
 # ---------------------------------------------------------------------------
@@ -207,12 +318,20 @@ class RtpAv1Depay(_ReassemblingDepay):
     ELEMENT_CLASS = "Codec/Depayloader/Network/RTP"
     ELEMENT_DESCRIPTION = "Depayload AV1 from RTP packets"
     SRC_CAPS = AV1_CAPS
+    PROPERTIES = _ReassemblingDepay.PROPERTIES + KEYFRAME_RECOVERY_PROPS
 
     def media_structure(self, s: Structure) -> Structure:
         return Structure("video/x-av1")
 
     def strip(self, payload: bytes, first: bool) -> bytes:
+        if first:
+            # N bit: start of a new coded video sequence (keyframe boundary)
+            self._first_n = bool(payload[0] & 0x08)
         return payload[1:]  # aggregation header
+
+    def frame_is_keyframe(self, frame: bytes) -> Optional[bool]:
+        n = getattr(self, "_first_n", None)
+        return n if n is not None else None
 
 
 # ---------------------------------------------------------------------------
@@ -406,8 +525,9 @@ AAC_CAPS = Caps([Structure("audio/mpeg", mpegversion=4,
 MP4V_CAPS = Caps([Structure("video/mpeg", mpegversion=4, systemstream=False)])
 
 
-class _Mp4GenericPay(RtpBasePay):
+class _Mp4GenericPay(RtpAggregateMixin, RtpBasePay):
     MEDIA = "audio"
+    PROPERTIES = RtpBasePay.PROPERTIES + AGGREGATE_PROPS
 
     def rtp_structure(self, s: Structure) -> Structure:
         fields = {"encoding-name": "MPEG4-GENERIC",
@@ -418,9 +538,14 @@ class _Mp4GenericPay(RtpBasePay):
 
     def handle_buffer(self, buf: Buffer) -> None:
         au = _bytes_of(buf)
-        # AU-headers-length (bits) + one 16-bit AU header (13-bit size, 3-bit idx)
-        hdr = struct.pack(">HH", 16, (len(au) << 3) & 0xFFF8)
         maxp = self.max_payload_size() - 4
+        if len(au) <= maxp:
+            self.aggregate_frame(au, buf.pts, buf.duration,
+                                 per_frame_overhead=2, base_overhead=2)
+            return
+        self._agg_flush()
+        # fragmentation: one AU split over packets, AU header repeated
+        hdr = struct.pack(">HH", 16, (len(au) << 3) & 0xFFF8)
         pos = 0
         while pos < len(au) or pos == 0:
             chunk = au[pos : pos + maxp]
@@ -430,8 +555,37 @@ class _Mp4GenericPay(RtpBasePay):
             if not chunk:
                 break
 
+    def flush_frames(self, frames) -> None:
+        # RFC 3640 §3.2.1: N AUs per packet, one 16-bit AU header each
+        hdrs = b"".join(struct.pack(">H", (len(f) << 3) & 0xFFF8)
+                        for f, _, _ in frames)
+        payload = struct.pack(">H", 16 * len(frames)) + hdrs + \
+            b"".join(f for f, _, _ in frames)
+        dur = sum(d or 0 for _, _, d in frames) or None
+        self.queue_packet(payload, pts=frames[0][1], duration=dur, marker=True)
+
 
 class _Mp4GenericDepay(_ReassemblingDepay):
+    def depay(self, pkt: RtpPacket, out: Buffer) -> Optional[Buffer]:
+        # multi-AU packets (aggregated, RFC 3640 §3.2.1) split here into
+        # per-AU buffers: extras push directly, the last returns normally
+        payload = pkt.payload
+        (hdr_bits,) = struct.unpack_from(">H", payload, 0)
+        n_aus = hdr_bits // 16
+        if pkt.marker and n_aus > 1 and not self._frags:
+            data_pos = 2 + (hdr_bits + 7) // 8
+            sizes = [struct.unpack_from(">H", payload, 2 + 2 * i)[0] >> 3
+                     for i in range(n_aus)]
+            for size in sizes[:-1]:
+                b = Buffer(np.frombuffer(payload[data_pos:data_pos + size],
+                                         np.uint8), pts=out.pts)
+                data_pos += size
+                self.srcpad.push(b)
+            out.data = np.frombuffer(payload[data_pos:data_pos + sizes[-1]],
+                                     np.uint8)
+            return out
+        return super().depay(pkt, out)
+
     def strip(self, payload: bytes, first: bool) -> bytes:
         (hdr_bits,) = struct.unpack_from(">H", payload, 0)
         return payload[2 + (hdr_bits + 7) // 8 :]

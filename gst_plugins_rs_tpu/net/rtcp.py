@@ -26,6 +26,14 @@ def ntp_from_ns(unix_ns: int) -> int:
     return ((secs + NTP_UNIX_OFFSET) << 32) | (frac_ns * (1 << 32) // 1_000_000_000)
 
 
+def ns_from_ntp(ntp: int) -> int:
+    """Unix nanoseconds from a 64-bit NTP timestamp (inverse of
+    ntp_from_ns)."""
+    secs = (ntp >> 32) - NTP_UNIX_OFFSET
+    frac = ntp & 0xFFFFFFFF
+    return secs * 1_000_000_000 + frac * 1_000_000_000 // (1 << 32)
+
+
 @dataclass
 class ReportBlock:
     ssrc: int
