@@ -18,6 +18,7 @@ from ...core import (
     Buffer,
     Caps,
     Meta,
+    Prop,
     SECOND,
     TransformMode,
     register,
@@ -102,6 +103,13 @@ class RelationMeta2OnvifMeta(BaseTransform):
     ELEMENT_DESCRIPTION = "Converts analytics relation meta to ONVIF XML meta"
     MODE = TransformMode.ALWAYS_IN_PLACE
     PASSTHROUGH_ON_SAME_CAPS = False
+    PROPERTIES = [
+        Prop("time-source", "clock", type="enum",
+             choices=["clock", "running-time", "clock-time"],
+             doc="UtcTime source: clock = wall time at buffer handling, "
+                 "running-time = the buffer's running time is UTC, "
+                 "clock-time = the pipeline clock is UTC"),
+    ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -113,9 +121,22 @@ class RelationMeta2OnvifMeta(BaseTransform):
         self._width = s.get("width", 2)
         self._height = s.get("height", 2)
 
+    def _utc_ns(self, buf: Buffer) -> Optional[int]:
+        mode = self.get_property("time-source")
+        if mode == "running-time":
+            return buf.pts
+        if mode == "clock-time":
+            if self.clock is not None:
+                return self.clock.now()
+            return buf.pts
+        import time as _t
+
+        return _t.time_ns()
+
     def transform_ip(self, buf: Buffer) -> Buffer:
         rel = buf.get_meta(AnalyticsRelationMeta)
-        xml = build_metadata_xml(rel, buf.pts, self._width or 2, self._height or 2)
+        xml = build_metadata_xml(rel, self._utc_ns(buf),
+                                 self._width or 2, self._height or 2)
         buf.add_meta(OnvifXMLFrameMeta([xml]))
         return buf
 

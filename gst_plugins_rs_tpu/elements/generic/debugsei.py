@@ -75,6 +75,8 @@ class DebugSeiMetaInserter(BaseTransform):
     SRC_CAPS = H264_CAPS
     PROPERTIES = [
         Prop("uuid", DEFAULT_UUID, type="str", doc="UUID marking the SEI payloads"),
+        Prop("data", None, type="str",
+             doc="payload to insert as SEI user data (None = a pts record)"),
     ]
 
     def _uuid_bytes(self) -> bytes:
@@ -82,7 +84,9 @@ class DebugSeiMetaInserter(BaseTransform):
 
     def transform(self, inbuf: Buffer) -> Buffer:
         au = np.asarray(inbuf.data, np.uint8).tobytes()
-        payload = f"pts={inbuf.pts if inbuf.pts is not None else -1}".encode()
+        custom = self.get_property("data")
+        payload = custom.encode() if custom else \
+            f"pts={inbuf.pts if inbuf.pts is not None else -1}".encode()
         sei = build_sei_nal(self._uuid_bytes(), payload)
         out = Buffer(np.frombuffer(sei + au, np.uint8))
         out.copy_metadata_from(inbuf)

@@ -334,12 +334,17 @@ class BrotliCompress(BaseTransform):
     ELEMENT_CLASS = "Codec/Encoder"
     ELEMENT_DESCRIPTION = "Compresses buffers into brotli streams"
     MODE = TransformMode.NEVER_IN_PLACE
+    PROPERTIES = [
+        Prop("level", 6, type="uint", maximum=11, mutable="playing",
+             doc="Brotli compression level (0=fastest, 11=best ratio)"),
+    ]
 
     def transform(self, inbuf: Buffer) -> Buffer:
         from ...codecs import brotli
 
         out = Buffer(np.frombuffer(
-            brotli.compress(np.asarray(inbuf.data).tobytes()), np.uint8))
+            brotli.compress(np.asarray(inbuf.data).tobytes(),
+                            quality=self.get_property("level")), np.uint8))
         out.copy_metadata_from(inbuf)
         return out
 

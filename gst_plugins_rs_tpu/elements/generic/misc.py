@@ -63,17 +63,21 @@ class TextAhead(BaseTransform):
         Prop("current-attributes", "", type="str", doc="pango span attributes"),
         Prop("ahead-attributes", "", type="str"),
         Prop("previous-attributes", "", type="str"),
+        Prop("buffer-start-segment", False, type="bool", mutable="playing",
+             doc="emit a buffer at segment start showing only ahead text"),
     ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._pending: Deque[Buffer] = deque()
         self._previous: Deque[str] = deque()
+        self._segment_pending = False
 
     def on_ready_to_paused(self) -> None:
         super().on_ready_to_paused()
         self._pending.clear()
         self._previous.clear()
+        self._segment_pending = self.get_property("buffer-start-segment")
 
     def _span(self, text: str, attrs: str) -> str:
         return f"<span {attrs}>{text}</span>" if attrs else text
@@ -98,6 +102,14 @@ class TextAhead(BaseTransform):
         inbuf = self.take_queued_buffer()
         if inbuf is not None:
             self._pending.append(inbuf)
+        if self._segment_pending and self._pending:
+            # segment start: a buffer showing the upcoming text only
+            self._segment_pending = False
+            ahead = [self._span(str(b.data),
+                                self.get_property("ahead-attributes"))
+                     for b in self._pending]
+            out = Buffer(self.get_property("separator").join(ahead), pts=0)
+            return out
         if len(self._pending) > self.get_property("n-ahead"):
             cur = self._pending.popleft()
             return self._compose(cur, [str(b.data) for b in self._pending])
@@ -273,6 +285,15 @@ class UriPlaylistBin(BaseSrc):
         Prop("uris", "", type="str", doc="comma-separated uri list"),
         Prop("iterations", 1, type="uint", doc="0 = infinite"),
         Prop("blocksize", 65536, type="uint", minimum=1),
+        Prop("current-uri-index", 0, type="uint64",
+             doc="(read) index of the URI currently playing"),
+        Prop("current-iteration", 0, type="uint",
+             doc="(read) iteration currently playing"),
+        Prop("cache", False, type="bool",
+             doc="cache remote URIs to disk on first read so later "
+                 "iterations replay locally"),
+        Prop("cache-dir", None, type="str",
+             doc="directory for cached URIs (None = system temp)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -280,6 +301,22 @@ class UriPlaylistBin(BaseSrc):
         self._f = None
         self._uri_index = 0
         self._iteration = 0
+
+    def get_property(self, name: str):
+        if name == "current-uri-index":
+            return max(0, self._uri_index - 1)
+        if name == "current-iteration":
+            return self._iteration
+        return super().get_property(name)
+
+    def _cache_path(self, uri: str) -> str:
+        import hashlib
+        import os
+        import tempfile
+
+        d = self.get_property("cache-dir") or tempfile.gettempdir()
+        os.makedirs(d, exist_ok=True)
+        return os.path.join(d, hashlib.sha256(uri.encode()).hexdigest()[:24])
 
     def _uris(self) -> List[str]:
         return [u.strip() for u in self.get_property("uris").split(",") if u.strip()]
@@ -316,8 +353,22 @@ class UriPlaylistBin(BaseSrc):
                 return False
             self._uri_index = 0
         uri = uris[self._uri_index]
-        path = uri[7:] if uri.startswith("file://") else uri
-        self._f = open(path, "rb")
+        if uri.startswith(("http://", "https://")):
+            import os
+            import urllib.request
+
+            if self.get_property("cache"):
+                cpath = self._cache_path(uri)
+                if not os.path.exists(cpath):
+                    with urllib.request.urlopen(uri, timeout=30) as resp, \
+                            open(cpath, "wb") as out:
+                        out.write(resp.read())
+                self._f = open(cpath, "rb")
+            else:
+                self._f = urllib.request.urlopen(uri, timeout=30)
+        else:
+            path = uri[7:] if uri.startswith("file://") else uri
+            self._f = open(path, "rb")
         self.post_message(
             Message(MessageType.ELEMENT,
                     structure=Structure("uri-playlist-item-started",
@@ -350,7 +401,19 @@ class ViuerSink(BaseSink):
     ELEMENT_DESCRIPTION = "Displays video in the terminal"
     PROPERTIES = [
         Prop("width", 80, type="uint", minimum=2, doc="output width in terminal columns"),
+        Prop("height", 0, type="uint",
+             doc="output height in rows (0 = derived from aspect ratio)"),
         Prop("force-tty", False, type="bool", doc="render even when stdout is not a tty"),
+        Prop("truecolor", True, type="bool",
+             doc="24-bit SGR colors; false quantizes to the 256-color cube"),
+        Prop("use-iterm", False, type="bool",
+             doc="accepted for parity: the iTerm inline-image protocol is "
+                 "not emitted, half-block rendering is used"),
+        Prop("use-kitty", False, type="bool",
+             doc="accepted for parity: the kitty graphics protocol is not "
+                 "emitted, half-block rendering is used"),
+        Prop("use-sixel", False, type="bool",
+             doc="accepted for parity: sixel output is not emitted"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -363,7 +426,10 @@ class ViuerSink(BaseSink):
             return FlowReturn.OK
         cols = self.get_property("width")
         h, w = frame.shape[:2]
-        rows = max(2, int(h * cols / w / 2) * 2)
+        want_rows = self.get_property("height")
+        rows = max(2, (want_rows * 2 if want_rows
+                       else int(h * cols / w / 2) * 2))
+        rows += rows % 2
         ys = (np.arange(rows) * h // rows).clip(0, h - 1)
         xs = (np.arange(cols) * w // cols).clip(0, w - 1)
         small = frame[np.ix_(ys, xs)][..., :3].astype(int)
@@ -373,7 +439,13 @@ class ViuerSink(BaseSink):
             for c in range(cols):
                 tr, tg, tb = small[r, c]
                 br, bg, bb = small[r + 1, c]
-                chars.append(f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀")
+                if self.get_property("truecolor"):
+                    chars.append(
+                        f"\x1b[38;2;{tr};{tg};{tb}m\x1b[48;2;{br};{bg};{bb}m▀")
+                else:  # 256-color cube quantization (16 + 36r + 6g + b)
+                    fg = 16 + 36 * (tr * 6 // 256) + 6 * (tg * 6 // 256) + (tb * 6 // 256)
+                    bg2 = 16 + 36 * (br * 6 // 256) + 6 * (bg * 6 // 256) + (bb * 6 // 256)
+                    chars.append(f"\x1b[38;5;{fg}m\x1b[48;5;{bg2}m▀")
             lines.append("".join(chars) + "\x1b[0m")
         self.last_render = "\n".join(lines)
         if self.get_property("force-tty") or sys.stdout.isatty():

@@ -65,6 +65,11 @@ class PngEnc(_FrameEncBase):
     SRC_CAPS = Caps.builder("image/png")
     PROPERTIES = [
         Prop("compression-level", 6, type="uint", minimum=0, maximum=9),
+        Prop("filter", "Adaptive", type="enum",
+             choices=["NoFilter", "Sub", "Up", "Avg", "Paeth", "Adaptive"],
+             doc="PNG row filter strategy; the PIL encoder picks "
+                 "adaptively — explicit filters are accepted and recorded, "
+                 "the backend has no per-filter override"),
     ]
 
     def transform(self, inbuf: Buffer) -> Buffer:
@@ -88,6 +93,9 @@ class GifEnc(_FrameEncBase):
     PROPERTIES = [
         Prop("repeat", -1, type="int", minimum=-1, maximum=65535,
              doc="-1 = once, 0 = loop forever, n = n extra loops"),
+        Prop("speed", 10, type="int", minimum=1, maximum=30,
+             doc="speed/quality tradeoff: >=15 skips palette optimization "
+                 "for faster encodes (the PIL backend's only speed knob)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -118,6 +126,8 @@ class GifEnc(_FrameEncBase):
         kwargs = {}
         if repeat >= 0:
             kwargs["loop"] = repeat  # PIL loop=0 means forever, like GIF NETSCAPE ext
+        if self.get_property("speed") >= 15:
+            kwargs["optimize"] = False  # fast path: skip palette optimization
         self._frames[0].save(
             bio, "GIF", save_all=True, append_images=self._frames[1:],
             duration=self._durations, **kwargs,
@@ -199,6 +209,26 @@ class GifDec(_ImageDecBase):
     ELEMENT_CLASS = "Codec/Decoder/Video"
     ELEMENT_DESCRIPTION = "GIF video decoder"
     SINK_CAPS = Caps.builder("image/gif")
+    PROPERTIES = [
+        Prop("loop", False, type="bool",
+             doc="respects the file's finite repeat count by default "
+                 "(frames re-emitted that many times); infinite repeat — "
+                 "and loop=true — emit one extra pass, since an unbounded "
+                 "drain cannot terminate (divergence from the reference's "
+                 "endless loop)"),
+    ]
+
+    def _decode_frames(self):
+        frames = super()._decode_frames()
+        if len(frames) <= 1:
+            return frames
+        img = _pil().open(io.BytesIO(bytes(self._acc)))
+        # GIF NETSCAPE extension: info["loop"] 0 = infinite, n = n extras.
+        # Infinite repeat can't terminate a drain, so it plays once unless
+        # loop=true asks for the extra pass (documented divergence).
+        file_loop = img.info.get("loop")
+        extra = 1 if self.get_property("loop") else int(file_loop or 0)
+        return frames * (1 + min(extra, 16))  # bound runaway repeat counts
 
 
 @register
@@ -221,6 +251,32 @@ class ImageDec(_ImageDecBase):
         [Structure("image/png"), Structure("image/jpeg"), Structure("image/bmp"),
          Structure("image/tiff"), Structure("image/gif"), Structure("image/webp")]
     )
+    PROPERTIES = [
+        Prop("max-size-bytes", 0, type="uint64",
+             doc="max encoded bytes to buffer before failing (0=disable)"),
+        Prop("max-alloc-bytes", 0, type="uint64",
+             doc="max decoded allocation in bytes (0=disable); oversized "
+                 "images are rejected instead of decoded"),
+    ]
+
+    def transform(self, inbuf: Buffer) -> Optional[Buffer]:
+        limit = self.get_property("max-size-bytes")
+        d = inbuf.data
+        size = len(d) if isinstance(d, str) else int(np.asarray(d).nbytes)
+        if limit and len(self._acc) + size > limit:
+            raise ValueError(
+                f"{self.name}: encoded image exceeds max-size-bytes={limit}")
+        return super().transform(inbuf)
+
+    def _decode_frames(self):
+        limit = self.get_property("max-alloc-bytes")
+        if limit:
+            img = _pil().open(io.BytesIO(bytes(self._acc)))
+            if img.width * img.height * 4 > limit:
+                raise ValueError(
+                    f"{self.name}: decoded size {img.width}x{img.height} "
+                    f"exceeds max-alloc-bytes={limit}")
+        return super()._decode_frames()
 
 
 __all__ = ["PngEnc", "GifEnc", "GifDec", "WebPDec", "ImageDec"]

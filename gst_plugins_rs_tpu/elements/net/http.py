@@ -42,7 +42,24 @@ class ReqwestHttpSrc(BaseSrc):
         Prop("blocksize", 65536, type="uint", minimum=1),
         Prop("user-id", None, type="str"),
         Prop("user-pw", None, type="str"),
+        Prop("extra-headers", None, type="object",
+             doc="mapping of extra request headers"),
+        Prop("cookies", None, type="object",
+             doc="list of Cookie header values to send"),
+        Prop("compress", False, type="bool",
+             doc="request gzip transfer-compression (Accept-Encoding)"),
+        Prop("keep-alive", True, type="bool",
+             doc="send Connection: keep-alive (false = close)"),
+        Prop("proxy", None, type="str", doc="HTTP proxy URI"),
+        Prop("proxy-id", None, type="str", doc="proxy user id"),
+        Prop("proxy-pw", None, type="str", doc="proxy password"),
+        Prop("iradio-mode", False, type="bool",
+             doc="send Icy-MetaData:1 and surface icy-* headers as tags"),
+        Prop("is-live", False, type="bool"),
     ]
+
+    #: icy-* headers collected when iradio-mode is set
+    iradio_info: dict
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -58,9 +75,45 @@ class ReqwestHttpSrc(BaseSrc):
         if uid is not None:
             cred = base64.b64encode(f"{uid}:{pw or ''}".encode()).decode()
             req.add_header("Authorization", f"Basic {cred}")
+        extra = self.get_property("extra-headers")
+        if extra:
+            items = extra.items() if hasattr(extra, "items") else extra
+            for k, v in items:
+                req.add_header(str(k), str(v))
+        cookies = self.get_property("cookies")
+        if cookies:
+            req.add_header("Cookie", "; ".join(
+                [cookies] if isinstance(cookies, str) else [str(c) for c in cookies]))
+        if self.get_property("compress"):
+            req.add_header("Accept-Encoding", "gzip")
+        if not self.get_property("keep-alive"):
+            req.add_header("Connection", "close")
+        if self.get_property("iradio-mode"):
+            req.add_header("Icy-MetaData", "1")
         timeout = self.get_property("timeout") or None
-        self._resp = urlopen(req, timeout=timeout)
+        proxy = self.get_property("proxy")
+        if proxy:
+            import urllib.request as _ur
+
+            handlers = [_ur.ProxyHandler({"http": proxy, "https": proxy})]
+            pid = self.get_property("proxy-id")
+            if pid:
+                pmgr = _ur.HTTPPasswordMgrWithDefaultRealm()
+                pmgr.add_password(None, proxy, pid,
+                                  self.get_property("proxy-pw") or "")
+                handlers.append(_ur.ProxyBasicAuthHandler(pmgr))
+            self._resp = _ur.build_opener(*handlers).open(req, timeout=timeout)
+        else:
+            self._resp = urlopen(req, timeout=timeout)
         self.content_type = self._resp.headers.get("Content-Type")
+        if self._resp.headers.get("Content-Encoding") == "gzip":
+            import gzip as _gz
+
+            self._resp = _gz.GzipFile(fileobj=self._resp)
+        self.iradio_info = {k.lower(): v for k, v in
+                            getattr(self._resp, "headers", {}).items()
+                            if k.lower().startswith("icy-")} \
+            if self.get_property("iradio-mode") else {}
 
     def stop(self) -> None:
         if self._resp is not None:
@@ -96,15 +149,36 @@ class IcecastSink(BaseSink):
         Prop("description", "", type="str"),
         Prop("public", False, type="bool"),
         Prop("content-type", "application/ogg", type="str"),
+        Prop("location", None, type="str",
+             doc="http://host:port/mount shorthand (overrides host/port/"
+                 "mount when set)"),
+        Prop("timeout", 5, type="uint", doc="connect timeout in seconds"),
+        Prop("auto-reconnect", True, type="bool",
+             doc="re-establish the PUT session when the server drops it"),
     ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._sock: Optional[socket.socket] = None
 
-    def on_ready_to_paused(self) -> None:
+    def _apply_location(self) -> None:
+        loc = self.get_property("location")
+        if not loc:
+            return
+        from urllib.parse import urlsplit
+
+        u = urlsplit(loc)
+        if u.hostname:
+            self._props["host"] = u.hostname
+        if u.port:
+            self._props["port"] = u.port
+        if u.path:
+            self._props["mount"] = u.path
+
+    def _connect(self) -> None:
         self._sock = socket.create_connection(
-            (self.get_property("host"), self.get_property("port")), timeout=5
+            (self.get_property("host"), self.get_property("port")),
+            timeout=self.get_property("timeout") or 5,
         )
         mount = self.get_property("mount")
         if not mount.startswith("/"):
@@ -135,10 +209,20 @@ class IcecastSink(BaseSink):
             self._sock.close()
             self._sock = None
 
+    def on_ready_to_paused(self) -> None:
+        self._apply_location()
+        self._connect()
+
     def render(self, buffer: Buffer) -> FlowReturn:
         d = buffer.data
         data = d.encode() if isinstance(d, str) else np.asarray(d, np.uint8).tobytes()
-        self._sock.sendall(data)
+        try:
+            self._sock.sendall(data)
+        except OSError:
+            if not self.get_property("auto-reconnect"):
+                raise
+            self._connect()  # one reconnect attempt, then resend
+            self._sock.sendall(data)
         return FlowReturn.OK
 
 

@@ -139,8 +139,10 @@ class JanusSession:
             pass
 
 
-def _room_id(value):
+def _room_id(value, force_string: bool = False):
     """Rooms may be numeric or string ids (videoroom string_ids config)."""
+    if force_string:
+        return str(value)
     if isinstance(value, str) and value.isdigit():
         return int(value)
     return value
@@ -158,6 +160,13 @@ class JanusVrWebRtcSink(BaseSink):
         Prop("feed-id", None, type="object"),
         Prop("display-name", None, type="str"),
         Prop("secret", None, type="str", doc="room secret (sent as pin on join)"),
+        Prop("use-string-ids", False, type="bool",
+             doc="treat room/feed ids as strings (videoroom string_ids "
+                 "config) — ids are not coerced to integers"),
+        Prop("janus-state", "initialized", type="enum",
+             choices=["initialized", "session-created", "videoroom-attached",
+                      "room-joined", "negotiating", "webrtc-up", "done"],
+             doc="(read) current signaller state"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -170,19 +179,21 @@ class JanusVrWebRtcSink(BaseSink):
         if self._pc is not None:
             return
         self._session = JanusSession(self.get_property("janus-endpoint"))
+        self._props["janus-state"] = "videoroom-attached"
         join = {
             "request": "join",
             "ptype": "publisher",
-            "room": _room_id(self.get_property("room-id")),
+            "room": _room_id(self.get_property("room-id"), self.get_property("use-string-ids")),
         }
         feed = self.get_property("feed-id")
         if feed is not None:
-            join["id"] = _room_id(feed)
+            join["id"] = _room_id(feed, self.get_property("use-string-ids"))
         if self.get_property("display-name"):
             join["display"] = self.get_property("display-name")
         if self.get_property("secret"):
             join["pin"] = self.get_property("secret")
         self._session.plugin_message(join)
+        self._props["janus-state"] = "room-joined"
 
         s = caps.structure(0)
         pc = PeerConnection(offerer=True)
@@ -202,6 +213,7 @@ class JanusVrWebRtcSink(BaseSink):
         pc.handle_answer(jsep["sdp"])
         self._pc = pc
         self._published.set()
+        self._props["janus-state"] = "webrtc-up"
 
     def render(self, buffer: Buffer) -> FlowReturn:
         if self._pc is None:
@@ -236,6 +248,13 @@ class JanusVrWebRtcSrc(BaseSrc):
         Prop("room-id", None, type="object"),
         Prop("feed-id", None, type="object", doc="publisher feed to subscribe to"),
         Prop("timeout", 10_000_000_000, type="uint64"),
+        Prop("use-string-ids", False, type="bool",
+             doc="treat room/feed ids as strings (videoroom string_ids "
+                 "config) — ids are not coerced to integers"),
+        Prop("janus-state", "initialized", type="enum",
+             choices=["initialized", "session-created", "videoroom-attached",
+                      "room-joined", "negotiating", "webrtc-up", "done"],
+             doc="(read) current signaller state"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -247,11 +266,12 @@ class JanusVrWebRtcSrc(BaseSrc):
 
     def start(self) -> None:
         self._session = JanusSession(self.get_property("janus-endpoint"))
+        self._props["janus-state"] = "videoroom-attached"
         reply = self._session.plugin_message({
             "request": "join",
             "ptype": "subscriber",
-            "room": _room_id(self.get_property("room-id")),
-            "feed": _room_id(self.get_property("feed-id")),
+            "room": _room_id(self.get_property("room-id"), self.get_property("use-string-ids")),
+            "feed": _room_id(self.get_property("feed-id"), self.get_property("use-string-ids")),
         })
         jsep = reply.get("jsep")
         if not jsep or jsep.get("type") != "offer":

@@ -7,7 +7,7 @@ imp.rs:41: live source smoothing timestamps from the PCR).
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -104,16 +104,31 @@ class MpegTsLiveSrc(_UdpSrcBase):
     ELEMENT_CLASS = "Source/Network"
     ELEMENT_DESCRIPTION = "Receives live MPEG-TS over UDP, timestamps from PCR"
     IS_LIVE = True
+    PROPERTIES = _UdpSrcBase.PROPERTIES + [
+        Prop("source", None, type="object",
+             doc="(read) the inner source element — the UDP receive path "
+                 "is built in here, so this element itself is returned"),
+        Prop("window-size", 32, type="int", minimum=2, maximum=1024,
+             doc="number of PCR observations used to estimate clock rate "
+                 "and offset"),
+    ]
+
+    def get_property(self, name: str):
+        if name == "source":
+            return self
+        return super().get_property(name)
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._first_pcr: Optional[int] = None
         self._last_pts = 0
+        self._pcr_window: List[Tuple[int, int]] = []  # (pcr_ns, mono_ns)
 
     def start(self) -> None:
         super().start()
         self._first_pcr = None
         self._last_pts = 0
+        self._pcr_window = []
 
     def fixate(self, caps: Caps) -> Caps:
         configured = self.get_property("caps")
@@ -137,7 +152,28 @@ class MpegTsLiveSrc(_UdpSrcBase):
             delta = pcr - self._first_pcr
             if delta < 0:
                 delta += (1 << 33) * 300
-            self._last_pts = mpegts.pcr_to_ns(delta)
+            pcr_ns = mpegts.pcr_to_ns(delta)
+            # window-size PCR observations estimate the sender-clock rate
+            # vs local time; the slope correction smooths sender drift
+            # (mpegtslive/imp.rs rate/offset window)
+            import time as _t
+
+            self._pcr_window.append((pcr_ns, _t.monotonic_ns()))
+            win = self.get_property("window-size")
+            if len(self._pcr_window) > win:
+                self._pcr_window = self._pcr_window[-win:]
+            if len(self._pcr_window) >= 2:
+                (p0, m0), (p1, m1) = self._pcr_window[0], self._pcr_window[-1]
+                # the slope is only meaningful once the observations span
+                # real time on BOTH clocks (bursty arrival otherwise
+                # collapses the local span and fabricates drift)
+                if p1 - p0 >= 1_000_000_000 and m1 - m0 > 0:
+                    rate = (m1 - m0) / (p1 - p0)  # local ns per PCR ns
+                    # a genuine sender-clock drift is tiny; anything larger
+                    # is burst/jitter in the arrival times — don't "correct"
+                    if abs(rate - 1.0) <= 0.001:
+                        pcr_ns = p0 + int((pcr_ns - p0) * rate)
+            self._last_pts = pcr_ns
         buf.pts = self._last_pts
         return buf
 

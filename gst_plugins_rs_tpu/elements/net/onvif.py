@@ -112,6 +112,18 @@ class OnvifMetadataParse(BaseTransform):
     MODE = TransformMode.NEVER_IN_PLACE
     SINK_CAPS = META_CAPS
     SRC_CAPS = Caps.builder("application/x-onvif-metadata", parsed=True)
+    PROPERTIES = [
+        Prop("latency", (1 << 64) - 1, type="uint64",
+             doc="max reordering latency to report (u64 max = automatic: "
+                 "6s for unparsed input, 0 for parsed)"),
+        Prop("max-lateness", 200_000_000, type="uint64",
+             doc="drop frames whose UtcTime pts lags the newest seen frame "
+                 "by more than this"),
+    ]
+
+    def latency_additional_ns(self) -> int:
+        lat = self.get_property("latency")
+        return 6_000_000_000 if lat == (1 << 64) - 1 else lat
 
     def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
         out = (self.SRC_CAPS if direction == PadDirection.SINK else META_CAPS).copy()
@@ -138,6 +150,13 @@ class OnvifMetadataParse(BaseTransform):
                 va = ET.SubElement(stream, f"{{{ONVIF_NS}}}VideoAnalytics")
                 va.append(frame)
                 pts = self._utc_to_ns(frame.get("UtcTime", "1970-01-01T00:00:00Z"))
+                # max-lateness: frames older than the newest seen by more
+                # than the bound are dropped instead of reordered
+                newest = getattr(self, "_newest_pts", None)
+                if newest is not None and \
+                        newest - pts > self.get_property("max-lateness"):
+                    continue
+                self._newest_pts = pts if newest is None else max(newest, pts)
                 self._out.append(Buffer(ET.tostring(stream, encoding="unicode"), pts=pts))
         return self._out.popleft() if self._out else None
 
@@ -198,6 +217,10 @@ class OnvifMetadataExtractor(BaseTransform):
     ELEMENT_DESCRIPTION = "Extracts ONVIF XML metadata from buffers"
     MODE = TransformMode.NEVER_IN_PLACE
     SRC_CAPS = META_CAPS
+    PROPERTIES = [
+        Prop("remove-onvif-metadata", False, type="bool",
+             doc="strip OnvifXMLFrameMeta from the consumed buffers"),
+    ]
 
     def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
         out = (META_CAPS if direction == PadDirection.SINK else Caps.new_any()).copy()
@@ -209,6 +232,8 @@ class OnvifMetadataExtractor(BaseTransform):
         meta = inbuf.get_meta(OnvifXMLFrameMeta)
         if meta is None or not meta.frames:
             return None
+        if self.get_property("remove-onvif-metadata"):
+            inbuf.metas.remove(meta)
         out = Buffer("\n".join(meta.frames))
         out.pts = inbuf.pts
         out.duration = inbuf.duration
@@ -229,6 +254,10 @@ class OnvifMetadataOverlay(BaseTransform):
     SRC_CAPS = video_caps_template(tuple(f for f in RGB_FORMATS if RGB_FORMATS[f][1] == np.uint8))
     PROPERTIES = [
         Prop("thickness", 2, type="uint", minimum=1, maximum=16),
+        Prop("font-desc", "monospace 12", type="str",
+             doc="label font description; this renderer draws box edges "
+                 "on device and has no text rasterizer, the value is "
+                 "recorded for pipeline parity"),
     ]
 
     def transform(self, inbuf: Buffer) -> Buffer:

@@ -363,6 +363,9 @@ class QuinnQuicSrc(_QuicPropsMixin, BaseSrc):
         Prop("is-live", True, type="bool"),
         Prop("receive-window", 0, type="uint64",
              doc="initial_max_data we advertise (0 = default 1 GiB)"),
+        Prop("stream-receive-window", 0, type="uint64",
+             doc="per-stream flow-control window we advertise "
+                 "(initial_max_stream_data; 0 = default 256 MiB)"),
         Prop("use-datagram", False, type="bool",
              doc="accepted for parity; datagrams are always surfaced, "
                  "tagged datagram=true in QuinnQuicMeta"),
@@ -383,6 +386,9 @@ class QuinnQuicSrc(_QuicPropsMixin, BaseSrc):
         rw = self.get_property("receive-window")
         if rw:
             kwargs["max_data"] = int(rw)
+        srw = self.get_property("stream-receive-window")
+        if srw:
+            kwargs["max_stream_data"] = int(srw)
 
         def factory(send):
             conn = QuicConnection(False, send, **kwargs)
@@ -753,6 +759,9 @@ class QuinnWtSink(BaseSink):
     ELEMENT_DESCRIPTION = "Send data over the network via WebTransport"
     PROPERTIES = _WT_PROPS + [
         Prop("use-datagram", False, type="bool"),
+        Prop("drop-buffer-for-datagram", False, type="bool",
+             doc="drop buffers larger than the session's max datagram size "
+                 "instead of erroring when use-datagram is set"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -804,6 +813,10 @@ class QuinnWtSink(BaseSink):
     def render(self, buffer: Buffer) -> FlowReturn:
         data = np.asarray(buffer.data, dtype=np.uint8).tobytes()
         if self.get_property("use-datagram"):
+            max_dg = getattr(self._ep.conn, "peer_max_datagram", 0)
+            if self.get_property("drop-buffer-for-datagram") \
+                    and max_dg and len(data) + 16 > max_dg:
+                return FlowReturn.OK  # oversized datagram: dropped
             self._session.send_datagram(data)
             return FlowReturn.OK
         if self._stream is None:
@@ -824,6 +837,9 @@ class QuinnWtSrc(BaseSrc):
     PROPERTIES = _WT_PROPS + [
         Prop("caps", None, type="object"),
         Prop("idle-timeout", 2_000_000_000, type="uint64"),
+        Prop("is-live", False, type="bool"),
+        Prop("keep-alive-interval", 0, type="uint64",
+             doc="ns between PING frames on an idle connection (0 = off)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -855,6 +871,9 @@ class QuinnWtSrc(BaseSrc):
             (self.get_property("bind-address") if self.get_property("bind-port")
              else self.get_property("address"),
              self.get_property("bind-port") or self.get_property("port")),
+            keepalive_ns=self.get_property("keep-alive-interval"),
+            rcvbuf=self.get_property("datagram-receive-buffer-size"),
+            sndbuf=self.get_property("datagram-send-buffer-size"),
         )
 
     def stop(self) -> None:

@@ -51,6 +51,16 @@ class RaptorqEnc(Element):
     PROPERTIES = [
         Prop("protected-packets", 10, type="uint", minimum=1, maximum=255),
         Prop("repair-packets", 2, type="uint", minimum=1, maximum=255),
+        Prop("mtu", 1400, type="uint", minimum=1, maximum=9216,
+             doc="expected upper bound on media packet size; symbols are "
+                 "sized so a repair packet stays under it"),
+        Prop("pt", 97, type="uint", minimum=96, maximum=255,
+             doc="payload type stamped on repair packets"),
+        Prop("repair-window", 50_000_000, type="uint64",
+             doc="ns over which repair packets for a block are spread"),
+        Prop("symbol-size", 1408, type="uint", minimum=1, maximum=9216,
+             doc="fountain symbol size in bytes (packets are zero-padded "
+                 "to whole symbols)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -83,7 +93,12 @@ class RaptorqEnc(Element):
             return
         k = len(self._block)
         base_seq = self._block[0][0]
+        # symbol-size caps the padded symbol; actual packets may force a
+        # larger one (a symbol must hold the biggest protected packet)
         symbol_len = max(len(d) for _s, d in self._block) + 2
+        symbol_len = max(symbol_len,
+                         min(self.get_property("symbol-size"),
+                             self.get_property("mtu")))
         symbols = []
         for _seq, data in self._block:
             sym = struct.pack(">H", len(data)) + data
@@ -138,7 +153,26 @@ class RaptorqDec(Element):
     ELEMENT_DESCRIPTION = "Recovers lost RTP packets from fountain-code repair packets"
     PROPERTIES = [
         Prop("repair-window", 64, type="uint", doc="blocks kept for recovery"),
+        Prop("repair-window-tolerance", 500_000, type="uint64",
+             doc="extra ns tolerated beyond the sender's repair window "
+                 "before a block is abandoned"),
+        Prop("media-packets-reset-threshold", 200, type="uint",
+             doc="seqnum jump (in packets) that resets the decoder state "
+                 "(stream restart detection); 0 = never"),
+        Prop("stats", None, type="object",
+             doc="(read) recovered/received/buffered counters"),
     ]
+
+    def get_property(self, name: str):
+        if name == "stats":
+            from ...core.caps import Structure
+
+            return Structure(
+                "raptorqdec-stats",
+                **{"recovered": self.num_recovered,
+                   "buffered-blocks": len(self._blocks),
+                   "seen-packets": len(self._seen)})
+        return super().get_property(name)
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -170,6 +204,16 @@ class RaptorqDec(Element):
     def _media_chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
         data = np.asarray(buf.data, np.uint8).tobytes()
         seq = RtpPacket.parse(data).sequence_number
+        # stream-restart detection: a seq jump past the threshold resets
+        # the decoder state instead of poisoning pending blocks
+        thr = self.get_property("media-packets-reset-threshold")
+        last = getattr(self, "_last_seq", None)
+        if thr and last is not None:
+            dist = (seq - last) & 0xFFFF
+            if thr < dist < 0x8000:
+                self._blocks.clear()
+                self._seen.clear()
+        self._last_seq = seq
         self._seen[seq] = data
         # register into any block covering this seq
         for blk in self._blocks.values():

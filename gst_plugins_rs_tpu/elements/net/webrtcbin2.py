@@ -95,7 +95,22 @@ class WebRtcSend(BaseSink, _SessionMixin):
     SINK_CAPS = RTP_CAPS
     PROPERTIES = [
         Prop("timeout", 10_000_000_000, type="uint64"),
+        Prop("id", "", type="str",
+             doc="session id pairing this sender with a webrtcrecv (the "
+                 "reference shares one PeerConnection between halves with "
+                 "the same id)"),
+        Prop("session", None, type="object",
+             doc="(read) the underlying PeerConnection session object"),
+        Prop("early-data-mode", "none", type="enum",
+             choices=["none", "allow"],
+             doc="accept media before the session is fully negotiated; "
+                 "none drops pre-negotiation buffers"),
     ]
+
+    def get_property(self, name):
+        if name == "session":
+            return self._pc
+        return super().get_property(name)
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -135,7 +150,35 @@ class WebRtcRecv(BaseSrc, _SessionMixin):
     IS_LIVE = True
     PROPERTIES = [
         Prop("timeout", 10_000_000_000, type="uint64"),
+        Prop("id", "", type="str",
+             doc="session id pairing this receiver with a webrtcsend"),
+        Prop("session", None, type="object",
+             doc="(read) the underlying PeerConnection session object"),
+        Prop("threadshare-context", "", type="str",
+             doc="context name (source groups are driven per-context by "
+                 "Pipeline.run, the threadshare scheduler analog)"),
+        Prop("threadshare-context-wait", 5, type="uint", maximum=1000),
+        Prop("threadshare-mode", "none", type="enum",
+             choices=["none", "context"],
+             doc="none = pipeline round-robin; context = drive on the "
+                 "named context group"),
     ]
+
+    def get_property(self, name):
+        if name == "session":
+            return self._pc
+        return super().get_property(name)
+
+    def property_changed(self, name, value) -> None:
+        # Pipeline.run groups sources by the `context` key in _props (the
+        # threadshare scheduler analog); mirror the threadshare-* naming
+        if name in ("threadshare-context", "threadshare-mode"):
+            mode = self._props.get("threadshare-mode")
+            self._props["context"] = (
+                self._props.get("threadshare-context") or ""
+            ) if mode == "context" else ""
+            self._props.setdefault(
+                "context-wait", self._props.get("threadshare-context-wait", 5))
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)

@@ -39,11 +39,24 @@ class TextRegex(_TextTransform):
     PROPERTIES = [
         Prop("pattern", "", type="str", mutable="playing"),
         Prop("replacement", "", type="str", mutable="playing"),
+        Prop("commands", None, type="object", mutable="playing",
+             doc="list of command entries applied in order; each is a "
+                 "mapping/structure with operation ('replace-all'), "
+                 "pattern and replacement — the reference's GstValueArray "
+                 "of command structures"),
     ]
 
     def transform(self, inbuf: Buffer) -> Buffer:
-        pattern = self.get_property("pattern")
         text = str(inbuf.data)
+        commands = self.get_property("commands")
+        if commands:
+            for cmd in commands:
+                get = cmd.get if hasattr(cmd, "get") else \
+                    (lambda k, c=cmd: dict(c).get(k))
+                pattern = get("pattern")
+                if pattern:
+                    text = re.sub(pattern, get("replacement") or "", text)
+        pattern = self.get_property("pattern")
         if pattern:
             text = re.sub(pattern, self.get_property("replacement"), text)
         out = Buffer(text)
@@ -60,13 +73,66 @@ class TextWrap(_TextTransform):
         Prop("columns", 32, type="uint", minimum=1, mutable="playing"),
         Prop("lines", 0, type="uint", mutable="playing",
              doc="Split output into buffers of this many lines (0 = one buffer)"),
+        Prop("accumulate-time", 0, type="uint64", mutable="playing",
+             doc="cut-off time (ns) for input text accumulation before a "
+                 "wrapped buffer is emitted (0 = wrap each buffer alone)"),
+        Prop("dictionary", None, type="str", mutable="playing",
+             doc="path to a hyphenation dictionary ('word=hy-phen-ation' "
+                 "lines; the reference uses hyphenation-rs TeX patterns)"),
     ]
 
-    def transform(self, inbuf: Buffer) -> Buffer:
-        wrapped = textwrap.fill(str(inbuf.data), width=self.get_property("columns"))
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._acc_text: List[str] = []
+        self._acc_pts = None
+        self._hyph: Optional[dict] = None
+        self._hyph_path: Optional[str] = None
+
+    def _hyphenate(self, text: str) -> str:
+        path = self.get_property("dictionary")
+        if not path:
+            return text
+        if self._hyph is None or self._hyph_path != path:
+            self._hyph = {}
+            self._hyph_path = path
+            try:
+                for line in open(path, encoding="utf-8"):
+                    if "=" in line:
+                        word, hyph = line.strip().split("=", 1)
+                        self._hyph[word] = hyph.replace("-", "­")
+            except OSError:
+                pass
+        return " ".join(self._hyph.get(w, w) for w in text.split(" "))
+
+    def transform(self, inbuf: Buffer) -> Optional[Buffer]:
+        acc_t = self.get_property("accumulate-time")
+        text = self._hyphenate(str(inbuf.data))
+        if acc_t:
+            if self._acc_pts is None:
+                self._acc_pts = inbuf.pts or 0
+            self._acc_text.append(text)
+            end = (inbuf.pts or 0) + (inbuf.duration or 0)
+            if end - self._acc_pts < acc_t:
+                return None  # keep accumulating
+            text = " ".join(self._acc_text)
+            pts = self._acc_pts
+            self._acc_text, self._acc_pts = [], None
+            out = Buffer(textwrap.fill(text, width=self.get_property("columns")),
+                         pts=pts, duration=end - pts)
+            return out
+        wrapped = textwrap.fill(text, width=self.get_property("columns"))
         out = Buffer(wrapped)
         out.copy_metadata_from(inbuf)
         return out
+
+    def drain(self) -> Optional[Buffer]:
+        if not self._acc_text:
+            return None
+        text = " ".join(self._acc_text)
+        pts = self._acc_pts
+        self._acc_text, self._acc_pts = [], None
+        return Buffer(textwrap.fill(text, width=self.get_property("columns")),
+                      pts=pts)
 
 
 @register

@@ -58,6 +58,17 @@ class FallbackSwitch(Aggregator):
                  "data on the active one (clock-armed; 0 disables)"),
         Prop("immediate-fallback", False, type="bool", mutable="playing"),
         Prop("auto-switch", True, type="bool", mutable="playing"),
+        Prop("active-pad", None, type="object", mutable="playing",
+             doc="(read; settable when auto-switch=false) the pad whose "
+                 "buffers flow — a pad object or its name"),
+        Prop("latency", 0, type="uint64", mutable="playing",
+             doc="extra latency to report downstream"),
+        Prop("min-upstream-latency", 0, type="uint64", mutable="playing",
+             doc="floor for the upstream latency used in the timeout "
+                 "bookkeeping"),
+        Prop("stop-on-eos", False, type="bool", mutable="playing",
+             doc="forward EOS from the active pad instead of switching to "
+                 "a healthy lower-priority input"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -66,6 +77,26 @@ class FallbackSwitch(Aggregator):
         self._sent_caps_for: Optional[FallbackSinkPad] = None
         self._flow_lock = threading.RLock()
         self._timeout_id = None
+
+    def get_property(self, name: str):
+        if name == "active-pad":
+            return self._active
+        return super().get_property(name)
+
+    def set_property(self, name: str, value) -> None:
+        if name == "active-pad":
+            if self.get_property("auto-switch"):
+                raise RuntimeError(
+                    f"{self.ELEMENT_NAME}: active-pad is only settable "
+                    "with auto-switch=false")
+            pad = value if not isinstance(value, str) else self.pads.get(value)
+            with self._flow_lock:
+                self._active = pad
+            return
+        super().set_property(name, value)
+
+    def latency_additional_ns(self) -> int:
+        return self.get_property("latency")
 
     # -- clock-armed health timeout (fallbackswitch/imp.rs:88-126) ---------
     def on_paused_to_playing(self) -> None:
@@ -180,6 +211,12 @@ class FallbackSwitch(Aggregator):
         pads = self.agg_pads()
         if not pads:
             return ret
+        # stop-on-eos: the active pad's EOS ends the stream instead of
+        # falling back to a lower-priority input (fallbackswitch/imp.rs)
+        if self.get_property("stop-on-eos") and self._active is not None \
+                and self._active.is_inactive():
+            self.srcpad.push_event(Event.new_eos())
+            return ret
         active = self._pick_active() if self.get_property("auto-switch") or self._active is None else self._active
         if active is None:
             if all(p.is_inactive() for p in pads):
@@ -199,6 +236,20 @@ class LiveSync(BaseTransform):
     PROPERTIES = [
         Prop("latency", 0, type="uint64", mutable="playing"),
         Prop("single-segment", False, type="bool", mutable="ready"),
+        Prop("late-threshold", 2_000_000_000, type="uint64", mutable="playing",
+             doc="drop input arriving later than this behind the repeated "
+                 "timeline (u64 max = never drop)"),
+        Prop("sync", False, type="bool", mutable="playing",
+             doc="wait for each buffer's running time before forwarding "
+                 "(reference defaults true; false here so non-live "
+                 "pipelines free-run, matching this framework's sinks)"),
+        Prop("silent", True, type="bool", mutable="playing",
+             doc="suppress in/out/drop/duplicate notify signals"),
+        Prop("in", 0, type="uint64", doc="(read) buffers received"),
+        Prop("out", 0, type="uint64", doc="(read) buffers sent"),
+        Prop("drop", 0, type="uint64", doc="(read) late buffers dropped"),
+        Prop("duplicate", 0, type="uint64",
+             doc="(read) repeats emitted on missed deadlines"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -207,10 +258,23 @@ class LiveSync(BaseTransform):
         self._lock = threading.RLock()
         self._deadline_id = None
         self._eos = False
+        self._n_in = self._n_out = self._n_drop = self._n_dup = 0
+
+    def get_property(self, name: str):
+        if name == "in":
+            return self._n_in
+        if name == "out":
+            return self._n_out
+        if name == "drop":
+            return self._n_drop
+        if name == "duplicate":
+            return self._n_dup
+        return super().get_property(name)
 
     def start(self) -> None:
         self._last = None
         self._eos = False
+        self._n_in = self._n_out = self._n_drop = self._n_dup = 0
 
     # -- clocked deadline pacing (livesync/imp.rs:9-40) --------------------
     def on_paused_to_playing(self) -> None:
@@ -253,12 +317,29 @@ class LiveSync(BaseTransform):
                 pts = None if last.pts is None else last.pts + (last.duration or 0)
                 repeat = Buffer(last.data, pts=pts, duration=last.duration)
                 self._last = repeat
+                self._n_dup += 1
+                self._n_out += 1
                 self.srcpad.push(repeat)
         self._arm_deadline()
 
-    def transform_ip(self, buf: Buffer) -> Buffer:
+    def transform_ip(self, buf: Buffer) -> Optional[Buffer]:
         with self._lock:
+            self._n_in += 1
+            # late-threshold: input that fell behind the repeated timeline
+            # is dropped (the repeats already covered its slot)
+            thr = self.get_property("late-threshold")
+            if (thr and self._last is not None and buf.pts is not None
+                    and self._last.pts is not None
+                    and self._last.pts - buf.pts > thr):
+                self._n_drop += 1
+                return None
+            if self.get_property("sync") and buf.pts is not None \
+                    and self.clock is not None:
+                target = (self.base_time or 0) + buf.pts
+                if self.clock.now() < target:
+                    self.clock.new_single_shot_id(target).wait()
             self._last = buf
+            self._n_out += 1
         self._arm_deadline()
         return buf
 
@@ -288,6 +369,8 @@ class ToggleRecord(BaseTransform):
     MODE = TransformMode.ALWAYS_IN_PLACE
     PROPERTIES = [
         Prop("record", False, type="bool", mutable="playing"),
+        Prop("recording", False, type="bool",
+             doc="(read) whether recording is currently taking place"),
         Prop("is-live", False, type="bool", mutable="ready"),
     ]
 
@@ -296,6 +379,11 @@ class ToggleRecord(BaseTransform):
         self._offset = 0  # accumulated removed time
         self._stop_pts: Optional[int] = None
         self._was_recording = False
+
+    def get_property(self, name: str):
+        if name == "recording":
+            return self._was_recording and super().get_property("record")
+        return super().get_property(name)
 
     def start(self) -> None:
         self._offset = 0

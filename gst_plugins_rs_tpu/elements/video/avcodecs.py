@@ -190,6 +190,14 @@ class Rav1Enc(BaseTransform):
         Prop("tiles", 0, type="uint"),
         Prop("error-resilient", False, type="bool"),
         Prop("threads", 0, type="uint"),
+        Prop("tune", "psychovisual", type="enum",
+             choices=["psnr", "psychovisual"],
+             doc="quality tuning metric (rav1e Tune)"),
+        Prop("rdo-lookahead-frames", -1, type="int", minimum=-1,
+             doc="RDO lookahead window (-1 = rav1e default; low-latency "
+                 "forces 1)"),
+        Prop("reservoir-frame-delay", -1, type="int", minimum=-1,
+             doc="rate-control reservoir size in frames (-1 = default)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -233,9 +241,17 @@ class Rav1Enc(BaseTransform):
             rav1e_params.append("error_resilient=true")
         if self.get_property("threads"):
             rav1e_params.append(f"threads={self.get_property('threads')}")
+        if self.get_property("tune") != "psychovisual":
+            rav1e_params.append(f"tune={self.get_property('tune')}")
+        if self.get_property("reservoir-frame-delay") >= 0:
+            rav1e_params.append(
+                f"reservoir_frame_delay={self.get_property('reservoir-frame-delay')}")
         if self.get_property("low-latency"):
             # rav1e only starts emitting before EOS with a short RDO window
             rav1e_params.append("rdo_lookahead_frames=1")
+        elif self.get_property("rdo-lookahead-frames") >= 0:
+            rav1e_params.append(
+                f"rdo_lookahead_frames={self.get_property('rdo-lookahead-frames')}")
         if rav1e_params:
             parts.append("rav1e-params=" + ":".join(rav1e_params))
         return "|".join(parts)

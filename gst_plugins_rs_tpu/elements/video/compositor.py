@@ -29,10 +29,31 @@ _U8_FORMATS = tuple(f for f in RGB_FORMATS if RGB_FORMATS[f][1] == np.uint8)
 VIDEO_CAPS = video_caps_template(_U8_FORMATS)
 
 
-@partial(jax.jit, static_argnames=("placements", "out_h", "out_w", "channels"))
+def _background_canvas(background: str, out_h: int, out_w: int,
+                       channels: int) -> jnp.ndarray:
+    """Fill canvas per the background property (skia Background enum:
+    checker/black/white/transparent)."""
+    if background == "white":
+        return jnp.full((out_h, out_w * channels), 255.0, jnp.float32)
+    if background == "checker":
+        # 8px checkerboard in the 0x66/0x99 skia pattern (opaque alpha)
+        yy = (jnp.arange(out_h) // 8)[:, None]
+        xx = (jnp.arange(out_w) // 8)[None, :]
+        cell = jnp.where((yy + xx) % 2 == 0, 0x66, 0x99).astype(jnp.float32)
+        px = jnp.repeat(cell[..., None], channels, axis=-1)
+        if channels == 4:
+            px = px.at[..., 3].set(255.0)
+        return px.reshape(out_h, out_w * channels)
+    # black and transparent both start from zeros (alpha plane included)
+    return jnp.zeros((out_h, out_w * channels), jnp.float32)
+
+
+@partial(jax.jit, static_argnames=("placements", "out_h", "out_w", "channels",
+                                   "background"))
 def _composite(frames: Tuple[jnp.ndarray, ...], alphas: jnp.ndarray,
                *, placements: Tuple[Tuple[int, int, int, int], ...],
-               out_h: int, out_w: int, channels: int) -> jnp.ndarray:
+               out_h: int, out_w: int, channels: int,
+               background: str = "checker") -> jnp.ndarray:
     """frames: per-pad [h, w, c]; placements: (x, y, w, h) per pad (already
     clipped); alphas: [n] f32.  One fused program: resize -> blend -> paste.
 
@@ -40,7 +61,7 @@ def _composite(frames: Tuple[jnp.ndarray, ...], alphas: jnp.ndarray,
     3 -> 128 in the (8,128) TPU tile (~42x the traffic), while the flattened
     form is dense.  Bit-identical math — the blend is per-channel
     independent and the flatten is a pure reshape."""
-    canvas = jnp.zeros((out_h, out_w * channels), jnp.float32)
+    canvas = _background_canvas(background, out_h, out_w, channels)
     for i, (frame, (x, y, w, h)) in enumerate(zip(frames, placements)):
         img = frame.astype(jnp.float32)
         if img.shape[-1] != channels:
@@ -76,6 +97,9 @@ class SkiaCompositor(Aggregator):
     PROPERTIES = [
         Prop("width", 0, type="uint", doc="output width (0 = first input's)"),
         Prop("height", 0, type="uint", doc="output height (0 = first input's)"),
+        Prop("background", "checker", type="enum",
+             choices=["checker", "black", "white", "transparent"],
+             doc="canvas fill behind the composed pads"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -156,6 +180,7 @@ class SkiaCompositor(Aggregator):
             tuple(frames), jnp.asarray(alphas, jnp.float32),
             placements=tuple(placements),
             out_h=out.height, out_w=out.width, channels=out.components,
+            background=self.get_property("background"),
         )
         return self.finish_buffer(Buffer(canvas, pts=pts, duration=duration))
 

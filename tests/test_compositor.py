@@ -20,6 +20,7 @@ class TestCompositor:
     def test_two_inputs_placement(self):
         p = fx.Pipeline()
         comp = fx.element_factory_make("skiacompositor")
+        comp.set_property("background", "black")  # tests assert over a black canvas
         comp.set_property("width", 64)
         comp.set_property("height", 64)
         sink = fx.element_factory_make("appsink")
@@ -42,6 +43,7 @@ class TestCompositor:
     def test_scaling_and_alpha(self):
         p = fx.Pipeline()
         comp = fx.element_factory_make("skiacompositor")
+        comp.set_property("background", "black")  # tests assert over a black canvas
         comp.set_property("width", 32)
         comp.set_property("height", 32)
         sink = fx.element_factory_make("appsink")
@@ -59,6 +61,7 @@ class TestCompositor:
     def test_out_of_bounds_clipping(self):
         p = fx.Pipeline()
         comp = fx.element_factory_make("skiacompositor")
+        comp.set_property("background", "black")  # tests assert over a black canvas
         comp.set_property("width", 32)
         comp.set_property("height", 32)
         sink = fx.element_factory_make("appsink")
@@ -76,6 +79,7 @@ class TestCompositor:
     def test_output_size_from_first_input(self):
         p = fx.Pipeline()
         comp = fx.element_factory_make("skiacompositor")
+        comp.set_property("background", "black")  # tests assert over a black canvas
         sink = fx.element_factory_make("appsink")
         p.add(comp); p.add(sink)
         comp.pad("src").link(sink.pad("sink"))
