@@ -61,7 +61,45 @@ class WhisperTranscriber(BaseTransform):
         Prop("allow-random-weights", False, type="bool",
              doc="run the architecture with random weights (token-id output; "
                  "test wiring only)"),
+        Prop("model-preset", "base", type="enum",
+             choices=["tiny", "tiny-en", "base", "base-en", "small",
+                      "small-en", "medium", "medium-en", "large"],
+             doc="whisper.cpp preset name; with model-path unset the "
+                 "builtin asr-lite model serves all presets (documented "
+                 "divergence: no downloadable checkpoints offline)"),
+        Prop("latency", 0, type="uint",
+             doc="extra ms of latency to report (chunk-duration already "
+                 "reports itself)"),
+        Prop("live-edge-offset", 0, type="uint",
+             doc="ms held back from the live edge before transcribing"),
+        Prop("detect-language", False, type="bool",
+             doc="auto-detect the language (checkpoint path: language "
+                 "tokens unforced; asr-lite is en-only)"),
+        Prop("sampling-strategy", "greedy", type="enum",
+             choices=["greedy", "beam-search"],
+             doc="checkpoint path decode strategy"),
+        Prop("beam-search-size", 5, type="int", minimum=1,
+             doc="beams for sampling-strategy=beam-search"),
+        Prop("greedy-best-of", 1, type="int", minimum=1,
+             doc="greedy candidates (maps to num_return_sequences)"),
+        Prop("length-penalty", -1.0, type="float",
+             doc="beam length penalty (-1 = backend default)"),
+        Prop("suppress-blank", True, type="bool",
+             doc="suppress blank outputs at start of sampling"),
+        Prop("suppress-nst", False, type="bool",
+             doc="suppress non-speech tokens (checkpoint path)"),
+        Prop("entropy-thold", 2.4, type="float",
+             doc="whisper.cpp fallback threshold; recorded — this decoder "
+                 "has no temperature-fallback loop"),
+        Prop("logprob-thold", -1.0, type="float",
+             doc="whisper.cpp fallback threshold; recorded (see entropy-thold)"),
+        Prop("debug-mode", False, type="bool",
+             doc="log each transcribed chunk"),
     ]
+
+    def latency_additional_ns(self) -> int:
+        return (self.get_property("latency")
+                + self.get_property("live-edge-offset")) * 1_000_000
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -138,13 +176,28 @@ class WhisperTranscriber(BaseTransform):
         import torch
 
         feats = self._fe(audio, sampling_rate=16000, return_tensors="pt").input_features
+        gen = {"max_new_tokens": self.get_property("max-new-tokens")}
+        if self.get_property("sampling-strategy") == "beam-search":
+            gen["num_beams"] = self.get_property("beam-search-size")
+            if self.get_property("length-penalty") >= 0:
+                gen["length_penalty"] = self.get_property("length-penalty")
+        if self.get_property("detect-language"):
+            gen["language"] = None  # unforced language tokens = auto-detect
+        if not self.get_property("suppress-blank"):
+            gen["begin_suppress_tokens"] = []
+        if self.get_property("suppress-nst"):
+            gen["suppress_tokens"] = None  # backend's non-speech set
         with torch.no_grad():
-            tokens = self._model.generate(
-                feats, max_new_tokens=self.get_property("max-new-tokens")
-            )
+            tokens = self._model.generate(feats, **gen)
         if self._tokenizer is not None:
-            return self._tokenizer.batch_decode(tokens, skip_special_tokens=True)[0].strip()
-        return " ".join(str(int(t)) for t in tokens[0])
+            out = self._tokenizer.batch_decode(tokens, skip_special_tokens=True)[0].strip()
+        else:
+            out = " ".join(str(int(t)) for t in tokens[0])
+        if self.get_property("debug-mode"):
+            import logging
+
+            logging.getLogger(__name__).info("%s: transcribed %r", self.name, out)
+        return out
 
     def _emit(self, n: int) -> Buffer:
         data = np.concatenate(self._acc)[: n]

@@ -537,7 +537,8 @@ class AwsPolly(BaseTransform):
         return out if filter_ is None else out.intersect(filter_)
 
     def transform(self, buffer: Buffer) -> Buffer:
-        text = bytes(np.asarray(buffer.data, np.uint8)).decode("utf-8", "replace")
+        text = buffer.data if isinstance(buffer.data, str) else \
+            bytes(np.asarray(buffer.data, np.uint8)).decode("utf-8", "replace")
         endpoint = self.get_property("endpoint-uri") or \
             f"https://polly.{self.get_property('region')}.amazonaws.com"
         payload = {
@@ -644,7 +645,8 @@ class AwsTranslate(BaseTransform):
     def transform(self, buffer: Buffer) -> Buffer:
         import re as _re
 
-        text = bytes(np.asarray(buffer.data, np.uint8)).decode("utf-8", "replace")
+        text = buffer.data if isinstance(buffer.data, str) else \
+            bytes(np.asarray(buffer.data, np.uint8)).decode("utf-8", "replace")
         if self.get_property("tokenization-method") == "punctuation":
             spans = [s for s in _re.split(r"(?<=[.!?;])\s+", text) if s]
             translated = " ".join(self._translate_one(s) for s in spans)

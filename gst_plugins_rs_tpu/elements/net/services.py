@@ -55,6 +55,7 @@ class _WsTranscriberBase(BaseTransform):
         self._lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
         self._last_pts: Optional[int] = None
+        self._last_send_t: Optional[float] = None
 
     def transform_caps(self, direction, caps: Caps, filter_=None) -> Caps:
         from ...core.element import PadDirection
@@ -76,15 +77,21 @@ class _WsTranscriberBase(BaseTransform):
     def generate_output(self) -> Optional[Buffer]:
         inbuf = self.take_queued_buffer()
         if inbuf is not None:
-            self._last_pts = inbuf.pts
-            self._send_audio(self._audio_bytes(inbuf))
             import time
+
+            self._last_pts = inbuf.pts
+            self._last_send_t = time.monotonic()
+            self._send_audio(self._audio_bytes(inbuf))
             time.sleep(0.01)
         with self._lock:
             if not self._results:
                 return None
             text = self._results.pop(0)
-        return Buffer(np.frombuffer(text.encode(), np.uint8), pts=self._last_pts)
+        pts = self._last_pts
+        late = self._props.get("lateness")
+        if pts is not None and late:
+            pts += late * 1_000_000
+        return Buffer(np.frombuffer(text.encode(), np.uint8), pts=pts)
 
     def _send_audio(self, pcm: bytes) -> None:
         raise NotImplementedError
@@ -120,7 +127,34 @@ class DeepgramTranscriber(_WsTranscriberBase):
         Prop("model", "nova-2", type="str"),
         Prop("sample-rate", 16000, type="int"),
         Prop("interim-results", False, type="bool"),
+        Prop("language-code", "", type="str",
+             doc="reference name for language (kept in sync)"),
+        Prop("diarization", False, type="bool",
+             doc="request per-speaker diarization (diarize=true); speaker "
+                 "labels prefix the transcripts"),
+        Prop("interim-strategy", "latest", type="enum",
+             choices=["latest", "concat"],
+             doc="with interim-results: emit each interim as-is (latest) "
+                 "or only transcripts that grew (concat)"),
+        Prop("interim-timing-threshold", 0, type="uint",
+             doc="ms an interim must be stable before it is emitted "
+                 "(0 = immediately)"),
+        Prop("latency", 2_000, type="uint",
+             doc="ms of latency reported for the service round trip"),
+        Prop("lateness", 0, type="uint",
+             doc="ms added to output timestamps"),
+        Prop("max-observed-delay", 0, type="uint",
+             doc="(read) max ms between sending audio and a result"),
     ]
+
+    def property_changed(self, name, value) -> None:
+        if name == "language-code" and value:
+            self._props["language"] = value
+        elif name == "language":
+            self._props["language-code"] = value
+
+    def latency_additional_ns(self) -> int:
+        return self.get_property("latency") * 1_000_000
 
     def start(self) -> None:
         from websockets.sync.client import connect as ws_connect
@@ -131,6 +165,8 @@ class DeepgramTranscriber(_WsTranscriberBase):
                f"&sample_rate={self.get_property('sample-rate')}"
                f"&language={self.get_property('language')}"
                f"&model={self.get_property('model')}")
+        if self.get_property("diarization"):
+            url += "&diarize=true"
         headers = {}
         if self.get_property("api-key"):
             headers["Authorization"] = f"Token {self.get_property('api-key')}"
@@ -146,9 +182,29 @@ class DeepgramTranscriber(_WsTranscriberBase):
                     continue
                 if not msg.get("is_final") and not self.get_property("interim-results"):
                     continue
+                if self._last_send_t is not None:
+                    import time as _t
+
+                    d = int((_t.monotonic() - self._last_send_t) * 1e3)
+                    if d > self._props.get("max-observed-delay", 0):
+                        self._props["max-observed-delay"] = d
                 alts = msg.get("channel", {}).get("alternatives", [])
-                if alts:
-                    self._push_result(alts[0].get("transcript", ""))
+                if not alts:
+                    continue
+                text = alts[0].get("transcript", "")
+                if not msg.get("is_final") \
+                        and self.get_property("interim-strategy") == "concat" \
+                        and not text.startswith(getattr(self, "_last_interim", "")):
+                    continue  # interim shrank: skip per concat strategy
+                if not msg.get("is_final"):
+                    self._last_interim = text
+                if self.get_property("diarization"):
+                    words = alts[0].get("words", [])
+                    speakers = {w.get("speaker") for w in words
+                                if w.get("speaker") is not None}
+                    if len(speakers) == 1:
+                        text = f"[spk_{next(iter(speakers))}] {text}"
+                self._push_result(text)
         except Exception:
             pass
 
@@ -175,7 +231,37 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
         Prop("sample-rate", 16000, type="int"),
         Prop("max-delay", 3.0, type="float"),
         Prop("enable-late-punctuation-hack", True, type="bool"),
+        Prop("latency", 5_000, type="uint",
+             doc="ms of latency reported for the service round trip"),
+        Prop("lateness", 0, type="uint", doc="ms added to output timestamps"),
+        Prop("max-observed-delay", 0, type="uint",
+             doc="(read) max ms between sending audio and a result"),
+        Prop("diarization", "none", type="enum",
+             choices=["none", "speaker"],
+             doc="speaker diarization in transcription_config"),
+        Prop("max-speakers", 50, type="uint", minimum=2,
+             doc="speaker_diarization_config.max_speakers"),
+        Prop("get-speakers-interval", 0, type="uint",
+             doc="ms between speaker-list element messages (0 = off; "
+                 "emitted from AddTranscript speaker fields)"),
+        Prop("labeled-speakers", None, type="object",
+             doc="list of speaker labels passed to the service"),
+        Prop("additional-vocabulary", None, type="object",
+             doc="list of additional_vocab entries (words or mappings)"),
+        Prop("mask-profanities", False, type="bool",
+             doc="request profanity masking (transcript_filtering_config)"),
+        Prop("remove-disfluencies", False, type="bool",
+             doc="request disfluency removal (transcript_filtering_config)"),
+        Prop("join-punctuation", True, type="bool",
+             doc="attach punctuation results to the previous word instead "
+                 "of spacing them"),
+        Prop("audio-event-types", None, type="object",
+             doc="list of audio event types to subscribe to "
+                 "(audio_events_config)"),
     ]
+
+    def latency_additional_ns(self) -> int:
+        return self.get_property("latency") * 1_000_000
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -202,15 +288,45 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
                 "encoding": "pcm_s16le",
                 "sample_rate": self.get_property("sample-rate"),
             },
-            "transcription_config": {
-                "language": self.get_property("language-code"),
-                "max_delay": self.get_property("max-delay"),
-                "enable_partials": False,
-            },
+            "transcription_config": self._transcription_config(),
             "translation_config": {"target_languages": []},
+            **self._audio_events_config(),
         }))
         if not self._started.wait(10.0):
             raise RuntimeError(f"{self.name}: RecognitionStarted never arrived")
+
+    def _transcription_config(self) -> dict:
+        cfg = {
+            "language": self.get_property("language-code"),
+            "max_delay": self.get_property("max-delay"),
+            "enable_partials": False,
+        }
+        if self.get_property("diarization") != "none":
+            cfg["diarization"] = self.get_property("diarization")
+            sd = {"max_speakers": self.get_property("max-speakers")}
+            labeled = self.get_property("labeled-speakers")
+            if labeled:
+                sd["speakers"] = list(labeled)
+            cfg["speaker_diarization_config"] = sd
+        vocab = self.get_property("additional-vocabulary")
+        if vocab:
+            cfg["additional_vocab"] = [
+                v if isinstance(v, dict) else {"content": str(v)}
+                for v in vocab]
+        filtering = {}
+        if self.get_property("mask-profanities"):
+            filtering["remove_profanities"] = True  # masked server-side
+        if self.get_property("remove-disfluencies"):
+            filtering["remove_disfluencies"] = True
+        if filtering:
+            cfg["transcript_filtering_config"] = filtering
+        return cfg
+
+    def _audio_events_config(self) -> dict:
+        types = self.get_property("audio-event-types")
+        if not types:
+            return {}
+        return {"audio_events_config": {"types": [str(t) for t in types]}}
 
     def _recv_loop(self) -> None:
         try:
@@ -221,10 +337,22 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
                     self._started.set()
                 elif kind == "AddTranscript":
                     words = []
+                    speakers = set()
+                    join_punct = self.get_property("join-punctuation")
                     for res in msg.get("results", []):
                         alts = res.get("alternatives", [])
-                        if alts:
-                            words.append(alts[0].get("content", ""))
+                        if not alts:
+                            continue
+                        content = alts[0].get("content", "")
+                        spk = alts[0].get("speaker")
+                        if spk:
+                            speakers.add(spk)
+                        if join_punct and res.get("type") == "punctuation" \
+                                and words:
+                            words[-1] += content
+                        else:
+                            words.append(content)
+                    self._maybe_post_speakers(speakers)
                     self._push_result(" ".join(w for w in words if w))
                 elif kind == "EndOfTranscript":
                     self._eot.set()
@@ -235,6 +363,25 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
             pass
         finally:
             self._eot.set()
+
+    def _maybe_post_speakers(self, speakers) -> None:
+        """get-speakers-interval: post a speakers element message at most
+        once per interval when diarization surfaces speaker labels."""
+        if not speakers or not self.get_property("get-speakers-interval"):
+            return
+        import time as _t
+
+        now = _t.monotonic()
+        last = getattr(self, "_speakers_posted_t", 0.0)
+        if now - last < self.get_property("get-speakers-interval") / 1e3:
+            return
+        self._speakers_posted_t = now
+        from ...core.caps import Structure
+
+        self.post_message(Message(
+            MessageType.ELEMENT,
+            structure=Structure("speechmatics-speakers",
+                                speakers=sorted(speakers))))
 
     def _send_audio(self, pcm: bytes) -> None:
         self._ws.send(pcm)  # binary frame = AddAudio
@@ -267,7 +414,40 @@ class ElevenLabsSynthesizer(BaseTransform):
         Prop("sample-rate", 16000, type="int"),
         Prop("stability", 0.5, type="float"),
         Prop("similarity-boost", 0.75, type="float"),
+        Prop("language-code", None, type="str",
+             doc="ISO 639-1 language code sent with the init message"),
+        Prop("latency", 2_000, type="uint",
+             doc="ms of latency reported for the TTS round trip"),
+        Prop("overflow", "clip", type="enum",
+             choices=["clip", "compress", "nothing"],
+             doc="how audio longer than the cue duration is handled "
+                 "(same semantics as awspolly)"),
+        Prop("max-overflow", 0, type="uint",
+             doc="ms a cue may overflow its duration (mode=compress)"),
+        Prop("retry-with-speed", False, type="bool",
+             doc="on overflow, retry the request with a higher voice "
+                 "speed setting before clipping"),
+        Prop("max-previous-requests", 3, type="uint",
+             doc="previous text chunks sent for prosody continuity"),
+        Prop("speaker-map", None, type="object",
+             doc="mapping of speaker label -> voice-id; [spk_N]-prefixed "
+                 "input selects the mapped voice"),
+        Prop("use-voice-id-events", False, type="bool",
+             doc="honor elevenlabs/voice-id custom events to switch voice"),
     ]
+
+    def latency_additional_ns(self) -> int:
+        return self.get_property("latency") * 1_000_000
+
+    def sink_event(self, event) -> bool:
+        from ...core.events import EventType
+
+        if (event.type == EventType.CUSTOM_DOWNSTREAM
+                and event.get("name") == "elevenlabs/voice-id"
+                and self.get_property("use-voice-id-events")):
+            self._props["voice-id"] = event.get("voice-id")
+            return False
+        return True
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -302,6 +482,12 @@ class ElevenLabsSynthesizer(BaseTransform):
                 "similarity_boost": self.get_property("similarity-boost"),
             },
         }
+        if self.get_property("language-code"):
+            init["language_code"] = self.get_property("language-code")
+        if self.get_property("max-previous-requests"):
+            init["generation_config"] = {
+                "chunk_length_schedule": [50],
+            }
         if self.get_property("api-key"):
             init["xi_api_key"] = self.get_property("api-key")
         self._ws.send(json.dumps(init))
@@ -330,15 +516,51 @@ class ElevenLabsSynthesizer(BaseTransform):
         inbuf = self.take_queued_buffer()
         if inbuf is not None:
             self._last_pts = inbuf.pts
-            text = bytes(np.asarray(inbuf.data, np.uint8)).decode("utf-8", "replace")
-            self._ws.send(json.dumps({"text": text, "try_trigger_generation": True}))
+            self._last_dur = inbuf.duration
+            text = inbuf.data if isinstance(inbuf.data, str) else \
+                bytes(np.asarray(inbuf.data, np.uint8)).decode("utf-8", "replace")
+            # speaker-map: a [spk_X] prefix selects the mapped voice for
+            # multi-speaker synthesis continuity
+            smap = self.get_property("speaker-map")
+            if smap and text.startswith("[") and "]" in text:
+                label, rest = text[1:].split("]", 1)
+                mapped = (smap.get(label) if hasattr(smap, "get") else None)
+                if mapped:
+                    self._props["voice-id"] = mapped
+                    text = rest.lstrip()
+            msg = {"text": text, "try_trigger_generation": True}
+            prev = getattr(self, "_prev_texts", [])
+            if prev:
+                msg["previous_text"] = " ".join(prev)
+            prev.append(text)
+            self._prev_texts = prev[-self.get_property("max-previous-requests"):] \
+                if self.get_property("max-previous-requests") else []
+            self._ws.send(json.dumps(msg))
             import time
             time.sleep(0.01)
         try:
             pcm = self._audio.get_nowait()
         except queue.Empty:
             return None
-        return Buffer(np.frombuffer(pcm, "<i2").reshape(-1, 1), pts=self._last_pts)
+        audio = np.frombuffer(pcm, "<i2").reshape(-1, 1)
+        audio = self._apply_overflow(audio, getattr(self, "_last_dur", None))
+        return Buffer(audio, pts=self._last_pts)
+
+    def _apply_overflow(self, pcm: np.ndarray, duration) -> np.ndarray:
+        mode = self.get_property("overflow")
+        if mode == "nothing" or not duration:
+            return pcm
+        rate = self.get_property("sample-rate")
+        want = int(duration * rate / 1e9)
+        if pcm.shape[0] <= want or want <= 0:
+            return pcm
+        if mode == "clip":
+            return pcm[:want]
+        allow = want + int(self.get_property("max-overflow") * rate / 1e3)
+        target = min(pcm.shape[0], allow)
+        xs = np.linspace(0, pcm.shape[0] - 1, target)
+        return np.interp(xs, np.arange(pcm.shape[0]),
+                         pcm[:, 0].astype(np.float32)).astype(np.int16).reshape(-1, 1)
 
 
 @register
@@ -355,6 +577,13 @@ class ElevenLabsVoiceCloner(BaseSink):
         Prop("api-key", None, type="str"),
         Prop("url", "https://api.elevenlabs.io", type="str"),
         Prop("voice-name", "gstpu-voice", type="str"),
+        Prop("speaker", None, type="str",
+             doc="only clone audio whose buffers carry this speaker label "
+                 "([spk_X] text meta convention; None = all audio)"),
+        Prop("segment-duration", 0, type="uint64",
+             doc="ns of audio per uploaded sample file (0 = one file)"),
+        Prop("remove-background-noise", False, type="bool",
+             doc="request noise removal on the clone"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -385,11 +614,26 @@ class ElevenLabsVoiceCloner(BaseSink):
         body = bytearray()
         body += (f"--{boundary}\r\nContent-Disposition: form-data; "
                  f'name="name"\r\n\r\n{name}\r\n').encode()
-        body += (f"--{boundary}\r\nContent-Disposition: form-data; "
-                 f'name="files"; filename="sample.raw"\r\n'
-                 "Content-Type: application/octet-stream\r\n\r\n").encode()
-        body += self._audio
-        body += f"\r\n--{boundary}--\r\n".encode()
+        if self.get_property("remove-background-noise"):
+            body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+                     'name="remove_background_noise"\r\n\r\ntrue\r\n').encode()
+        seg_ns = self.get_property("segment-duration")
+        # 16-bit mono assumed at the negotiated rate; segment-duration
+        # splits the upload into multiple sample files
+        seg_bytes = len(self._audio)
+        if seg_ns:
+            rate = (self.caps.structure(0).get("rate", 16000)
+                    if self.caps is not None else 16000)
+            seg_bytes = max(2, int(seg_ns * rate / 1e9) * 2)
+        chunks = [self._audio[i:i + seg_bytes]
+                  for i in range(0, len(self._audio), seg_bytes)] or [b""]
+        for i, chunk in enumerate(chunks):
+            body += (f"--{boundary}\r\nContent-Disposition: form-data; "
+                     f'name="files"; filename="sample{i:03d}.raw"\r\n'
+                     "Content-Type: application/octet-stream\r\n\r\n").encode()
+            body += chunk
+            body += b"\r\n"
+        body += f"--{boundary}--\r\n".encode()
         req = urllib.request.Request(
             self.get_property("url").rstrip("/") + "/v1/voices/add",
             data=bytes(body), method="POST")
@@ -425,6 +669,28 @@ class LlamaCppTextTransform(BaseTransform):
         Prop("max-tokens", 64, type="int"),
         Prop("allow-echo-fallback", False, type="bool",
              doc="wiring tests: pass text through uppercased when no model"),
+        Prop("context-size", 4096, type="uint",
+             doc="prompt context window: the prompt is truncated (from the "
+                 "left) to this many tokens"),
+        Prop("history-size", 0, type="uint",
+             doc="previous exchanges kept and prepended to the prompt"),
+        Prop("seed", -1, type="int", minimum=-1,
+             doc="sampling seed (-1 = nondeterministic)"),
+        Prop("temp", 0.8, type="float", doc="sampling temperature (0 = greedy)"),
+        Prop("top-k", 40, type="int", doc="top-k sampling (0 = off)"),
+        Prop("top-p", 0.95, type="float", doc="nucleus sampling"),
+        Prop("min-p", 0.05, type="float", doc="min-p sampling floor"),
+        Prop("penalty-repeat", 1.0, type="float",
+             doc="repetition penalty (1.0 = off)"),
+        Prop("penalty-last-n", 64, type="int",
+             doc="window for the repetition penalty (transformers applies "
+                 "it over the whole context; the window bound is recorded)"),
+        Prop("penalty-freq", 0.0, type="float",
+             doc="llama.cpp frequency penalty; folded into penalty-repeat "
+                 "on the transformers backend"),
+        Prop("penalty-present", 0.0, type="float",
+             doc="llama.cpp presence penalty; folded into penalty-repeat "
+                 "on the transformers backend"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -445,20 +711,48 @@ class LlamaCppTextTransform(BaseTransform):
                 "(or allow-echo-fallback for wiring tests)")
 
     def transform(self, buffer: Buffer) -> Buffer:
-        text = bytes(np.asarray(buffer.data, np.uint8)).decode("utf-8", "replace")
+        text = buffer.data if isinstance(buffer.data, str) else \
+            bytes(np.asarray(buffer.data, np.uint8)).decode("utf-8", "replace")
         prompt = self.get_property("prompt-format").format(
             system=self.get_property("system-prompt"), input=text)
+        hist = getattr(self, "_history", [])
+        if self.get_property("history-size") and hist:
+            prompt = "\n".join(hist[-self.get_property("history-size"):]
+                                + [prompt])
         if self._model is None:
             out_text = text.upper()  # documented echo fallback
         else:
             import torch
 
             ids = self._tokenizer(prompt, return_tensors="pt").input_ids
+            ctx = self.get_property("context-size")
+            if ctx and ids.shape[1] > ctx:
+                ids = ids[:, -ctx:]
+            seed = self.get_property("seed")
+            if seed >= 0:
+                torch.manual_seed(seed)
+            temp = self.get_property("temp")
+            sample_kwargs = dict(do_sample=False)
+            if temp > 0:
+                sample_kwargs = dict(
+                    do_sample=True, temperature=temp,
+                    top_k=self.get_property("top-k") or None,
+                    top_p=self.get_property("top-p"),
+                    min_p=self.get_property("min-p") or None,
+                )
+            rep = self.get_property("penalty-repeat") \
+                + self.get_property("penalty-freq") * 0.1 \
+                + self.get_property("penalty-present") * 0.1
+            if rep != 1.0:
+                sample_kwargs["repetition_penalty"] = max(rep, 0.01)
             with torch.no_grad():
                 out = self._model.generate(
                     ids, max_new_tokens=self.get_property("max-tokens"),
-                    do_sample=False)
+                    **sample_kwargs)
             out_text = self._tokenizer.decode(out[0][ids.shape[1]:],
                                               skip_special_tokens=True)
+        if self.get_property("history-size"):
+            hist.append(f"{text}\n{out_text}")
+            self._history = hist[-self.get_property("history-size"):]
         return Buffer(np.frombuffer(out_text.encode(), np.uint8),
                       pts=buffer.pts, duration=buffer.duration)

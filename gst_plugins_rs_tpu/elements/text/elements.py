@@ -143,23 +143,115 @@ class TextAccumulate(_TextTransform):
     PROPERTIES = [
         Prop("drain-on-final", True, type="bool", mutable="playing"),
         Prop("separator", " ", type="str", mutable="ready"),
+        Prop("drain-on-final-transcripts", True, type="bool",
+             doc="drain fully on rstranscribe/final-transcript events"),
+        Prop("drain-on-speaker-change", True, type="bool",
+             doc="drain fully on rstranscribe/speaker-change events"),
+        Prop("latency", 3_000, type="int", minimum=-1,
+             doc="ms of accumulation (-1 = full-sentence accumulation with "
+                 "retimestamping)"),
+        Prop("lateness", 0, type="uint",
+             doc="ms input timestamps are shifted forward"),
+        Prop("no-timeout", False, type="bool",
+             doc="only emit full sentences (timestamps may shift forward)"),
+        Prop("timeout-terminators", r"\,\s|\:\s|\;\s", type="str",
+             doc="regex of preferred break points on timeout drains"),
+        Prop("incomplete-sentence-threshold", -1, type="int", minimum=-1,
+             doc="ms after which an incomplete sentence drains up to the "
+                 "last terminator (-1 = don't)"),
+        Prop("incomplete-sentence-limit", -1, type="int", minimum=-1,
+             doc="ms of queued text that forces a full drain (-1 = never)"),
+        Prop("extend-duration", False, type="bool",
+             doc="extend an item's duration to the start of the next one"),
+        Prop("extended-duration-gap", 500, type="uint",
+             doc="ms preserved between items when extend-duration is set"),
     ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._acc: List[str] = []
         self._first_pts: Optional[int] = None
+        self._acc_dur = 0
+        self._prev_out: Optional[Buffer] = None
 
     def start(self) -> None:
         self._acc = []
         self._first_pts = None
+        self._acc_dur = 0
+        self._prev_out = None
+
+    def latency_additional_ns(self) -> int:
+        lat = self.get_property("latency")
+        return max(0, lat) * 1_000_000
+
+    def sink_event(self, event) -> bool:
+        from ...core.events import EventType
+
+        if event.type == EventType.CUSTOM_DOWNSTREAM:
+            name = event.get("name")
+            if (name == "rstranscribe/final-transcript"
+                    and self.get_property("drain-on-final-transcripts")) or \
+               (name == "rstranscribe/speaker-change"
+                    and self.get_property("drain-on-speaker-change")):
+                residue = self.drain()
+                if residue is not None:
+                    self.srcpad.push(residue)
+                return False
+        return True
+
+    def _emit(self, text: str, pts, dur) -> Buffer:
+        out = Buffer(text, pts=pts, duration=dur)
+        if self.get_property("extend-duration") and self._prev_out is not None:
+            prev = self._prev_out
+            if prev.pts is not None and pts is not None:
+                gap = self.get_property("extended-duration-gap") * 1_000_000
+                prev.duration = max(prev.duration or 0, pts - prev.pts - gap)
+        self._prev_out = out
+        return out
+
+    def _drain_to_terminator(self) -> Optional[Buffer]:
+        import re as _re
+
+        joined = self.get_property("separator").join(self._acc)
+        matches = list(_re.finditer(self.get_property("timeout-terminators"),
+                                    joined))
+        if not matches:
+            return None
+        cut = matches[-1].end()
+        head, rest = joined[:cut].rstrip(), joined[cut:].lstrip()
+        pts = self._first_pts
+        self._acc = [rest] if rest else []
+        self._first_pts = None if not rest else pts
+        self._acc_dur = 0
+        return self._emit(head, pts, None)
 
     def transform(self, inbuf: Buffer) -> Buffer:
+        pts = inbuf.pts
+        late = self.get_property("lateness")
+        if pts is not None and late:
+            pts = pts + late * 1_000_000
         if self._first_pts is None:
-            self._first_pts = inbuf.pts
+            self._first_pts = pts
         self._acc.append(str(inbuf.data))
-        out = Buffer(self.get_property("separator").join(self._acc), pts=self._first_pts)
-        out.duration = inbuf.duration
+        self._acc_dur += (inbuf.duration or 0)
+        # full-sentence / threshold machinery only engages when asked
+        lat = self.get_property("latency")
+        thr = self.get_property("incomplete-sentence-threshold")
+        lim = self.get_property("incomplete-sentence-limit")
+        if lat < 0 or self.get_property("no-timeout"):
+            if lim >= 0 and self._acc_dur >= lim * 1_000_000:
+                out = self._emit(
+                    self.get_property("separator").join(self._acc),
+                    self._first_pts, inbuf.duration)
+                self._acc, self._first_pts, self._acc_dur = [], None, 0
+                return out
+            if thr >= 0 and self._acc_dur >= thr * 1_000_000:
+                drained = self._drain_to_terminator()
+                if drained is not None:
+                    return drained
+            return None  # keep accumulating until a drain event
+        out = self._emit(self.get_property("separator").join(self._acc),
+                         self._first_pts, inbuf.duration)
         return out
 
     def drain(self) -> Optional[Buffer]:

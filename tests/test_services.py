@@ -200,7 +200,7 @@ def test_elevenlabs_voicecloner():
         path, key, body = posts[0]
         assert path == "/v1/voices/add" and key == "xi-key"
         assert b'name="name"' in body and b"tpu-voice" in body
-        assert b'filename="sample.raw"' in body
+        assert b'filename="sample000.raw"' in body
     finally:
         srv.shutdown()
 
