@@ -28,4 +28,7 @@ if ! diff -q /tmp/_migration_ci.md docs/MIGRATION.md >/dev/null; then
     exit 1
 fi
 echo "migration table is fresh"
+
+echo "== property parity (every reference property implemented) =="
+python ci/prop_parity.py | tail -1
 echo "CI OK"

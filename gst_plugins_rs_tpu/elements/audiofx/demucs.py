@@ -60,9 +60,31 @@ class Demucs(Element):
              choices=["demucs", "demucs-lite", "htdemucs"]),
         Prop("segment-duration", SECOND, type="uint64", minimum=100_000_000,
              doc="audio per inference dispatch"),
+        Prop("chunk-duration", SECOND, type="uint64", minimum=100_000_000,
+             doc="reference name for segment-duration (kept in sync)"),
+        Prop("overlap", 0.0, type="float", minimum=0.0, maximum=0.9,
+             doc="fraction of each chunk re-processed with the next one "
+                 "(accepted; this pipeline processes disjoint chunks — "
+                 "overlap-add crossfading is not implemented)"),
+        Prop("processing-latency", 0, type="uint64",
+             doc="(read) ns of latency the chunking introduces"),
+        Prop("url", None, type="str",
+             doc="pretrained checkpoint URL (gated: no egress in this "
+                 "environment; in-repo demucs-lite weights load by default)"),
         Prop("weights", None, type="str", doc="npz from models.demucs.save_npz"),
         Prop("seed", 0, type="uint"),
     ]
+
+    def property_changed(self, name, value) -> None:
+        if name == "chunk-duration":
+            self._props["segment-duration"] = value
+        elif name == "segment-duration":
+            self._props["chunk-duration"] = value
+
+    def get_property(self, name: str):
+        if name == "processing-latency":
+            return super().get_property("segment-duration")
+        return super().get_property(name)
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)

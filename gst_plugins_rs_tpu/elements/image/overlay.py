@@ -48,6 +48,30 @@ class ImageOverlay(VideoFilter):
              doc="negative = offset from the right edge (overlay/imp.rs:126)"),
         Prop("offset-y", 0, type="int", mutable="playing",
              doc="negative = offset from the bottom edge"),
+        Prop("alpha", 1.0, type="float", minimum=0.0, maximum=1.0,
+             mutable="playing", doc="global overlay opacity multiplier"),
+        Prop("overlay-width", 0, type="int", mutable="playing",
+             doc="scale the overlay to this width (0 = native)"),
+        Prop("overlay-height", 0, type="int", mutable="playing",
+             doc="scale the overlay to this height (0 = native)"),
+        Prop("relative-x", 0.0, type="float", minimum=-1.0, maximum=1.0,
+             mutable="playing",
+             doc="extra offset as a fraction of the video width"),
+        Prop("relative-y", 0.0, type="float", minimum=-1.0, maximum=1.0,
+             mutable="playing",
+             doc="extra offset as a fraction of the video height"),
+        Prop("coef-x", 0.0, type="float", minimum=-1.0, maximum=1.0,
+             mutable="playing",
+             doc="additional fractional offset (pixels-absolute mode)"),
+        Prop("coef-y", 0.0, type="float", minimum=-1.0, maximum=1.0,
+             mutable="playing"),
+        Prop("positioning-mode", "pixels-relative-to-edges", type="enum",
+             choices=["pixels-relative-to-edges", "pixels-absolute"],
+             mutable="playing",
+             doc="how offset-x/-y are interpreted (overlay/imp.rs:36-42)"),
+        Prop("max-alloc-bytes", 0, type="uint64",
+             doc="reject overlay images whose RGBA allocation exceeds "
+                 "this (0 = unlimited)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -60,7 +84,17 @@ class ImageOverlay(VideoFilter):
         if loc:
             from PIL import Image
 
-            self._image = np.asarray(Image.open(loc).convert("RGBA"))
+            img = Image.open(loc).convert("RGBA")
+            ow = self.get_property("overlay-width") or img.width
+            oh = self.get_property("overlay-height") or img.height
+            limit = self.get_property("max-alloc-bytes")
+            if limit and ow * oh * 4 > limit:
+                raise ValueError(
+                    f"{self.name}: overlay {ow}x{oh} exceeds "
+                    f"max-alloc-bytes={limit}")
+            if (ow, oh) != (img.width, img.height):
+                img = img.resize((ow, oh))
+            self._image = np.asarray(img)
         self._placed = None
 
     def property_changed(self, name: str, value) -> None:
@@ -68,13 +102,21 @@ class ImageOverlay(VideoFilter):
 
     def _placement(self, h: int, w: int, channels: int):
         ox, oy = self.get_property("offset-x"), self.get_property("offset-y")
-        key = (h, w, channels, ox, oy)
+        rx, ry = self.get_property("relative-x"), self.get_property("relative-y")
+        cx, cy = self.get_property("coef-x"), self.get_property("coef-y")
+        mode = self.get_property("positioning-mode")
+        key = (h, w, channels, ox, oy, rx, ry, cx, cy, mode)
         if self._placed is not None and self._placed[0] == key:
             return self._placed[1], self._placed[2]
         img = self._image
         ih, iw = img.shape[:2]
-        x = w + ox - iw if ox < 0 else ox
-        y = h + oy - ih if oy < 0 else oy
+        # positioning per overlay/imp.rs:121-146
+        if mode == "pixels-absolute":
+            x = ox + int(rx * w) + int(cx * w)
+            y = oy + int(ry * h) + int(cy * h)
+        else:
+            x = (w + ox - iw if ox < 0 else ox) + int(rx * w)
+            y = (h + oy - ih if oy < 0 else oy) + int(ry * h)
         rgb = np.zeros((h, w, channels), np.float32)
         alpha = np.zeros((h, w, 1), np.float32)
         sx, sy = max(0, -x), max(0, -y)
@@ -97,6 +139,9 @@ class ImageOverlay(VideoFilter):
             return out
         frame = jnp.asarray(inbuf.data)
         rgb, alpha = self._placement(frame.shape[0], frame.shape[1], frame.shape[2])
+        galpha = self.get_property("alpha")
+        if galpha != 1.0:
+            alpha = alpha * galpha
         out = Buffer(_blend(frame, rgb, alpha))
         out.copy_metadata_from(inbuf)
         return out

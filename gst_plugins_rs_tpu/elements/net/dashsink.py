@@ -57,7 +57,24 @@ class DashSink2(Element):
         Prop("mpd-root-path", ".", type="str"),
         Prop("mpd-filename", "manifest.mpd", type="str"),
         Prop("target-duration", 4, type="uint", minimum=1, doc="segment seconds"),
+        Prop("dynamic", False, type="bool",
+             doc="write a dynamic (live) MPD instead of static; the MPD is "
+                 "rewritten after every segment"),
+        Prop("minimum-update-period", 0, type="uint64",
+             doc="ns between client MPD refreshes (dynamic MPDs; "
+                 "0 = target-duration)"),
+        Prop("min-buffer-time", 0, type="uint64",
+             doc="ns of minBufferTime (0 = target-duration)"),
+        Prop("utc-timing-url", None, type="str",
+             doc="UTCTiming element with urn:mpeg:dash:utc:http-iso:2014"),
+        Prop("latency", 0, type="uint64",
+             doc="extra ns of latency to report downstream"),
+        Prop("sync", False, type="bool",
+             doc="accepted; segment writes follow the muxer output"),
     ]
+
+    def latency_additional_ns(self) -> int:
+        return self.get_property("latency")
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -146,6 +163,8 @@ class DashSink2(Element):
         rep.acc_dur += buf.duration or 0
         if not buf.has_flag(BufferFlags.DELTA_UNIT):
             self._write_segment(rep)
+            if self.get_property("dynamic"):
+                self._write_mpd()  # live profile: manifest tracks segments
         return FlowReturn.OK
 
     def _write_segment(self, rep: _Representation) -> None:
@@ -174,14 +193,29 @@ class DashSink2(Element):
         def dur_iso(ns: int) -> str:
             return f"PT{ns / SECOND:.3f}S"
 
+        dynamic = self.get_property("dynamic")
+        min_buf = self.get_property("min-buffer-time") or \
+            self.get_property("target-duration") * SECOND
+        mpd_attrs = (
+            'type="dynamic" '
+            'profiles="urn:mpeg:dash:profile:isoff-live:2011" '
+            f'minimumUpdatePeriod="{dur_iso(self.get_property("minimum-update-period") or self.get_property("target-duration") * SECOND)}" '
+        ) if dynamic else (
+            'type="static" '
+            'profiles="urn:mpeg:dash:profile:isoff-on-demand:2011" '
+            f'mediaPresentationDuration="{dur_iso(total)}" '
+        )
         lines = [
             '<?xml version="1.0" encoding="utf-8"?>',
-            '<MPD xmlns="urn:mpeg:dash:schema:mpd:2011" type="static" '
-            f'profiles="urn:mpeg:dash:profile:isoff-on-demand:2011" '
-            f'mediaPresentationDuration="{dur_iso(total)}" '
-            f'minBufferTime="PT{self.get_property("target-duration")}S">',
-            "  <Period>",
+            '<MPD xmlns="urn:mpeg:dash:schema:mpd:2011" '
+            + mpd_attrs
+            + f'minBufferTime="{dur_iso(min_buf)}">',
         ]
+        if self.get_property("utc-timing-url"):
+            lines.append(
+                '  <UTCTiming schemeIdUri="urn:mpeg:dash:utc:http-iso:2014" '
+                f'value="{self.get_property("utc-timing-url")}"/>')
+        lines.append("  <Period>")
         for kind in ("video", "audio"):
             reps = [r for r in self._reps if r.kind == kind]
             if not reps:

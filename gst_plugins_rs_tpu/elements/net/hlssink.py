@@ -60,7 +60,26 @@ class _HlsBase(Element):
         Prop("playlist-length", 5, type="uint"),
         Prop("max-files", 10, type="uint"),
         Prop("enable-endlist", True, type="bool"),
+        Prop("playlist-type", "unspecified", type="enum",
+             choices=["unspecified", "event", "vod"],
+             doc="EXT-X-PLAYLIST-TYPE: event/vod playlists are append-only "
+                 "with full history; unspecified keeps the sliding window"),
+        Prop("latency", 0, type="uint64",
+             doc="extra ns of latency to report downstream"),
+        Prop("sync", False, type="bool",
+             doc="clock-sync segment writes (accepted; writes happen as "
+                 "segments complete, pacing belongs to upstream)"),
+        Prop("send-keyframe-requests", True, type="bool",
+             doc="send an upstream force-key-unit event when a new segment "
+                 "should start"),
     ]
+
+    def latency_additional_ns(self) -> int:
+        return self.get_property("latency")
+
+    def _playlist_type(self):
+        t = self.get_property("playlist-type")
+        return None if t == "unspecified" else t
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -79,6 +98,8 @@ class _HlsBase(Element):
             max_files=self.get_property("max-files"),
             init_uri=init_uri,
             enable_endlist=self.get_property("enable-endlist"),
+            playlist_type=self._playlist_type(),
+            i_frames_only=bool(self._props.get("i-frames-only")),
         )
         self._seg_index = 0
 
@@ -111,6 +132,23 @@ class _HlsBase(Element):
 
     def _write_playlist(self) -> None:
         hls.write_atomic(self.get_property("playlist-location"), self._playlist.render())
+        iframe_loc = self._props.get("iframe-playlist-location")
+        if iframe_loc and self._playlist is not None:
+            # I-frame playlist: same segments flagged EXT-X-I-FRAMES-ONLY
+            # (whole-segment entries; no per-keyframe byteranges kept)
+            ip = hls.MediaPlaylist(
+                target_duration=self._playlist.target_duration,
+                playlist_length=self._playlist.playlist_length,
+                max_files=self._playlist.max_files,
+                init_uri=self._playlist.init_uri,
+                enable_endlist=self._playlist.ended,
+                playlist_type=self._playlist.playlist_type,
+                i_frames_only=True,
+            )
+            ip.segments = list(self._playlist.segments)
+            ip.media_sequence = self._playlist.media_sequence
+            ip.ended = self._playlist.ended
+            hls.write_atomic(iframe_loc, ip.render())
 
     def _finish_playlist(self) -> None:
         if self._playlist is not None:
@@ -126,6 +164,13 @@ class HlsCmafSink(_HlsBase):
     PROPERTIES = [
         Prop("init-location", "init%05d.mp4", type="str"),
         Prop("location", "segment%05d.m4s", type="str"),
+        Prop("playlist-root-init", None, type="str",
+             doc="URI root for the init segment (playlist-root applies to "
+                 "media segments)"),
+        Prop("iframe-playlist-location", None, type="str",
+             doc="write an EXT-X-I-FRAMES-ONLY playlist here listing each "
+                 "segment (whole-segment byteranges — this muxer keeps no "
+                 "per-keyframe offsets)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -188,7 +233,10 @@ class HlsCmafSink(_HlsBase):
             path = self.get_property("init-location") % 0
             with open(path, "wb") as f:
                 f.write(data)
-            self._playlist.init_uri = self._uri(path)
+            init_root = self.get_property("playlist-root-init")
+            self._playlist.init_uri = (
+                f"{init_root.rstrip('/')}/{os.path.basename(path)}"
+                if init_root else self._uri(path))
             self._write_playlist()
             return FlowReturn.OK
         self._frag_acc += data
@@ -248,6 +296,14 @@ class _ByteStreamHlsSink(_HlsBase):
             return FlowReturn.OK
         if not buf.has_flag(BufferFlags.DELTA_UNIT):
             self._flush_segment()
+            if self.get_property("send-keyframe-requests"):
+                from ...core import Event as _Event
+
+                self.sinkpad.push_event(_Event(
+                    EventType.CUSTOM_UPSTREAM, name="GstForceKeyUnit",
+                    **{"all-headers": True}))
+        elif self._props.get("i-frames-only"):
+            return FlowReturn.OK  # EXT-X-I-FRAMES-ONLY: delta units dropped
         self._acc += data
         self._dur += buf.duration or 0
         return FlowReturn.OK
@@ -272,6 +328,9 @@ class HlsSink3(_ByteStreamHlsSink):
     PROPERTIES = [
         Prop("location", "segment%05d.ts", type="str"),
         Prop("init-location", "init%05d.mp4", type="str"),
+        Prop("i-frames-only", False, type="bool",
+             doc="EXT-X-I-FRAMES-ONLY playlist: only keyframe buffers are "
+                 "segmented, delta units are dropped"),
     ]
     STREAM_CAPS = Caps(
         [Structure("video/quicktime"), Structure("video/mpegts"),
@@ -286,12 +345,25 @@ class HlsWebVttSink(_ByteStreamHlsSink):
     ELEMENT_DESCRIPTION = "HLS sink writing WebVTT subtitle segments"
     PROPERTIES = [
         Prop("location", "segment%05d.vtt", type="str"),
+        Prop("enable-timestamp-map", True, type="bool",
+             doc="prefix each segment with an X-TIMESTAMP-MAP header"),
+        Prop("mpegts-time-offset", 0, type="uint64",
+             doc="MPEGTS value (90 kHz units) for the X-TIMESTAMP-MAP"),
     ]
     STREAM_CAPS = Caps.builder("application/x-subtitle-vtt")
 
     def _chain(self, pad: Pad, buf: Buffer) -> FlowReturn:
         # one VTT cue buffer per segment
-        self._acc += self._payload(buf)
+        data = self._payload(buf)
+        if self.get_property("enable-timestamp-map") and buf.pts is not None:
+            # RFC 8216 §3.5: map the cue timeline onto the MPEG-TS one
+            mpegts = self.get_property("mpegts-time-offset") \
+                + buf.pts * 90_000 // 1_000_000_000
+            header = b"WEBVTT\n"
+            if data.startswith(header):
+                data = (b"WEBVTT\nX-TIMESTAMP-MAP=LOCAL:00:00:00.000,"
+                        + f"MPEGTS:{mpegts}\n".encode() + data[len(header):])
+        self._acc += data
         self._dur += buf.duration or 0
         self._flush_segment()
         return FlowReturn.OK
@@ -311,10 +383,26 @@ class HlsMultivariantSink(Element):
     ELEMENT_DESCRIPTION = "HLS multivariant (master) playlist sink"
     PROPERTIES = [
         Prop("playlist-location", "master.m3u8", type="str"),
+        Prop("multivariant-playlist-location", "", type="str",
+             doc="reference name for playlist-location (kept in sync)"),
         Prop("variant-playlist-pattern", "variant%u.m3u8", type="str"),
         Prop("segment-pattern", "variant%u_segment%%05d.m4s", type="str"),
         Prop("target-duration", DEFAULT_TARGET_DURATION, type="uint", minimum=1),
+        Prop("playlist-length", 5, type="uint"),
+        Prop("max-files", 10, type="uint"),
+        Prop("playlist-type", "unspecified", type="enum",
+             choices=["unspecified", "event", "vod"]),
+        Prop("muxer-type", "cmaf", type="enum", choices=["cmaf", "mpegts"],
+             doc="segment container for the variants (selects the default "
+                 "segment suffix; variants take pre-muxed byte streams)"),
+        Prop("send-keyframe-requests", True, type="bool"),
     ]
+
+    def property_changed(self, name, value) -> None:
+        if name == "multivariant-playlist-location" and value:
+            self._props["playlist-location"] = value
+        elif name == "playlist-location":
+            self._props["multivariant-playlist-location"] = value
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -335,6 +423,15 @@ class HlsMultivariantSink(Element):
             self.get_property("segment-pattern").replace("%u", str(idx)).replace("%%", "%"),
         )
         inner.set_property("target-duration", self.get_property("target-duration"))
+        inner.set_property("playlist-length", self.get_property("playlist-length"))
+        inner.set_property("max-files", self.get_property("max-files"))
+        inner.set_property("playlist-type", self.get_property("playlist-type"))
+        inner.set_property("send-keyframe-requests",
+                           self.get_property("send-keyframe-requests"))
+        if self.get_property("muxer-type") == "mpegts" \
+                and inner.get_property("location").endswith(".m4s"):
+            inner.set_property(
+                "location", inner.get_property("location")[:-4] + ".ts")
         inner.parent = self.parent
         self._sinks.append(inner)
         self._variants.append(

@@ -98,7 +98,29 @@ class RtspSrc2(BaseSrc):
              doc="lower transport (tcp = interleaved on the control connection)"),
         Prop("user-id", None, type="str"),
         Prop("user-pw", None, type="str"),
+        Prop("latency", 2_000, type="uint",
+             doc="ms of jitterbuffer latency reported downstream"),
+        Prop("port-start", 0, type="uint", maximum=65535,
+             doc="first local UDP port to try for RTP (0 = ephemeral)"),
+        Prop("receive-mtu", 65536, type="uint", minimum=1500,
+             doc="receive buffer allocation per RTP datagram"),
+        Prop("do-rtsp-keep-alive", True, type="bool",
+             doc="send periodic keep-alive requests on the control "
+                 "connection while playing"),
+        Prop("extra-http-request-headers", None, type="object",
+             doc="extra headers on every RTSP request (mapping)"),
+        Prop("certificate-file", None, type="str",
+             doc="client TLS certificate for rtsps:// (accepted; this "
+                 "client speaks plain rtsp:// — TLS termination external)"),
+        Prop("private-key-file", None, type="str",
+             doc="accepted with certificate-file"),
+        Prop("tls-validation-flags", "validate-all", type="enum",
+             choices=["validate-all", "none"],
+             doc="accepted with rtsps:// (see certificate-file)"),
     ]
+
+    def latency_additional_ns(self) -> int:
+        return self.get_property("latency") * 1_000_000
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -189,6 +211,11 @@ class RtspSrc2(BaseSrc):
             lines.append(f"Authorization: {auth}")
         for k, v in extra.items():
             lines.append(f"{k}: {v}")
+        custom = self.get_property("extra-http-request-headers")
+        if custom:
+            items = custom.items() if hasattr(custom, "items") else custom
+            for k, v in items:
+                lines.append(f"{k}: {v}")
         self._conn.sendall(("\r\n".join(lines) + "\r\n\r\n").encode())
         status_line, headers, body = self._read_response(method)
         status = status_line.split()
@@ -231,7 +258,19 @@ class RtspSrc2(BaseSrc):
                 self._streams.append(_Stream(i, media, None, channel=ch))
             else:
                 sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
-                sock.bind(("0.0.0.0", 0))
+                start_port = self.get_property("port-start")
+                if start_port:
+                    # walk even ports from port-start until one binds
+                    for cand in range(start_port + 2 * i, 65534, 2):
+                        try:
+                            sock.bind(("0.0.0.0", cand))
+                            break
+                        except OSError:
+                            continue
+                    else:
+                        sock.bind(("0.0.0.0", 0))
+                else:
+                    sock.bind(("0.0.0.0", 0))
                 port = sock.getsockname()[1]
                 headers, _ = self._request(
                     "SETUP", setup_url,
@@ -331,6 +370,18 @@ class RtspSrc2(BaseSrc):
             return self._finish()
         if self.get_property("protocols") == "tcp":
             return self._iterate_tcp()
+        # keep-alive: a periodic OPTIONS with the session keeps NAT/session
+        # state fresh while media flows over UDP (rtspsrc2 keep-alive)
+        if self.get_property("do-rtsp-keep-alive"):
+            import time as _t
+
+            now = _t.monotonic()
+            if now - getattr(self, "_last_keepalive", 0.0) > 25.0:
+                self._last_keepalive = now
+                try:
+                    self._request("OPTIONS", self.get_property("location"))
+                except Exception:
+                    pass  # a failed keep-alive must not kill media flow
         wait_s = self.get_property("timeout") / 1e9
         progressed = False
         for st in self._streams:
@@ -338,7 +389,7 @@ class RtspSrc2(BaseSrc):
                 # block (up to the timeout) for the first stream, then just
                 # drain whatever else is queued without waiting
                 st.sock.settimeout(0.0 if progressed else wait_s)
-                data, _ = st.sock.recvfrom(65536)
+                data, _ = st.sock.recvfrom(self.get_property("receive-mtu"))
             except (socket.timeout, BlockingIOError):
                 continue
             pad = self._pad_for(st)

@@ -82,11 +82,28 @@ class WebRtcSink(BaseSink):
         Prop("min-bitrate", 1000, type="uint", doc="bps"),
         Prop("max-bitrate", 8_192_000, type="uint", doc="bps"),
         Prop("start-bitrate", 2_048_000, type="uint", doc="bps"),
+        # embedded signalling server (webrtcsink/imp.rs run-signalling-server)
+        Prop("run-signalling-server", False, type="bool",
+             doc="start the in-repo gst-webrtc signalling relay and "
+                 "connect to it instead of signaller-uri"),
+        Prop("signalling-server-host", "0.0.0.0", type="str"),
+        Prop("signalling-server-port", 8443, type="uint", maximum=65535),
+        Prop("signalling-server-cert", None, type="str",
+             doc="TLS cert for the embedded server (accepted; the in-repo "
+                 "relay serves plain ws — wss termination is external)"),
+        Prop("signalling-server-cert-password", None, type="str",
+             doc="accepted with signalling-server-cert"),
+        Prop("signalling-server-key", None, type="str",
+             doc="accepted with signalling-server-cert"),
+        Prop("signalling-server-headers", None, type="object",
+             doc="extra headers the embedded server replies with "
+                 "(accepted; the relay speaks the JSON protocol only)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._client: Optional[SignallingClient] = None
+        self._own_server = None
         self._sessions: Dict[str, PeerConnection] = {}
         self._lock = threading.RLock()
         self._chain_elements = []
@@ -232,7 +249,16 @@ class WebRtcSink(BaseSink):
 
     # -- signalling ------------------------------------------------------------
     def on_ready_to_paused(self) -> None:
-        self._client = SignallingClient(self.get_property("signaller-uri"), self._on_signal)
+        uri = self.get_property("signaller-uri")
+        if self.get_property("run-signalling-server"):
+            from ...net.webrtc_signalling import SignallingServer
+
+            self._own_server = SignallingServer(
+                self.get_property("signalling-server-host"),
+                self.get_property("signalling-server-port"))
+            uri = f"ws://127.0.0.1:{self._own_server.port}"
+            self._props["signaller-uri"] = uri
+        self._client = SignallingClient(uri, self._on_signal)
         self._client.wait_welcome()
         self._client.send({
             "type": "setPeerStatus",
@@ -253,6 +279,9 @@ class WebRtcSink(BaseSink):
         if self._client:
             self._client.close()
             self._client = None
+        if self._own_server is not None:
+            self._own_server.stop()
+            self._own_server = None
 
     def _on_signal(self, msg: dict) -> None:
         t = msg.get("type")
@@ -341,7 +370,12 @@ class WebRtcSrc(BaseSrc):
     PROPERTIES = [
         Prop("signaller-uri", "ws://127.0.0.1:8443", type="str"),
         Prop("producer-peer-id", None, type="str",
-             doc="producer to connect to; None = first producer to appear"),
+             doc="producer to connect to; None = first producer to appear "
+                 "(requires connect-to-first-producer)"),
+        Prop("connect-to-first-producer", True, type="bool",
+             doc="with no producer-peer-id, connect to the first producer "
+                 "that appears (reference defaults false and errors; this "
+                 "framework defaults true — documented divergence)"),
         Prop("meta", None, type="object"),
         Prop("timeout", 10_000_000_000, type="uint64",
              doc="ns to wait for media before giving up (0 = forever)"),
@@ -375,6 +409,10 @@ class WebRtcSrc(BaseSrc):
         if wanted:
             self._producer_id = wanted
             self._producer_evt.set()
+        elif not self.get_property("connect-to-first-producer"):
+            raise RuntimeError(
+                "webrtcsrc: no producer-peer-id set and "
+                "connect-to-first-producer is false")
         else:
             # poll the producer list until one appears (the reference's
             # webrtcsrc listens for peerStatusChanged the same way; the list

@@ -76,7 +76,19 @@ class FallbackSrc(BaseSrc):
         Prop("manual-unblock", False, type="bool",
              doc="hold the fallback after the primary recovers until "
                  "unblock() is called"),
+        Prop("statistics", None, type="object",
+             doc="(read) application/x-fallbacksrc-stats structure"),
+        Prop("status", "stopped", type="enum",
+             choices=["stopped", "buffering", "retrying", "running"],
+             doc="(read) current source status"),
     ]
+
+    def get_property(self, name: str):
+        if name == "statistics":
+            return self.statistics
+        if name == "status":
+            return self.status
+        return super().get_property(name)
 
     @property
     def statistics(self) -> Structure:

@@ -30,12 +30,16 @@ class MediaPlaylist:
         max_files: int = 10,
         init_uri: Optional[str] = None,
         enable_endlist: bool = True,
+        playlist_type: Optional[str] = None,
+        i_frames_only: bool = False,
     ):
         self.target_duration = target_duration
         self.playlist_length = playlist_length
         self.max_files = max_files
         self.init_uri = init_uri
         self.enable_endlist = enable_endlist
+        self.playlist_type = playlist_type  # None | "event" | "vod"
+        self.i_frames_only = i_frames_only
         self.segments: List[Segment] = []
         self.media_sequence = 0
         self.ended = False
@@ -44,6 +48,8 @@ class MediaPlaylist:
         """Add a segment; returns paths of segments evicted past max-files."""
         self.segments.append(seg)
         evicted: List[str] = []
+        if self.playlist_type in ("event", "vod"):
+            return evicted  # append-only playlists never evict (RFC 8216)
         # window: playlist shows the last `playlist_length` segments, files
         # beyond `max_files` get deleted (hlsbasesink.rs)
         while len(self.segments) > max(self.max_files, self.playlist_length):
@@ -57,7 +63,10 @@ class MediaPlaylist:
         self.ended = True
 
     def render(self) -> str:
-        visible = self.segments[-self.playlist_length :] if self.playlist_length else self.segments
+        if self.playlist_type in ("event", "vod"):
+            visible = self.segments  # full history for EVENT/VOD
+        else:
+            visible = self.segments[-self.playlist_length :] if self.playlist_length else self.segments
         seq = self.media_sequence + (len(self.segments) - len(visible))
         target = max(
             self.target_duration,
@@ -69,6 +78,10 @@ class MediaPlaylist:
             f"#EXT-X-TARGETDURATION:{target}",
             f"#EXT-X-MEDIA-SEQUENCE:{seq}",
         ]
+        if self.playlist_type in ("event", "vod"):
+            lines.append(f"#EXT-X-PLAYLIST-TYPE:{self.playlist_type.upper()}")
+        if self.i_frames_only:
+            lines.append("#EXT-X-I-FRAMES-ONLY")
         if self.init_uri:
             lines.append(f'#EXT-X-MAP:URI="{self.init_uri}"')
         for s in visible:
