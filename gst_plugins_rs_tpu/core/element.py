@@ -225,6 +225,10 @@ class Element:
     ELEMENT_CLASS: str = "Generic"
     ELEMENT_DESCRIPTION: str = ""
     PROPERTIES: List[Prop] = []
+    #: GObject-signal analog: action signals map to a method name that
+    #: `emit()` dispatches to; request signals (value None) are answered
+    #: by a `connect()`ed handler and emit() returns its result.
+    SIGNALS: Dict[str, Optional[str]] = {}
 
     _instance_counter: Dict[str, int] = {}
 
@@ -255,6 +259,42 @@ class Element:
             for p in vars(klass).get("PROPERTIES", []):
                 seen[p.name] = p
         return list(seen.values())
+
+    # -- signals (GObject action/request signal analog) ----------------------
+    @classmethod
+    def _all_signals(cls) -> Dict[str, Optional[str]]:
+        seen: Dict[str, Optional[str]] = {}
+        for klass in reversed(cls.__mro__):
+            seen.update(vars(klass).get("SIGNALS", {}))
+        return seen
+
+    def emit(self, signal: str, *args, **kwargs):
+        """`element.emit("signal-name", ...)` like gst_signal_emit: action
+        signals call the mapped method; request signals call the connected
+        handler (first one wins) and return its result."""
+        signals = self._all_signals()
+        if signal not in signals:
+            raise KeyError(f"{self.ELEMENT_NAME}: no signal {signal!r}")
+        method = signals[signal]
+        if method is not None:
+            return getattr(self, method)(*args, **kwargs)
+        for cb in getattr(self, "_signal_handlers", {}).get(signal, []):
+            return cb(self, *args, **kwargs)
+        return None
+
+    def connect(self, signal: str, callback) -> None:
+        """Attach a handler for a request signal (or to observe an action
+        signal's emissions is not supported — actions dispatch to methods)."""
+        if signal not in self._all_signals():
+            raise KeyError(f"{self.ELEMENT_NAME}: no signal {signal!r}")
+        if not hasattr(self, "_signal_handlers"):
+            self._signal_handlers: Dict[str, List[Any]] = {}
+        self._signal_handlers.setdefault(signal, []).append(callback)
+
+    def signal_handler(self, signal: str):
+        """First connected handler for `signal`, or None."""
+        handlers = getattr(self, "_signal_handlers", {}).get(signal)
+        return handlers[0] if handlers else None
 
     # -- pads -------------------------------------------------------------------
     def add_pad(self, pad: Pad) -> Pad:

@@ -47,6 +47,7 @@ MODE_ALL = MODE_M | MODE_S | MODE_I | MODE_LRA | MODE_SAMPLE_PEAK | MODE_TRUE_PE
 class EbuR128Level(AudioFilter):
     ELEMENT_NAME = "ebur128level"
     ELEMENT_CLASS = "Filter/Analyzer/Audio"
+    SIGNALS = {"reset": "reset"}
     ELEMENT_DESCRIPTION = "Measures loudness according to EBU R-128"
     MODE = TransformMode.ALWAYS_IN_PLACE
     PASSTHROUGH_ON_SAME_CAPS = True

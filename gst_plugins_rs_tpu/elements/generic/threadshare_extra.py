@@ -65,6 +65,7 @@ _CTX_PROPS = [
 class TsAppSrc(AppSrc):
     ELEMENT_NAME = "ts-appsrc"
     ELEMENT_DESCRIPTION = "Application-driven source (threadshare analog)"
+    SIGNALS = {"push-buffer": "push_buffer", "end-of-stream": "end_of_stream"}
     PROPERTIES = AppSrc.PROPERTIES + _CTX_PROPS + [
         Prop("do-timestamp", False, type="bool",
              doc="Timestamp buffers with the running time on arrival"),

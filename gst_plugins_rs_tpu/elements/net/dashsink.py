@@ -52,6 +52,13 @@ class _Representation:
 class DashSink2(Element):
     ELEMENT_NAME = "dashsink2"
     ELEMENT_CLASS = "Sink/Muxer"
+    SIGNALS = {
+        # request signals: the app supplies a writable file-like object
+        # for each artifact instead of this sink opening files itself
+        "get-init-stream": None,
+        "get-segment-stream": None,
+        "get-manifest-stream": None,
+    }
     ELEMENT_DESCRIPTION = "DASH sink writing fMP4 representations and an MPD"
     PROPERTIES = [
         Prop("mpd-root-path", ".", type="str"),
@@ -151,11 +158,21 @@ class DashSink2(Element):
     def _root(self) -> str:
         return self.get_property("mpd-root-path")
 
+    def _open_out(self, signal: str, path: str, mode: str = "wb"):
+        """get-*-stream request signals: a connected handler provides the
+        output stream; otherwise a file opens at `path`."""
+        handler = self.signal_handler(signal)
+        if handler is not None:
+            stream = handler(self, path)
+            if stream is not None:
+                return stream
+        return open(path, mode)
+
     def _mux_output(self, rep: _Representation, buf: Buffer) -> FlowReturn:
         data = np.asarray(buf.data, np.uint8).tobytes()
         if buf.has_flag(BufferFlags.HEADER):
             path = os.path.join(self._root(), f"init_{rep.idx}.mp4")
-            with open(path, "wb") as f:
+            with self._open_out("get-init-stream", path) as f:
                 f.write(data)
             rep.init_written = True
             return FlowReturn.OK
@@ -171,7 +188,7 @@ class DashSink2(Element):
         if not rep.acc:
             return
         path = os.path.join(self._root(), f"seg_{rep.idx}_{rep.seg_index}.m4s")
-        with open(path, "wb") as f:
+        with self._open_out("get-segment-stream", path) as f:
             f.write(bytes(rep.acc))
         rep.segments.append(rep.acc_dur)
         rep.seg_index += 1
@@ -243,7 +260,7 @@ class DashSink2(Element):
             lines.append("    </AdaptationSet>")
         lines += ["  </Period>", "</MPD>", ""]
         path = os.path.join(self._root(), self.get_property("mpd-filename"))
-        with open(path, "w") as f:
+        with self._open_out("get-manifest-stream", path, "w") as f:
             f.write("\n".join(lines))
 
 

@@ -52,6 +52,13 @@ DEFAULT_TARGET_DURATION = 15  # hlssink3 target-duration default (seconds)
 class _HlsBase(Element):
     """Shared segment/playlist machinery (hlsbasesink.rs analog)."""
 
+    SIGNALS = {
+        # request signals (hlsbasesink.rs): the app supplies writable
+        # streams; unhandled ones fall back to plain files
+        "get-fragment-stream": None,
+        "get-playlist-stream": None,
+        "delete-fragment": None,
+    }
     PROPERTIES = [
         Prop("playlist-location", "playlist.m3u8", type="str"),
         Prop("playlist-root", None, type="str"),
@@ -103,16 +110,28 @@ class _HlsBase(Element):
         )
         self._seg_index = 0
 
+    def _open_out(self, signal: str, path: str):
+        handler = self.signal_handler(signal)
+        if handler is not None:
+            stream = handler(self, path)
+            if stream is not None:
+                return stream
+        return open(path, "wb")
+
     def _write_segment(self, data: bytes, duration_ns: int) -> None:
         path = self.get_property("location") % self._seg_index
         self._seg_index += 1
-        with open(path, "wb") as f:
+        with self._open_out("get-fragment-stream", path) as f:
             f.write(data)
         assert self._playlist is not None
         evicted = self._playlist.add_segment(
             hls.Segment(self._uri(path), duration_ns / SECOND, path)
         )
         for old in evicted:
+            handler = self.signal_handler("delete-fragment")
+            if handler is not None:
+                handler(self, old)
+                continue
             try:
                 os.remove(old)
             except OSError:
@@ -131,7 +150,15 @@ class _HlsBase(Element):
         )
 
     def _write_playlist(self) -> None:
-        hls.write_atomic(self.get_property("playlist-location"), self._playlist.render())
+        handler = self.signal_handler("get-playlist-stream")
+        if handler is not None:
+            stream = handler(self, self.get_property("playlist-location"))
+            if stream is not None:
+                with stream as f:
+                    f.write(self._playlist.render().encode())
+        else:
+            hls.write_atomic(self.get_property("playlist-location"),
+                             self._playlist.render())
         iframe_loc = self._props.get("iframe-playlist-location")
         if iframe_loc and self._playlist is not None:
             # I-frame playlist: same segments flagged EXT-X-I-FRAMES-ONLY
@@ -160,6 +187,13 @@ class _HlsBase(Element):
 class HlsCmafSink(_HlsBase):
     ELEMENT_NAME = "hlscmafsink"
     ELEMENT_CLASS = "Sink/Muxer"
+    SIGNALS = {
+        "get-init-stream": None,
+        "new-playlist": "new_playlist",
+        "get-fragment-stream": None,
+        "get-playlist-stream": None,
+        "delete-fragment": None,
+    }
     ELEMENT_DESCRIPTION = "HLS sink writing CMAF segments (embeds cmafmux)"
     PROPERTIES = [
         Prop("init-location", "init%05d.mp4", type="str"),
@@ -231,7 +265,7 @@ class HlsCmafSink(_HlsBase):
         data = np.asarray(buf.data, np.uint8).tobytes()
         if buf.has_flag(BufferFlags.HEADER):
             path = self.get_property("init-location") % 0
-            with open(path, "wb") as f:
+            with self._open_out("get-init-stream", path) as f:
                 f.write(data)
             init_root = self.get_property("playlist-root-init")
             self._playlist.init_uri = (
@@ -247,6 +281,13 @@ class HlsCmafSink(_HlsBase):
             self._frag_acc = bytearray()
             self._frag_dur = 0
         return FlowReturn.OK
+
+    def new_playlist(self) -> None:
+        """`new-playlist` action: finish the current playlist and start a
+        fresh one (hlscmafsink/imp.rs:270-274)."""
+        self._finish_playlist()
+        init_uri = self._playlist.init_uri if self._playlist else None
+        self._init_playlist(init_uri)
 
     def _mux_event(self, pad: Pad, event: Event) -> bool:
         if event.type == EventType.EOS:
@@ -380,6 +421,13 @@ class HlsMultivariantSink(Element):
 
     ELEMENT_NAME = "hlsmultivariantsink"
     ELEMENT_CLASS = "Sink/Muxer"
+    SIGNALS = {
+        "get-init-stream": None,
+        "get-fragment-stream": None,
+        "get-playlist-stream": None,
+        "get-multivariant-playlist-stream": None,
+        "delete-fragment": None,
+    }
     ELEMENT_DESCRIPTION = "HLS multivariant (master) playlist sink"
     PROPERTIES = [
         Prop("playlist-location", "master.m3u8", type="str"),

@@ -640,6 +640,11 @@ class QuinnRoqDemux(Element):
     ELEMENT_NAME = "quinnroqdemux"
     ELEMENT_CLASS = "Demuxer/Network/QUIC/RTP"
     ELEMENT_DESCRIPTION = "Demultiplexes RTP streams over QUIC"
+    SIGNALS = {
+        # request: the app answers with the caps for a flow-id (the
+        # reference's request-flow-id-map); None falls back to rtp-caps
+        "request-flow-id-map": None,
+    }
     PROPERTIES = [
         Prop("rtp-caps", "application/x-rtp", type="str",
              doc="caps advertised on the demuxed flows"),
@@ -667,7 +672,12 @@ class QuinnRoqDemux(Element):
             self._pads[flow_id] = pad
             from ...core.events import Event, Segment
             pad.push_event(Event.new_stream_start(f"{self.name}-flow-{flow_id}"))
-            pad.push_event(Event.new_caps(parse_caps(self.get_property("rtp-caps"))))
+            mapped = self.emit("request-flow-id-map", flow_id)
+            caps = mapped if mapped is not None else \
+                parse_caps(self.get_property("rtp-caps"))
+            if isinstance(caps, str):
+                caps = parse_caps(caps)
+            pad.push_event(Event.new_caps(caps))
             pad.push_event(Event.new_segment(Segment()))
         return self._pads[flow_id]
 

@@ -171,10 +171,35 @@ def _session_peer(rtp_id: str, role: str):
     return _RTP_SESSIONS.get(rtp_id, {}).get(role)
 
 
+class _SessionFacade:
+    """What `get-session` returns: the paired send/recv halves of one
+    rtp-id (the reference hands out its shared Session object)."""
+
+    def __init__(self, rtp_id: str):
+        self.rtp_id = rtp_id
+
+    @property
+    def send(self):
+        return _session_peer(self.rtp_id, "send")
+
+    @property
+    def recv(self):
+        return _session_peer(self.rtp_id, "recv")
+
+    def __repr__(self):
+        return f"RtpSession({self.rtp_id!r}, send={self.send}, recv={self.recv})"
+
+
+class _GetSessionMixin:
+    def get_session(self, _id: int = 0) -> "_SessionFacade":
+        return _SessionFacade(self.get_property("rtp-id"))
+
+
 @register
-class RtpSend(_RtcpTimerMixin, Element):
+class RtpSend(_GetSessionMixin, _RtcpTimerMixin, Element):
     ELEMENT_NAME = "rtpsend"
     ELEMENT_CLASS = "Network/RTP/Session"
+    SIGNALS = {"get-session": "get_session"}
     ELEMENT_DESCRIPTION = "RTP session sender: forwards RTP, generates RTCP SRs"
     PROPERTIES = [
         Prop("rtcp-interval", DEFAULT_RTCP_INTERVAL, type="uint64"),
@@ -462,9 +487,10 @@ class _RecvStream:
 
 
 @register
-class RtpRecv(_RtcpTimerMixin, Element):
+class RtpRecv(_GetSessionMixin, _RtcpTimerMixin, Element):
     ELEMENT_NAME = "rtprecv"
     ELEMENT_CLASS = "Network/RTP/Session"
+    SIGNALS = {"get-session": "get_session"}
     ELEMENT_DESCRIPTION = "RTP session receiver: SSRC demux + jitterbuffer + RTCP RRs"
     PROPERTIES = [
         Prop("latency", 0, type="uint64", doc="jitterbuffer latency in ns"),
@@ -826,6 +852,10 @@ class TsJitterBuffer(Element):
 
     ELEMENT_NAME = "ts-jitterbuffer"
     ELEMENT_CLASS = "Network/RTP"
+    SIGNALS = {
+        "clear-pt-map": "clear_pt_map",
+        "request-pt-map": None,  # request: app answers with caps for a pt
+    }
     ELEMENT_DESCRIPTION = "Reorders RTP packets by seqnum within a latency window"
     PROPERTIES = [
         Prop("latency", 200_000_000, type="uint64", doc="reorder window in ns"),
@@ -870,6 +900,21 @@ class TsJitterBuffer(Element):
         self._num_pushed = 0
         self._last_seq = None
         self._last_pts = None
+
+    def clear_pt_map(self) -> None:
+        """`clear-pt-map` action: drop cached pt->caps answers, so the
+        next unknown pt re-emits request-pt-map."""
+        self._pt_map = {}
+
+    def pt_caps(self, pt: int):
+        """caps for a payload type: cached, else ask the request-pt-map
+        handler (jitterbuffer pt-map model)."""
+        cache = getattr(self, "_pt_map", None)
+        if cache is None:
+            cache = self._pt_map = {}
+        if pt not in cache:
+            cache[pt] = self.emit("request-pt-map", pt)
+        return cache[pt]
 
     def get_property(self, name: str):
         if name == "stats":

@@ -88,6 +88,12 @@ class RtspSrc2(BaseSrc):
     ELEMENT_NAME = "rtspsrc2"
     ELEMENT_CLASS = "Source/Network"
     ELEMENT_DESCRIPTION = "RTSP client source (RTP over UDP or interleaved TCP)"
+    SIGNALS = {
+        "get-parameter": "get_parameter",
+        "get-parameters": "get_parameters",
+        "set-parameter": "set_parameter",
+        "tls-client-auth": None,  # request: app supplies a client cert
+    }
     IS_LIVE = True
     SRC_CAPS = RTP_CAPS
     PROPERTIES = [
@@ -121,6 +127,45 @@ class RtspSrc2(BaseSrc):
 
     def latency_additional_ns(self) -> int:
         return self.get_property("latency") * 1_000_000
+
+    # -- GET_PARAMETER / SET_PARAMETER actions (rtspsrc2/imp.rs signals) ----
+    def get_parameter(self, parameter: str, content_type: str = "text/parameters") -> str:
+        """`get-parameter` action: one RTSP GET_PARAMETER round trip."""
+        return self.get_parameters([parameter], content_type)
+
+    def get_parameters(self, parameters, content_type: str = "text/parameters") -> str:
+        body = "\r\n".join(parameters).encode() if parameters else b""
+        headers, resp = self._request_with_body(
+            "GET_PARAMETER", self.get_property("location"),
+            body, content_type)
+        return resp.decode(errors="replace")
+
+    def set_parameter(self, name: str, value: str,
+                      content_type: str = "text/parameters") -> bool:
+        body = f"{name}: {value}".encode()
+        self._request_with_body("SET_PARAMETER", self.get_property("location"),
+                                body, content_type)
+        return True
+
+    def _request_with_body(self, method: str, url: str, body: bytes,
+                           content_type: str):
+        extra = {"Content-Type": content_type,
+                 "Content-Length": str(len(body))}
+        # reuse the header path, then append the body on the wire
+        self._cseq += 1
+        lines = [f"{method} {url} RTSP/1.0", f"CSeq: {self._cseq}"]
+        if self._session:
+            lines.append(f"Session: {self._session}")
+        auth = self._authorization(method, url)
+        if auth:
+            lines.append(f"Authorization: {auth}")
+        for k, v in extra.items():
+            lines.append(f"{k}: {v}")
+        self._conn.sendall(("\r\n".join(lines) + "\r\n\r\n").encode() + body)
+        status_line, headers, resp = self._read_response(method)
+        if status_line.split()[1] != "200":
+            raise RuntimeError(f"{self.name}: {method} failed: {status_line}")
+        return headers, resp
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)

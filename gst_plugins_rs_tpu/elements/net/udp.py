@@ -270,6 +270,8 @@ class TsUdpSink(BaseSink):
     ELEMENT_NAME = "ts-udpsink"
     ELEMENT_CLASS = "Sink/Network"
     ELEMENT_DESCRIPTION = "Sends buffers as UDP datagrams"
+    SIGNALS = {"add": "add_client", "remove": "remove_client",
+               "clear": "clear_clients"}
     PROPERTIES = [
         Prop("host", "127.0.0.1", type="str",
              doc="convenience single destination (kept in sync with clients)"),
@@ -306,6 +308,25 @@ class TsUdpSink(BaseSink):
         self._sock: Optional[socket.socket] = None
         self._sock6: Optional[socket.socket] = None
         self._owns_sock = True
+
+    def add_client(self, host: str, port: int) -> None:
+        """`add` action: append host:port to the clients list."""
+        cur = [c for c in self.get_property("clients").split(",") if c]
+        entry = f"{host}:{port}"
+        if entry not in cur:
+            cur.append(entry)
+            self._props["clients"] = ",".join(cur)
+
+    def remove_client(self, host: str, port: int) -> None:
+        """`remove` action: drop host:port from the clients list."""
+        entry = f"{host}:{port}"
+        cur = [c for c in self.get_property("clients").split(",")
+               if c and c != entry]
+        self._props["clients"] = ",".join(cur)
+
+    def clear_clients(self) -> None:
+        """`clear` action: drop every destination."""
+        self._props["clients"] = ""
 
     def _destinations(self) -> List[Tuple[str, int]]:
         out = []

@@ -83,6 +83,16 @@ class FallbackSrc(BaseSrc):
              doc="(read) current source status"),
     ]
 
+    SIGNALS = {
+        "unblock": "unblock",
+        "update-uri": "update_uri",
+        "map-streams": None,  # request: app remaps the stream selection
+    }
+
+    def update_uri(self, uri: str) -> None:
+        """`update-uri` action: the next (re)start uses the new uri."""
+        self._props["uri"] = uri
+
     def get_property(self, name: str):
         if name == "statistics":
             return self.statistics

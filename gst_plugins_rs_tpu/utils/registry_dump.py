@@ -87,6 +87,8 @@ def element_info(name: str) -> Dict[str, Any]:
         "description": cls.ELEMENT_DESCRIPTION,
         "python": f"{cls.__module__}.{cls.__name__}",
         "properties": props,
+        "signals": {s: ("action" if m else "request")
+                    for s, m in cls._all_signals().items()},
         "pads": pads,
     }
 
