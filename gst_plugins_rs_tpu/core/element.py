@@ -229,6 +229,12 @@ class Element:
     #: `emit()` dispatches to; request signals (value None) are answered
     #: by a `connect()`ed handler and emit() returns its result.
     SIGNALS: Dict[str, Optional[str]] = {}
+    #: Introspection metadata for pads that only exist after a request or
+    #: a stream appears: (name_template, direction, presence, caps_name).
+    #: request_sink_pad()/dataflow create the real Pad objects; this list
+    #: makes them visible to --inspect and the registry like the
+    #: reference's static pad templates.
+    EXTRA_PAD_TEMPLATES: List[tuple] = []
 
     _instance_counter: Dict[str, int] = {}
 

@@ -183,6 +183,9 @@ class AnalyticsCombiner(Aggregator):
 @register
 class AnalyticsSplitter(Element):
     ELEMENT_NAME = "analyticssplitter"
+    EXTRA_PAD_TEMPLATES = [
+        ('src_%u', 'src', 'sometimes', 'ANY'),
+    ]
     ELEMENT_CLASS = "Demuxer/Analytics"
     ELEMENT_DESCRIPTION = "Splits analytics batch buffers back into per-stream pads"
 

@@ -53,6 +53,9 @@ _MODEL_CONFIGS = {
 @register
 class Demucs(Element):
     ELEMENT_NAME = "demucs"
+    EXTRA_PAD_TEMPLATES = [
+        ('src_%s', 'src', 'always', 'audio/x-raw'),
+    ]
     ELEMENT_CLASS = "Filter/Audio"
     ELEMENT_DESCRIPTION = "Music source separation (drums/bass/other/vocals)"
     PROPERTIES = [

@@ -61,6 +61,9 @@ class St2038AncDemux(Element):
     plus a passthrough 'src' pad (reference st2038ancdemux)."""
 
     ELEMENT_NAME = "st2038ancdemux"
+    EXTRA_PAD_TEMPLATES = [
+        ('anc_%02x_%02x_at_%u_%u', 'src', 'sometimes', 'meta/x-st-2038'),
+    ]
     ELEMENT_CLASS = "Metadata/Demuxer"
     ELEMENT_DESCRIPTION = "Splits ST-2038 ancillary streams per DID/SDID"
 
@@ -331,6 +334,9 @@ class St2038Extractor(Element):
     sink/src video passthrough + optional st2038 src)."""
 
     ELEMENT_NAME = "st2038extractor"
+    EXTRA_PAD_TEMPLATES = [
+        ('st2038', 'src', 'sometimes', 'meta/x-st-2038'),
+    ]
     ELEMENT_CLASS = "Metadata"
     ELEMENT_DESCRIPTION = "Extracts ST-2038 ancillary data from video buffers"
     PROPERTIES = [

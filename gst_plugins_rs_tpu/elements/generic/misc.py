@@ -133,6 +133,10 @@ class StreamGrouper(Element):
     (reference generic/streamgrouper)."""
 
     ELEMENT_NAME = "streamgrouper"
+    EXTRA_PAD_TEMPLATES = [
+        ('sink_%u', 'sink', 'request', 'ANY'),
+        ('src_%u', 'src', 'request', 'ANY'),
+    ]
     ELEMENT_CLASS = "Generic"
     ELEMENT_DESCRIPTION = "Makes all incoming streams share a group-id"
 

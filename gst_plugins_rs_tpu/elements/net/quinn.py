@@ -445,6 +445,10 @@ class QuinnQuicMux(Element):
     """Tags each input pad's buffers with a stream id (or datagram)."""
 
     ELEMENT_NAME = "quinnquicmux"
+    EXTRA_PAD_TEMPLATES = [
+        ('stream_%u', 'sink', 'request', 'ANY'),
+        ('datagram', 'sink', 'request', 'ANY'),
+    ]
     ELEMENT_CLASS = "Muxer/Network/QUIC"
     ELEMENT_DESCRIPTION = "Multiplexes multiple streams and datagram for QUIC"
 
@@ -503,6 +507,10 @@ class QuinnQuicDemux(Element):
     """Fans tagged buffers out to stream_%u / datagram sometimes pads."""
 
     ELEMENT_NAME = "quinnquicdemux"
+    EXTRA_PAD_TEMPLATES = [
+        ('stream_%u', 'src', 'sometimes', 'ANY'),
+        ('datagram', 'src', 'sometimes', 'ANY'),
+    ]
     ELEMENT_CLASS = "Demuxer/Network/QUIC"
     ELEMENT_DESCRIPTION = "Demultiplexes multiple streams and datagram for QUIC"
 
@@ -570,6 +578,10 @@ class QuinnRoqMux(Element):
     """
 
     ELEMENT_NAME = "quinnroqmux"
+    EXTRA_PAD_TEMPLATES = [
+        ('stream_%u', 'sink', 'request', 'application/x-rtp'),
+        ('datagram_%u', 'sink', 'request', 'application/x-rtp'),
+    ]
     ELEMENT_CLASS = "Muxer/Network/QUIC/RTP"
     ELEMENT_DESCRIPTION = "Multiplexes RTP streams over QUIC"
 
@@ -638,6 +650,9 @@ class QuinnRoqDemux(Element):
     """Reverses quinnroqmux framing into per-flow application/x-rtp pads."""
 
     ELEMENT_NAME = "quinnroqdemux"
+    EXTRA_PAD_TEMPLATES = [
+        ('src_%u', 'src', 'sometimes', 'application/x-rtp'),
+    ]
     ELEMENT_CLASS = "Demuxer/Network/QUIC/RTP"
     ELEMENT_DESCRIPTION = "Demultiplexes RTP streams over QUIC"
     SIGNALS = {

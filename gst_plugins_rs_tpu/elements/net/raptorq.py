@@ -46,6 +46,9 @@ HDR = struct.Struct(">HHBBH")
 @register
 class RaptorqEnc(Element):
     ELEMENT_NAME = "raptorqenc"
+    EXTRA_PAD_TEMPLATES = [
+        ('fec_%u', 'src', 'sometimes', 'application/x-rtp-fec'),
+    ]
     ELEMENT_CLASS = "Network/FEC"
     ELEMENT_DESCRIPTION = "Adds fountain-code repair packets to an RTP stream"
     PROPERTIES = [
@@ -149,6 +152,9 @@ class _BlockState:
 @register
 class RaptorqDec(Element):
     ELEMENT_NAME = "raptorqdec"
+    EXTRA_PAD_TEMPLATES = [
+        ('fec_%u', 'sink', 'request', 'application/x-rtp-fec'),
+    ]
     ELEMENT_CLASS = "Network/FEC"
     ELEMENT_DESCRIPTION = "Recovers lost RTP packets from fountain-code repair packets"
     PROPERTIES = [

@@ -198,6 +198,12 @@ class _GetSessionMixin:
 @register
 class RtpSend(_GetSessionMixin, _RtcpTimerMixin, Element):
     ELEMENT_NAME = "rtpsend"
+    EXTRA_PAD_TEMPLATES = [
+        ('rtp_sink_%u', 'sink', 'request', 'application/x-rtp'),
+        ('rtp_src_%u', 'src', 'sometimes', 'application/x-rtp'),
+        ('rtcp_src_%u', 'src', 'sometimes', 'application/x-rtcp'),
+        ('rtcp_sink_%u', 'sink', 'request', 'application/x-rtcp'),
+    ]
     ELEMENT_CLASS = "Network/RTP/Session"
     SIGNALS = {"get-session": "get_session"}
     ELEMENT_DESCRIPTION = "RTP session sender: forwards RTP, generates RTCP SRs"
@@ -489,6 +495,12 @@ class _RecvStream:
 @register
 class RtpRecv(_GetSessionMixin, _RtcpTimerMixin, Element):
     ELEMENT_NAME = "rtprecv"
+    EXTRA_PAD_TEMPLATES = [
+        ('rtp_sink_%u', 'sink', 'request', 'application/x-rtp'),
+        ('rtp_src_%u_%u_%u', 'src', 'sometimes', 'application/x-rtp'),
+        ('rtcp_src_%u', 'src', 'sometimes', 'application/x-rtcp'),
+        ('rtcp_sink_%u', 'sink', 'request', 'application/x-rtcp'),
+    ]
     ELEMENT_CLASS = "Network/RTP/Session"
     SIGNALS = {"get-session": "get_session"}
     ELEMENT_DESCRIPTION = "RTP session receiver: SSRC demux + jitterbuffer + RTCP RRs"

@@ -86,6 +86,9 @@ class _Stream:
 @register
 class RtspSrc2(BaseSrc):
     ELEMENT_NAME = "rtspsrc2"
+    EXTRA_PAD_TEMPLATES = [
+        ('stream_%u', 'src', 'sometimes', 'application/x-rtp'),
+    ]
     ELEMENT_CLASS = "Source/Network"
     ELEMENT_DESCRIPTION = "RTSP client source (RTP over UDP or interleaved TCP)"
     SIGNALS = {

@@ -62,6 +62,10 @@ def _caps_media(caps: Optional[Caps]):
 @register
 class WebRtcSink(BaseSink):
     ELEMENT_NAME = "webrtcsink"
+    EXTRA_PAD_TEMPLATES = [
+        ('video_%u', 'sink', 'request', 'video/x-raw'),
+        ('audio_%u', 'sink', 'request', 'audio/x-raw'),
+    ]
     ELEMENT_CLASS = "Sink/Network/WebRTC"
     ELEMENT_DESCRIPTION = "WebRTC producer with gst-webrtc signalling (ICE+DTLS-SRTP)"
     from ...core.caps import Structure as _S
@@ -363,6 +367,9 @@ class WebRtcSink(BaseSink):
 @register
 class WebRtcSrc(BaseSrc):
     ELEMENT_NAME = "webrtcsrc"
+    EXTRA_PAD_TEMPLATES = [
+        ('stream_%u', 'src', 'sometimes', 'application/x-rtp'),
+    ]
     ELEMENT_CLASS = "Source/Network/WebRTC"
     ELEMENT_DESCRIPTION = "WebRTC consumer with gst-webrtc signalling (ICE+DTLS-SRTP)"
     SRC_CAPS = RTP_CAPS

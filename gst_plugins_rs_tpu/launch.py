@@ -74,6 +74,11 @@ def inspect_element(name: str) -> int:
               f"{rng} (mutable in {p['mutable']})")
         if p.get("doc"):
             print(f"    {p['doc']}")
+    signals = info.get("signals") or {}
+    if signals:
+        print(f"\nSignals ({len(signals)}):")
+        for s, kind in sorted(signals.items()):
+            print(f"  {s:24s} {kind}")
     return 0
 
 

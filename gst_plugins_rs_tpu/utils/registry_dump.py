@@ -69,7 +69,7 @@ def element_info(name: str) -> Dict[str, Any]:
                     "caps": caps_repr(pad.pad_template_caps()),
                 }
             )
-        if hasattr(inst, "request_sink_pad"):
+        if hasattr(inst, "request_sink_pad") and not cls.EXTRA_PAD_TEMPLATES:
             pads.append(
                 {
                     "name": "sink_%u",
@@ -78,6 +78,11 @@ def element_info(name: str) -> Dict[str, Any]:
                     "caps": caps_repr(getattr(cls, "SINK_TEMPLATE_CAPS", Caps.new_any())),
                 }
             )
+        # declared request/sometimes templates (EXTRA_PAD_TEMPLATES):
+        # pads that only exist after a request or once a stream appears
+        for name_t, direction, presence, caps_name in cls.EXTRA_PAD_TEMPLATES:
+            pads.append({"name": name_t, "direction": direction,
+                         "presence": presence, "caps": [{"name": caps_name}]})
     except Exception as e:  # noqa: BLE001 - introspection stays best-effort
         pads.append({"error": str(e)})
 
