@@ -34,13 +34,24 @@ class BaseSrc(Element):
             Pad("src", PadDirection.SRC, PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS, self.SRC_CAPS))
         )
         self.srcpad.query_function = self._src_query
+        self.srcpad.event_function = self._src_event
         self.out_caps: Optional[Caps] = None
         self._started_stream = False
         self._eos_sent = False
+        self.segment = Segment()
 
     # -- subclass hooks -----------------------------------------------------
     def start(self) -> None: ...
     def stop(self) -> None: ...
+
+    def is_seekable(self) -> bool:
+        """Whether this source can reposition (gst_base_src is_seekable)."""
+        return False
+
+    def do_seek(self, segment: Segment) -> bool:
+        """Reposition so the next create() produces from segment.start
+        (time-ns, or bytes for fmt='bytes' seeks). Return False to refuse."""
+        return False
 
     def fixate(self, caps: Caps) -> Caps:
         return caps.fixate()
@@ -80,7 +91,7 @@ class BaseSrc(Element):
         self.negotiated(caps)
         self.srcpad.current_caps = caps
         self.srcpad.push_event(Event.new_caps(caps))
-        self.srcpad.push_event(Event.new_segment(Segment()))
+        self.srcpad.push_event(Event.new_segment(self.segment))
         self._started_stream = True
 
     def _is_live(self) -> bool:
@@ -115,6 +126,39 @@ class BaseSrc(Element):
         self._live_wait(buf)
         return self.srcpad.push(buf)
 
+    # -- seeking (the flushing-seek protocol, gstbasesrc.c model) ------------
+    def _src_event(self, pad: Pad, event: Event) -> bool:
+        if event.type == EventType.SEEK:
+            return self.handle_seek(event)
+        return True
+
+    def send_event(self, event: Event) -> bool:
+        """Element-level event entry (gst_element_send_event analog)."""
+        if event.type == EventType.SEEK:
+            return self.handle_seek(event)
+        return False
+
+    def handle_seek(self, event: Event) -> bool:
+        if not self.is_seekable():
+            return False
+        start = int(event.get("start", 0))
+        stop = event.get("stop")
+        seg = Segment(rate=float(event.get("rate", 1.0)), start=start,
+                      stop=stop, time=start, position=start)
+        flush = event.get("flush", True)
+        if flush and self._started_stream:
+            self.srcpad.push_event(Event(EventType.FLUSH_START))
+        ok = self.do_seek(seg)
+        if flush and self._started_stream:
+            self.srcpad.push_event(Event(EventType.FLUSH_STOP))
+        if not ok:
+            return False
+        self.segment = seg
+        self._eos_sent = False
+        if self._started_stream:
+            self.srcpad.push_event(Event.new_segment(seg))
+        return True
+
     def _src_query(self, pad: Pad, query: Query) -> bool:
         if query.type == QueryType.CAPS:
             filter_ = query.fields.get("filter")
@@ -124,7 +168,31 @@ class BaseSrc(Element):
         if query.type == QueryType.LATENCY:
             query.result.update(live=self.IS_LIVE, min_latency=0, max_latency=None)
             return True
+        if query.type == QueryType.SEEKING:
+            query.result.update(seekable=self.is_seekable(),
+                                start=0, stop=self.duration_ns())
+            return True
+        if query.type == QueryType.POSITION:
+            pos = self.position_ns()
+            if pos is None:
+                return False
+            query.result["position"] = pos
+            return True
+        if query.type == QueryType.DURATION:
+            dur = self.duration_ns()
+            if dur is None:
+                return False
+            query.result["duration"] = dur
+            return True
         return False
+
+    def position_ns(self) -> Optional[int]:
+        """Current stream position (POSITION query); None = unknown."""
+        return None
+
+    def duration_ns(self) -> Optional[int]:
+        """Total duration (DURATION query); None = unknown/unbounded."""
+        return None
 
 
 class BaseSink(Element):

@@ -67,6 +67,7 @@ class EventType(enum.Enum):
     GAP = "gap"
     CUSTOM_DOWNSTREAM = "custom-downstream"
     CUSTOM_UPSTREAM = "custom-upstream"
+    SEEK = "seek"  # upstream: reposition the stream (RFC: gst_event_new_seek)
 
 
 class Event:
@@ -105,6 +106,13 @@ class Event:
     def new_gap(pts: int, duration: Optional[int]) -> "Event":
         return Event(EventType.GAP, pts=pts, duration=duration)
 
+    @staticmethod
+    def new_seek(start: int, stop: Optional[int] = None, *, rate: float = 1.0,
+                 flush: bool = True, fmt: str = "time") -> "Event":
+        """Upstream seek (gst_event_new_seek): fmt 'time' (ns) or 'bytes'."""
+        return Event(EventType.SEEK, start=start, stop=stop, rate=rate,
+                     flush=flush, format=fmt)
+
     def get(self, key: str, default: Any = None) -> Any:
         return self.fields.get(key, default)
 
@@ -142,6 +150,7 @@ class QueryType(enum.Enum):
     LATENCY = "latency"
     POSITION = "position"
     DURATION = "duration"
+    SEEKING = "seeking"
     ALLOCATION = "allocation"
 
 
@@ -162,6 +171,20 @@ class Query:
     def new_latency() -> "Query":
         q = Query(QueryType.LATENCY)
         q.result.update(live=False, min_latency=0, max_latency=None)
+        return q
+
+    @staticmethod
+    def new_position() -> "Query":
+        return Query(QueryType.POSITION)
+
+    @staticmethod
+    def new_duration() -> "Query":
+        return Query(QueryType.DURATION)
+
+    @staticmethod
+    def new_seeking() -> "Query":
+        q = Query(QueryType.SEEKING)
+        q.result.update(seekable=False)
         return q
 
     def __repr__(self):

@@ -104,6 +104,39 @@ class Pipeline:
                     best = q
         return best
 
+    # -- seeking / position (gst_element_seek_simple model) -------------------
+    def seek(self, position: int, *, rate: float = 1.0, flush: bool = True,
+             stop=None) -> bool:
+        """Flushing seek to `position` ns: delivered to every seekable
+        source (the C core sends seeks to sinks which travel upstream;
+        sources are where they land either way)."""
+        from .events import Event
+
+        ok = False
+        for src in self.sources():
+            ok = src.send_event(Event.new_seek(
+                position, stop, rate=rate, flush=flush)) or ok
+        return ok
+
+    def query_position(self):
+        """Stream position in ns from the first source that knows it."""
+        from .events import Query
+
+        for src in self.sources():
+            q = Query.new_position()
+            if src._src_query(src.srcpad, q) and "position" in q.result:
+                return q.result["position"]
+        return None
+
+    def query_duration(self):
+        from .events import Query
+
+        for src in self.sources():
+            q = Query.new_duration()
+            if src._src_query(src.srcpad, q) and "duration" in q.result:
+                return q.result["duration"]
+        return None
+
     # -- scheduling ----------------------------------------------------------
     def sources(self) -> List[BaseSrc]:
         return [e for e in self.elements if isinstance(e, BaseSrc)]

@@ -258,8 +258,18 @@ class Queue(Element):
         return FlowReturn.OK
 
     def _event(self, pad, event) -> bool:
+        from ...core import EventType
+
         if self._items is None:
             return False
+        if event.type == EventType.FLUSH_START:
+            # flushing seek: queued data is stale — drop it immediately and
+            # forward the flush out-of-band (the C core's flushing contract)
+            with self._cond:
+                self._items.clear()
+                self._level_bytes = self._level_time = self._n_buffers = 0
+                self._cond.notify_all()
+            return self.srcpad.push_event(event)
         self._enqueue("event", event)
         return True
 

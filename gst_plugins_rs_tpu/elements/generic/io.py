@@ -57,6 +57,24 @@ class FileSrc(BaseSrc):
     def fixate(self, caps: Caps) -> Caps:
         return caps.fixate() if not caps.is_any() else Caps.builder("application/octet-stream")
 
+    def is_seekable(self) -> bool:
+        return True
+
+    def do_seek(self, segment) -> bool:
+        """Byte-domain repositioning (filesrc is FORMAT_BYTES seekable;
+        send Event.new_seek(..., fmt='bytes'))."""
+        if self._f is None:
+            return False
+        self._f.seek(int(segment.start))
+        self._offset = int(segment.start)
+        return True
+
+    def position_ns(self):
+        return None  # byte domain: position is self._offset, not time
+
+    def duration_ns(self):
+        return None
+
     def create(self) -> Optional[Buffer]:
         data = self._f.read(self.get_property("blocksize"))
         if not data:

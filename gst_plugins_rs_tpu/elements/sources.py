@@ -69,7 +69,9 @@ class AudioTestSrc(BaseSrc):
 
     def negotiated(self, caps: Caps) -> None:
         self._info = AudioInfo.from_caps(caps)
-        self._sample_offset = 0
+        # a pre-roll seek (before streaming started) positions the stream:
+        # derive the start offset from the active segment
+        self._sample_offset = int(self.segment.start) * self._info.rate // SECOND
         self._buffer_count = 0
         self._rng = np.random.RandomState(self.get_property("seed"))
 
@@ -119,6 +121,29 @@ class AudioTestSrc(BaseSrc):
         elif info.format == "F64" and not jax.config.jax_enable_x64:
             samples = samples.astype(np.float32)
         return jnp.asarray(samples)
+
+    def is_seekable(self) -> bool:
+        return not self._is_live()
+
+    def do_seek(self, segment) -> bool:
+        """Repositions sample-exactly: the waveform generators are pure
+        functions of the sample offset, so post-seek output is identical
+        to a stream that started there."""
+        rate = self._info.rate if self._info is not None else 48_000
+        self._sample_offset = int(segment.start) * rate // SECOND
+        self._buffer_count = 0
+        return True
+
+    def position_ns(self):
+        if self._info is None:
+            return None
+        return self._info.frames_to_time(self._sample_offset)
+
+    def duration_ns(self):
+        nb = self.get_property("num-buffers")
+        if nb < 0 or self._info is None:
+            return None
+        return self._info.frames_to_time(nb * self.get_property("samplesperbuffer"))
 
     def create(self) -> Optional[Buffer]:
         nb = self.get_property("num-buffers")
@@ -186,7 +211,8 @@ class VideoTestSrc(BaseSrc):
         if "framerate" not in s:
             s["framerate"] = Fraction(30, 1)
         self._info = VideoInfo.from_caps(caps)
-        self._frame_count = 0
+        # pre-roll seeks position the stream (see AudioTestSrc.negotiated)
+        self._frame_count = int(self.segment.start) // self._info.frame_duration()
         self._frame = jnp.asarray(self._render_pattern())
 
     def _render_pattern(self) -> np.ndarray:
@@ -225,6 +251,26 @@ class VideoTestSrc(BaseSrc):
         if a_off is not None:
             out[:, :, a_off] = maxv
         return out
+
+    def is_seekable(self) -> bool:
+        return True
+
+    def do_seek(self, segment) -> bool:
+        if self._info is None:
+            return True  # pre-roll seek: negotiated() derives the position
+        self._frame_count = int(segment.start) // self._info.frame_duration()
+        return True
+
+    def position_ns(self):
+        if self._info is None:
+            return None
+        return self._frame_count * self._info.frame_duration()
+
+    def duration_ns(self):
+        nb = self.get_property("num-buffers")
+        if nb < 0 or self._info is None:
+            return None
+        return nb * self._info.frame_duration()
 
     def create(self) -> Optional[Buffer]:
         nb = self.get_property("num-buffers")
