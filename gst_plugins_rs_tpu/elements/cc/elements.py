@@ -52,7 +52,9 @@ class TtToCea608(BaseTransform):
     ELEMENT_CLASS = "Generic/Converter"
     ELEMENT_DESCRIPTION = "Converts timed text to CEA-608 closed captions"
     MODE = TransformMode.NEVER_IN_PLACE
-    SINK_CAPS = TEXT_CAPS
+    # the reference takes plain timed text AND its JSON record format
+    SINK_CAPS = Caps([TEXT_CAPS.structure(0).copy(),
+                      JSON_CAPS.structure(0).copy()])
     SRC_CAPS = CEA608_CAPS
     _NEVER = (1 << 64) - 1
 
@@ -78,7 +80,8 @@ class TtToCea608(BaseTransform):
         self._last_text_pts: Optional[int] = None
 
     def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
-        out = (CEA608_CAPS if direction == PadDirection.SINK else TEXT_CAPS).copy()
+        out = (CEA608_CAPS if direction == PadDirection.SINK
+               else self.SINK_CAPS).copy()
         if filter_ is not None:
             out = filter_.intersect(out)
         return out
@@ -104,8 +107,19 @@ class TtToCea608(BaseTransform):
         row = self.get_property("origin-row")
         return (14 if row < 0 else max(1, row)), self.get_property("origin-column")
 
-    def transform(self, inbuf: Buffer) -> Buffer:
+    def _input_text(self, inbuf: Buffer) -> str:
         text = str(inbuf.data)
+        if self.in_caps is not None \
+                and self.in_caps.structure(0).name == "application/x-json":
+            rec = json.loads(text)
+            if "lines" in rec:
+                return "\n".join(l.get("text", "") if isinstance(l, dict)
+                                  else str(l) for l in rec["lines"])
+            return str(rec.get("text", ""))
+        return text
+
+    def transform(self, inbuf: Buffer) -> Buffer:
+        text = self._input_text(inbuf)
         if self._prefix_next and self.get_property("speaker-prefix"):
             text = self.get_property("speaker-prefix") + text
         self._prefix_next = False

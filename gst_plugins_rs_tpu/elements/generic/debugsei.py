@@ -71,8 +71,13 @@ class DebugSeiMetaInserter(BaseTransform):
     ELEMENT_CLASS = "Filter/Video"
     ELEMENT_DESCRIPTION = "Inserts debug SEI user data into H.264 access units"
     MODE = TransformMode.NEVER_IN_PLACE
-    SINK_CAPS = H264_CAPS
-    SRC_CAPS = H264_CAPS
+    # the reference also accepts H.265/H.266 (same NAL-style SEI wrapping)
+    # and raw video (meta-only attach); SEI byte injection here covers the
+    # Annex-B NAL families
+    from ...core.caps import Structure as _S
+    SINK_CAPS = Caps([_S("video/x-h264"), _S("video/x-h265"),
+                      _S("video/x-h266")])
+    SRC_CAPS = SINK_CAPS
     PROPERTIES = [
         Prop("uuid", DEFAULT_UUID, type="str", doc="UUID marking the SEI payloads"),
         Prop("data", None, type="str",

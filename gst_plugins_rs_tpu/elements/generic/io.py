@@ -352,6 +352,14 @@ class BrotliCompress(BaseTransform):
     ELEMENT_CLASS = "Codec/Encoder"
     ELEMENT_DESCRIPTION = "Compresses buffers into brotli streams"
     MODE = TransformMode.NEVER_IN_PLACE
+    SRC_CAPS = Caps.builder("application/x-brotli-compressed")
+
+    def transform_caps(self, direction, caps, filter_=None):
+        from ...core import PadDirection
+
+        out = (self.SRC_CAPS if direction == PadDirection.SINK
+               else Caps.new_any()).copy()
+        return out if filter_ is None else out.intersect(filter_)
     PROPERTIES = [
         Prop("level", 6, type="uint", maximum=11, mutable="playing",
              doc="Brotli compression level (0=fastest, 11=best ratio)"),
@@ -372,6 +380,7 @@ class BrotliDecompress(BaseTransform):
     """Brotli decoder (codecs/brotli.py: libbrotlidec via ctypes, full
     RFC 7932 incl. entropy coding and the static dictionary)."""
 
+    SINK_CAPS = Caps.builder("application/x-brotli-compressed")
     ELEMENT_NAME = "brotlidecompress"
     ELEMENT_CLASS = "Codec/Decoder"
     ELEMENT_DESCRIPTION = "Decompresses brotli streams"

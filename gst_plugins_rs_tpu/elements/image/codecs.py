@@ -249,7 +249,17 @@ class ImageDec(_ImageDecBase):
     ELEMENT_DESCRIPTION = "Still image decoder (PNG/JPEG/...)"
     SINK_CAPS = Caps(
         [Structure("image/png"), Structure("image/jpeg"), Structure("image/bmp"),
-         Structure("image/tiff"), Structure("image/gif"), Structure("image/webp")]
+         Structure("image/tiff"), Structure("image/gif"), Structure("image/webp"),
+         # further PIL-decodable types from the reference's image-rs list
+         Structure("image/x-MS-bmp"), Structure("image/x-icon"),
+         Structure("image/vnd.ms-dds"), Structure("image/x-portable-anymap"),
+         Structure("image/x-portable-bitmap"),
+         Structure("image/x-portable-graymap"),
+         Structure("image/x-portable-pixmap"), Structure("image/x-tga"),
+         Structure("image/x-targa"), Structure("image/vnd.zbrush.pcx"),
+         Structure("image/x-pcx"), Structure("image/x-xbitmap"),
+         Structure("image/x-xbm"), Structure("image/sgi"),
+         Structure("image/vnd.wap.wbmp")]
     )
     PROPERTIES = [
         Prop("max-size-bytes", 0, type="uint64",

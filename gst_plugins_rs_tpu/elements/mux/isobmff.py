@@ -76,6 +76,7 @@ _SINK_CAPS = Caps(
         Structure("audio/x-opus"),
         Structure("audio/x-ac3", framed=True),
         Structure("audio/x-eac3", framed=True),
+        Structure("audio/x-flac", framed=True),
     ]
 )
 

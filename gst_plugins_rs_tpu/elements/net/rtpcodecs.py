@@ -303,9 +303,13 @@ class RtpMpvDepay(RtpBaseDepay):
 # ---------------------------------------------------------------------------
 # AMR — RFC 4867 octet-aligned: CMR byte + TOC entries + frame data
 # ---------------------------------------------------------------------------
-AMR_CAPS = Caps([Structure("audio/AMR", rate=8000, channels=1)])
+AMR_CAPS = Caps([Structure("audio/AMR", rate=8000, channels=1),
+                 Structure("audio/AMR-WB", rate=16000, channels=1)])
 # AMR-NB core frame sizes (bytes, excluding TOC) per FT 0..7 + SID
 _AMR_NB_SIZES = {0: 12, 1: 13, 2: 15, 3: 17, 4: 19, 5: 20, 6: 26, 7: 31, 8: 5}
+# AMR-WB (RFC 4867 §3.2 / TS 26.201) core frame sizes per FT 0..8 + SID
+_AMR_WB_SIZES = {0: 17, 1: 23, 2: 32, 3: 36, 4: 40, 5: 46, 6: 50, 7: 58,
+                 8: 60, 9: 5}
 
 
 @register
@@ -328,9 +332,11 @@ class RtpAmrPay(RtpAggregateMixin, RtpBasePay):
         self._misaligned_since: Optional[int] = None
 
     def rtp_structure(self, s: Structure) -> Structure:
+        wb = s.name == "audio/AMR-WB"
         return Structure(
             "application/x-rtp", media="audio",
-            **{"encoding-name": "AMR", "clock-rate": 8000,
+            **{"encoding-name": "AMR-WB" if wb else "AMR",
+               "clock-rate": 16000 if wb else 8000,
                "octet-align": "1"},
         )
 
@@ -381,12 +387,17 @@ class RtpAmrDepay(RtpBaseDepay):
     SRC_CAPS = AMR_CAPS
 
     def media_structure(self, s: Structure) -> Structure:
+        if s.get("encoding-name") == "AMR-WB":
+            return Structure("audio/AMR-WB", rate=16000, channels=1)
         return Structure("audio/AMR", rate=8000, channels=1)
 
     def depay(self, pkt: RtpPacket, out: Buffer) -> Optional[Buffer]:
         p = pkt.payload
         if len(p) < 2:
             return None
+        wb = (self.out_caps is not None
+              and self.out_caps.structure(0).name == "audio/AMR-WB")
+        sizes = _AMR_WB_SIZES if wb else _AMR_NB_SIZES
         # skip CMR; collect TOC entries until F bit clear
         tocs = []
         i = 1
@@ -399,7 +410,7 @@ class RtpAmrDepay(RtpBaseDepay):
         frames = bytearray()
         for toc in tocs:
             ft = (toc >> 3) & 0x0F
-            size = _AMR_NB_SIZES.get(ft, 0)
+            size = sizes.get(ft, 0)
             frames += bytes([toc & 0x7C]) + p[i : i + size]
             i += size
         out.data = np.frombuffer(bytes(frames), np.uint8)

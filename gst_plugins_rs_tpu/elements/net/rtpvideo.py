@@ -618,8 +618,19 @@ class RtpMp4gPay(_Mp4GenericPay):
     ELEMENT_NAME = "rtpmp4gpay2"
     ELEMENT_CLASS = "Codec/Payloader/Network/RTP"
     ELEMENT_DESCRIPTION = "Payload MPEG-4 elementary streams (RFC 3640 generic)"
-    SINK_CAPS = MP4V_CAPS
+    # generic mode carries mpeg4 video AND AAC audio (rtpmp4gpay2 caps)
+    SINK_CAPS = Caps(MP4V_CAPS.structures + AAC_CAPS.structures)
     MEDIA = "video"
+
+    def rtp_structure(self, s: Structure) -> Structure:
+        media = "audio" if s.name == "audio/mpeg" else "video"
+        mode = "AAC-hbr" if media == "audio" else "generic"
+        fields = {"encoding-name": "MPEG4-GENERIC",
+                  "clock-rate": s.get("rate", 90000),
+                  "mode": mode,
+                  "sizelength": "13", "indexlength": "3",
+                  "indexdeltalength": "3"}
+        return Structure("application/x-rtp", media=media, **fields)
 
 
 @register
@@ -627,7 +638,7 @@ class RtpMp4gDepay(_Mp4GenericDepay):
     ELEMENT_NAME = "rtpmp4gdepay2"
     ELEMENT_CLASS = "Codec/Depayloader/Network/RTP"
     ELEMENT_DESCRIPTION = "Depayload MPEG-4 elementary streams (RFC 3640)"
-    SRC_CAPS = MP4V_CAPS
+    SRC_CAPS = Caps(MP4V_CAPS.structures + AAC_CAPS.structures)
 
     def media_structure(self, s: Structure) -> Structure:
         return Structure("video/mpeg", mpegversion=4, systemstream=False)

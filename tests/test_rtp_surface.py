@@ -197,3 +197,60 @@ class TestSessionSurface:
         assert pts[1] == 1_000_000 + 1_000_000_000
         stats = recv.get_property("stats")
         assert stats["ssrc-9"]["packets-received"] == 2
+
+
+class TestAmrWb:
+    def test_wb_roundtrip(self):
+        from gst_plugins_rs_tpu.elements.net.rtpcodecs import _AMR_WB_SIZES
+
+        pay, hp = _pay("rtpamrpay2", {"aggregate-mode": "zero-latency"},
+                       caps="audio/AMR-WB,rate=16000,channels=1")
+        # one WB frame: TOC FT=2 (12.65 kbps, 32 bytes) + body
+        toc = (2 << 3) | 0x04
+        frame = bytes([toc]) + bytes(range(_AMR_WB_SIZES[2]))
+        hp.push(Buffer(np.frombuffer(frame, np.uint8), pts=0))
+        pkts = hp.pull_all()
+        assert len(pkts) == 1
+        pkt = RtpPacket.parse(np.asarray(pkts[0].data).tobytes())
+        dep = fx.element_factory_make("rtpamrdepay2")
+        hd = Harness(dep)
+        hd.set_src_caps(parse_caps(
+            "application/x-rtp,media=audio,encoding-name=AMR-WB,"
+            "clock-rate=16000,octet-align=(string)1"))
+        assert hd.out_caps().structure(0).name == "audio/AMR-WB"
+        hd.push(pkts[0])
+        out = hd.pull_all()
+        assert len(out) == 1
+        got = np.asarray(out[0].data).tobytes()
+        assert got == bytes([toc & 0x7C]) + bytes(range(_AMR_WB_SIZES[2]))
+        assert pkt.payload[0] == 0xF0  # CMR
+
+
+class TestMp4gAudio:
+    def test_aac_over_mp4g(self):
+        pay, hp = _pay("rtpmp4gpay2", {},
+                       caps="audio/mpeg,mpegversion=4,stream-format=raw,rate=48000")
+        au = bytes(range(64))
+        hp.push(Buffer(np.frombuffer(au, np.uint8), pts=0))
+        pkts = hp.pull_all()
+        pkt = RtpPacket.parse(np.asarray(pkts[0].data).tobytes())
+        # AU-headers-length 16 bits + one 13-bit size header
+        assert pkt.payload[:2] == b"\x00\x10"
+
+
+class TestTtToCea608Json:
+    def test_json_record_input(self):
+        from gst_plugins_rs_tpu.ops import cea608
+
+        el = fx.element_factory_make("tttocea608")
+        el.set_property("mode", "pop-on")
+        h = Harness(el)
+        h.set_src_caps(parse_caps("application/x-json"))
+        h.push(Buffer('{"lines": [{"text": "HELLO"}, {"text": "WORLD"}]}',
+                      pts=0))
+        pairs = np.asarray(h.pull().data, np.uint8)
+        dec = cea608.Cea608Decoder()
+        for hi, lo in pairs:
+            dec.push_pair(int(hi), int(lo))
+        caps = [e for e in dec.take_events() if e is not None]
+        assert caps and caps[0].lines == ["HELLO", "WORLD"]
