@@ -50,7 +50,9 @@ class WhisperTranscriber(BaseTransform):
     ELEMENT_DESCRIPTION = "Speech-to-text transcription (Whisper architecture)"
     MODE = TransformMode.NEVER_IN_PLACE
     SINK_CAPS = SINK_CAPS
-    SRC_CAPS = TEXT_CAPS
+    from ...core.caps import Structure as _S
+    SRC_CAPS = Caps([_S("text/x-raw", format="utf8"),
+                     _S("application/x-json")])
     PROPERTIES = [
         Prop("model-path", None, type="str",
              doc="local pretrained checkpoint directory (processor + weights)"),
@@ -112,7 +114,7 @@ class WhisperTranscriber(BaseTransform):
         self._pos = 0
 
     def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
-        out = (TEXT_CAPS if direction == PadDirection.SINK else SINK_CAPS).copy()
+        out = (self.SRC_CAPS if direction == PadDirection.SINK else SINK_CAPS).copy()
         if filter_ is not None:
             out = filter_.intersect(out)
         return out
@@ -208,6 +210,11 @@ class WhisperTranscriber(BaseTransform):
         pts = self._pos * SECOND // 16000
         dur = n * SECOND // 16000
         self._pos += n
+        if self.out_caps is not None \
+                and self.out_caps.structure(0).name == "application/x-json":
+            import json as _json
+
+            text = _json.dumps({"lines": [{"text": text}]})
         return Buffer(text, pts=pts, duration=dur)
 
     def transform(self, inbuf: Buffer) -> Optional[Buffer]:

@@ -35,6 +35,7 @@ from ...core import (
     register,
 )
 from ...core.basetransform import TransformMode
+from ...core.caps import Structure
 from ...core.parse import parse_caps
 
 TEXT_CAPS = Caps.builder("text/x-raw")
@@ -42,10 +43,13 @@ S16_CAPS = "audio/x-raw,format=S16,rate=%d,channels=1,layout=interleaved"
 
 
 class _WsTranscriberBase(BaseTransform):
-    """Shared shape: S16 audio in, final transcripts out as text buffers."""
+    """Shared shape: S16 audio in, final transcripts out as text buffers
+    (or application/x-json records when downstream negotiates JSON,
+    matching the reference transcribers' dual output caps)."""
 
     SINK_CAPS = Caps.builder("audio/x-raw")
-    SRC_CAPS = TEXT_CAPS
+    SRC_CAPS = Caps([Structure("text/x-raw"),
+                     Structure("application/x-json")])
     MODE = TransformMode.NEVER_IN_PLACE
 
     def __init__(self, name: Optional[str] = None):
@@ -60,8 +64,13 @@ class _WsTranscriberBase(BaseTransform):
     def transform_caps(self, direction, caps: Caps, filter_=None) -> Caps:
         from ...core.element import PadDirection
 
-        out = TEXT_CAPS if direction == PadDirection.SINK else Caps.builder("audio/x-raw")
+        out = self.SRC_CAPS.copy() if direction == PadDirection.SINK \
+            else Caps.builder("audio/x-raw")
         return out if filter_ is None else out.intersect(filter_)
+
+    def _json_out(self) -> bool:
+        return (self.out_caps is not None
+                and self.out_caps.structure(0).name == "application/x-json")
 
     def _push_result(self, text: str) -> None:
         if text:
@@ -91,6 +100,8 @@ class _WsTranscriberBase(BaseTransform):
         late = self._props.get("lateness")
         if pts is not None and late:
             pts += late * 1_000_000
+        if self._json_out():
+            text = json.dumps({"lines": [{"text": text}]})
         return Buffer(np.frombuffer(text.encode(), np.uint8), pts=pts)
 
     def _send_audio(self, pcm: bytes) -> None:

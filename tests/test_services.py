@@ -276,3 +276,18 @@ def test_brotli_elements():
     src.end_of_stream()
     p.play_until_eos()
     assert bytes(np.asarray(sink.samples[0].buffer.data, np.uint8)) == payload
+
+
+def test_transcriber_json_output_negotiation():
+    """Reference transcribers offer text AND application/x-json; when
+    downstream negotiates JSON the transcripts come as line records that
+    tttocea608's JSON input consumes directly."""
+    import json as _json
+
+    el = fx.element_factory_make("deepgramtranscriber")
+    el.out_caps = parse_caps("application/x-json")
+    el._results.append("hello world")
+    el._last_pts = 0
+    buf = el.generate_output()
+    rec = _json.loads(bytes(np.asarray(buf.data, np.uint8)).decode())
+    assert rec == {"lines": [{"text": "hello world"}]}
