@@ -166,7 +166,7 @@ class BaseSrc(Element):
             query.result["caps"] = caps
             return True
         if query.type == QueryType.LATENCY:
-            query.result.update(live=self.IS_LIVE, min_latency=0, max_latency=None)
+            query.result.update(live=self._is_live(), min_latency=0, max_latency=None)
             return True
         if query.type == QueryType.SEEKING:
             query.result.update(seekable=self.is_seekable(),

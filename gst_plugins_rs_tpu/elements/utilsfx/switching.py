@@ -6,7 +6,7 @@ selector with per-pad priority + is-healthy, auto-switch and a clock-armed
 `timeout` that switches to the next healthy lower-priority input when the
 active one stalls, fallbackswitch/imp.rs:20-29,57-68,88-126), utils/livesync
 (repeats the last buffer on missed deadlines, livesync/imp.rs:9-40) and
-utils/togglerecord (gap-free record valve).
+utils/togglerecord (multi-stream synchronized record valve — see togglerecord.py).
 
 Clocked pipelines (core/clock.py) get the reference's real time-based
 behavior: fallbackswitch arms a single-shot clock id per deadline and
@@ -361,54 +361,6 @@ class LiveSync(BaseTransform):
         return True
 
 
-@register
-class ToggleRecord(BaseTransform):
-    ELEMENT_NAME = "togglerecord"
-    ELEMENT_CLASS = "Generic"
-    ELEMENT_DESCRIPTION = "Record valve: passes buffers while recording, closing PTS gaps"
-    MODE = TransformMode.ALWAYS_IN_PLACE
-    PROPERTIES = [
-        Prop("record", False, type="bool", mutable="playing"),
-        Prop("recording", False, type="bool",
-             doc="(read) whether recording is currently taking place"),
-        Prop("is-live", False, type="bool", mutable="ready"),
-    ]
-
-    def __init__(self, name: Optional[str] = None):
-        super().__init__(name)
-        self._offset = 0  # accumulated removed time
-        self._stop_pts: Optional[int] = None
-        self._was_recording = False
-
-    def get_property(self, name: str):
-        if name == "recording":
-            return self._was_recording and super().get_property("record")
-        return super().get_property(name)
-
-    def start(self) -> None:
-        self._offset = 0
-        self._stop_pts = None
-        self._was_recording = False
-
-    def generate_output(self) -> Optional[Buffer]:
-        buf = self.take_queued_buffer()
-        if buf is None:
-            return None
-        recording = self.get_property("record")
-        if not recording:
-            if self._was_recording:
-                self._stop_pts = buf.pts
-                self._was_recording = False
-            return None  # drop
-        if not self._was_recording:
-            # resumed: grow the offset by the skipped span
-            if self._stop_pts is not None and buf.pts is not None:
-                self._offset += buf.pts - self._stop_pts
-            self._was_recording = True
-        if buf.pts is not None:
-            buf = Buffer(buf.data, pts=buf.pts - self._offset, duration=buf.duration,
-                         offset=buf.offset, offset_end=buf.offset_end)
-        return buf
-
+from .togglerecord import ToggleRecord  # noqa: F401 (re-export)
 
 __all__ = ["FallbackSwitch", "LiveSync", "ToggleRecord"]
