@@ -21,7 +21,7 @@ and segments it; same playlist machinery.
 from __future__ import annotations
 
 import os
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 
@@ -410,116 +410,5 @@ class HlsWebVttSink(_ByteStreamHlsSink):
         return FlowReturn.OK
 
 
-@register
-class HlsMultivariantSink(Element):
-    """Master playlist over N variant streams (net/hlsmultivariantsink).
+__all__ = ["HlsCmafSink", "HlsSink3", "HlsWebVttSink"]
 
-    Each request sink pad takes a pre-muxed variant stream; per-variant
-    segment/playlist state reuses the hlssink3 machinery.  Variant
-    attributes come from pad-name-indexed properties set before PLAYING.
-    """
-
-    ELEMENT_NAME = "hlsmultivariantsink"
-    ELEMENT_CLASS = "Sink/Muxer"
-    SIGNALS = {
-        "get-init-stream": None,
-        "get-fragment-stream": None,
-        "get-playlist-stream": None,
-        "get-multivariant-playlist-stream": None,
-        "delete-fragment": None,
-    }
-    ELEMENT_DESCRIPTION = "HLS multivariant (master) playlist sink"
-    PROPERTIES = [
-        Prop("playlist-location", "master.m3u8", type="str"),
-        Prop("multivariant-playlist-location", "", type="str",
-             doc="reference name for playlist-location (kept in sync)"),
-        Prop("variant-playlist-pattern", "variant%u.m3u8", type="str"),
-        Prop("segment-pattern", "variant%u_segment%%05d.m4s", type="str"),
-        Prop("target-duration", DEFAULT_TARGET_DURATION, type="uint", minimum=1),
-        Prop("playlist-length", 5, type="uint"),
-        Prop("max-files", 10, type="uint"),
-        Prop("playlist-type", "unspecified", type="enum",
-             choices=["unspecified", "event", "vod"]),
-        Prop("muxer-type", "cmaf", type="enum", choices=["cmaf", "mpegts"],
-             doc="segment container for the variants (selects the default "
-                 "segment suffix; variants take pre-muxed byte streams)"),
-        Prop("send-keyframe-requests", True, type="bool"),
-    ]
-
-    def property_changed(self, name, value) -> None:
-        if name == "multivariant-playlist-location" and value:
-            self._props["playlist-location"] = value
-        elif name == "playlist-location":
-            self._props["multivariant-playlist-location"] = value
-
-    def __init__(self, name: Optional[str] = None):
-        super().__init__(name)
-        self._variants: List[hls.Variant] = []
-        self._sinks: List[HlsSink3] = []
-        self._pad_count = 0
-
-    def request_sink_pad(self, name: Optional[str] = None, *, bandwidth: int = 0,
-                         width: int = 0, height: int = 0, codecs: str = "") -> Pad:
-        idx = self._pad_count
-        self._pad_count += 1
-        inner = HlsSink3(f"{self.name}-variant{idx}")
-        pattern = self.get_property("variant-playlist-pattern")
-        inner.set_property("playlist-location", pattern.replace("%u", str(idx)))
-        # segment-pattern escapes the per-segment %05d as %%05d
-        inner.set_property(
-            "location",
-            self.get_property("segment-pattern").replace("%u", str(idx)).replace("%%", "%"),
-        )
-        inner.set_property("target-duration", self.get_property("target-duration"))
-        inner.set_property("playlist-length", self.get_property("playlist-length"))
-        inner.set_property("max-files", self.get_property("max-files"))
-        inner.set_property("playlist-type", self.get_property("playlist-type"))
-        inner.set_property("send-keyframe-requests",
-                           self.get_property("send-keyframe-requests"))
-        if self.get_property("muxer-type") == "mpegts" \
-                and inner.get_property("location").endswith(".m4s"):
-            inner.set_property(
-                "location", inner.get_property("location")[:-4] + ".ts")
-        inner.parent = self.parent
-        self._sinks.append(inner)
-        self._variants.append(
-            hls.Variant(pattern.replace("%u", str(idx)), bandwidth or 1_000_000,
-                        width, height, codecs)
-        )
-        pad = Pad(name or f"sink_{idx}", PadDirection.SINK,
-                  PadTemplate("sink_%u", PadDirection.SINK, PadPresence.REQUEST,
-                              HlsSink3.STREAM_CAPS))
-        pad.chain_function = lambda p, buf, s=inner: s.sinkpad.chain(buf)
-        pad.event_function = lambda p, ev, s=inner: s.sinkpad.send_event(ev)
-        return self.add_pad(pad)
-
-    def request_pad(self, template_name: str = "sink_%u") -> Pad:
-        return self.request_sink_pad()
-
-    def _write_master(self) -> None:
-        hls.write_atomic(
-            self.get_property("playlist-location"), hls.master_playlist(self._variants)
-        )
-
-    def on_ready_to_paused(self) -> None:
-        from ...core.element import State
-
-        for s in self._sinks:
-            s.parent = self.parent
-            s.set_state(State.PAUSED)
-        self._write_master()
-
-    def on_paused_to_playing(self) -> None:
-        from ...core.element import State
-
-        for s in self._sinks:
-            s.set_state(State.PLAYING)
-
-    def on_paused_to_ready(self) -> None:
-        from ...core.element import State
-
-        for s in self._sinks:
-            s.set_state(State.READY)
-
-
-__all__ = ["HlsCmafSink", "HlsSink3", "HlsWebVttSink", "HlsMultivariantSink"]

@@ -100,19 +100,65 @@ class Variant:
     height: int = 0
     codecs: str = ""
     is_audio_only: bool = False
+    audio: str = ""  # GROUP-ID of the audio renditions for this variant
+    video: str = ""  # GROUP-ID of the video renditions
+    is_i_frame: bool = False
 
 
-def master_playlist(variants: List[Variant]) -> str:
-    """Multivariant (master) playlist (hlsmultivariantsink analog)."""
-    lines = ["#EXTM3U", "#EXT-X-VERSION:6"]
+@dataclass
+class AlternativeMedia:
+    """EXT-X-MEDIA rendition (RFC 8216 §4.3.4.1; the reference's
+    AlternateRendition, hlsmultivariantsink/src/imp.rs:162-179)."""
+
+    media_type: str  # "audio" | "video" | "subtitles" | "closed-captions"
+    group_id: str
+    name: str
+    uri: str = ""
+    language: str = ""
+    default: bool = False
+    autoselect: bool = False
+    forced: bool = False
+
+    def line(self) -> str:
+        attrs = [f"TYPE={self.media_type.upper()}",
+                 f'GROUP-ID="{self.group_id}"',
+                 f'NAME="{self.name}"']
+        if self.language:
+            attrs.append(f'LANGUAGE="{self.language}"')
+        attrs.append("DEFAULT=" + ("YES" if self.default else "NO"))
+        attrs.append("AUTOSELECT=" + ("YES" if self.autoselect else "NO"))
+        if self.forced:
+            attrs.append("FORCED=YES")
+        if self.uri:
+            attrs.append(f'URI="{self.uri}"')
+        return "#EXT-X-MEDIA:" + ",".join(attrs)
+
+
+def master_playlist(variants: List[Variant],
+                    alternatives: List[AlternativeMedia] = (),
+                    version: int = 6) -> str:
+    """Multivariant (master) playlist (hlsmultivariantsink analog):
+    EXT-X-MEDIA renditions first, then the variant streams with their
+    AUDIO/VIDEO group references."""
+    lines = ["#EXTM3U", f"#EXT-X-VERSION:{version}"]
+    for a in alternatives:
+        lines.append(a.line())
     for v in variants:
         attrs = [f"BANDWIDTH={v.bandwidth}"]
         if v.width and v.height:
             attrs.append(f"RESOLUTION={v.width}x{v.height}")
         if v.codecs:
             attrs.append(f'CODECS="{v.codecs}"')
-        lines.append("#EXT-X-STREAM-INF:" + ",".join(attrs))
-        lines.append(v.uri)
+        if v.audio:
+            attrs.append(f'AUDIO="{v.audio}"')
+        if v.video:
+            attrs.append(f'VIDEO="{v.video}"')
+        if v.is_i_frame:
+            attrs.append(f'URI="{v.uri}"')
+            lines.append("#EXT-X-I-FRAME-STREAM-INF:" + ",".join(attrs))
+        else:
+            lines.append("#EXT-X-STREAM-INF:" + ",".join(attrs))
+            lines.append(v.uri)
     return "\n".join(lines) + "\n"
 
 

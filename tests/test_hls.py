@@ -169,3 +169,134 @@ class TestMultivariant:
         assert (tmp_path / "variant1.m3u8").exists()
         v0 = (tmp_path / "variant0.m3u8").read_text()
         assert v0.count("#EXTINF:") == 2
+
+
+class TestMultivariantRenditions:
+    """Reference scenarios: hlsmultivariantsink/tests/hlsmultivariantsink.rs
+    (audio renditions x video variants, muxed A/V, relative paths,
+    validation)."""
+
+    @staticmethod
+    def _audio_chain(p, rate):
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+        src = fx.element_factory_make("audiotestsrc")
+        src.set_property("num-buffers", 10)
+        src.set_property("samplesperbuffer", rate // 10)
+        capsf = fx.element_factory_make("capsfilter")
+        capsf.set_property("caps", parse_caps(
+            f"audio/x-raw,format=F32,rate={rate},channels=1"))
+        mux = fx.element_factory_make("cmafmux")
+        mux.set_property("fragment-duration", 500_000_000)
+        for e in (src, capsf, mux):
+            p.add(e)
+        src.link(capsf)
+        capsf.link(mux)
+        return mux
+
+    def _build(self, tmp_path, muxer_type="cmaf"):
+        mv = fx.element_factory_make("hlsmultivariantsink")
+        mv.set_property("multivariant-playlist-location",
+                        str(tmp_path / "multivariant.m3u8"))
+        mv.set_property("target-duration", 1)
+        mv.set_property("muxer-type", muxer_type)
+        return mv
+
+    def test_audio_renditions_and_video_variants(self, tmp_path):
+        p = fx.Pipeline()
+        mv = self._build(tmp_path)
+        p.add(mv)
+        # two audio renditions in group "aac"
+        for i, (name, lang, default) in enumerate(
+                [("English", "en", True), ("French", "fr", False)]):
+            pad = mv.request_pad("audio_%u")
+            pad.set_property("alternate-rendition", {
+                "media_type": "audio", "uri": f"{lang}/audio.m3u8",
+                "group_id": "aac", "name": name, "language": lang,
+                "default": default, "autoselect": True,
+            })
+            self._audio_chain(p, 48000).srcpad.link(pad)
+        # two video variants referencing the audio group
+        for i, bw in enumerate([2_000_000, 500_000]):
+            pad = mv.request_pad("video_%u")
+            pad.set_property("variant", {
+                "uri": f"v{i}/video.m3u8", "bandwidth": bw,
+                "codecs": "avc1.64001f", "audio": "aac",
+            })
+            self._audio_chain(p, 24000).srcpad.link(pad)
+        p.play_until_eos()
+
+        master = (tmp_path / "multivariant.m3u8").read_text()
+        assert master.splitlines()[1] == "#EXT-X-VERSION:6"
+        assert master.count("#EXT-X-MEDIA:") == 2
+        assert ('#EXT-X-MEDIA:TYPE=AUDIO,GROUP-ID="aac",NAME="English",'
+                'LANGUAGE="en",DEFAULT=YES,AUTOSELECT=YES,URI="en/audio.m3u8"'
+                ) in master
+        assert 'DEFAULT=NO,AUTOSELECT=YES,URI="fr/audio.m3u8"' in master
+        assert master.count("#EXT-X-STREAM-INF:") == 2
+        assert ('#EXT-X-STREAM-INF:BANDWIDTH=2000000,CODECS="avc1.64001f",'
+                'AUDIO="aac"\nv0/video.m3u8') in master
+        # every rendition/variant got its own media playlist + segments
+        for sub in ("en/audio", "fr/audio", "v0/video", "v1/video"):
+            text = (tmp_path / f"{sub}.m3u8").read_text()
+            assert "#EXTINF:" in text
+        assert (tmp_path / "v0").is_dir() and any(
+            f.endswith(".m4s") for f in os.listdir(tmp_path / "v0"))
+
+    def test_muxed_audio_video_variant_shares_sink(self, tmp_path):
+        """Same uri on an audio and a video pad = muxed variant: one inner
+        sink, one STREAM-INF entry (imp.rs:829-838)."""
+        p = fx.Pipeline()
+        mv = self._build(tmp_path, muxer_type="mpegts")
+        p.add(mv)
+        vpad = mv.request_pad("video_%u")
+        vpad.set_property("variant", {"uri": "av/stream.m3u8",
+                                      "bandwidth": 1_000_000})
+        apad = mv.request_pad("audio_%u")
+        apad.set_property("variant", {"uri": "av/stream.m3u8",
+                                      "bandwidth": 1_000_000})
+        assert vpad.sink is apad.sink
+        assert len(mv._sinks) == 1
+        self._audio_chain(p, 48000).srcpad.link(vpad)
+        p.play_until_eos()
+        master = (tmp_path / "multivariant.m3u8").read_text()
+        assert master.splitlines()[1] == "#EXT-X-VERSION:4"  # mpegts
+        assert master.count("#EXT-X-STREAM-INF:") == 1
+        assert any(f.endswith(".ts") for f in os.listdir(tmp_path / "av"))
+
+    def test_validation_rejects_unmatched_group(self, tmp_path):
+        mv = self._build(tmp_path)
+        pad = mv.request_pad("audio_%u")
+        pad.set_property("alternate-rendition", {
+            "uri": "en/a.m3u8", "group_id": "aac", "name": "English"})
+        vpad = mv.request_pad("video_%u")
+        vpad.set_property("variant", {"uri": "v0/v.m3u8", "bandwidth": 1,
+                                      "audio": "other-group"})
+        import pytest
+        from gst_plugins_rs_tpu.core.element import State
+        with pytest.raises(ValueError, match="GROUP-ID"):
+            mv.set_state(State.PAUSED)
+
+    def test_validation_rejects_duplicate_names(self, tmp_path):
+        mv = self._build(tmp_path)
+        for lang in ("en", "fr"):
+            pad = mv.request_pad("audio_%u")
+            pad.set_property("alternate-rendition", {
+                "uri": f"{lang}/a.m3u8", "group_id": "aac", "name": "Same"})
+        vpad = mv.request_pad("video_%u")
+        vpad.set_property("variant", {"uri": "v0/v.m3u8", "bandwidth": 1,
+                                      "audio": "aac"})
+        import pytest
+        from gst_plugins_rs_tpu.core.element import State
+        with pytest.raises(ValueError, match="Duplicate NAME|duplicate NAME"):
+            mv.set_state(State.PAUSED)
+
+    def test_relative_uri_requires_directory(self, tmp_path, monkeypatch):
+        # only errors when neither the master location nor the uri has a
+        # directory component (imp.rs:547-558)
+        monkeypatch.chdir(tmp_path)
+        mv = fx.element_factory_make("hlsmultivariantsink")
+        mv.set_property("multivariant-playlist-location", "multivariant.m3u8")
+        pad = mv.request_pad("video_%u")
+        import pytest
+        with pytest.raises(ValueError, match="relative to the multivariant"):
+            pad.set_property("variant", {"uri": "video.m3u8", "bandwidth": 1})
