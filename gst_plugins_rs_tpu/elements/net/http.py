@@ -65,8 +65,40 @@ class ReqwestHttpSrc(BaseSrc):
         super().__init__(name)
         self._resp = None
         self.content_type: Optional[str] = None
+        self._seekable: Optional[bool] = None  # unknown until first response
+        self._offset = 0  # byte position of the next create()
+        self._stop: Optional[int] = None
+        self._size: Optional[int] = None
+
+    # -- seeking (reqwesthttpsrc/imp.rs Range-request seeks;
+    #    tests/reqwesthttpsrc.rs test_seek_after_ready/_after_buffer_received/
+    #    _with_stop_position) ---------------------------------------------------
+    def is_seekable(self) -> bool:
+        # optimistic before the first response (a seek in READY is accepted
+        # and validated at connect time, like the reference)
+        return self._seekable is not False
+
+    def do_seek(self, segment) -> bool:
+        if self._seekable is False:
+            return False
+        self._offset = int(segment.start)
+        self._stop = None if segment.stop is None else int(segment.stop)
+        if self._resp is not None:  # mid-stream seek: reconnect with Range
+            self._resp.close()
+            self._connect()
+        return True
+
+    def duration_ns(self) -> Optional[int]:
+        # bytes-format source: "duration" is the total size in bytes
+        return self._size
+
+    def position_ns(self) -> Optional[int]:
+        return self._offset
 
     def start(self) -> None:
+        self._connect()
+
+    def _connect(self) -> None:
         loc = self.get_property("location")
         if not loc:
             raise RuntimeError(f"{self.name}: no location set")
@@ -90,6 +122,9 @@ class ReqwestHttpSrc(BaseSrc):
             req.add_header("Connection", "close")
         if self.get_property("iradio-mode"):
             req.add_header("Icy-MetaData", "1")
+        if self._offset or self._stop is not None:
+            end = "" if self._stop is None else str(self._stop - 1)
+            req.add_header("Range", f"bytes={self._offset}-{end}")
         timeout = self.get_property("timeout") or None
         proxy = self.get_property("proxy")
         if proxy:
@@ -106,6 +141,21 @@ class ReqwestHttpSrc(BaseSrc):
         else:
             self._resp = urlopen(req, timeout=timeout)
         self.content_type = self._resp.headers.get("Content-Type")
+        status = getattr(self._resp, "status", 200)
+        accept_ranges = (self._resp.headers.get("Accept-Ranges") or "").lower()
+        self._seekable = status == 206 or "bytes" in accept_ranges
+        if (self._offset or self._stop is not None) and status != 206:
+            self._resp.close()
+            self._resp = None
+            raise RuntimeError(
+                f"{self.name}: seek to {self._offset} requested but the "
+                "server does not support Range requests")
+        clen = self._resp.headers.get("Content-Length")
+        if clen is not None:
+            self._size = self._offset + int(clen)
+        crange = self._resp.headers.get("Content-Range")
+        if crange and "/" in crange and crange.rsplit("/", 1)[1].isdigit():
+            self._size = int(crange.rsplit("/", 1)[1])
         if self._resp.headers.get("Content-Encoding") == "gzip":
             import gzip as _gz
 
@@ -119,6 +169,9 @@ class ReqwestHttpSrc(BaseSrc):
         if self._resp is not None:
             self._resp.close()
             self._resp = None
+        self._offset = 0
+        self._stop = None
+        self._seekable = None
 
     def fixate(self, caps: Caps) -> Caps:
         if not caps.is_any():
@@ -127,10 +180,18 @@ class ReqwestHttpSrc(BaseSrc):
         return Caps.builder(ct if "/" in ct else "application/octet-stream")
 
     def create(self) -> Optional[Buffer]:
-        data = self._resp.read(self.get_property("blocksize"))
+        want = self.get_property("blocksize")
+        if self._stop is not None:
+            want = min(want, self._stop - self._offset)
+            if want <= 0:
+                return None
+        data = self._resp.read(want)
         if not data:
             return None
-        return Buffer(np.frombuffer(data, np.uint8))
+        buf = Buffer(np.frombuffer(data, np.uint8),
+                     offset=self._offset, offset_end=self._offset + len(data))
+        self._offset += len(data)
+        return buf
 
 
 @register

@@ -66,11 +66,24 @@ class _Handler(BaseHTTPRequestHandler):
     def do_GET(self):
         if self.path == "/auth" and self.headers.get("Authorization") != "Basic dXNlcjpwdw==":
             self.send_response(401); self.end_headers(); return
-        self.send_response(200)
+        body = self.payload
+        rng = self.headers.get("Range")
+        if rng and self.path != "/norange" and rng.startswith("bytes="):
+            lo_s, _, hi_s = rng[len("bytes="):].partition("-")
+            lo = int(lo_s)
+            hi = int(hi_s) + 1 if hi_s else len(body)
+            body = body[lo:hi]
+            self.send_response(206)
+            self.send_header("Content-Range",
+                             f"bytes {lo}-{lo + len(body) - 1}/{len(self.payload)}")
+        else:
+            self.send_response(200)
+            if self.path != "/norange":
+                self.send_header("Accept-Ranges", "bytes")
         self.send_header("Content-Type", "application/x-test")
-        self.send_header("Content-Length", str(len(self.payload)))
+        self.send_header("Content-Length", str(len(body)))
         self.end_headers()
-        self.wfile.write(self.payload)
+        self.wfile.write(body)
 
     def log_message(self, *a):
         pass
@@ -103,6 +116,54 @@ class TestReqwestHttpSrc:
         data = b"".join(np.asarray(s.buffer.data).tobytes()
                         for s in p.by_name("sink").samples)
         assert data == _Handler.payload
+
+    # Range-request seeking (net/reqwest/tests/reqwesthttpsrc.rs
+    # test_seek_after_ready / test_seek_with_stop_position)
+    def test_seek_before_playing(self, http_server):
+        from gst_plugins_rs_tpu.core.events import Event
+
+        p = fx.parse_launch(
+            f"reqwesthttpsrc name=src location={http_server}/file blocksize=4096 "
+            "! appsink name=sink")
+        src = p.by_name("src")
+        assert src.handle_seek(Event.new_seek(10_000, fmt="bytes"))
+        p.play_until_eos()
+        data = b"".join(np.asarray(s.buffer.data).tobytes()
+                        for s in p.by_name("sink").samples)
+        assert data == _Handler.payload[10_000:]
+        first = p.by_name("sink").samples[0].buffer
+        assert first.offset == 10_000
+
+    def test_seek_with_stop_position(self, http_server):
+        from gst_plugins_rs_tpu.core.events import Event
+
+        p = fx.parse_launch(
+            f"reqwesthttpsrc name=src location={http_server}/file blocksize=4096 "
+            "! appsink name=sink")
+        p.by_name("src").handle_seek(
+            Event.new_seek(10_000, 20_000, fmt="bytes"))
+        p.play_until_eos()
+        data = b"".join(np.asarray(s.buffer.data).tobytes()
+                        for s in p.by_name("sink").samples)
+        assert data == _Handler.payload[10_000:20_000]
+
+    def test_seek_rejected_without_range_support(self, http_server):
+        from gst_plugins_rs_tpu.core.events import Event
+
+        p = fx.parse_launch(
+            f"reqwesthttpsrc name=src location={http_server}/norange "
+            "! appsink name=sink")
+        p.by_name("src").handle_seek(Event.new_seek(10_000, fmt="bytes"))
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="Range"):
+            p.play_until_eos()
+
+    def test_size_from_content_length(self, http_server):
+        p = fx.parse_launch(
+            f"reqwesthttpsrc name=src location={http_server}/file ! appsink name=sink")
+        p.play_until_eos()
+        assert p.by_name("src").duration_ns() == len(_Handler.payload)
+        assert p.by_name("src").is_seekable()
 
 
 class _FakeIcecast(threading.Thread):
