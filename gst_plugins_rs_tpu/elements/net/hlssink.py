@@ -363,6 +363,12 @@ class _ByteStreamHlsSink(_HlsBase):
 
 @register
 class HlsSink3(_ByteStreamHlsSink):
+    """Two input modes like the reference (hlssink3/imp.rs, which embeds
+    mpegtsmux): the always `sink` pad segments an already-muxed byte
+    stream; the request `audio`/`video` pads feed elementary streams into
+    an embedded mpegtsmux whose TS output is cut into segments at
+    PSI-carrying boundaries once target-duration has accumulated."""
+
     ELEMENT_NAME = "hlssink3"
     ELEMENT_CLASS = "Sink/Muxer"
     ELEMENT_DESCRIPTION = "HLS sink segmenting a pre-muxed stream"
@@ -377,6 +383,104 @@ class HlsSink3(_ByteStreamHlsSink):
         [Structure("video/quicktime"), Structure("video/mpegts"),
          Structure("application/octet-stream")]
     )
+    EXTRA_PAD_TEMPLATES = [
+        ("audio", "sink", "request", "ANY"),
+        ("video", "sink", "request", "ANY"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._tsmux = None
+        self._seg_start_pts: Optional[int] = None
+        self._last_pts: Optional[int] = None
+
+    # -- embedded mpegtsmux (elementary-stream input mode) -------------------
+    def _ensure_tsmux(self):
+        if self._tsmux is not None:
+            return self._tsmux
+        from ..mux.tsmux import MpegTsMux
+
+        self._tsmux = MpegTsMux(f"{self.name}-tsmux")
+        # PSI before every PES so any output buffer can start a segment
+        # (TS segments must lead with PAT/PMT; the reference's mpegtsmux
+        # gets the same effect from si-interval alignment)
+        self._tsmux.set_property("pat-interval", 1)
+        self._tsmux.parent = self.parent
+        self._tsmux.state = self.state
+        inner = Pad("inner_sink", PadDirection.SINK,
+                    PadTemplate("inner", PadDirection.SINK,
+                                PadPresence.ALWAYS, Caps.new_any()))
+        inner.chain_function = self._ts_output
+        inner.event_function = self._event
+        inner.element = self
+        self._tsmux.srcpad.peer = inner
+        inner.peer = self._tsmux.srcpad
+        return self._tsmux
+
+    def request_pad(self, template_name: str = "video") -> Pad:
+        media = "audio" if "audio" in template_name else "video"
+        if media in self.pads:
+            raise ValueError(f"{self.name}: pad {media} already requested")
+        mux = self._ensure_tsmux()
+        muxpad = mux.request_sink_pad()
+        pad = Pad(media, PadDirection.SINK,
+                  PadTemplate(media, PadDirection.SINK, PadPresence.REQUEST,
+                              Caps.new_any()))
+        pad.chain_function = lambda p, b: muxpad.chain(b)
+        pad.event_function = lambda p, ev: muxpad.send_event(ev)
+        return self.add_pad(pad)
+
+    def _ts_output(self, pad: Pad, buf: Buffer) -> FlowReturn:
+        """Collect embedded-muxer TS output; cut a segment at each
+        PSI-carrying (non-DELTA) buffer once target-duration is full."""
+        if buf.pts is not None:
+            if self._seg_start_pts is None:
+                self._seg_start_pts = buf.pts
+            self._last_pts = buf.pts
+        target_ns = self.get_property("target-duration") * SECOND
+        span = 0 if self._seg_start_pts is None or self._last_pts is None \
+            else self._last_pts - self._seg_start_pts
+        if not buf.has_flag(BufferFlags.DELTA_UNIT) and self._acc \
+                and span >= target_ns:
+            self._dur = span
+            self._flush_segment()
+            self._seg_start_pts = buf.pts
+        self._acc += self._payload(buf)
+        return FlowReturn.OK
+
+    def _flush_segment(self) -> None:
+        super()._flush_segment()
+        self._seg_start_pts = None
+
+    def _event(self, pad: Pad, event: Event) -> bool:
+        if event.type == EventType.EOS and self._acc \
+                and self._seg_start_pts is not None \
+                and self._last_pts is not None:
+            self._dur = max(self._last_pts - self._seg_start_pts,
+                            SECOND // 10)
+        return super()._event(pad, event)
+
+    def on_ready_to_paused(self) -> None:
+        super().on_ready_to_paused()
+        self._seg_start_pts = None
+        self._last_pts = None
+        if self._tsmux is not None:
+            from ...core.element import State
+
+            self._tsmux.parent = self.parent
+            self._tsmux.set_state(State.PAUSED)
+
+    def on_paused_to_playing(self) -> None:
+        if self._tsmux is not None:
+            from ...core.element import State
+
+            self._tsmux.set_state(State.PLAYING)
+
+    def on_paused_to_ready(self) -> None:
+        if self._tsmux is not None:
+            from ...core.element import State
+
+            self._tsmux.set_state(State.READY)
 
 
 @register

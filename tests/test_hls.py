@@ -300,3 +300,63 @@ class TestMultivariantRenditions:
         import pytest
         with pytest.raises(ValueError, match="relative to the multivariant"):
             pad.set_property("variant", {"uri": "video.m3u8", "bandwidth": 1})
+
+
+class TestHlsSink3EmbeddedTsMux:
+    """Elementary-stream input mode: hlssink3 embeds mpegtsmux like the
+    reference (hlssink3/imp.rs audio/video request pads)."""
+
+    def test_es_input_muxes_and_segments(self, tmp_path):
+        import numpy as np
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+        from gst_plugins_rs_tpu.mux import mpegts
+
+        sink = fx.element_factory_make("hlssink3")
+        sink.set_property("playlist-location", str(tmp_path / "video.m3u8"))
+        sink.set_property("location", str(tmp_path / "segment%05d.ts"))
+        sink.set_property("target-duration", 1)
+        vsrc = fx.element_factory_make("appsrc")
+        vsrc.set_property("caps", parse_caps("video/x-h264,stream-format=byte-stream"))
+        asrc = fx.element_factory_make("appsrc")
+        asrc.set_property("caps", parse_caps("audio/mpeg,mpegversion=4"))
+        p = fx.Pipeline()
+        for e in (vsrc, asrc, sink):
+            p.add(e)
+        vsrc.pad("src").link(sink.request_pad("video"))
+        asrc.pad("src").link(sink.request_pad("audio"))
+        vframes = [bytes([0, 0, 0, 1, 0x65, i]) * 40 for i in range(30)]
+        for i, fr in enumerate(vframes):
+            vsrc.push_buffer(fx.Buffer(np.frombuffer(fr, np.uint8),
+                                       pts=i * 100_000_000))
+        for i in range(15):
+            asrc.push_buffer(fx.Buffer(np.frombuffer(bytes([0xFF, i]) * 100, np.uint8),
+                                       pts=i * 200_000_000))
+        vsrc.end_of_stream(); asrc.end_of_stream()
+        p.play_until_eos()
+
+        segs = sorted(f for f in os.listdir(tmp_path) if f.endswith(".ts"))
+        assert len(segs) >= 2  # 3 s of content at 1 s target duration
+        playlist = (tmp_path / "video.m3u8").read_text()
+        assert playlist.count("#EXTINF:") == len(segs)
+        assert playlist.rstrip().endswith("#EXT-X-ENDLIST")
+        # every segment is whole TS packets starting with PAT/PMT
+        all_es = b""
+        for i, seg in enumerate(segs):
+            data = (tmp_path / seg).read_bytes()
+            assert len(data) % 188 == 0
+            pkts = list(mpegts.iter_packets(data))
+            assert pkts[0].pid == 0  # PAT leads each segment
+            pids = {pk.pid for pk in pkts}
+            assert 0x101 in pids and 0x102 in pids  # video + audio PIDs
+            all_es += b"".join(pk.payload for pk in pkts
+                               if pk.pid == 0x101 and pk.payload)
+        # the video elementary stream survives mux + segmentation intact
+        for fr in vframes:
+            assert fr in all_es
+
+    def test_single_pad_per_media(self, tmp_path):
+        sink = fx.element_factory_make("hlssink3")
+        sink.request_pad("video")
+        import pytest
+        with pytest.raises(ValueError, match="already requested"):
+            sink.request_pad("video")
