@@ -60,6 +60,10 @@ class DashSink2(Element):
         "get-manifest-stream": None,
     }
     ELEMENT_DESCRIPTION = "DASH sink writing fMP4 representations and an MPD"
+    EXTRA_PAD_TEMPLATES = [
+        ("audio_%u", "sink", "request", "ANY"),
+        ("video_%u", "sink", "request", "ANY"),
+    ]
     PROPERTIES = [
         Prop("mpd-root-path", ".", type="str"),
         Prop("mpd-filename", "manifest.mpd", type="str"),
@@ -110,6 +114,10 @@ class DashSink2(Element):
         return self.add_pad(pad)
 
     def request_pad(self, template_name: str = "sink_%u") -> Pad:
+        media = template_name.split("_")[0]
+        if media in ("audio", "video"):
+            n = sum(1 for p in self.sink_pads() if p.name.startswith(media))
+            return self.request_sink_pad(f"{media}_{n}")
         return self.request_sink_pad()
 
     def _sink_event(self, rep: _Representation, event: Event) -> bool:

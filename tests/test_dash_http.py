@@ -214,3 +214,26 @@ class TestIcecast:
         assert "Authorization: Basic" in req
         assert "Content-Type: audio/basic" in req
         assert len(srv.body) == 3 * 480  # mu-law bytes streamed
+
+
+def test_dashsink2_media_named_request_pads(tmp_path):
+    """Reference-named request pads audio_%u/video_%u work alongside the
+    legacy sink_%u naming."""
+    from gst_plugins_rs_tpu.core.parse import parse_caps
+
+    sink = fx.element_factory_make("dashsink2")
+    sink.set_property("mpd-root-path", str(tmp_path))
+    sink.set_property("target-duration", 1)
+    p = fx.Pipeline()
+    p.add(sink)
+    src = fx.element_factory_make("audiotestsrc")
+    src.set_property("num-buffers", 20); src.set_property("samplesperbuffer", 4800)
+    capsf = fx.element_factory_make("capsfilter")
+    capsf.set_property("caps", parse_caps("audio/x-raw,format=S16,rate=48000,channels=2"))
+    p.add(src); p.add(capsf)
+    src.link(capsf)
+    pad = sink.request_pad("audio_%u")
+    assert pad.name == "audio_0"
+    capsf.pad("src").link(pad)
+    p.play_until_eos()
+    assert "manifest.mpd" in os.listdir(tmp_path)
