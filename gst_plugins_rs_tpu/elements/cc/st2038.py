@@ -290,13 +290,15 @@ class St2038Combiner(Element):
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
+        # pad names per the reference (st2038anc/combiner: video on `sink`,
+        # ANC stream on `st2038`)
         self.video_pad = self.add_pad(
-            Pad("video", PadDirection.SINK,
-                PadTemplate("video", PadDirection.SINK, PadPresence.ALWAYS, Caps.new_any()))
+            Pad("sink", PadDirection.SINK,
+                PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS, Caps.new_any()))
         )
         self.anc_pad = self.add_pad(
-            Pad("anc", PadDirection.SINK,
-                PadTemplate("anc", PadDirection.SINK, PadPresence.ALWAYS, ST2038_CAPS))
+            Pad("st2038", PadDirection.SINK,
+                PadTemplate("st2038", PadDirection.SINK, PadPresence.ALWAYS, ST2038_CAPS))
         )
         self.srcpad = self.add_pad(
             Pad("src", PadDirection.SRC,

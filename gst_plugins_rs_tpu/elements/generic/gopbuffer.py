@@ -13,6 +13,8 @@ from ...core import (
     BaseTransform,
     Buffer,
     BufferFlags,
+    PadPresence,
+    PadTemplate,
     Prop,
     SECOND,
     TransformMode,
@@ -36,6 +38,14 @@ class GopBuffer(BaseTransform):
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
+        # the reference names the always pads video_sink/video_src
+        # (gopbuffer/imp.rs pad templates)
+        for old, new in (("sink", "video_sink"), ("src", "video_src")):
+            pad = self.pads.pop(old)
+            pad.name = new
+            pad.template = PadTemplate(new, pad.direction,
+                                       PadPresence.ALWAYS, pad.template.caps)
+            self.pads[new] = pad
         self._gops: List[List[Buffer]] = []  # closed GOPs
         self._current: List[Buffer] = []
 

@@ -136,8 +136,8 @@ class TestCombinerExtractor:
         vsrc.set_property("caps", parse_caps("video/x-raw,format=RGB,width=8,height=8,framerate=30/1"))
         for e in (comb, extract, vsink, ancsink, ancsrc, vsrc):
             p.add(e)
-        vsrc.pad("src").link(comb.pad("video"))
-        ancsrc.pad("src").link(comb.pad("anc"))
+        vsrc.pad("src").link(comb.pad("sink"))
+        ancsrc.pad("src").link(comb.pad("st2038"))
         comb.pad("src").link(extract.pad("sink"))
         extract.pad("src").link(vsink.pad("sink"))
         anc = st2038.pack(0x61, 0x02, b"\x80\x94\x20", line_number=9)
