@@ -24,6 +24,8 @@ from ...core import (
     Buffer,
     Caps,
     Element,
+    Event,
+    EventType,
     FlowReturn,
     Pad,
     PadDirection,
@@ -208,36 +210,57 @@ class OnvifMetadataCombiner(Element):
 
 @register
 class OnvifMetadataExtractor(BaseTransform):
-    """Extracts OnvifXMLFrameMeta back into metadata buffers on a second
-    src pad analog: here it replaces the buffer payload with the XML
-    (reference onvifmetadataextractor splits media/meta)."""
+    """Splits OnvifXMLFrameMeta out of media buffers: the media passes
+    through unchanged on `src` while each attached XML frame goes out as
+    a metadata buffer on the always `meta_src` pad (the reference's
+    onvifmetadataextractor pad shape)."""
 
     ELEMENT_NAME = "onvifmetadataextractor"
     ELEMENT_CLASS = "Metadata"
     ELEMENT_DESCRIPTION = "Extracts ONVIF XML metadata from buffers"
-    MODE = TransformMode.NEVER_IN_PLACE
-    SRC_CAPS = META_CAPS
+    MODE = TransformMode.ALWAYS_IN_PLACE
     PROPERTIES = [
         Prop("remove-onvif-metadata", False, type="bool",
              doc="strip OnvifXMLFrameMeta from the consumed buffers"),
     ]
 
-    def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
-        out = (META_CAPS if direction == PadDirection.SINK else Caps.new_any()).copy()
-        if filter_ is not None:
-            out = filter_.intersect(out)
-        return out
+    def __init__(self, name=None):
+        super().__init__(name)
+        self.meta_srcpad = self.add_pad(
+            Pad("meta_src", PadDirection.SRC,
+                PadTemplate("meta_src", PadDirection.SRC, PadPresence.ALWAYS,
+                            META_CAPS)))
+        self._meta_started = False
 
-    def transform(self, inbuf: Buffer) -> Optional[Buffer]:
-        meta = inbuf.get_meta(OnvifXMLFrameMeta)
-        if meta is None or not meta.frames:
-            return None
-        if self.get_property("remove-onvif-metadata"):
-            inbuf.metas.remove(meta)
-        out = Buffer("\n".join(meta.frames))
-        out.pts = inbuf.pts
-        out.duration = inbuf.duration
-        return out
+    def on_ready_to_paused(self) -> None:
+        super().on_ready_to_paused()
+        self._meta_started = False
+
+    def sink_event(self, event: Event) -> bool:
+        # mirror stream-terminating events onto the metadata branch
+        if event.type in (EventType.EOS, EventType.FLUSH_START,
+                          EventType.FLUSH_STOP) and self.meta_srcpad.peer:
+            self.meta_srcpad.push_event(event)
+        return True
+
+    def transform_ip(self, buf: Buffer) -> Buffer:
+        meta = buf.get_meta(OnvifXMLFrameMeta)
+        if meta is not None and meta.frames and self.meta_srcpad.peer is not None:
+            if not self._meta_started:
+                self._meta_started = True
+                from ...core.events import Segment
+
+                self.meta_srcpad.push_event(
+                    Event.new_stream_start(f"{self.name}-meta"))
+                self.meta_srcpad.push_event(Event.new_caps(META_CAPS))
+                self.meta_srcpad.push_event(
+                    Event.new_segment(self.segment or Segment()))
+            out = Buffer("\n".join(meta.frames), pts=buf.pts,
+                         duration=buf.duration)
+            self.meta_srcpad.push(out)
+        if meta is not None and self.get_property("remove-onvif-metadata"):
+            buf.metas.remove(meta)
+        return buf
 
 
 @register

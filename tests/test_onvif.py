@@ -97,28 +97,41 @@ class TestElements:
         assert [s.buffer.pts for s in sink.samples] == [10**9, 2 * 10**9]
 
     def test_combiner_extractor(self):
+        """extractor splits media/meta: media passes through on src, XML
+        goes out on meta_src (the reference's pad shape)."""
         comb = fx.element_factory_make("onvifmetadatacombiner")
         extract = fx.element_factory_make("onvifmetadataextractor")
+        extract.set_property("remove-onvif-metadata", True)
         sink = fx.element_factory_make("appsink")
+        metasink = fx.element_factory_make("appsink", "metasink")
         p = fx.Pipeline()
         vsrc = fx.element_factory_make("appsrc", "v")
         vsrc.set_property("caps", parse_caps("video/x-raw,format=RGB,width=8,height=8,framerate=30/1"))
         msrc = fx.element_factory_make("appsrc", "m")
         msrc.set_property("caps", parse_caps("application/x-onvif-metadata"))
-        for e in (comb, extract, sink, msrc, vsrc):  # meta source drives first
+        for e in (comb, extract, sink, metasink, msrc, vsrc):
             p.add(e)
         vsrc.pad("src").link(comb.pad("media"))
         msrc.pad("src").link(comb.pad("meta"))
         comb.pad("src").link(extract.pad("sink"))
-        extract.link(sink)
+        extract.pad("src").link(sink.pad("sink"))
+        extract.pad("meta_src").link(metasink.pad("sink"))
         xml = build_metadata_xml(sample_meta(), 0, 8, 8)
         msrc.push_buffer(fx.Buffer(xml, pts=0))
         msrc.end_of_stream()
         vsrc.push_buffer(fx.Buffer(np.zeros((8, 8, 3), np.uint8), pts=0, duration=33_000_000))
         vsrc.end_of_stream()
         p.play_until_eos()
+        # media untouched on src, meta stripped off it
         assert len(sink.samples) == 1
-        assert str(sink.samples[0].buffer.data) == xml
+        media = sink.samples[0].buffer
+        assert np.asarray(media.data).shape == (8, 8, 3)
+        assert not media.metas
+        # the XML frame on meta_src with the media buffer's timing
+        assert len(metasink.samples) == 1
+        assert str(metasink.samples[0].buffer.data) == xml
+        assert metasink.samples[0].buffer.pts == 0
+        assert metasink.caps.structure(0).name == "application/x-onvif-metadata"
 
     def test_overlay_draws_boxes(self):
         overlay = fx.element_factory_make("onvifmetadataoverlay")
