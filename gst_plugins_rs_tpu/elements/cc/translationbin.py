@@ -37,6 +37,9 @@ class TranslationBin(Element):
     ELEMENT_NAME = "translationbin"
     ELEMENT_CLASS = "Audio/Text/Bin"
     ELEMENT_DESCRIPTION = "Transcribes audio and translates it per output pad"
+    EXTRA_PAD_TEMPLATES = [
+        ("translate_src_%u", "src", "request", "text/x-raw"),
+    ]
     PROPERTIES = [
         Prop("transcriber", "whispertranscriber", type="str"),
         Prop("translator", "awstranslate", type="str"),
@@ -66,6 +69,11 @@ class TranslationBin(Element):
                 PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
                             Caps.builder("audio/x-raw")))
         )
+        self.srcpad = self.add_pad(
+            Pad("src", PadDirection.SRC,
+                PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                            Caps.builder("text/x-raw")))
+        )
         self._requests: List[dict] = []  # {"pad", "language", "translator_props"}
         self._children: List[Element] = []
         self._transcriber = None
@@ -81,9 +89,9 @@ class TranslationBin(Element):
     def request_src_pad(self, language_code: Optional[str] = None,
                         translator_props: Optional[dict] = None) -> Pad:
         pad = self.add_pad(
-            Pad(f"src_{len(self._requests)}", PadDirection.SRC,
-                PadTemplate("src_%u", PadDirection.SRC, PadPresence.REQUEST,
-                            Caps.builder("text/x-raw")))
+            Pad(f"translate_src_{len(self._requests)}", PadDirection.SRC,
+                PadTemplate("translate_src_%u", PadDirection.SRC,
+                            PadPresence.REQUEST, Caps.builder("text/x-raw")))
         )
         self._requests.append({
             "pad": pad,
@@ -127,6 +135,11 @@ class TranslationBin(Element):
             branches.append((translator, outer))
 
         def fanout_chain(pad: Pad, buf: Buffer) -> FlowReturn:
+            # the always src pad carries the untranslated transcript
+            if self.srcpad.peer is not None:
+                ret = self.srcpad.push(buf)
+                if ret not in (FlowReturn.OK, FlowReturn.NOT_LINKED):
+                    return ret
             for translator, outer in branches:
                 if translator is None:
                     ret = outer.push(buf)
@@ -137,6 +150,8 @@ class TranslationBin(Element):
             return FlowReturn.OK
 
         def fanout_event(pad: Pad, ev) -> bool:
+            if self.srcpad.peer is not None:
+                self.srcpad.push_event(ev)
             for translator, outer in branches:
                 if translator is None:
                     outer.push_event(ev)

@@ -47,6 +47,10 @@ class FlvDemux(Element):
     ELEMENT_NAME = "rsflvdemux"
     ELEMENT_CLASS = "Codec/Demuxer"
     ELEMENT_DESCRIPTION = "Demuxes FLV streams"
+    EXTRA_PAD_TEMPLATES = [
+        ("audio", "src", "sometimes", "ANY"),
+        ("video", "src", "sometimes", "ANY"),
+    ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)

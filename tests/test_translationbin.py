@@ -119,3 +119,40 @@ def test_translationbin_two_languages(fake_services):
     assert en and en[0] == "hello 1"
     assert es and es[0] == "[es] hello 1"
     assert len(en) == len(es)
+
+
+def test_translationbin_passthrough_src_and_pad_names(fake_services):
+    """The always src pad carries the untranslated transcript; request
+    pads are named translate_src_%u like the reference."""
+    ts_uri, tr_uri = fake_services
+    tb = fx.element_factory_make("translationbin")
+    tb.set_property("transcriber", "awstranscriber2")
+    tb.set_property("transcriber::endpoint-uri", ts_uri)
+    tb.set_property("language-code", "en-US")
+    pad_es = tb.request_src_pad(language_code="es-ES",
+                                translator_props={"endpoint-uri": tr_uri,
+                                                  "access-key": "AKID",
+                                                  "secret-access-key": "sec"})
+    assert pad_es.name == "translate_src_0"
+
+    src = fx.element_factory_make("appsrc")
+    src.set_property("caps", parse_caps(
+        "audio/x-raw,format=S16,rate=16000,channels=1,layout=interleaved"))
+    sink_pass = fx.element_factory_make("appsink", "pass")
+    sink_es = fx.element_factory_make("appsink", "es2")
+    p = fx.Pipeline()
+    for e in (src, tb, sink_pass, sink_es):
+        p.add(e)
+    src.link(tb)
+    tb.pad("src").link(sink_pass.pad("sink"))
+    pad_es.link(sink_es.pad("sink"))
+    for _ in range(2):
+        src.push_buffer(fx.Buffer(np.zeros((1600, 1), np.int16)))
+    src.end_of_stream()
+    p.play_until_eos()
+    texts = [bytes(np.asarray(s.buffer.data, np.uint8)).decode()
+             for s in sink_pass.samples]
+    es = [bytes(np.asarray(s.buffer.data, np.uint8)).decode()
+          for s in sink_es.samples]
+    assert texts and texts[0] == "hello 1"  # untranslated passthrough
+    assert es and es[0] == "[es] hello 1"
