@@ -171,36 +171,67 @@ class St2038AncMux(Element):
 
 
 @register
-class St2038AncToCc(BaseTransform):
-    """Extracts closed captions from ANC packets: SDID 0x02 -> CEA-608
-    pairs, SDID 0x01 -> CDP bytes (st2038anctocc/imp.rs:91)."""
+class St2038AncToCc(Element):
+    """Extracts closed captions from ANC packets onto per-kind sometimes
+    pads: SDID 0x02 -> CEA-608 pairs on `src_cea608`, SDID 0x01 -> CDP
+    bytes on `src_cea708` (st2038anctocc/imp.rs:91; both can flow
+    simultaneously).  The pads appear when data of that kind first
+    arrives; an element linked before that (gst `!` semantics) is
+    attached to the first compatible pad as it appears."""
 
     ELEMENT_NAME = "st2038anctocc"
     ELEMENT_CLASS = "Metadata/Converter"
     ELEMENT_DESCRIPTION = "Extracts closed captions from ST-2038 ancillary data"
-    MODE = TransformMode.NEVER_IN_PLACE
-    SINK_CAPS = ST2038_CAPS
-    SRC_CAPS = Caps([CEA608_CAPS.structure(0).copy(), CEA708_CDP_CAPS.structure(0).copy()])
+    EXTRA_PAD_TEMPLATES = [
+        ("src_cea608", "src", "sometimes", "closedcaption/x-cea-608"),
+        ("src_cea708", "src", "sometimes", "closedcaption/x-cea-708"),
+    ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
-        self._mode: Optional[str] = None
+        self.sinkpad = self.add_pad(
+            Pad("sink", PadDirection.SINK,
+                PadTemplate("sink", PadDirection.SINK, PadPresence.ALWAYS,
+                            ST2038_CAPS)))
+        self.sinkpad.chain_function = self._chain
+        self.sinkpad.event_function = self._event
+        self._pending_peers: List[Pad] = []
+        self._sticky: List[Event] = []  # stream-start/segment replayed on new pads
 
-    def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
-        out = (self.SRC_CAPS if direction == PadDirection.SINK else ST2038_CAPS).copy()
-        if filter_ is not None:
-            out = filter_.intersect(out)
-        return out
+    def link(self, downstream) -> None:
+        sink = next((p for p in downstream.sink_pads() if p.peer is None), None)
+        if sink is not None:
+            self._pending_peers.append(sink)
 
-    def _set_mode(self, mode: str) -> None:
-        if self._mode != mode:
-            self._mode = mode
-            caps = CEA608_CAPS if mode == "608" else CEA708_CDP_CAPS
-            self.out_caps = caps
-            self.srcpad.current_caps = caps
-            self.srcpad.push_event(Event.new_caps(caps))
+    def _ensure_pad(self, kind: str) -> Pad:
+        name = f"src_cea{kind}"
+        if name in self.pads:
+            return self.pads[name]
+        caps = CEA608_CAPS if kind == "608" else CEA708_CDP_CAPS
+        pad = Pad(name, PadDirection.SRC,
+                  PadTemplate(name, PadDirection.SRC, PadPresence.SOMETIMES,
+                              caps))
+        self.add_pad(pad)
+        for peer in self._pending_peers:
+            if peer.peer is None and caps.can_intersect(peer.pad_template_caps()):
+                pad.link(peer)
+                break
+        pad.push_event(Event.new_stream_start(f"{self.name}-{name}"))
+        pad.push_event(Event.new_caps(caps))
+        for ev in self._sticky:
+            pad.push_event(ev)
+        pad.current_caps = caps
+        return pad
 
-    def transform(self, inbuf: Buffer) -> Optional[Buffer]:
+    def _event(self, pad: Pad, event: Event) -> bool:
+        if event.type == EventType.SEGMENT:
+            self._sticky = [event]
+        ok = True
+        for p in self.src_pads():
+            ok = p.push_event(event) and ok
+        return ok
+
+    def _chain(self, pad: Pad, inbuf: Buffer) -> FlowReturn:
         pairs = []
         cdp = b""
         for pkt in st2038.unpack_all(_payload(inbuf)):
@@ -211,17 +242,18 @@ class St2038AncToCc(BaseTransform):
                 pairs.append((pkt.data[1], pkt.data[2]))
             elif pkt.sdid == 0x01:
                 cdp += pkt.data
+        ret = FlowReturn.OK
         if pairs:
-            self._set_mode("608")
-            out = Buffer(np.asarray(pairs, np.uint8).reshape(-1, 2))
-        elif cdp:
-            self._set_mode("708")
-            out = Buffer(np.frombuffer(cdp, np.uint8))
-        else:
-            return None
-        out.pts = inbuf.pts
-        out.duration = inbuf.duration
-        return out
+            out = Buffer(np.asarray(pairs, np.uint8).reshape(-1, 2),
+                         pts=inbuf.pts, duration=inbuf.duration)
+            ret = self._ensure_pad("608").push(out)
+        if cdp:
+            out = Buffer(np.frombuffer(cdp, np.uint8),
+                         pts=inbuf.pts, duration=inbuf.duration)
+            r708 = self._ensure_pad("708").push(out)
+            if ret in (FlowReturn.OK, FlowReturn.NOT_LINKED):
+                ret = r708
+        return FlowReturn.OK if ret == FlowReturn.NOT_LINKED else ret
 
 
 @register

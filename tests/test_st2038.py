@@ -163,3 +163,29 @@ class TestCombinerExtractor:
             {"remove-ancillary-meta": True})
         assert vsink.samples[0].buffer.get_meta(Meta) is None
         assert len(ancsink.samples) == 1
+
+
+def test_anctocc_simultaneous_608_and_708():
+    """Mixed ANC streams extract onto BOTH sometimes pads at once
+    (st2038anctocc/imp.rs: per-kind src_cea608/src_cea708 pads)."""
+    stream = (st2038.pack(0x61, 0x02, b"\x00\x94\x20", line_number=21)
+              + st2038.pack(0x61, 0x01, bytes([0x96, 0x69, 0x10, 0x5F])))
+    src = fx.element_factory_make("appsrc")
+    src.set_property("caps", parse_caps("meta/x-st-2038"))
+    unwrap = fx.element_factory_make("st2038anctocc")
+    s608 = fx.element_factory_make("appsink", "s608")
+    s708 = fx.element_factory_make("appsink", "s708")
+    p = fx.Pipeline()
+    for e in (src, unwrap, s608, s708):
+        p.add(e)
+    src.link(unwrap)
+    unwrap.link(s608)  # pending: attaches to the 608 pad when it appears
+    unwrap.link(s708)
+    src.push_buffer(fx.Buffer(np.frombuffer(stream, np.uint8), pts=0))
+    src.end_of_stream()
+    p.play_until_eos()
+    assert np.asarray(s608.samples[0].buffer.data).tolist() == [[0x94, 0x20]]
+    assert np.asarray(s708.samples[0].buffer.data).tobytes() == bytes(
+        [0x96, 0x69, 0x10, 0x5F])
+    assert s608.caps.structure(0).name == "closedcaption/x-cea-608"
+    assert s708.caps.structure(0).name == "closedcaption/x-cea-708"
