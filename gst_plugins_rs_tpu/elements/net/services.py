@@ -31,6 +31,10 @@ from ...core import (
     FlowReturn,
     Message,
     MessageType,
+    Pad,
+    PadDirection,
+    PadPresence,
+    PadTemplate,
     Prop,
     register,
 )
@@ -599,6 +603,12 @@ class ElevenLabsVoiceCloner(BaseSink):
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
+        # the reference passes the audio through while collecting it
+        # (cloner sits mid-pipeline); unlinked src = plain sink use
+        self.srcpad = self.add_pad(
+            Pad("src", PadDirection.SRC,
+                PadTemplate("src", PadDirection.SRC, PadPresence.ALWAYS,
+                            Caps.builder("audio/x-raw"))))
         self._audio = bytearray()
         self.voice_id: Optional[str] = None
 
@@ -611,11 +621,15 @@ class ElevenLabsVoiceCloner(BaseSink):
         if pcm.dtype != np.int16:
             pcm = (np.clip(np.asarray(pcm, np.float32), -1, 1) * 32767).astype(np.int16)
         self._audio += pcm.tobytes()
+        if self.srcpad.peer is not None:
+            return self.srcpad.push(buffer)
         return FlowReturn.OK
 
     def on_event(self, event) -> None:
         from ...core.events import EventType
 
+        if self.srcpad.peer is not None:
+            self.srcpad.push_event(event)
         if event.type != EventType.EOS or not self._audio:
             return
         import urllib.request

@@ -291,3 +291,37 @@ def test_transcriber_json_output_negotiation():
     buf = el.generate_output()
     rec = _json.loads(bytes(np.asarray(buf.data, np.uint8)).decode())
     assert rec == {"lines": [{"text": "hello world"}]}
+
+
+def test_elevenlabs_voicecloner_passes_audio_through():
+    """The cloner sits mid-pipeline like the reference: audio passes
+    through on src while being collected for the clone upload."""
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            self.rfile.read(int(self.headers["Content-Length"]))
+            out = json.dumps({"voice_id": "v"}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    el = fx.element_factory_make("elevenlabsvoicecloner")
+    el.set_property("url", f"http://127.0.0.1:{srv.server_address[1]}")
+    src = fx.element_factory_make("audiotestsrc")
+    src.set_property("num-buffers", 5)
+    src.set_property("samplesperbuffer", 480)
+    sink = fx.element_factory_make("appsink")
+    pipe = fx.Pipeline()
+    for e in (src, el, sink):
+        pipe.add(e)
+    src.link(el); el.link(sink)
+    pipe.play_until_eos()
+    assert len(sink.samples) == 5  # passthrough on src
+    assert sink.samples[0].buffer.pts == 0
+    n_ch = np.asarray(sink.samples[0].buffer.data).shape[-1]
+    assert len(el._audio) == 5 * 480 * n_ch * 2  # collected as s16
