@@ -108,6 +108,14 @@ class TranscriberBin(Element):
         # "src" alias kept for src_video so `transcriberbin ! cea608overlay`
         # textual pipelines link the video path by default
         self.srcpad = self.video_srcpad
+        # raw transcript text as it leaves the transcriber, before caption
+        # encoding and video-clock synchronization (the reference ghost-pads
+        # the transcriber's unsynced pads, imp.rs:2975-2980)
+        self.unsynced_srcpad = self.add_pad(
+            Pad("unsynced_src", PadDirection.SRC,
+                PadTemplate("unsynced_src", PadDirection.SRC,
+                            PadPresence.SOMETIMES,
+                            Caps.builder("text/x-raw"))))
         self._children = []
         self._transcriber = None
         self._built = False
@@ -274,8 +282,11 @@ class TranscriberBin(Element):
                               PadPresence.ALWAYS, Caps.new_any()))
         tee.element = self
         tee.chain_function = lambda pad, buf: self._tee_chain(fanout, buf)
-        tee.event_function = lambda pad, ev: all(
-            [p.send_event(ev) for p in fanout]) or True
+        def tee_event(pad, ev):
+            if self.unsynced_srcpad.peer is not None:
+                self.unsynced_srcpad.push_event(ev)
+            return all([p.send_event(ev) for p in fanout]) or True
+        tee.event_function = tee_event
         tee.query_function = _cc_caps_query
         tsrc.peer = tee
         tee.peer = tsrc
@@ -287,6 +298,8 @@ class TranscriberBin(Element):
 
     def _tee_chain(self, fanout, buf: Buffer) -> FlowReturn:
         ret = FlowReturn.OK
+        if self.unsynced_srcpad.peer is not None:
+            self.unsynced_srcpad.push(buf)
         for pad in fanout:
             r = pad.chain(buf)
             if r != FlowReturn.OK:

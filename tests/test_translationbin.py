@@ -156,3 +156,39 @@ def test_translationbin_passthrough_src_and_pad_names(fake_services):
           for s in sink_es.samples]
     assert texts and texts[0] == "hello 1"  # untranslated passthrough
     assert es and es[0] == "[es] hello 1"
+
+
+def test_transcriberbin_unsynced_src(fake_services):
+    """unsynced_src carries raw transcripts straight off the transcriber,
+    before caption encoding (transcriberbin/imp.rs unsynced pads)."""
+    ts_uri, _ = fake_services
+    tb = fx.element_factory_make("transcriberbin")
+    tb.set_property("transcriber", "awstranscriber2")
+    tb.set_property("transcriber::endpoint-uri", ts_uri)
+    asrc = fx.element_factory_make("appsrc", "a")
+    asrc.set_property("caps", parse_caps(
+        "audio/x-raw,format=S16,rate=16000,channels=1,layout=interleaved"))
+    vsrc = fx.element_factory_make("appsrc", "v")
+    vsrc.set_property("caps", parse_caps(
+        "video/x-raw,format=RGB,width=8,height=8,framerate=30/1"))
+    vsink = fx.element_factory_make("appsink", "vs")
+    asink = fx.element_factory_make("appsink", "as")
+    usink = fx.element_factory_make("appsink", "us")
+    p = fx.Pipeline()
+    for e in (asrc, vsrc, tb, vsink, asink, usink):
+        p.add(e)
+    asrc.pad("src").link(tb.pad("sink_audio"))
+    vsrc.pad("src").link(tb.pad("sink_video"))
+    tb.pad("src_video").link(vsink.pad("sink"))
+    tb.pad("src_audio").link(asink.pad("sink"))
+    tb.pad("unsynced_src").link(usink.pad("sink"))
+    for i in range(2):
+        asrc.push_buffer(fx.Buffer(np.zeros((1600, 1), np.int16), pts=i * 10**8))
+        vsrc.push_buffer(fx.Buffer(np.zeros((8, 8, 3), np.uint8), pts=i * 10**8,
+                                   duration=10**8))
+    asrc.end_of_stream(); vsrc.end_of_stream()
+    p.play_until_eos()
+    texts = [bytes(np.asarray(s.buffer.data, np.uint8)).decode()
+             for s in usink.samples]
+    assert texts and texts[0] == "hello 1"
+    assert len(vsink.samples) == 2  # video still passes with captions
