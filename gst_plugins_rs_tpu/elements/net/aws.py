@@ -28,10 +28,13 @@ from ...core import (
     BaseTransform,
     Buffer,
     Caps,
+    Event,
+    EventType,
     FlowReturn,
     Prop,
     register,
 )
+from ...core.events import Segment
 from ...core.basetransform import TransformMode
 from ...core.parse import parse_caps
 from ...net import sigv4
@@ -736,6 +739,12 @@ class AwsTranscriber2(BaseTransform):
              doc="(read) max ms between sending audio and receiving an item"),
     ]
 
+    EXTRA_PAD_TEMPLATES = [
+        ("unsynced_src", "src", "sometimes", "text/x-raw"),
+        ("translate_src_%u", "src", "request", "text/x-raw"),
+        ("unsynced_translate_src_%u", "src", "sometimes", "text/x-raw"),
+    ]
+
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._ws = None
@@ -743,6 +752,89 @@ class AwsTranscriber2(BaseTransform):
         self._lock = threading.Lock()
         self._thread: Optional[threading.Thread] = None
         self._last_send_t: Optional[float] = None
+        from ...core import Pad, PadDirection, PadPresence, PadTemplate
+
+        self.unsynced_srcpad = self.add_pad(
+            Pad("unsynced_src", PadDirection.SRC,
+                PadTemplate("unsynced_src", PadDirection.SRC,
+                            PadPresence.SOMETIMES, TEXT_CAPS)))
+        self._translate_pads: List[tuple] = []  # (pad, unsynced_pad, translator)
+        self._text_pads_started = False
+
+    # -- per-language translate pads (transcriber/imp.rs:1132-1175: one
+    #    request creates translate_src_N and its unsynced twin) -------------
+    def request_pad(self, template_name: str = "translate_src_%u"):
+        from ...core import Pad, PadDirection, PadPresence, PadTemplate
+
+        n = len(self._translate_pads)
+        translator = AwsTranslate(f"{self.name}-translate-{n}")
+        for prop in ("region", "access-key", "secret-access-key",
+                     "session-token"):
+            translator.set_property(prop, self.get_property(prop))
+        translator.set_property(
+            "input-language-code", self.get_property("language-code").split("-")[0])
+
+        class _TranslatePad(Pad):
+            def set_property(self, prop_name, value, _tr=translator):
+                _tr.set_property(
+                    "output-language-code" if prop_name == "language-code"
+                    else prop_name, value)
+
+            def get_property(self, prop_name, _tr=translator):
+                return _tr.get_property(
+                    "output-language-code" if prop_name == "language-code"
+                    else prop_name)
+
+        pad = _TranslatePad(
+            f"translate_src_{n}", PadDirection.SRC,
+            PadTemplate("translate_src_%u", PadDirection.SRC,
+                        PadPresence.REQUEST, TEXT_CAPS))
+        unsynced = Pad(
+            f"unsynced_translate_src_{n}", PadDirection.SRC,
+            PadTemplate("unsynced_translate_src_%u", PadDirection.SRC,
+                        PadPresence.SOMETIMES, TEXT_CAPS))
+        self.add_pad(pad)
+        self.add_pad(unsynced)
+        self._translate_pads.append((pad, unsynced, translator))
+        return pad
+
+    def _extra_text_pads(self):
+        return ([self.unsynced_srcpad]
+                + [p for pair in self._translate_pads for p in pair[:2]])
+
+    def _fan_out_text(self, text: str, pts) -> None:
+        linked = [p for p in self._extra_text_pads() if p.peer is not None]
+        if not linked:
+            return
+        if not self._text_pads_started:
+            self._text_pads_started = True
+            for p in linked:
+                p.push_event(Event.new_stream_start(f"{self.name}-{p.name}"))
+                p.push_event(Event.new_caps(TEXT_CAPS))
+                p.push_event(Event.new_segment(Segment()))
+        translations = {}
+        for pad, unsynced, translator in self._translate_pads:
+            if pad.peer is None and unsynced.peer is None:
+                continue
+            translations[pad.name] = translator._translate_one(text)
+        for pad, unsynced, translator in self._translate_pads:
+            out = translations.get(pad.name)
+            if out is None:
+                continue
+            for p in (pad, unsynced):
+                if p.peer is not None:
+                    p.push(Buffer(np.frombuffer(out.encode(), np.uint8), pts=pts))
+        if self.unsynced_srcpad.peer is not None:
+            self.unsynced_srcpad.push(
+                Buffer(np.frombuffer(text.encode(), np.uint8), pts=pts))
+
+    def sink_event(self, event: Event) -> bool:
+        if event.type in (EventType.EOS, EventType.FLUSH_START,
+                          EventType.FLUSH_STOP):
+            for p in self._extra_text_pads():
+                if p.peer is not None:
+                    p.push_event(event)
+        return True
 
     def transform_caps(self, direction, caps: Caps, filter_=None) -> Caps:
         from ...core.element import PadDirection
@@ -865,6 +957,7 @@ class AwsTranscriber2(BaseTransform):
         late = self.get_property("lateness")
         if pts is not None and late:
             pts += late * 1_000_000
+        self._fan_out_text(text, pts)
         return Buffer(np.frombuffer(text.encode(), np.uint8), pts=pts)
 
 

@@ -477,3 +477,82 @@ def test_translate_punctuation_tokenization(aws_api):
     assert bytes(np.asarray(sink.samples[0].buffer.data, np.uint8)) == \
         b"ONE. TWO! THREE"
     assert sink.samples[0].buffer.pts == 5_000_000  # lateness shift
+
+
+def test_transcriber_translate_pads():
+    """translate_src_%u pads carry per-language translations of every
+    final transcript; unsynced pads mirror them (transcriber/imp.rs
+    request_new_pad creates both)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from websockets.sync.server import serve as ws_serve
+
+    def ts_handler(ws):
+        n = 0
+        for raw in ws:
+            if isinstance(raw, str):
+                raw = raw.encode()
+            _, payload, _ = eventstream.decode_message(raw)
+            if not payload:
+                break
+            n += 1
+            out = json.dumps({"Transcript": {"Results": [
+                {"IsPartial": False,
+                 "Alternatives": [{"Transcript": f"hello {n}"}]}]}}).encode()
+            ws.send(eventstream.encode_message(
+                {":message-type": "event", ":event-type": "TranscriptEvent"},
+                out))
+
+    ts_srv = ws_serve(ts_handler, "127.0.0.1", 0)
+    threading.Thread(target=ts_srv.serve_forever, daemon=True).start()
+    fake_transcribe_server = f"ws://127.0.0.1:{ts_srv.socket.getsockname()[1]}"
+
+    class TrHandler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            out = json.dumps({"TranslatedText":
+                              f"[{body['TargetLanguageCode']}] {body['Text']}"}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+    tr_srv = ThreadingHTTPServer(("127.0.0.1", 0), TrHandler)
+    threading.Thread(target=tr_srv.serve_forever, daemon=True).start()
+    fake_translate_server = f"http://127.0.0.1:{tr_srv.server_address[1]}"
+
+    t = fx.element_factory_make("awstranscriber2")
+    t.set_property("endpoint-uri", fake_transcribe_server)
+    t.set_property("language-code", "en-US")
+    pad = t.request_pad("translate_src_%u")
+    assert pad.name == "translate_src_0"
+    assert t.pad("unsynced_translate_src_0") is not None
+    pad.set_property("language-code", "fr")
+    pad.set_property("endpoint-uri", fake_translate_server)
+    assert pad.get_property("language-code") == "fr"
+
+    src = fx.element_factory_make("appsrc")
+    src.set_property("caps", parse_caps(
+        "audio/x-raw,format=S16,rate=16000,channels=1,layout=interleaved"))
+    main = fx.element_factory_make("appsink", "main")
+    fr = fx.element_factory_make("appsink", "fr")
+    un = fx.element_factory_make("appsink", "un")
+    p = fx.Pipeline()
+    for e in (src, t, main, fr, un):
+        p.add(e)
+    src.link(t)
+    t.pad("src").link(main.pad("sink"))
+    pad.link(fr.pad("sink"))
+    t.pad("unsynced_src").link(un.pad("sink"))
+    src.push_buffer(fx.Buffer(np.zeros((1600, 1), np.int16), pts=0))
+    src.end_of_stream()
+    p.play_until_eos()
+
+    def texts(s):
+        return [bytes(np.asarray(x.buffer.data, np.uint8)).decode()
+                for x in s.samples]
+    assert texts(main) == ["hello 1"]
+    assert texts(un) == ["hello 1"]
+    assert texts(fr) == ["[fr] hello 1"]
