@@ -275,6 +275,11 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
                  "(audio_events_config)"),
     ]
 
+    EXTRA_PAD_TEMPLATES = [
+        ("translate_src_%u", "src", "request", "text/x-raw"),
+        ("unsynced_translate_src_%u", "src", "sometimes", "text/x-raw"),
+    ]
+
     def latency_additional_ns(self) -> int:
         return self.get_property("latency") * 1_000_000
 
@@ -283,6 +288,72 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
         self._seq = 0
         self._started = threading.Event()
         self._eot = threading.Event()
+        # (pad, unsynced_pad, language holder) per requested translate pad;
+        # languages feed translation_config.target_languages and
+        # AddTranslation results route back by language (imp.rs:1266-1292)
+        self._translate_pads: List[tuple] = []
+        self._translations: List[tuple] = []  # (language, text)
+        self._translate_started = False
+
+    def request_pad(self, template_name: str = "translate_src_%u") -> "Pad":
+        n = len(self._translate_pads)
+        lang = {"code": ""}
+
+        class _TranslatePad(Pad):
+            def set_property(self, prop_name, value, _lang=lang):
+                if prop_name != "language-code":
+                    raise KeyError(prop_name)
+                _lang["code"] = value
+
+            def get_property(self, prop_name, _lang=lang):
+                if prop_name != "language-code":
+                    raise KeyError(prop_name)
+                return _lang["code"]
+
+        pad = _TranslatePad(
+            f"translate_src_{n}", PadDirection.SRC,
+            PadTemplate("translate_src_%u", PadDirection.SRC,
+                        PadPresence.REQUEST, TEXT_CAPS))
+        unsynced = Pad(
+            f"unsynced_translate_src_{n}", PadDirection.SRC,
+            PadTemplate("unsynced_translate_src_%u", PadDirection.SRC,
+                        PadPresence.SOMETIMES, TEXT_CAPS))
+        self.add_pad(pad)
+        self.add_pad(unsynced)
+        self._translate_pads.append((pad, unsynced, lang))
+        return pad
+
+    def _target_languages(self) -> List[str]:
+        return [h["code"] for _, _, h in self._translate_pads if h["code"]]
+
+    def _push_translation(self, language: str, text: str) -> None:
+        if not text:
+            return
+        with self._lock:
+            self._translations.append((language, text))
+
+    def _drain_translations(self, pts) -> None:
+        with self._lock:
+            items, self._translations = self._translations, []
+        for language, text in items:
+            for pad, unsynced, holder in self._translate_pads:
+                if holder["code"] != language:
+                    continue
+                for p in (pad, unsynced):
+                    if p.peer is None:
+                        continue
+                    if not self._translate_started:
+                        self._translate_started = True
+                        from ...core.events import Event, Segment
+
+                        for q in [x for tp in self._translate_pads
+                                  for x in tp[:2] if x.peer is not None]:
+                            q.push_event(Event.new_stream_start(
+                                f"{self.name}-{q.name}"))
+                            q.push_event(Event.new_caps(TEXT_CAPS))
+                            q.push_event(Event.new_segment(Segment()))
+                    p.push(Buffer(np.frombuffer(text.encode(), np.uint8),
+                                  pts=pts))
 
     def start(self) -> None:
         from websockets.sync.client import connect as ws_connect
@@ -304,7 +375,10 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
                 "sample_rate": self.get_property("sample-rate"),
             },
             "transcription_config": self._transcription_config(),
-            "translation_config": {"target_languages": []},
+            "translation_config": {
+                "target_languages": self._target_languages(),
+                "enable_partials": False,
+            },
             **self._audio_events_config(),
         }))
         if not self._started.wait(10.0):
@@ -336,6 +410,11 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
         if filtering:
             cfg["transcript_filtering_config"] = filtering
         return cfg
+
+    def generate_output(self):
+        out = super().generate_output()
+        self._drain_translations(self._last_pts)
+        return out
 
     def _audio_events_config(self) -> dict:
         types = self.get_property("audio-event-types")
@@ -369,6 +448,12 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
                             words.append(content)
                     self._maybe_post_speakers(speakers)
                     self._push_result(" ".join(w for w in words if w))
+                elif kind == "AddTranslation":
+                    parts = [r.get("content", "")
+                             for r in msg.get("results", [])]
+                    self._push_translation(
+                        msg.get("language", ""),
+                        " ".join(x for x in parts if x))
                 elif kind == "EndOfTranscript":
                     self._eot.set()
                 elif kind == "Error":

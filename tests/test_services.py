@@ -325,3 +325,62 @@ def test_elevenlabs_voicecloner_passes_audio_through():
     assert sink.samples[0].buffer.pts == 0
     n_ch = np.asarray(sink.samples[0].buffer.data).shape[-1]
     assert len(el._audio) == 5 * 480 * n_ch * 2  # collected as s16
+
+
+def test_speechmatics_translate_pads():
+    """Requested translate pads feed translation_config.target_languages
+    and AddTranslation results route to the matching pad (speechmatics
+    transcriber/imp.rs:1266-1292)."""
+    from websockets.sync.server import serve as ws_serve
+
+    def handler(ws):
+        n = 0
+        for raw in ws:
+            if isinstance(raw, bytes):
+                n += 1
+                ws.send(json.dumps({"message": "AddTranscript", "results": [
+                    {"type": "word",
+                     "alternatives": [{"content": f"word{n}"}]}]}))
+                ws.send(json.dumps({"message": "AddTranslation",
+                                    "language": "fr",
+                                    "results": [{"start_time": 0.0,
+                                                 "end_time": 1.0,
+                                                 "content": f"mot{n}"}]}))
+                continue
+            msg = json.loads(raw)
+            if msg.get("message") == "StartRecognition":
+                assert msg["translation_config"]["target_languages"] == ["fr"]
+                ws.send(json.dumps({"message": "RecognitionStarted"}))
+            elif msg.get("message") == "EndOfStream":
+                ws.send(json.dumps({"message": "EndOfTranscript"}))
+
+    srv = ws_serve(handler, "127.0.0.1", 0)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+
+    el = fx.element_factory_make("speechmaticstranscriber")
+    el.set_property("url", f"ws://127.0.0.1:{srv.socket.getsockname()[1]}")
+    pad = el.request_pad("translate_src_%u")
+    pad.set_property("language-code", "fr")
+    assert el.pad("unsynced_translate_src_0") is not None
+
+    src = fx.element_factory_make("appsrc")
+    src.set_property("caps", parse_caps(
+        "audio/x-raw,format=S16,rate=16000,channels=1,layout=interleaved"))
+    main = fx.element_factory_make("appsink", "m")
+    frs = fx.element_factory_make("appsink", "f")
+    p = fx.Pipeline()
+    for e in (src, el, main, frs):
+        p.add(e)
+    src.link(el)
+    el.pad("src").link(main.pad("sink"))
+    pad.link(frs.pad("sink"))
+    for _ in range(2):
+        src.push_buffer(fx.Buffer(np.zeros((1600, 1), np.int16), pts=0))
+    src.end_of_stream()
+    p.play_until_eos()
+
+    def texts(s):
+        return [bytes(np.asarray(x.buffer.data, np.uint8)).decode()
+                for x in s.samples]
+    assert texts(main) and texts(main)[0] == "word1"
+    assert texts(frs) and texts(frs)[0] == "mot1"
