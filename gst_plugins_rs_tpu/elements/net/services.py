@@ -276,6 +276,7 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
     ]
 
     EXTRA_PAD_TEMPLATES = [
+        ("unsynced_src", "src", "sometimes", "text/x-raw"),
         ("translate_src_%u", "src", "request", "text/x-raw"),
         ("unsynced_translate_src_%u", "src", "sometimes", "text/x-raw"),
     ]
@@ -294,6 +295,11 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
         self._translate_pads: List[tuple] = []
         self._translations: List[tuple] = []  # (language, text)
         self._translate_started = False
+        self.unsynced_srcpad = self.add_pad(
+            Pad("unsynced_src", PadDirection.SRC,
+                PadTemplate("unsynced_src", PadDirection.SRC,
+                            PadPresence.SOMETIMES, TEXT_CAPS)))
+        self._unsynced_started = False
 
     def request_pad(self, template_name: str = "translate_src_%u") -> "Pad":
         n = len(self._translate_pads)
@@ -414,6 +420,17 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
     def generate_output(self):
         out = super().generate_output()
         self._drain_translations(self._last_pts)
+        if out is not None and self.unsynced_srcpad.peer is not None:
+            if not self._unsynced_started:
+                self._unsynced_started = True
+                from ...core.events import Event, Segment
+
+                self.unsynced_srcpad.push_event(
+                    Event.new_stream_start(f"{self.name}-unsynced"))
+                self.unsynced_srcpad.push_event(Event.new_caps(TEXT_CAPS))
+                self.unsynced_srcpad.push_event(Event.new_segment(Segment()))
+            self.unsynced_srcpad.push(
+                Buffer(out.data, pts=out.pts, duration=out.duration))
         return out
 
     def _audio_events_config(self) -> dict:

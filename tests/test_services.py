@@ -368,11 +368,13 @@ def test_speechmatics_translate_pads():
         "audio/x-raw,format=S16,rate=16000,channels=1,layout=interleaved"))
     main = fx.element_factory_make("appsink", "m")
     frs = fx.element_factory_make("appsink", "f")
+    uns = fx.element_factory_make("appsink", "u")
     p = fx.Pipeline()
-    for e in (src, el, main, frs):
+    for e in (src, el, main, frs, uns):
         p.add(e)
     src.link(el)
     el.pad("src").link(main.pad("sink"))
+    el.pad("unsynced_src").link(uns.pad("sink"))
     pad.link(frs.pad("sink"))
     for _ in range(2):
         src.push_buffer(fx.Buffer(np.zeros((1600, 1), np.int16), pts=0))
@@ -384,3 +386,4 @@ def test_speechmatics_translate_pads():
                 for x in s.samples]
     assert texts(main) and texts(main)[0] == "word1"
     assert texts(frs) and texts(frs)[0] == "mot1"
+    assert texts(uns) == texts(main)  # raw transcript mirror
