@@ -398,8 +398,18 @@ class AwsS3HlsSink(BaseSink):
         acl = self.get_property("acl")
         return {"x-amz-acl": acl} if acl and acl != "private" else {}
 
+    EXTRA_PAD_TEMPLATES = [
+        ("audio", "sink", "request", "ANY"),
+        ("video", "sink", "request", "ANY"),
+    ]
+
     def on_ready_to_paused(self) -> None:
         self._client = _client_from_props(self)
+        if getattr(self, "_tsmux", None) is not None:
+            from ...core.element import State
+
+            self._tsmux.parent = self.parent
+            self._tsmux.set_state(State.PAUSED)
         self._segment = bytearray()
         self._segments = []
         self._segment_start = None
@@ -418,6 +428,48 @@ class AwsS3HlsSink(BaseSink):
             self._finish_segment(pts - self._segment_start)
             self._segment_start = pts
         return FlowReturn.OK
+
+    # -- elementary-stream input (reference: hlssink3 embedded under the
+    #    S3 sink; audio/video request pads, s3hlssink/imp.rs) ----------------
+    def _ensure_tsmux(self):
+        if getattr(self, "_tsmux", None) is not None:
+            return self._tsmux
+        from ...core import Pad as _Pad, PadDirection as _PD, \
+            PadPresence as _PP, PadTemplate as _PT
+        from ..mux.tsmux import MpegTsMux
+
+        self._tsmux = MpegTsMux(f"{self.name}-tsmux")
+        self._tsmux.set_property("pat-interval", 1)
+        self._tsmux.parent = self.parent
+        inner = _Pad("inner_sink", _PD.SINK,
+                     _PT("inner", _PD.SINK, _PP.ALWAYS, Caps.new_any()))
+        inner.chain_function = lambda p, b: self.render(b)
+        inner.event_function = lambda p, ev: self._event(self.sinkpad, ev)
+        inner.element = self
+        self._tsmux.srcpad.peer = inner
+        inner.peer = self._tsmux.srcpad
+        return self._tsmux
+
+    def request_pad(self, template_name: str = "video"):
+        from ...core import Pad as _Pad, PadDirection as _PD, \
+            PadPresence as _PP, PadTemplate as _PT
+
+        media = "audio" if "audio" in template_name else "video"
+        if media in self.pads:
+            raise ValueError(f"{self.name}: pad {media} already requested")
+        muxpad = self._ensure_tsmux().request_sink_pad()
+        pad = _Pad(media, _PD.SINK,
+                   _PT(media, _PD.SINK, _PP.REQUEST, Caps.new_any()))
+        pad.chain_function = lambda p, b: muxpad.chain(b)
+        pad.event_function = lambda p, ev: muxpad.send_event(ev)
+        return self.add_pad(pad)
+
+    def on_paused_to_playing(self) -> None:
+        if getattr(self, "_tsmux", None) is not None:
+            from ...core.element import State
+
+            self._tsmux.parent = self.parent
+            self._tsmux.set_state(State.PLAYING)
 
     def _finish_segment(self, duration_ns: int) -> None:
         if not self._segment:

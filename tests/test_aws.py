@@ -210,6 +210,40 @@ class TestS3Elements:
         playlist = s3.objects["/bkt/live/playlist.m3u8"].decode()
         assert "#EXTM3U" in playlist and "segment00000.ts" in playlist
 
+    def test_hls_sink_elementary_stream_pads(self, s3):
+        """audio/video request pads feed an embedded mpegtsmux whose TS
+        output is segmented and uploaded (the reference's s3hlssink wraps
+        hlssink3 the same way)."""
+        from gst_plugins_rs_tpu.mux import mpegts
+
+        sink = fx.element_factory_make("awss3hlssink")
+        sink.set_property("bucket", "bkt")
+        sink.set_property("key-prefix", "es")
+        sink.set_property("target-duration", 1_000_000_000)
+        _creds(sink, s3.endpoint)
+        vsrc = fx.element_factory_make("appsrc")
+        vsrc.set_property("caps", parse_caps(
+            "video/x-h264,stream-format=byte-stream"))
+        p = fx.Pipeline()
+        p.add(vsrc, sink)
+        vsrc.pad("src").link(sink.request_pad("video"))
+        frames = [bytes([0, 0, 0, 1, 0x65, i]) * 40 for i in range(25)]
+        for i, fr in enumerate(frames):
+            vsrc.push_buffer(fx.Buffer(np.frombuffer(fr, np.uint8),
+                                       pts=i * 100_000_000))
+        vsrc.end_of_stream()
+        p.play_until_eos()
+        segs = sorted(k for k in s3.objects if k.startswith("/bkt/es/segment"))
+        assert len(segs) >= 2
+        es = b""
+        for k in segs:
+            data = s3.objects[k]
+            assert len(data) % 188 == 0
+            es += b"".join(pk.payload for pk in mpegts.iter_packets(data)
+                           if pk.pid == 0x101 and pk.payload)
+        assert all(fr in es for fr in frames)
+        assert "#EXTM3U" in s3.objects["/bkt/es/playlist.m3u8"].decode()
+
 
 # ---------------------------------------------------------------------------
 # Polly / Translate fakes
