@@ -47,7 +47,9 @@ class FileSrc(BaseSrc):
         if loc is None:
             raise RuntimeError(f"{self.name}: no location set")
         self._f = open(loc, "rb")
-        self._offset = 0
+        self._offset = int(self.segment.start)  # pre-roll seeks start here
+        if self._offset:
+            self._f.seek(self._offset)
 
     def stop(self) -> None:
         if self._f:
@@ -62,21 +64,34 @@ class FileSrc(BaseSrc):
 
     def do_seek(self, segment) -> bool:
         """Byte-domain repositioning (filesrc is FORMAT_BYTES seekable;
-        send Event.new_seek(..., fmt='bytes'))."""
-        if self._f is None:
-            return False
-        self._f.seek(int(segment.start))
+        send Event.new_seek(..., fmt='bytes')).  A seek before the file
+        is open is remembered and applied at start()."""
+        if self._f is not None:
+            self._f.seek(int(segment.start))
         self._offset = int(segment.start)
         return True
 
     def position_ns(self):
-        return None  # byte domain: position is self._offset, not time
+        return self._offset  # byte domain
 
     def duration_ns(self):
-        return None
+        # byte domain: "duration" is the file size
+        import os
+
+        loc = self.get_property("location")
+        try:
+            return os.path.getsize(loc) if loc else None
+        except OSError:
+            return None
 
     def create(self) -> Optional[Buffer]:
-        data = self._f.read(self.get_property("blocksize"))
+        want = self.get_property("blocksize")
+        stop = self.segment.stop
+        if stop is not None:
+            want = min(want, int(stop) - self._offset)
+            if want <= 0:
+                return None
+        data = self._f.read(want)
         if not data:
             return None
         buf = Buffer(np.frombuffer(data, np.uint8), offset=self._offset)

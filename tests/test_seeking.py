@@ -131,3 +131,23 @@ class TestSeek:
                         for s in sink.samples)
         assert data == bytes(range(100, 200))
         p.set_state(State.NULL)
+
+
+def test_filesrc_byte_seek_with_stop(tmp_path):
+    """rsfilesrc honors byte seeks with stop positions and reports the
+    file size on duration queries."""
+    path = tmp_path / "blob.bin"
+    payload = bytes(range(256)) * 40  # 10240 bytes
+    path.write_bytes(payload)
+    p = fx.parse_launch(
+        f"rsfilesrc name=src location={path} blocksize=1000 ! appsink name=sink")
+    src = p.by_name("src")
+    from gst_plugins_rs_tpu.core.events import Event
+
+    assert src.handle_seek(Event.new_seek(2_000, 7_000, fmt="bytes"))
+    p.play_until_eos()
+    data = b"".join(np.asarray(s.buffer.data).tobytes()
+                    for s in p.by_name("sink").samples)
+    assert data == payload[2_000:7_000]
+    assert src.duration_ns() == len(payload)
+    assert p.by_name("sink").samples[0].buffer.offset == 2_000
