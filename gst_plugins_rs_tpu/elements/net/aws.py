@@ -139,18 +139,37 @@ class AwsS3Src(BaseSrc):
     def start(self) -> None:
         self._client, self._bucket, self._key = _resolve_target(self)
         self._size = self._client.head_object(self._bucket, self._key)
-        self._pos = 0
+        self._pos = int(self.segment.start)  # pre-roll seeks start here
 
     def stop(self) -> None:
         self._client = None
 
+    # ranged GETs make the object natively byte-seekable (the reference's
+    # s3src answers seeks the same way, via GetObject Range)
+    def is_seekable(self) -> bool:
+        return True
+
+    def do_seek(self, segment) -> bool:
+        self._pos = int(segment.start)
+        return True
+
+    def duration_ns(self):
+        return self._size or None
+
+    def position_ns(self):
+        return self._pos
+
     def create(self):
-        if self._pos >= self._size:
+        end_limit = self._size
+        if self.segment.stop is not None:
+            end_limit = min(end_limit, int(self.segment.stop))
+        if self._pos >= end_limit:
             return None
-        end = min(self._pos + self.get_property("blocksize"), self._size) - 1
+        end = min(self._pos + self.get_property("blocksize"), end_limit) - 1
         data = self._client.get_object(self._bucket, self._key, range_=(self._pos, end))
+        buf = Buffer(np.frombuffer(data, np.uint8), offset=self._pos)
         self._pos += len(data)
-        return Buffer(np.frombuffer(data, np.uint8))
+        return buf
 
 
 @register

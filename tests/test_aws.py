@@ -152,6 +152,29 @@ class TestS3Elements:
         assert got == payload
         assert len(sink.samples) == 3  # 30000 + 30000 + 16800
 
+    def test_src_byte_seek(self, s3):
+        """awss3src answers byte seeks with ranged GETs (pre-roll seek +
+        stop position)."""
+        from gst_plugins_rs_tpu.core.events import Event
+
+        payload = bytes(range(256)) * 300
+        s3.objects["/bkt/media.bin"] = payload
+        src = fx.element_factory_make("awss3src")
+        src.set_property("uri", "s3://us-east-1/bkt/media.bin")
+        src.set_property("blocksize", 10_000)
+        _creds(src, s3.endpoint)
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        p.add(src, sink)
+        src.link(sink)
+        assert src.handle_seek(Event.new_seek(20_000, 45_000, fmt="bytes"))
+        p.play_until_eos()
+        got = b"".join(bytes(np.asarray(s.buffer.data, np.uint8))
+                       for s in sink.samples)
+        assert got == payload[20_000:45_000]
+        assert src.duration_ns() == len(payload)
+        assert sink.samples[0].buffer.offset == 20_000
+
     def test_multipart_sink(self, s3):
         src = fx.element_factory_make("appsrc")
         src.set_property("caps", parse_caps("application/octet-stream"))
