@@ -187,3 +187,94 @@ def test_shared_context_many_udpsrc():
     # refcount released: the context unregisters
     assert "bench-ctx" not in Context._registry
     tx.close()
+
+
+# -- state-cycling robustness (threadshare tests/pad.rs start_stop_start /
+#    socket_play_null_play / premature_shutdown analogs) --------------------
+
+def _udp_pipeline(port):
+    p = fx.parse_launch(
+        f"ts-udpsrc port={port} timeout=50000000 ! appsink name=sink")
+    return p, p.by_name("sink")
+
+
+def test_udpsrc_play_null_play():
+    """The bound socket is released on NULL and rebinds on the next PLAY;
+    data flows in both incarnations (socket_play_null_play)."""
+    import socket as socklib
+    from gst_plugins_rs_tpu.core.element import State
+
+    probe = socklib.socket(socklib.AF_INET, socklib.SOCK_DGRAM)
+    probe.bind(("127.0.0.1", 0))
+    port = probe.getsockname()[1]
+    probe.close()
+
+    tx = socklib.socket(socklib.AF_INET, socklib.SOCK_DGRAM)
+    for incarnation in range(2):
+        p, sink = _udp_pipeline(port)
+        src = p.elements[0]
+        src.set_state(State.PLAYING)
+        tx.sendto(bytes([incarnation]) * 32, ("127.0.0.1", port))
+        deadline = time.monotonic() + 5
+        got = []
+        while time.monotonic() < deadline and not got:
+            p.run(max_iterations=1)
+            got = [np.asarray(s.buffer.data).tobytes() for s in sink.samples]
+        assert got and got[0] == bytes([incarnation]) * 32
+        p.set_state(State.NULL)  # must release the port for round 2
+
+
+def test_queue_start_pause_start():
+    """ts-queue keeps flowing across PAUSED<->PLAYING cycles on a shared
+    context (start_pause_start)."""
+    from gst_plugins_rs_tpu.core.element import State
+    from gst_plugins_rs_tpu.core.parse import parse_caps
+
+    src = fx.element_factory_make("appsrc")
+    src.set_property("caps", parse_caps("application/octet-stream"))
+    q = fx.element_factory_make("ts-queue")
+    q.set_property("context", "cycle-ctx")
+    sink = fx.element_factory_make("appsink")
+    p = fx.Pipeline()
+    for e in (src, q, sink):
+        p.add(e)
+    src.link(q); q.link(sink)
+    p.set_state(State.PLAYING)
+    src.push_buffer(fx.Buffer(np.zeros(8, np.uint8), pts=0))
+    p.run(max_iterations=3)
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline and len(sink.samples) < 1:
+        time.sleep(0.02)
+    assert len(sink.samples) == 1
+    p.set_state(State.PAUSED)
+    p.set_state(State.PLAYING)
+    src.push_buffer(fx.Buffer(np.ones(8, np.uint8), pts=1))
+    src.end_of_stream()
+    p.play_until_eos()
+    deadline = time.monotonic() + 5
+    while time.monotonic() < deadline and len(sink.samples) < 2:
+        time.sleep(0.02)
+    assert len(sink.samples) == 2
+    p.set_state(State.NULL)
+
+
+def test_premature_shutdown_mid_stream():
+    """Dropping to NULL while buffers are in flight neither hangs nor
+    corrupts; the pipeline restarts cleanly (premature_shutdown)."""
+    from gst_plugins_rs_tpu.core.element import State
+    from gst_plugins_rs_tpu.core.parse import parse_caps
+
+    for _ in range(2):
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("application/octet-stream"))
+        q = fx.element_factory_make("ts-queue")
+        q.set_property("context", "premature-ctx")
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        for e in (src, q, sink):
+            p.add(e)
+        src.link(q); q.link(sink)
+        p.set_state(State.PLAYING)
+        for i in range(50):
+            src.push_buffer(fx.Buffer(np.zeros(64, np.uint8), pts=i))
+        p.set_state(State.NULL)  # mid-stream teardown, queue non-empty
