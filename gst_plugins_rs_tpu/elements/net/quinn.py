@@ -310,13 +310,17 @@ class QuinnQuicSink(_QuicPropsMixin, BaseSink):
 
     def on_paused_to_ready(self) -> None:
         if self._ep is not None:
-            # flush FINs on our streams
+            # flush FINs on our streams, then drain: queued/cwnd-held
+            # stream data must be sent and acked before the endpoint
+            # closes, or a teardown right after EOS loses the tail
+            # (quinn's SendStream::finish contract)
             conn = self._ep.conn
             if conn is not None:
                 for sid in self._streams.values():
                     conn.send_stream(sid, b"", fin=True)
                 if self._default_stream is not None:
                     conn.send_stream(self._default_stream, b"", fin=True)
+                conn.drain(float(self.get_property("timeout")))
             self._ep.close()
             self._ep = None
 

@@ -29,8 +29,9 @@ engine in net/tls13.py.  Scope covers what the quinn elements need:
   ssthresh, AIMD afterwards, one cwnd halving per recovery epoch;
   ack-eliciting 1-RTT packets beyond cwnd are held and released by
   ACKs (ACK/CLOSE-led packets always flow, so the feedback loop and
-  shutdown cannot deadlock).  Persistent-congestion collapse and
-  pacing are out of scope
+  shutdown cannot deadlock); persistent congestion (§7.6) collapses
+  cwnd to the minimum window when the lost span exceeds 3x the PTO
+  duration with nothing acked inside it.  Pacing is out of scope
 - version negotiation (RFC 9000 §6): servers answer unknown-version
   first flights with a VN packet; clients abort on a valid VN and
   ignore spoofs (listed-own-version or wrong dcid)
@@ -387,6 +388,7 @@ class QuicConnection:
         self._ssthresh = float("inf")
         self._in_flight = 0
         self._recovery_start: Optional[float] = None
+        self._last_acked_sent: Optional[float] = None
 
         # idle timeout (RFC 9000 §10.1): effective value is the min of both
         # sides' max_idle_timeout transport params (floored at 3x PTO), the
@@ -546,6 +548,27 @@ class QuicConnection:
         self._flush_queued()
         self.close_reason = reason
         self.closed.set()
+
+    def drain(self, timeout: float = 5.0) -> bool:
+        """Block until every queued stream byte has been sent AND
+        acknowledged (the quinn SendStream::finish/Connection-drain
+        analog senders use before teardown): pending, flow-blocked and
+        cwnd-held frames flushed, nothing ack-eliciting in flight.
+        Returns False on timeout or if the connection closed first."""
+        deadline = time.monotonic() + max(timeout, 0.0)
+        while True:
+            with self._lock:
+                queued = self.__dict__.get("_queued_frames", {})
+                idle = (not self._pending_stream and not self._fc_blocked
+                        and not any(queued.values())
+                        and self._in_flight == 0)
+                dead = self.closed.is_set()
+            if idle:
+                return True
+            if dead or time.monotonic() >= deadline:
+                return False
+            self.tick()  # PTO backstop keeps retransmits moving
+            time.sleep(0.005)
 
     def tick(self) -> None:
         """Retransmit ack-eliciting packets past their PTO (the backstop
@@ -938,6 +961,7 @@ class QuicConnection:
     K_PACKET_THRESHOLD = 3  # RFC 9002 §6.1.1
     K_TIME_THRESHOLD = 9 / 8  # RFC 9002 §6.1.2
     K_GRANULARITY = 0.001
+    K_PERSISTENT_CONGESTION = 3  # RFC 9002 §7.6.1
 
     def _handle_ack(self, level: str, payload: bytes, off: int, has_ecn: bool) -> int:
         largest, off = decode_varint(payload, off)
@@ -971,6 +995,10 @@ class QuicConnection:
         for _pn, (_fr, _el, _sent, _size) in newly.items():
             if not _el:
                 continue
+            # persistent-congestion detection needs the send time of the
+            # most recent acked ack-eliciting packet (RFC 9002 §7.6.2)
+            if self._last_acked_sent is None or _sent > self._last_acked_sent:
+                self._last_acked_sent = _sent
             self._in_flight = max(0, self._in_flight - _size)
             if self._recovery_start is not None and _sent <= self._recovery_start:
                 continue  # no growth for packets sent before recovery began
@@ -1006,6 +1034,7 @@ class QuicConnection:
         time_thresh = self.K_TIME_THRESHOLD * rtt if rtt else None
         lost = []
         latest_lost_sent = None
+        earliest_lost_sent = None
         for pn in sorted(space.unacked):
             if pn >= largest_acked:
                 break  # not yet reorderable: nothing after it was acked
@@ -1018,6 +1047,8 @@ class QuicConnection:
                     lost.append(frames)
                     if latest_lost_sent is None or sent > latest_lost_sent:
                         latest_lost_sent = sent
+                    if earliest_lost_sent is None or sent < earliest_lost_sent:
+                        earliest_lost_sent = sent
         if latest_lost_sent is not None and (
                 self._recovery_start is None
                 or latest_lost_sent > self._recovery_start):
@@ -1025,6 +1056,19 @@ class QuicConnection:
             self._recovery_start = now
             self._ssthresh = max(self._cwnd / 2.0, 2 * self.MTU)
             self._cwnd = self._ssthresh
+        # RFC 9002 §7.6: persistent congestion — the lost span exceeds
+        # 3x the PTO duration with an RTT sample established and nothing
+        # acked from inside the span: collapse to the minimum window
+        if (latest_lost_sent is not None and self._srtt is not None
+                and earliest_lost_sent is not None
+                and (self._last_acked_sent is None
+                     or self._last_acked_sent < earliest_lost_sent)):
+            duration = (self._srtt + max(4 * self._rttvar,
+                                         self.K_GRANULARITY) + 0.025)
+            if latest_lost_sent - earliest_lost_sent \
+                    > self.K_PERSISTENT_CONGESTION * duration:
+                self._cwnd = 2 * self.MTU
+                self._ssthresh = max(self._ssthresh, self._cwnd)
         for frames in lost:
             self._queue_frames(level, frames)
 

@@ -921,3 +921,57 @@ class TestClosedConnectionIsSilent:
         client.tick()
         assert client.closed.is_set()
         assert client.close_reason == "idle timeout"
+
+
+def test_persistent_congestion_collapses_window():
+    """RFC 9002 §7.6: a lost span longer than 3x the PTO duration with no
+    ack inside it collapses cwnd to the minimum window (2 MTU)."""
+    from gst_plugins_rs_tpu.net.tls13 import LEVEL_APP
+
+    client, server, pump, to_server, to_client = _pair()
+    client.connect()
+    pump()
+    assert client.handshake_done.is_set()
+    space = client.spaces[LEVEL_APP]
+
+    # establish an RTT sample, then fabricate an old lost span: two
+    # ack-eliciting packets whose send times straddle > 3x the PTO
+    # duration, all unacked since before the span began
+    client._srtt = 0.05
+    client._rttvar = 0.01
+    client._last_acked_sent = None
+    now = __import__("time").monotonic()
+    duration = (client._srtt + max(4 * client._rttvar, client.K_GRANULARITY)
+                + 0.025)
+    span = client.K_PERSISTENT_CONGESTION * duration + 1.0
+    base_pn = 900
+    space.unacked[base_pn] = ([(0x01, b"")], True, now - span - 0.5, 1200)
+    space.unacked[base_pn + 1] = ([(0x01, b"")], True, now - 0.5, 1200)
+    client._in_flight += 2400
+    grown = client._cwnd
+    assert grown > 2 * client.MTU
+    client._detect_lost(LEVEL_APP, space, base_pn + 100, now)
+    assert client._cwnd == 2 * client.MTU, (client._cwnd, grown)
+
+
+def test_no_persistent_congestion_when_ack_lands_inside_span():
+    from gst_plugins_rs_tpu.net.tls13 import LEVEL_APP
+
+    client, server, pump, to_server, to_client = _pair()
+    client.connect()
+    pump()
+    space = client.spaces[LEVEL_APP]
+    client._srtt = 0.05
+    client._rttvar = 0.01
+    now = __import__("time").monotonic()
+    duration = (client._srtt + max(4 * client._rttvar, client.K_GRANULARITY)
+                + 0.025)
+    span = client.K_PERSISTENT_CONGESTION * duration + 1.0
+    # an ack-eliciting packet sent INSIDE the span was acked
+    client._last_acked_sent = now - span / 2
+    base_pn = 900
+    space.unacked[base_pn] = ([(0x01, b"")], True, now - span - 0.5, 1200)
+    space.unacked[base_pn + 1] = ([(0x01, b"")], True, now - 0.5, 1200)
+    client._in_flight += 2400
+    client._detect_lost(LEVEL_APP, space, base_pn + 100, now)
+    assert client._cwnd > 2 * client.MTU  # epoch halving only, no collapse

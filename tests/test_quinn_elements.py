@@ -379,3 +379,44 @@ class TestReferencePropertySurface:
         p_cli.set_state(State.NULL)
         p_srv.set_state(State.NULL)
         t.join(10)
+
+
+def test_sink_drains_queued_data_before_teardown():
+    """Tearing the sender down right after EOS must not lose the tail:
+    on_paused_to_ready drains pending/cwnd-held stream data until acked
+    (quinn's SendStream::finish contract). Regression: a 100 kB buffer
+    (far beyond the initial congestion window) used to truncate at the
+    first flight."""
+    import socket as socklib
+    from gst_plugins_rs_tpu.core.element import State
+
+    s = socklib.socket(socklib.AF_INET, socklib.SOCK_DGRAM)
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    qsrc = fx.element_factory_make("quinnquicsrc")
+    qsrc.set_property("bind-address", "127.0.0.1")
+    qsrc.set_property("bind-port", port)
+    qsink = fx.element_factory_make("quinnquicsink")
+    qsink.set_property("address", "127.0.0.1")
+    qsink.set_property("port", port)
+    appsrc = fx.element_factory_make("appsrc")
+    appsrc.set_property("caps", parse_caps("application/octet-stream"))
+    appsink = fx.element_factory_make("appsink")
+    p_rx = fx.Pipeline(); p_rx.add(qsrc, appsink); qsrc.link(appsink)
+    p_tx = fx.Pipeline(); p_tx.add(appsrc, qsink); appsrc.link(qsink)
+    p_rx.set_state(State.PLAYING)
+    t_rx = threading.Thread(target=p_rx.run, daemon=True)
+    t_rx.start()
+    payload = bytes(range(256)) * 400  # 102400 bytes >> initial cwnd
+    appsrc.push_buffer(fx.Buffer(np.frombuffer(payload, np.uint8)))
+    appsrc.end_of_stream()
+    p_tx.play_until_eos()  # drops to NULL immediately after dispatch
+    deadline = time.monotonic() + 10
+    got = b""
+    while time.monotonic() < deadline and len(got) < len(payload):
+        got = b"".join(np.asarray(x.buffer.data).tobytes()
+                       for x in appsink.samples)
+        time.sleep(0.05)
+    assert got == payload
+    p_rx.set_state(State.NULL)
