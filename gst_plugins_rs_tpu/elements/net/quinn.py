@@ -833,8 +833,12 @@ class QuinnWtSink(BaseSink):
 
     def on_paused_to_ready(self) -> None:
         if self._ep is not None:
-            if self._stream is not None and self._ep.conn is not None:
-                self._ep.conn.send_stream(self._stream, b"", fin=True)
+            if self._ep.conn is not None:
+                if self._stream is not None:
+                    self._ep.conn.send_stream(self._stream, b"", fin=True)
+                # same contract as quinnquicsink: queued stream data must
+                # be acked before the endpoint closes
+                self._ep.conn.drain(float(self.get_property("timeout")))
             self._ep.close()
             self._ep = None
             self._session = None
