@@ -113,6 +113,8 @@ class _Stream:
         self.timescale = 0
         self.frame_dur_ts = 0  # per video frame, track timescale
         self.track: Optional[bmff.TrackConfig] = None
+        self.configured_caps: Optional[Caps] = None
+        self.pending_caps: Optional[Caps] = None  # caps change awaiting a keyframe
         # pending (not yet written) samples for the current fragment
         self.pending: List[Tuple[bytes, int, bool]] = []  # (data, dur_ts, sync)
         self.decode_ts = 0  # cumulative decode time of first pending sample
@@ -137,6 +139,7 @@ class _Stream:
                 pass
 
     def configure(self, caps: Caps, first_frame: Optional[bytes] = None) -> None:
+        self.configured_caps = caps
         s = caps.structure(0)
         if s.name == "audio/x-ac3":
             if first_frame is None:
@@ -310,6 +313,31 @@ class _MuxBase(Aggregator):
     def sink_event(self, pad, event) -> bool:
         from ...core.events import EventType
 
+        if event.type == EventType.CAPS:
+            # caps changes after configuration wait for the next keyframe
+            # (fmp4mux: allowed at GOP boundaries only,
+            # tests/fmp4_tests.rs test_caps_change_at_gop_boundary*)
+            st = self._streams.get(pad.name)
+            new = event.get("caps")
+            if st is not None and st.track is not None \
+                    and st.configured_caps is not None \
+                    and new != st.configured_caps:
+                st.pending_caps = new
+            return True
+        if event.type == EventType.GAP:
+            # a gap extends the previous sample's duration so the timeline
+            # stays contiguous (fmp4_tests.rs test_gap_events)
+            st = self._streams.get(pad.name)
+            dur = event.get("duration")
+            if st is not None and dur and st.timescale:
+                gap_ts = int(dur) * st.timescale // SECOND
+                if st.pending:
+                    data, sdur, sync = st.pending[-1]
+                    st.pending[-1] = (data, sdur + gap_ts, sync)
+                    st.pending_dur += gap_ts
+                else:
+                    st.decode_ts += gap_ts
+            return True
         if event.type == EventType.TAG:
             st = self._streams.get(pad.name)
             if st is not None:
@@ -538,6 +566,35 @@ class FMP4Mux(_MuxBase):
             self._frag_start_ns = end_ns
         return ret
 
+    def _apply_caps_change(self, st: _Stream, buf: Buffer) -> FlowReturn:
+        """Reconfigure a stream on a mid-stream caps change.  Only legal on
+        a keyframe (GOP boundary); an incompatible sample entry emits a
+        fresh init header (fmp4mux test_caps_change_at_gop_boundary /
+        _not_allowed / _compatible semantics)."""
+        from ...core.element import FlowError
+
+        if buf.has_flag(BufferFlags.DELTA_UNIT):
+            raise FlowError(
+                FlowReturn.ERROR,
+                f"{self.name}: caps change within a GOP (next buffer is a "
+                "delta unit) is not supported")
+        ret = self._cut(fragment_boundary=True)
+        if ret != FlowReturn.OK:
+            return ret
+        old_entry = st.track.sample_entry
+        old_ts = st.timescale
+        first = np.asarray(buf.data, np.uint8).tobytes()
+        st.configure(st.pending_caps, first_frame=first)
+        st._apply_tags(st.pending_caps.structure(0))
+        st.pending_caps = None
+        if st.timescale != old_ts and old_ts:
+            st.decode_ts = st.decode_ts * st.timescale // old_ts
+        if st.track.sample_entry != old_entry:
+            # incompatible change: downstream needs a new init segment
+            return self._push_bytes(self._header_bytes(final=False), pts=None,
+                                    duration=None, flags=BufferFlags.HEADER)
+        return FlowReturn.OK
+
     # -- aggregation ------------------------------------------------------------
     def aggregate(self, timeout: bool) -> FlowReturn:
         if not self._ensure_configured():
@@ -558,6 +615,10 @@ class FMP4Mux(_MuxBase):
         buf = st.pad.pop_buffer()
         if self._first_pts is None:
             self._first_pts = buf.pts or 0
+        if st.pending_caps is not None:
+            ret = self._apply_caps_change(st, buf)
+            if ret != FlowReturn.OK:
+                return ret
         data, dur, sync = st.to_sample(buf)
         st.pending.append((data, dur, sync))
         st.pending_dur += dur

@@ -719,3 +719,118 @@ class TestLanguageOrientation:
         assert rot in data
         # presentation size swapped (height x width in 16.16)
         assert _s.pack(">II", 48 << 16, 64 << 16) in data
+
+
+class TestCapsChangeAndGaps:
+    """fmp4_tests.rs caps-change / gap / early-EOS scenario analogs."""
+
+    @staticmethod
+    def _harnessed_mux(caps_str):
+        """Drive the muxer's pads directly so serialized events interleave
+        with buffers in push order (the gst_check::Harness pattern)."""
+        from gst_plugins_rs_tpu.core.events import Event, Segment
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        mux = fx.element_factory_make("isofmp4mux")
+        mux.set_property("fragment-duration", 500_000_000)
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        p.add(mux); p.add(sink)
+        pad = mux.request_sink_pad()
+        mux.pad("src").link(sink.pad("sink"))
+        from gst_plugins_rs_tpu.core.element import State
+
+        p.set_state(State.PLAYING)
+        pad.send_event(Event.new_stream_start("mux-in"))
+        pad.send_event(Event.new_caps(parse_caps(caps_str)))
+        pad.send_event(Event.new_segment(Segment()))
+        return p, pad, mux, sink
+
+    def test_caps_change_at_gop_boundary_emits_new_header(self):
+        from gst_plugins_rs_tpu.core.events import Event
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        p, pad, mux, sink = self._harnessed_mux(
+            "audio/x-raw,format=S16,rate=48000,channels=2,layout=interleaved")
+        for i in range(5):
+            pad.chain(fx.Buffer(np.zeros((4800, 2), np.int16),
+                                pts=i * 100_000_000, duration=100_000_000))
+        # rate change: new sample entry -> new init header must follow
+        pad.send_event(Event.new_caps(parse_caps(
+            "audio/x-raw,format=S16,rate=24000,channels=2,layout=interleaved")))
+        for i in range(5, 10):
+            pad.chain(fx.Buffer(np.zeros((2400, 2), np.int16),
+                                pts=i * 100_000_000, duration=100_000_000))
+        pad.send_event(Event.new_eos())
+        from gst_plugins_rs_tpu.core.buffer import BufferFlags
+
+        headers = [s.buffer for s in sink.samples
+                   if s.buffer.has_flag(BufferFlags.HEADER)]
+        assert len(headers) == 2  # initial + post-caps-change init
+        # both init headers parse and differ (rate changed)
+        h0 = np.asarray(headers[0].data).tobytes()
+        h1 = np.asarray(headers[1].data).tobytes()
+        assert reader.box_types(h0)[:2] == ["ftyp", "moov"]
+        assert reader.box_types(h1)[:2] == ["ftyp", "moov"]
+        assert h0 != h1
+        # all samples still come back out across the change
+        data = mux_bytes(sink)
+        frags = reader.decode_fragments(data)
+        total = sum(sum(f.sample_durations) for f in frags)
+        assert total > 0
+
+    def test_compatible_caps_change_keeps_header(self):
+        from gst_plugins_rs_tpu.core.events import Event
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+        from gst_plugins_rs_tpu.core.buffer import BufferFlags
+
+        p, pad, mux, sink = self._harnessed_mux(
+            "audio/x-raw,format=S16,rate=48000,channels=2,layout=interleaved")
+        pad.chain(fx.Buffer(np.zeros((4800, 2), np.int16), pts=0,
+                            duration=100_000_000))
+        # same decode configuration, extra field only: no new header
+        pad.send_event(Event.new_caps(parse_caps(
+            "audio/x-raw,format=S16,rate=48000,channels=2,"
+            "layout=interleaved,extra-field=1")))
+        pad.chain(fx.Buffer(np.zeros((4800, 2), np.int16),
+                            pts=100_000_000, duration=100_000_000))
+        pad.send_event(Event.new_eos())
+        headers = [s for s in sink.samples
+                   if s.buffer.has_flag(BufferFlags.HEADER)]
+        assert len(headers) == 1
+
+    def test_gap_event_extends_timeline(self):
+        from gst_plugins_rs_tpu.core.events import Event
+
+        p, pad, mux, sink = self._harnessed_mux(
+            "audio/x-raw,format=S16,rate=48000,channels=2,layout=interleaved")
+        pad.chain(fx.Buffer(np.zeros((4800, 2), np.int16), pts=0,
+                            duration=100_000_000))
+        pad.send_event(Event.new_gap(100_000_000, 200_000_000))
+        pad.chain(fx.Buffer(np.zeros((4800, 2), np.int16),
+                            pts=300_000_000, duration=100_000_000))
+        pad.send_event(Event.new_eos())
+        frags = reader.decode_fragments(mux_bytes(sink))
+        total_ts = sum(sum(f.sample_durations) for f in frags)
+        # 100ms + 200ms gap + 100ms = 400ms at 48 kHz
+        assert total_ts == 400 * 48
+
+    def test_caps_change_within_gop_rejected(self):
+        from gst_plugins_rs_tpu.core.buffer import BufferFlags
+        from gst_plugins_rs_tpu.core.events import Event
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        p, pad, mux, sink = self._harnessed_mux(
+            "video/x-h264,stream-format=avc,width=64,height=48,"
+            "framerate=30/1")
+        pad.chain(fx.Buffer(np.zeros(64, np.uint8), pts=0,
+                            duration=33_000_000))
+        pad.send_event(Event.new_caps(parse_caps(
+            "video/x-h264,stream-format=avc,width=128,height=96,"
+            "framerate=30/1")))
+        ret = pad.chain(fx.Buffer(np.zeros(64, np.uint8), pts=33_000_000,
+                                  duration=33_000_000,
+                                  flags=BufferFlags.DELTA_UNIT))
+        from gst_plugins_rs_tpu.core import FlowReturn
+
+        assert ret == FlowReturn.ERROR
