@@ -834,3 +834,44 @@ class TestCapsChangeAndGaps:
         from gst_plugins_rs_tpu.core import FlowReturn
 
         assert ret == FlowReturn.ERROR
+
+    def test_early_eos_one_stream(self):
+        """One stream ends early: its track finalizes while the other
+        keeps fragmenting (fmp4_tests.rs test_early_eos)."""
+        from gst_plugins_rs_tpu.core.events import Event, Segment
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+        from gst_plugins_rs_tpu.core.element import State
+
+        mux = fx.element_factory_make("isofmp4mux")
+        mux.set_property("fragment-duration", 200_000_000)
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        p.add(mux); p.add(sink)
+        pads = [mux.request_sink_pad(), mux.request_sink_pad()]
+        mux.pad("src").link(sink.pad("sink"))
+        p.set_state(State.PLAYING)
+        for i, pad in enumerate(pads):
+            pad.send_event(Event.new_stream_start(f"s{i}"))
+            pad.send_event(Event.new_caps(parse_caps(
+                "audio/x-raw,format=S16,rate=48000,channels=1,"
+                "layout=interleaved")))
+            pad.send_event(Event.new_segment(Segment()))
+        # stream 0: 10 buffers; stream 1: 3 then EOS
+        for i in range(10):
+            pads[0].chain(fx.Buffer(np.full((4800, 1), 7, np.int16),
+                                    pts=i * 100_000_000,
+                                    duration=100_000_000))
+            if i < 3:
+                pads[1].chain(fx.Buffer(np.full((4800, 1), 9, np.int16),
+                                        pts=i * 100_000_000,
+                                        duration=100_000_000))
+            elif i == 3:
+                pads[1].send_event(Event.new_eos())
+        pads[0].send_event(Event.new_eos())
+        data = mux_bytes(sink)
+        frags = reader.decode_fragments(data)
+        per_track = {}
+        for f in frags:
+            per_track[f.track_id] = per_track.get(f.track_id, 0) \
+                + sum(f.sample_durations)
+        assert sorted(per_track.values()) == [3 * 4800, 10 * 4800]
