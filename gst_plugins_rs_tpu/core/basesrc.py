@@ -25,6 +25,12 @@ class BaseSrc(Element):
 
     SRC_CAPS: Caps = Caps.new_any()
     IS_LIVE: bool = False
+    #: the GstFormat this source seeks in: 'time' (ns) or 'bytes'.
+    #: gst_base_src rejects seeks in a mismatched format
+    #: (gstbasesrc.c perform_seek format check); byte-domain sources
+    #: (rsfilesrc, reqwesthttpsrc, awss3src) set 'bytes' so a
+    #: Pipeline.seek() time broadcast cannot silently become a byte offset.
+    SEEK_FORMAT: str = "time"
     #: sentinel create() may return meaning "no data right now, not EOS"
     RETRY = object()
 
@@ -38,7 +44,7 @@ class BaseSrc(Element):
         self.out_caps: Optional[Caps] = None
         self._started_stream = False
         self._eos_sent = False
-        self.segment = Segment()
+        self.segment = Segment(format=self.SEEK_FORMAT)
 
     # -- subclass hooks -----------------------------------------------------
     def start(self) -> None: ...
@@ -141,10 +147,15 @@ class BaseSrc(Element):
     def handle_seek(self, event: Event) -> bool:
         if not self.is_seekable():
             return False
+        fmt = event.get("format", "time")
+        if fmt != self.SEEK_FORMAT:
+            # gst_base_src refuses seeks in a format it cannot convert:
+            # a time-format broadcast must not become a byte offset.
+            return False
         start = int(event.get("start", 0))
         stop = event.get("stop")
         seg = Segment(rate=float(event.get("rate", 1.0)), start=start,
-                      stop=stop, time=start, position=start)
+                      stop=stop, time=start, position=start, format=fmt)
         flush = event.get("flush", True)
         if flush and self._started_stream:
             self.srcpad.push_event(Event(EventType.FLUSH_START))

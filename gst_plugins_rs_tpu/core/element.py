@@ -110,6 +110,30 @@ class Pad:
         self.chain_function: Optional[Callable[["Pad", Buffer], FlowReturn]] = None
         self.event_function: Optional[Callable[["Pad", Event], bool]] = None
         self.query_function: Optional[Callable[["Pad", Query], bool]] = None
+        # per-pad properties (GstPad-subclass ParamSpecs in the reference,
+        # e.g. GstFallbackSwitchSinkPad priority/is-healthy, GstWebRTCSinkPad
+        # msid, RTP base-pay pad props); installed by Element.add_pad from
+        # the owner's PAD_PROPERTIES declaration
+        self._props: Dict[str, Any] = {}
+        self._prop_specs: Dict[str, "Prop"] = {}
+
+    def install_properties(self, specs: List["Prop"]) -> None:
+        for p in specs:
+            self._prop_specs[p.name] = p
+            self._props.setdefault(p.name, p.default)
+
+    def set_property(self, name: str, value: Any) -> None:
+        spec = self._prop_specs.get(name)
+        if spec is None:
+            raise KeyError(f"pad {self.name}: no property {name!r}")
+        self._props[name] = spec.validate(value)
+        if self.element is not None:
+            self.element.pad_property_changed(self, name, self._props[name])
+
+    def get_property(self, name: str) -> Any:
+        if name not in self._props:
+            raise KeyError(f"pad {self.name}: no property {name!r}")
+        return self._props[name]
 
     # -- linking -------------------------------------------------------------
     def link(self, other: "Pad") -> None:
@@ -235,6 +259,13 @@ class Element:
     #: makes them visible to --inspect and the registry like the
     #: reference's static pad templates.
     EXTRA_PAD_TEMPLATES: List[tuple] = []
+    #: Per-pad property specs, keyed by normalized pad-template name (the
+    #: template name up to the first %-pattern/digit, trailing _ removed:
+    #: "sink_%u" -> "sink").  The reference declares these on GstPad
+    #: subclasses (GstFallbackSwitchSinkPad, GstWebRTCSinkPad, RTP
+    #: base-pay pads, ...); here they are installed on every Pad added
+    #: whose template matches the key.
+    PAD_PROPERTIES: Dict[str, List[Prop]] = {}
 
     _instance_counter: Dict[str, int] = {}
 
@@ -302,11 +333,39 @@ class Element:
         handlers = getattr(self, "_signal_handlers", {}).get(signal)
         return handlers[0] if handlers else None
 
+    @classmethod
+    def _all_pad_properties(cls) -> Dict[str, List[Prop]]:
+        seen: Dict[str, Dict[str, Prop]] = {}
+        for klass in reversed(cls.__mro__):
+            for tmpl, props in vars(klass).get("PAD_PROPERTIES", {}).items():
+                bucket = seen.setdefault(tmpl, {})
+                for p in props:
+                    bucket[p.name] = p
+        return {tmpl: list(d.values()) for tmpl, d in seen.items()}
+
+    @staticmethod
+    def _norm_pad_name(name: str) -> str:
+        out = []
+        for ch in name:
+            if ch == "%" or ch.isdigit():
+                break
+            out.append(ch)
+        return "".join(out).rstrip("_")
+
     # -- pads -------------------------------------------------------------------
     def add_pad(self, pad: Pad) -> Pad:
         pad.element = self
         self.pads[pad.name] = pad
+        pad_props = self._all_pad_properties()
+        if pad_props:
+            tmpl = pad.template.name_template if pad.template else pad.name
+            specs = pad_props.get(self._norm_pad_name(tmpl))
+            if specs:
+                pad.install_properties(specs)
         return pad
+
+    def pad_property_changed(self, pad: Pad, name: str, value: Any) -> None:
+        """Hook: called after a per-pad property is set."""
 
     def pad(self, name: str) -> Pad:
         return self.pads[name]

@@ -13,7 +13,11 @@ from .caps import Caps, Structure
 
 
 class Segment:
-    """FORMAT_TIME segment: maps buffer PTS to running time / stream time."""
+    """Segment: maps buffer PTS to running time / stream time.
+
+    ``format`` is 'time' (values in ns) or 'bytes' (values are byte
+    offsets) — gst_segment's GstFormat. Downstream consumers of a bytes
+    segment must not treat start/position as nanoseconds."""
 
     def __init__(
         self,
@@ -24,6 +28,7 @@ class Segment:
         time: int = 0,
         position: int = 0,
         base: int = 0,
+        format: str = "time",
     ):
         self.rate = rate
         self.start = start
@@ -31,6 +36,7 @@ class Segment:
         self.time = time
         self.position = position
         self.base = base
+        self.format = format
 
     def to_running_time(self, pts: Optional[int]) -> Optional[int]:
         if pts is None or pts < self.start:

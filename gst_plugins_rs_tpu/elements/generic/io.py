@@ -32,6 +32,7 @@ class FileSrc(BaseSrc):
     ELEMENT_NAME = "rsfilesrc"
     ELEMENT_CLASS = "Source/File"
     ELEMENT_DESCRIPTION = "Reads a file as raw byte buffers"
+    SEEK_FORMAT = "bytes"
     PROPERTIES = [
         Prop("location", None, type="str", mutable="ready"),
         Prop("blocksize", 65536, type="uint", minimum=1, mutable="ready"),

@@ -125,6 +125,7 @@ class AwsS3Src(BaseSrc):
     ELEMENT_CLASS = "Source/Network"
     ELEMENT_DESCRIPTION = "Reads an object from Amazon S3 (SigV4 REST)"
     SRC_CAPS = Caps.builder("application/octet-stream")
+    SEEK_FORMAT = "bytes"
     PROPERTIES = _S3_COMMON + _S3_DEPRECATED_TUNING + [
         Prop("blocksize", 1 << 20, type="uint", doc="bytes per ranged GET"),
     ]

@@ -35,6 +35,7 @@ class ReqwestHttpSrc(BaseSrc):
     ELEMENT_NAME = "reqwesthttpsrc"
     ELEMENT_CLASS = "Source/Network/HTTP"
     ELEMENT_DESCRIPTION = "HTTP(S) source"
+    SEEK_FORMAT = "bytes"
     PROPERTIES = [
         Prop("location", None, type="str"),
         Prop("user-agent", "gst_plugins_rs_tpu/reqwesthttpsrc", type="str"),
@@ -81,11 +82,26 @@ class ReqwestHttpSrc(BaseSrc):
     def do_seek(self, segment) -> bool:
         if self._seekable is False:
             return False
+        prev_offset, prev_stop = self._offset, self._stop
         self._offset = int(segment.start)
         self._stop = None if segment.stop is None else int(segment.stop)
         if self._resp is not None:  # mid-stream seek: reconnect with Range
             self._resp.close()
-            self._connect()
+            self._resp = None
+            try:
+                self._connect()
+            except Exception:
+                # the server ignored the Range header (non-206) or the
+                # reconnect failed: the seek FAILS but the element must
+                # stay consistent — handle_seek still has to send
+                # FLUSH_STOP, and the next create() needs a live response.
+                self._seekable = False
+                self._offset, self._stop = prev_offset, prev_stop
+                try:
+                    self._connect()  # unranged resume from prev_offset=0 case
+                except Exception:
+                    self._resp = None  # create() will surface the error
+                return False
         return True
 
     def duration_ns(self) -> Optional[int]:
@@ -180,6 +196,9 @@ class ReqwestHttpSrc(BaseSrc):
         return Caps.builder(ct if "/" in ct else "application/octet-stream")
 
     def create(self) -> Optional[Buffer]:
+        if self._resp is None:
+            raise RuntimeError(
+                f"{self.name}: no live HTTP response (reconnect failed)")
         want = self.get_property("blocksize")
         if self._stop is not None:
             want = min(want, self._stop - self._offset)

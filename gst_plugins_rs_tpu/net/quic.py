@@ -75,6 +75,7 @@ from .tls13 import (
     LEVEL_INITIAL,
     QuicTlsClient,
     QuicTlsServer,
+    TlsError,
     hkdf_expand_label,
     hkdf_extract,
 )
@@ -578,11 +579,15 @@ class QuicConnection:
             if self.closed.is_set():
                 return  # a closed connection transmits nothing (§10.1)
             now = time.monotonic()
+            # RFC 9000 §10.1 / TP semantics: 0 means "idle timeout
+            # disabled" on that side; the effective timeout is the min of
+            # the NON-ZERO values, and if both are 0 there is no timeout.
             idle_ms = self.idle_timeout_ms
             peer_ms = self.peer_params.get(TP_MAX_IDLE_TIMEOUT, 0)
             if peer_ms:
-                idle_ms = min(idle_ms, peer_ms)
-            idle_ms = max(idle_ms, 3 * self._pto * 1000.0)  # §10.1 floor
+                idle_ms = min(idle_ms, peer_ms) if idle_ms else peer_ms
+            if idle_ms:
+                idle_ms = max(idle_ms, 3 * self._pto * 1000.0)  # §10.1 floor
             if idle_ms and (now - self._last_rx) * 1000.0 > idle_ms:
                 self.close_reason = "idle timeout"
                 self.closed.set()
@@ -730,8 +735,15 @@ class QuicConnection:
         ck, sk = initial_keys(retry_scid)
         space = self.spaces[LEVEL_INITIAL]
         space.tx_keys, space.rx_keys = ck, sk
-        # the server discarded our pre-Retry Initial: resend its frames
-        resend = [space.unacked.pop(pn)[0] for pn in sorted(space.unacked)]
+        # the server discarded our pre-Retry Initial: resend its frames.
+        # Reclaim the popped packets' in-flight bytes — the resend will
+        # account for itself when _build_packet runs again.
+        resend = []
+        for pn in sorted(space.unacked):
+            ent = space.unacked.pop(pn)
+            if ent[1]:
+                self._in_flight = max(0, self._in_flight - ent[3])
+            resend.append(ent[0])
         for frames in resend:
             self._queue_frames(LEVEL_INITIAL, frames)
 
@@ -872,7 +884,14 @@ class QuicConnection:
                 off += clen
                 complete = self.spaces[level].crypto_recv.push(coff, data, False)
                 if complete:
-                    self.tls.handle(level, complete)
+                    try:
+                        self.tls.handle(level, complete)
+                    except TlsError as e:
+                        # RFC 9001 §4.8: a TLS alert becomes a connection
+                        # error (0x0100 + alert); binder failures etc. must
+                        # abort, not crash the datagram handler
+                        self._connection_error(0x0100, f"tls: {e}")
+                        return
                     self._after_tls()
             elif FRAME_STREAM_BASE <= ftype <= 0x0F:
                 has_off = bool(ftype & 0x04)
@@ -1346,8 +1365,12 @@ class QuicConnection:
         frames = frames + b"\x00" * max(0, 1200 - len(frames) - 64)
         pkt = self._build_packet(LEVEL_APP, frames)
         # keep it off the PTO ledger: a retransmit there would ride the
-        # CURRENT path, but these frames are address-pinned
-        space.unacked.pop(space.send_pn - 1, None)
+        # CURRENT path, but these frames are address-pinned.  The ledger
+        # entry carried congestion accounting — give those bytes back, or
+        # every probe permanently leaks ~1200 bytes of cwnd budget.
+        ent = space.unacked.pop(space.send_pn - 1, None)
+        if ent is not None and ent[1]:
+            self._in_flight = max(0, self._in_flight - ent[3])
         self.sendto_cb(pkt, addr)
 
     def _build_packet(self, level: str, frames: bytes) -> bytes:

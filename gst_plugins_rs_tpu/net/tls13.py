@@ -100,6 +100,11 @@ def derive_secret(secret: bytes, label: str, transcript: bytes) -> bytes:
 # ---------------------------------------------------------------------------
 
 
+# 0-RTT anti-replay: ticket-id sets keyed by ticket_key (RFC 8446 §8.1).
+# Single-use redemption per process; see _on_client_hello for scope notes.
+_redeemed_tickets: Dict[bytes, set] = {}
+
+
 class TlsError(Exception):
     pass
 
@@ -536,8 +541,11 @@ class QuicTlsServer(QuicTls):
             if self.negotiated_alpn is None and offered:
                 raise TlsError("no common ALPN")
 
-        # PSK resumption (RFC 8446 §4.2.11): first identity only; a ticket
-        # that fails to open or a bad binder falls back to a full handshake
+        # PSK resumption (RFC 8446 §4.2.11): first identity only.  A ticket
+        # that fails to OPEN falls back to a full handshake (unknown
+        # identity), but a ticket that opens with a WRONG binder is an
+        # active attack and MUST abort the handshake (§4.2.11.2).
+        psk_alpn = None
         if EXT_PRE_SHARED_KEY in exts:
             pskext = exts[EXT_PRE_SHARED_KEY]
             ids_len = struct.unpack("!H", pskext[:2])[0]
@@ -551,15 +559,31 @@ class QuicTlsServer(QuicTls):
             if opened is not None:
                 early = hkdf_extract(b"", opened[0])
                 truncated = raw_msg[:-(2 + blen)]
-                if hmac.compare_digest(self._psk_binder(early, truncated),
-                                       first_binder):
-                    self._early_secret = early
-                    self.psk_accepted = True
-                    if self.negotiated_alpn is None:
-                        self.negotiated_alpn = opened[1] or None
+                if not hmac.compare_digest(self._psk_binder(early, truncated),
+                                           first_binder):
+                    raise TlsError("PSK binder verification failed")
+                self._early_secret = early
+                self.psk_accepted = True
+                psk_alpn = opened[1] or None
+                if self.negotiated_alpn is None:
+                    self.negotiated_alpn = psk_alpn
+        # Early data (§4.2.10): only with the PSK, and only when the
+        # connection's negotiated ALPN equals the one stored in the ticket.
+        # Anti-replay: single-use ticket cache (§8.1 first-flight defense) —
+        # a replayed CH offering an already-redeemed ticket gets a full
+        # handshake and its 0-RTT data is discarded.  The cache is
+        # per-process; a multi-instance deployment sharing ticket_key would
+        # need a shared store (documented limitation).
         if self.psk_accepted and EXT_EARLY_DATA in exts:
-            self.early_data_accepted = True
-            self._derive_early(bytes(self._transcript))  # transcript == CH
+            if self.negotiated_alpn == psk_alpn:
+                redeemed = _redeemed_tickets.setdefault(self.ticket_key, set())
+                tid = hashlib.sha256(ticket).digest()
+                if tid not in redeemed:
+                    redeemed.add(tid)
+                    if len(redeemed) > 65536:
+                        redeemed.clear()  # bound memory; over-rejects, never replays
+                    self.early_data_accepted = True
+                    self._derive_early(bytes(self._transcript))  # transcript == CH
 
         # ServerHello
         key_share = self._x25519.public_key().public_bytes(

@@ -86,6 +86,16 @@ def element_info(name: str) -> Dict[str, Any]:
     except Exception as e:  # noqa: BLE001 - introspection stays best-effort
         pads.append({"error": str(e)})
 
+    # per-pad property surfaces (GstPad-subclass ParamSpecs in the
+    # reference's other-types), keyed by normalized template name
+    pad_props = {}
+    for tmpl, specs in cls._all_pad_properties().items():
+        pad_props[tmpl] = [
+            {"name": p.name, "type": p.type, "default": _value_repr(p.default),
+             **({"doc": p.doc} if p.doc else {})}
+            for p in specs
+        ]
+
     return {
         "name": name,
         "class": cls.ELEMENT_CLASS,
@@ -95,6 +105,7 @@ def element_info(name: str) -> Dict[str, Any]:
         "signals": {s: ("action" if m else "request")
                     for s, m in cls._all_signals().items()},
         "pads": pads,
+        **({"pad-properties": pad_props} if pad_props else {}),
     }
 
 

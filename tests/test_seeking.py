@@ -151,3 +151,37 @@ def test_filesrc_byte_seek_with_stop(tmp_path):
     assert data == payload[2_000:7_000]
     assert src.duration_ns() == len(payload)
     assert p.by_name("sink").samples[0].buffer.offset == 2_000
+
+
+class TestSeekFormatCheck:
+    """ADVICE r3 (medium): gst_base_src rejects seeks whose format the
+    source cannot serve — a Pipeline.seek() time broadcast must not turn
+    into a byte offset on rsfilesrc (and vice versa)."""
+
+    def test_byte_source_rejects_time_seek(self, tmp_path):
+        p = tmp_path / "f.bin"
+        p.write_bytes(bytes(range(256)) * 4)
+        src = fx.element_factory_make("rsfilesrc")
+        src.set_property("location", str(p))
+        src.set_state(State.PAUSED)
+        assert not src.send_event(Event.new_seek(500_000_000, fmt="time"))
+        assert src.send_event(Event.new_seek(100, fmt="bytes", flush=False))
+        src.set_state(State.NULL)
+
+    def test_time_source_rejects_bytes_seek(self):
+        src = fx.element_factory_make("audiotestsrc")
+        assert not src.handle_seek(Event.new_seek(4096, fmt="bytes"))
+        assert src.handle_seek(Event.new_seek(250_000_000, fmt="time"))
+
+    def test_segment_carries_format(self, tmp_path):
+        p = tmp_path / "g.bin"
+        p.write_bytes(bytes(1000))
+        src = fx.element_factory_make("rsfilesrc")
+        src.set_property("location", str(p))
+        assert src.segment.format == "bytes"
+        src.set_state(State.PAUSED)
+        src.handle_seek(Event.new_seek(10, fmt="bytes", flush=False))
+        assert src.segment.format == "bytes"
+        src.set_state(State.NULL)
+        tsrc = fx.element_factory_make("audiotestsrc")
+        assert tsrc.segment.format == "time"
