@@ -32,12 +32,32 @@ from ...core import (
     TransformMode,
     register,
 )
+from ...core.buffer import Meta
 from ...core.caps import Structure
-from ...net.rtp import RtpPacket, SeqnumTracker, TimestampTracker
+from ...net.rtp import (
+    KNOWN_EXTENSIONS,
+    RtpPacket,
+    SeqnumTracker,
+    TimestampTracker,
+    build_onebyte_extensions,
+    parse_onebyte_extensions,
+)
 
 U32 = 0xFFFFFFFF
 U16 = 0xFFFF
 RTP_CAPS = Caps([Structure("application/x-rtp")])
+
+
+class RtpSourceMeta(Meta):
+    """GstRTPSourceMeta analog: RTP source info (ssrc + csrcs) carried as
+    buffer metadata when `source-info` is enabled (reference basepay/
+    basedepay `source-info` property)."""
+
+    api = "rtp-source"
+
+    def __init__(self, ssrc: Optional[int], csrcs: tuple = ()):
+        self.ssrc = ssrc
+        self.csrcs = tuple(csrcs)
 
 
 class RtpBasePay(BaseTransform):
@@ -52,6 +72,25 @@ class RtpBasePay(BaseTransform):
         Prop("ssrc", -1, type="int", minimum=-1, maximum=U32, doc="-1 = random"),
         Prop("timestamp-offset", -1, type="int", minimum=-1, maximum=U32, doc="-1 = random"),
         Prop("seqnum-offset", -1, type="int", minimum=-1, maximum=U16, doc="-1 = random"),
+        # GstRtpBasePay2 base surface (basepay/imp.rs:1969-2020)
+        Prop("onvif-no-rate-control", False, type="bool", mutable="playing",
+             doc="ONVIF Rate-Control=no timestamping mode: RTP time follows "
+                 "unscaled stream time under non-1.0 segment rates"),
+        Prop("scale-rtptime", True, type="bool", mutable="playing",
+             doc="whether the RTP timestamp is scaled with the segment rate "
+                 "(speed); false for ONVIF replay without rate control"),
+        Prop("source-info", False, type="bool", mutable="playing",
+             doc="read RtpSourceMeta from input buffers to set ssrc/csrcs"),
+        Prop("auto-header-extension", True, type="bool", mutable="playing",
+             doc="auto-enable known header extensions from caps extmap-N"),
+        Prop("extensions", None, type="object", mutable="playing",
+             doc="list of enabled RtpHeaderExtension objects"),
+        Prop("seqnum", 0, type="uint", maximum=U16,
+             doc="read-only: RTP sequence number of the last packet"),
+        Prop("timestamp", 0, type="uint", maximum=U32,
+             doc="read-only: RTP timestamp of the last packet"),
+        Prop("stats", None, type="object",
+             doc="read-only: application/x-rtp-payload-stats structure"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -61,6 +100,35 @@ class RtpBasePay(BaseTransform):
         self._seqnum = 0
         self._ssrc = 0
         self._ts_base = 0
+        self._last_seqnum = 0
+        self._last_rtptime = 0
+        self._last_running_time: Optional[int] = None
+        self._auto_extensions: List = []
+
+    # read-only computed properties (the reference's create_stats,
+    # basepay/imp.rs:1805-1817 + seqnum/timestamp getters)
+    def get_property(self, name: str):
+        if name == "seqnum":
+            return self._last_seqnum
+        if name == "timestamp":
+            return self._last_rtptime
+        if name == "stats":
+            return {
+                "name": "application/x-rtp-payload-stats",
+                "ssrc": self._ssrc,
+                "clock-rate": self.clock_rate,
+                "running-time": self._last_running_time,
+                "seqnum": self._last_seqnum,
+                "timestamp": self._last_rtptime,
+                "pt": self.pt(),
+                "seqnum-offset": self.get_property("seqnum-offset"),
+                "timestamp-offset": self._ts_base,
+            }
+        return super().get_property(name)
+
+    def _enabled_extensions(self) -> List:
+        exts = self.get_property("extensions") or []
+        return list(exts) + self._auto_extensions
 
     # -- subclass hooks ------------------------------------------------------
     def rtp_structure(self, s: Structure) -> Structure:
@@ -98,6 +166,18 @@ class RtpBasePay(BaseTransform):
 
     def set_caps(self, incaps: Caps, outcaps: Caps) -> None:
         self.clock_rate = outcaps.structure(0)["clock-rate"]
+        # auto-header-extension: instantiate known implementations from
+        # caps `extmap-N` URI fields (basepay auto_header_extensions)
+        self._auto_extensions = []
+        if self.get_property("auto-header-extension"):
+            enabled_ids = {e.id for e in (self.get_property("extensions") or [])}
+            s = outcaps.structure(0)
+            for key, val in s.fields.items():
+                if key.startswith("extmap-") and key[7:].isdigit():
+                    ext_id = int(key[7:])
+                    cls = KNOWN_EXTENSIONS.get(str(val))
+                    if cls is not None and ext_id not in enabled_ids:
+                        self._auto_extensions.append(cls(ext_id))
 
     def on_ready_to_paused(self) -> None:
         super().on_ready_to_paused()
@@ -108,12 +188,23 @@ class RtpBasePay(BaseTransform):
         self._seqnum = random.getrandbits(16) if seq < 0 else seq
         ts = self.get_property("timestamp-offset")
         self._ts_base = random.getrandbits(32) if ts < 0 else ts
+        self._last_seqnum = self._seqnum
+        self._last_rtptime = self._ts_base
+        self._last_running_time = None
+        self._current_input: Optional[Buffer] = None
 
     # -- packet production -------------------------------------------------------
     def rtp_time(self, pts: Optional[int]) -> int:
         base = self._ts_base
         if pts is None:
             return base & U32
+        rate = abs(self.segment.rate) if self.segment is not None else 1.0
+        if rate != 1.0 and (self.get_property("scale-rtptime")
+                            and not self.get_property("onvif-no-rate-control")):
+            # RTP time follows running time (scaled by 1/rate) so receivers
+            # play at the trick-mode speed; with Rate-Control=no (ONVIF
+            # replay) it follows unscaled stream time instead
+            pts = int(pts / rate)
         return (base + pts * self.clock_rate // SECOND) & U32
 
     def queue_packet(
@@ -124,14 +215,37 @@ class RtpBasePay(BaseTransform):
         duration: Optional[int] = None,
         marker: bool = False,
     ) -> None:
+        ssrc, csrcs = self._ssrc, ()
+        src_buf = self._current_input
+        if self.get_property("source-info") and src_buf is not None:
+            meta = src_buf.get_meta(RtpSourceMeta)
+            if meta is not None:
+                csrcs = meta.csrcs
+                if meta.ssrc is not None:
+                    ssrc = meta.ssrc
+        extension = None
+        ext_items = {}
+        for ext in self._enabled_extensions():
+            data = ext.write(src_buf)
+            if data:
+                ext_items[ext.id] = data
+        if ext_items:
+            extension = build_onebyte_extensions(ext_items)
+        rtptime = self.rtp_time(pts)
         pkt = RtpPacket(
             payload_type=self.pt(),
             sequence_number=self._seqnum,
-            timestamp=self.rtp_time(pts),
-            ssrc=self._ssrc,
+            timestamp=rtptime,
+            ssrc=ssrc,
             payload=payload,
             marker=marker,
+            csrcs=csrcs,
+            extension=extension,
         )
+        self._last_seqnum = self._seqnum
+        self._last_rtptime = rtptime
+        if pts is not None and self.segment is not None:
+            self._last_running_time = self.segment.to_running_time(pts)
         self._seqnum = (self._seqnum + 1) & U16
         self._packets.append(
             Buffer(np.frombuffer(pkt.to_bytes(), np.uint8), pts=pts, duration=duration)
@@ -145,6 +259,7 @@ class RtpBasePay(BaseTransform):
             buf = self.take_queued_buffer()
             if buf is None:
                 return None
+            self._current_input = buf
             self.handle_buffer(buf)
         return self._packets.popleft() if self._packets else None
 
@@ -218,10 +333,47 @@ class RtpAggregateMixin:
 
 
 class RtpBaseAudioPay(RtpBasePay):
-    """Audio payloader: splits constant-bpf streams at MTU boundaries
-    (reference baseaudiopay/)."""
+    """Audio payloader: accumulates constant-bpf media and emits full
+    MTU/max-ptime-bounded packets, keeping the remainder queued until more
+    data, a discont, or EOS (reference baseaudiopay/imp.rs queueing +
+    audio_discont.rs alignment).
+
+    Base surface parity: GstRtpBaseAudioPay2 — min-ptime/max-ptime/
+    ptime-multiple (baseaudiopay/imp.rs:96-122) and the audio-discont
+    alignment-threshold/discont-wait pair (audio_discont.rs:136-143)."""
 
     BPF_FROM_CAPS = True  # bpf = bytes-per-frame of the wire format
+    PROPERTIES = [
+        Prop("max-ptime", -1, type="int", minimum=-1,
+             doc="max packet duration ns (-1 = unlimited up to MTU)"),
+        Prop("min-ptime", 0, type="int", minimum=0, mutable="playing",
+             doc="min packet duration ns (can't go above MTU)"),
+        Prop("ptime-multiple", 0, type="int", minimum=0, mutable="playing",
+             doc="force packet durations to multiples of this ns (0 = off)"),
+        Prop("alignment-threshold", 40_000_000, type="int", minimum=0,
+             mutable="playing",
+             doc="PTS deviation (ns) from the expected continuous position "
+                 "tolerated before a resync is considered"),
+        Prop("discont-wait", 1_000_000_000, type="int", minimum=0,
+             mutable="playing",
+             doc="how long (ns) the deviation must persist before resyncing"),
+    ]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._acc = bytearray()
+        self._acc_pts: Optional[int] = None  # pts of the first queued frame
+        self._acc_off = 0  # frames already emitted from _acc_pts
+        self._next_pts: Optional[int] = None  # expected pts of next input
+        self._deviating_since: Optional[int] = None
+
+    def on_ready_to_paused(self) -> None:
+        super().on_ready_to_paused()
+        self._acc = bytearray()
+        self._acc_pts = None
+        self._acc_off = 0
+        self._next_pts = None
+        self._deviating_since = None
 
     def bpf(self) -> int:
         raise NotImplementedError
@@ -230,30 +382,100 @@ class RtpBaseAudioPay(RtpBasePay):
         """Wire-format bytes for the buffer's payload."""
         raise NotImplementedError
 
+    def _frames_ns(self, n: int) -> int:
+        return n * SECOND // self.clock_rate
+
+    def _packet_frames(self) -> int:
+        """Frames per full packet: MTU-bounded, capped by max-ptime,
+        rounded to ptime-multiple."""
+        n = max(self.max_payload_size() // self.bpf(), 1)
+        max_ptime = self.get_property("max-ptime")
+        if max_ptime >= 0:
+            n = min(n, max(max_ptime * self.clock_rate // SECOND, 1))
+        mult = self.get_property("ptime-multiple")
+        if mult > 0:
+            mf = max(mult * self.clock_rate // SECOND, 1)
+            n = max(n - n % mf, mf)
+        return int(n)
+
+    def _emit(self, final: bool) -> None:
+        bpf = self.bpf()
+        per_packet = self._packet_frames()
+        min_frames = self.get_property("min-ptime") * self.clock_rate // SECOND
+        while True:
+            avail = len(self._acc) // bpf
+            if avail <= 0:
+                break
+            n = min(per_packet, avail)
+            if not final and (n < per_packet or n < min_frames):
+                break  # wait for more data (remainder stays queued)
+            pts = None
+            if self._acc_pts is not None:
+                pts = self._acc_pts + self._frames_ns(self._acc_off)
+            self.queue_packet(bytes(self._acc[:n * bpf]), pts=pts,
+                              duration=self._frames_ns(n))
+            del self._acc[:n * bpf]
+            self._acc_off += n
+
+    def _resync(self) -> None:
+        self._emit(final=True)
+        self._acc_pts = None
+        self._acc_off = 0
+        self._deviating_since = None
+
     def handle_buffer(self, buf: Buffer) -> None:
         data = self.payload_bytes(buf)
         bpf = self.bpf()
-        frames_total = len(data) // bpf
-        max_frames = max(self.max_payload_size() // bpf, 1)
-        pos = 0
-        while pos < frames_total:
-            n = min(max_frames, frames_total - pos)
-            pts = None
-            if buf.pts is not None:
-                pts = buf.pts + pos * SECOND // self.clock_rate
-            self.queue_packet(
-                data[pos * bpf : (pos + n) * bpf],
-                pts=pts,
-                duration=n * SECOND // self.clock_rate,
-            )
-            pos += n
+        if buf.has_flag(BufferFlags.DISCONT):
+            self._resync()
+        elif buf.pts is not None and self._next_pts is not None:
+            diff = abs(buf.pts - self._next_pts)
+            if diff >= self.get_property("alignment-threshold"):
+                wait = self.get_property("discont-wait")
+                if self._deviating_since is None:
+                    self._deviating_since = buf.pts
+                if wait == 0 or abs(buf.pts - self._deviating_since) >= wait:
+                    self._resync()
+            else:
+                self._deviating_since = None
+        if self._acc_pts is None and buf.pts is not None:
+            self._acc_pts = buf.pts
+            self._acc_off = 0
+        self._acc += data
+        if buf.pts is not None:
+            self._next_pts = buf.pts + self._frames_ns(len(data) // bpf)
+        self._emit(final=False)
+
+    def drain(self) -> Optional[Buffer]:
+        """EOS: flush the queued remainder; all but the last packet push
+        directly (drain's contract returns one residue buffer)."""
+        self._emit(final=True)
+        while len(self._packets) > 1:
+            self.srcpad.push(self._packets.popleft())
+        return self._packets.popleft() if self._packets else None
 
 
 class RtpBaseDepay(BaseTransform):
-    """Depayloader base: application/x-rtp packets -> media buffers."""
+    """Depayloader base: application/x-rtp packets -> media buffers.
+
+    Base surface parity: GstRtpBaseDepay2 (basedepay/imp.rs:1955-1990) —
+    max-reorder restart detection, source-info meta, header extensions,
+    read-only stats."""
 
     MODE = TransformMode.NEVER_IN_PLACE
     SINK_CAPS = RTP_CAPS
+    PROPERTIES = [
+        Prop("max-reorder", 100, type="uint", maximum=0x7FFF, mutable="playing",
+             doc="max seqnum reorder before assuming the sender restarted"),
+        Prop("source-info", False, type="bool", mutable="playing",
+             doc="attach RtpSourceMeta (ssrc/csrcs) to output buffers"),
+        Prop("auto-header-extension", True, type="bool", mutable="playing",
+             doc="auto-enable known header extensions from caps extmap-N"),
+        Prop("extensions", None, type="object", mutable="playing",
+             doc="list of enabled RtpHeaderExtension objects"),
+        Prop("stats", None, type="object",
+             doc="read-only: application/x-rtp-depayload-stats structure"),
+    ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -261,6 +483,27 @@ class RtpBaseDepay(BaseTransform):
         self._seq = SeqnumTracker()
         self._ts = TimestampTracker()
         self._first_ext_ts: Optional[int] = None
+        self._auto_extensions: List = []
+        self._last_ssrc: Optional[int] = None
+        self._last_seqnum = 0
+        self._last_rtptime = 0
+
+    def get_property(self, name: str):
+        if name == "stats":
+            return {
+                "name": "application/x-rtp-depayload-stats",
+                "ssrc": self._last_ssrc,
+                "clock-rate": self.clock_rate,
+                "seqnum": self._last_seqnum,
+                "timestamp": self._last_rtptime,
+                "npt-start": None, "npt-stop": None,
+                "play-speed": 1.0, "play-scale": 1.0,
+            }
+        return super().get_property(name)
+
+    def _enabled_extensions(self) -> List:
+        exts = self.get_property("extensions") or []
+        return list(exts) + self._auto_extensions
 
     # -- subclass hooks -------------------------------------------------------
     def media_structure(self, s: Structure) -> Structure:
@@ -289,16 +532,36 @@ class RtpBaseDepay(BaseTransform):
         # clock-rate is mandatory in well-formed rtp caps; tolerate its
         # absence (raw udpsrc relinks) by falling back to the 90 kHz default
         self.clock_rate = incaps.structure(0).get("clock-rate", 90000)
+        self._auto_extensions = []
+        if self.get_property("auto-header-extension"):
+            enabled_ids = {e.id for e in (self.get_property("extensions") or [])}
+            s = incaps.structure(0)
+            for key, val in s.fields.items():
+                if key.startswith("extmap-") and key[7:].isdigit():
+                    ext_id = int(key[7:])
+                    cls = KNOWN_EXTENSIONS.get(str(val))
+                    if cls is not None and ext_id not in enabled_ids:
+                        self._auto_extensions.append(cls(ext_id))
 
     def on_ready_to_paused(self) -> None:
         super().on_ready_to_paused()
         self._seq = SeqnumTracker()
         self._ts = TimestampTracker()
         self._first_ext_ts = None
+        self._last_ssrc = None
 
     def transform(self, inbuf: Buffer) -> Optional[Buffer]:
         pkt = RtpPacket.parse(np.asarray(inbuf.data).tobytes())
         _ext, gap = self._seq.update(pkt.sequence_number)
+        if abs(gap) > self.get_property("max-reorder"):
+            # sender restarted (basedepay max_reorder): resynchronize the
+            # seqnum/timestamp trackers on this packet instead of treating
+            # the jump as a huge gap or stale reorder
+            self._seq = SeqnumTracker()
+            self._ts = TimestampTracker()
+            self._first_ext_ts = None
+            _ext, gap = self._seq.update(pkt.sequence_number)
+            gap = 0  # forced discont below
         ext_ts = self._ts.update(pkt.timestamp)
         if self._first_ext_ts is None:
             self._first_ext_ts = ext_ts
@@ -308,6 +571,17 @@ class RtpBaseDepay(BaseTransform):
         out = Buffer(None, pts=pts, duration=inbuf.duration)
         if gap != 1:
             out.set_flag(BufferFlags.DISCONT)
+        self._last_ssrc = pkt.ssrc
+        self._last_seqnum = pkt.sequence_number
+        self._last_rtptime = pkt.timestamp
+        exts = self._enabled_extensions()
+        if exts and pkt.extension is not None:
+            items = parse_onebyte_extensions(pkt.extension)
+            for ext in exts:
+                if ext.id in items:
+                    ext.read(items[ext.id], out)
+        if self.get_property("source-info"):
+            out.add_meta(RtpSourceMeta(pkt.ssrc, pkt.csrcs))
         return self.depay(pkt, out)
 
 

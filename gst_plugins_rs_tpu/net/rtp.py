@@ -164,7 +164,87 @@ class TimestampTracker:
         return self.ext
 
 
+class RtpHeaderExtension:
+    """RTP header extension implementation (gst_rtp::RTPHeaderExtension
+    analog; reference basepay `extensions` property element type,
+    net/rtp/src/basepay/imp.rs:2010-2020).
+
+    Instances are enabled on payloaders/depayloaders via the `extensions`
+    property (a list) or auto-enabled from caps `extmap-N` fields when
+    `auto-header-extension` is true and the URI is known."""
+
+    URI = ""
+
+    def __init__(self, ext_id: int):
+        if not 1 <= ext_id <= 14:
+            raise ValueError(f"one-byte extension id {ext_id} out of range")
+        self.id = ext_id
+
+    def write(self, buffer) -> Optional[bytes]:
+        """Payloader side: bytes to embed for this output packet (None =
+        skip on this packet)."""
+        return None
+
+    def read(self, data: bytes, buffer) -> None:
+        """Depayloader side: consume the received extension element
+        (typically attaching a Meta to the output buffer)."""
+
+
+class AudioLevelExtension(RtpHeaderExtension):
+    """RFC 6464 client-to-mixer audio level."""
+
+    URI = "urn:ietf:params:rtp-hdrext:ssrc-audio-level"
+
+    def __init__(self, ext_id: int):
+        super().__init__(ext_id)
+        self.level = 127  # -dBov
+        self.voice = False
+        self.last_read: Optional[Tuple[int, bool]] = None
+
+    def write(self, buffer) -> Optional[bytes]:
+        level, voice = self.level, self.voice
+        for m in getattr(buffer, "metas", []):
+            if type(m).__name__ == "AudioLevelMeta":
+                level, voice = m.level, m.voice
+                break
+        return bytes([(0x80 if voice else 0) | (min(level, 127) & 0x7F)])
+
+    def read(self, data: bytes, buffer) -> None:
+        if data:
+            self.last_read = (data[0] & 0x7F, bool(data[0] & 0x80))
+
+
+class TransmissionOffsetExtension(RtpHeaderExtension):
+    """RFC 5450 transmission time offset."""
+
+    URI = "urn:ietf:params:rtp-hdrext:toffset"
+
+    def __init__(self, ext_id: int):
+        super().__init__(ext_id)
+        self.offset = 0
+        self.last_read: Optional[int] = None
+
+    def write(self, buffer) -> Optional[bytes]:
+        return struct.pack(">i", self.offset)[1:]  # 24-bit signed
+
+    def read(self, data: bytes, buffer) -> None:
+        if len(data) >= 3:
+            v = int.from_bytes(data[:3], "big", signed=False)
+            if v & 0x800000:
+                v -= 0x1000000
+            self.last_read = v
+
+
+#: URI -> implementation for auto-header-extension resolution
+KNOWN_EXTENSIONS = {
+    AudioLevelExtension.URI: AudioLevelExtension,
+    TransmissionOffsetExtension.URI: TransmissionOffsetExtension,
+}
+
+
 __all__ = [
     "RtpPacket", "SeqnumTracker", "TimestampTracker", "HEADER_LEN",
     "ONE_BYTE_EXT_PROFILE", "build_onebyte_extensions", "parse_onebyte_extensions",
+    "RtpHeaderExtension", "AudioLevelExtension", "TransmissionOffsetExtension",
+    "KNOWN_EXTENSIONS",
 ]

@@ -221,3 +221,159 @@ class TestUdpLoopback:
         assert out.shape == (3200, 1)
         assert out.dtype == np.int16
         assert np.abs(out.astype(np.int32)).max() > 1000  # ticks made it across
+
+
+class TestBasePaySurface:
+    """GstRtpBasePay2/BaseDepay2/BaseAudioPay2 base-class surface
+    (reference net/rtp/src/basepay/imp.rs:1969-2020, basedepay/imp.rs:
+    1955-1990, baseaudiopay/imp.rs:96-122) — VERDICT r3 missing #1."""
+
+    def _pay_pipeline(self, extra="", n=2, spb=800):
+        return fx.parse_launch(
+            f"audiotestsrc wave=sine num-buffers={n} samplesperbuffer={spb} "
+            "! audio/x-raw,format=S16,rate=8000,channels=1 "
+            f"! mulawenc ! rtppcmupay2 ssrc=7 seqnum-offset=0 timestamp-offset=0 {extra} "
+            "! appsink name=sink")
+
+    def test_readonly_seqnum_timestamp_stats(self):
+        p = self._pay_pipeline()
+        pay = next(e for e in p.elements if e.ELEMENT_NAME == "rtppcmupay2")
+        p.play_until_eos()
+        pkts = [RtpPacket.parse(np.asarray(x.buffer.data).tobytes())
+                for x in p.by_name("sink").samples]
+        assert pay.get_property("seqnum") == pkts[-1].sequence_number
+        assert pay.get_property("timestamp") == pkts[-1].timestamp
+        stats = pay.get_property("stats")
+        assert stats["name"] == "application/x-rtp-payload-stats"
+        assert stats["ssrc"] == 7 and stats["clock-rate"] == 8000
+        assert stats["seqnum"] == pkts[-1].sequence_number
+        assert stats["pt"] == 0
+
+    def test_min_ptime_accumulates(self):
+        # 100 ms buffers + min-ptime 300 ms -> packets carry >=2400 frames
+        p = self._pay_pipeline("min-ptime=300000000", n=8, spb=800)
+        p.play_until_eos()
+        pkts = [RtpPacket.parse(np.asarray(x.buffer.data).tobytes())
+                for x in p.by_name("sink").samples]
+        # mtu 1200-12=1188 caps a packet below min-ptime's 2400 frames:
+        # min-ptime "can't go above MTU" -> full-MTU packets
+        assert all(len(pk.payload) == 1188 for pk in pkts[:-1])
+        assert sum(len(pk.payload) for pk in pkts) == 8 * 800
+
+    def test_ptime_multiple(self):
+        p = self._pay_pipeline("ptime-multiple=50000000", n=4, spb=800)  # 400-frame multiple
+        p.play_until_eos()
+        pkts = [RtpPacket.parse(np.asarray(x.buffer.data).tobytes())
+                for x in p.by_name("sink").samples]
+        for pk in pkts[:-1]:
+            assert len(pk.payload) % 400 == 0
+        assert sum(len(pk.payload) for pk in pkts) == 4 * 800
+
+    def test_max_ptime_splits(self):
+        p = self._pay_pipeline("max-ptime=50000000", n=2, spb=800)  # 400 frames max
+        p.play_until_eos()
+        pkts = [RtpPacket.parse(np.asarray(x.buffer.data).tobytes())
+                for x in p.by_name("sink").samples]
+        assert all(len(pk.payload) <= 400 for pk in pkts)
+        assert sum(len(pk.payload) for pk in pkts) == 2 * 800
+
+    def test_source_info_roundtrip(self):
+        # depay attaches RtpSourceMeta; pay reads it to set ssrc/csrcs
+        from gst_plugins_rs_tpu.elements.net.rtppay import RtpSourceMeta
+
+        p = fx.parse_launch(
+            "audiotestsrc wave=sine num-buffers=2 samplesperbuffer=800 "
+            "! audio/x-raw,format=S16,rate=8000,channels=1 "
+            "! mulawenc ! rtppcmupay2 ssrc=99 seqnum-offset=0 timestamp-offset=0 "
+            "! rtppcmudepay2 source-info=true ! appsink name=sink")
+        p.play_until_eos()
+        metas = [s.buffer.get_meta(RtpSourceMeta) for s in p.by_name("sink").samples]
+        assert all(m is not None and m.ssrc == 99 for m in metas)
+
+    def test_header_extension_audio_level(self):
+        from gst_plugins_rs_tpu.net.rtp import AudioLevelExtension
+
+        p = self._pay_pipeline()
+        pay = next(e for e in p.elements if e.ELEMENT_NAME == "rtppcmupay2")
+        ext = AudioLevelExtension(3)
+        ext.level, ext.voice = 42, True
+        pay.set_property("extensions", [ext])
+        p.play_until_eos()
+        pkts = [RtpPacket.parse(np.asarray(x.buffer.data).tobytes())
+                for x in p.by_name("sink").samples]
+        assert all(pk.extension is not None for pk in pkts)
+        from gst_plugins_rs_tpu.net.rtp import parse_onebyte_extensions
+        items = parse_onebyte_extensions(pkts[0].extension)
+        assert items[3] == bytes([0x80 | 42])
+        # depay side reads it back
+        rx = AudioLevelExtension(3)
+        rx.read(items[3], None)
+        assert rx.last_read == (42, True)
+
+    def test_max_reorder_restart_resync(self):
+        from gst_plugins_rs_tpu.elements.net.rtppay import RtpPcmuDepay
+        from gst_plugins_rs_tpu.core.element import State
+        from gst_plugins_rs_tpu.core.caps import Caps as C
+
+        depay = fx.element_factory_make("rtppcmudepay2")
+        depay.set_property("max-reorder", 50)
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        p.add(depay, sink)
+        depay.link(sink)
+        p.set_state(State.PLAYING)
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+        caps = parse_caps("application/x-rtp,media=audio,encoding-name=PCMU,"
+                          "clock-rate=8000,payload=0")
+        from gst_plugins_rs_tpu.core.events import Event
+        depay.sinkpad.send_event(Event.new_stream_start("x"))
+        depay.sinkpad.send_event(Event.new_caps(caps))
+        from gst_plugins_rs_tpu.core.events import Segment
+        depay.sinkpad.send_event(Event.new_segment(Segment()))
+
+        def pkt(seq, ts):
+            return fx.Buffer(np.frombuffer(RtpPacket(
+                payload_type=0, sequence_number=seq, timestamp=ts,
+                ssrc=1, payload=b"\x00" * 160).to_bytes(), np.uint8))
+
+        depay.sinkpad.chain(pkt(100, 0))
+        depay.sinkpad.chain(pkt(101, 160))
+        # sender restart: seqnum jumps way beyond max-reorder
+        depay.sinkpad.chain(pkt(40000, 999999))
+        depay.sinkpad.chain(pkt(40001, 999999 + 160))
+        outs = sink.samples
+        assert len(outs) == 4
+        from gst_plugins_rs_tpu.core.buffer import BufferFlags
+        assert outs[2].buffer.has_flag(BufferFlags.DISCONT)
+        # post-restart timestamps restart near zero instead of jumping
+        stats = depay.get_property("stats")
+        assert stats["seqnum"] == 40001
+
+    def test_discont_input_resyncs_accumulator(self):
+        from gst_plugins_rs_tpu.core.buffer import BufferFlags
+
+        pay = fx.element_factory_make("rtppcmupay2")
+        pay.set_property("ssrc", 5)
+        pay.set_property("seqnum-offset", 0)
+        pay.set_property("timestamp-offset", 0)
+        sink = fx.element_factory_make("appsink")
+        from gst_plugins_rs_tpu.core.element import State
+        p = fx.Pipeline()
+        p.add(pay, sink)
+        pay.link(sink)
+        p.set_state(State.PLAYING)
+        from gst_plugins_rs_tpu.core.events import Event, Segment
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+        pay.sinkpad.send_event(Event.new_stream_start("x"))
+        pay.sinkpad.send_event(Event.new_caps(parse_caps("audio/x-mulaw,rate=8000,channels=1")))
+        pay.sinkpad.send_event(Event.new_segment(Segment()))
+        b1 = fx.Buffer(np.zeros(500, np.uint8), pts=0)
+        pay.sinkpad.chain(b1)
+        assert len(sink.samples) == 0  # 500 < 1188: held
+        b2 = fx.Buffer(np.zeros(500, np.uint8), pts=10**9)  # discont pts jump
+        b2.set_flag(BufferFlags.DISCONT)
+        pay.sinkpad.chain(b2)
+        # the held 500 frames flushed as their own packet on resync
+        assert len(sink.samples) == 1
+        assert len(RtpPacket.parse(
+            np.asarray(sink.samples[0].buffer.data).tobytes()).payload) == 500
