@@ -81,6 +81,17 @@ class AnalyticsCombiner(Aggregator):
         Prop("batch-duration", 100 * SECOND // 1000, type="uint64", mutable="ready"),
         Prop("force-live", False, type="bool", mutable="ready"),
     ]
+    # GstAnalyticsCombinerSinkPad surface (reference rsanalytics other-types)
+    PAD_PROPERTIES = {
+        "sink": [
+            Prop("batch-strategy", "all", type="enum", choices=STRATEGIES,
+                 mutable="ready",
+                 doc="which of the window's buffers this stream contributes"),
+            Prop("index", 0, type="uint", mutable="ready",
+                 doc="stream index inside the batch (defaults to request "
+                     "order)"),
+        ],
+    }
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -96,12 +107,21 @@ class AnalyticsCombiner(Aggregator):
         pad.chain_function = self._sink_chain
         pad.event_function = self._sink_event
         pad.query_function = self._sink_query
-        return self.add_pad(pad)  # type: ignore[return-value]
+        self.add_pad(pad)
+        pad._props["index"] = idx  # default = request order
+        return pad
+
+    def pad_property_changed(self, pad, name: str, value) -> None:
+        if name == "batch-strategy":
+            pad.batch_strategy = value
+        elif name == "index":
+            pad.index = value
 
     def set_pad_strategy(self, pad: CombinerSinkPad, strategy: str) -> None:
         if strategy not in STRATEGIES:
             raise ValueError(f"unknown batch strategy {strategy!r}")
         pad.batch_strategy = strategy
+        pad._props["batch-strategy"] = strategy
 
     # ------------------------------------------------------------------
     def _window_complete(self, pad: CombinerSinkPad, end: int) -> bool:

@@ -233,6 +233,14 @@ class Cea708Mux(Element):
                  "mux forwards immediately (store time 0), so any bound "
                  "holds"),
     ]
+    # GstCea708MuxSinkPad surface (reference rsclosedcaption other-types)
+    PAD_PROPERTIES = {
+        "sink": [
+            Prop("discarded-services", None, type="object", mutable="playing",
+                 doc="list of DTVCC service numbers dropped from this "
+                     "pad's cc_data before muxing"),
+        ],
+    }
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -263,6 +271,11 @@ class Cea708Mux(Element):
             self.srcpad.push_event(Event.new_caps(CCDATA_CAPS))
             self.srcpad.push_event(Event.new_segment(Segment()))
         data = _cc_data_of(buf, pad.current_caps or CCDATA_CAPS)
+        discard = pad._props.get("discarded-services")
+        if discard:
+            from ...ops.cea708 import filter_dtvcc_services
+
+            data = filter_dtvcc_services(data, discard)
         out = Buffer(np.frombuffer(data, np.uint8), pts=buf.pts, duration=buf.duration)
         return self.srcpad.push(out)
 

@@ -91,6 +91,53 @@ class TranscriberBin(Element):
         Prop("translator", "awstranslate", type="str",
              doc="factory name of the per-language translator element"),
     ]
+    # GstTranscriberSinkPad surface (reference rsclosedcaption other-types;
+    # transcriberbin/imp.rs sink-pad ParamSpecs).  This bin carries one
+    # audio channel, so the pad properties alias the element-level ones
+    # where an element property exists and hold per-channel config
+    # otherwise.
+    PAD_PROPERTIES = {
+        "sink_audio": [
+            Prop("language-code", "en-US", type="str", mutable="playing",
+                 doc="input language (aliases input-lang-code)"),
+            Prop("mode", "roll-up2", type="enum",
+                 choices=["pop-on", "paint-on", "roll-up2", "roll-up3",
+                          "roll-up4"], mutable="playing",
+                 doc="caption mode (aliases the element property)"),
+            Prop("passthrough", False, type="bool", mutable="playing",
+                 doc="bypass transcription (aliases the element property)"),
+            Prop("translation-languages", "", type="str", mutable="playing",
+                 doc="per-language caption channels (aliases the element "
+                     "property)"),
+            Prop("transcriber", None, type="object", mutable="ready",
+                 doc="a transcriber ELEMENT INSTANCE to use instead of "
+                     "constructing one from the factory-name property"),
+            Prop("language-filters", None, type="object", mutable="ready",
+                 doc="map of language codes to filter bin descriptions "
+                     "applied to that language's text branch"),
+            Prop("subtitle-languages", None, type="object", mutable="ready",
+                 doc="map of language codes to subtitle output config"),
+            Prop("synthesis-languages", None, type="object", mutable="ready",
+                 doc="map of language codes to speech-synthesis config "
+                     "(synthesis channels are not wired in this bin; "
+                     "see IGNORED_PADS rationale)"),
+            Prop("transcription-mix-matrix", None, type="object",
+                 mutable="ready",
+                 doc="initial mix matrix for the transcriber's input "
+                     "audioconvert (applied as channel weights)"),
+        ],
+    }
+
+    def pad_property_changed(self, pad, name: str, value) -> None:
+        if pad is not getattr(self, "audio_pad", None):
+            return
+        alias = {"language-code": "input-lang-code", "mode": "mode",
+                 "passthrough": "passthrough",
+                 "translation-languages": "translation-languages"}
+        if name in alias:
+            self.set_property(alias[name], value)
+        elif name == "transcriber" and value is not None:
+            self._transcriber_override = value
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -188,8 +235,10 @@ class TranscriberBin(Element):
         if self._built:
             return
         self._built = True
-        self._transcriber = element_factory_make(
-            self.get_property("transcriber"), f"{self.name}-transcriber")
+        override = getattr(self, "_transcriber_override", None)
+        self._transcriber = override if override is not None else \
+            element_factory_make(
+                self.get_property("transcriber"), f"{self.name}-transcriber")
         for k, v in self._forwarded_props.items():
             self._transcriber.set_property(k, v)
         if "language-code" in self._transcriber._props and \

@@ -55,6 +55,17 @@ class TranslationBin(Element):
         Prop("textaccumulate-latency", 3_000, type="uint",
              doc="ms allowed for text segmentation"),
     ]
+    # GstTranslationBinTranslationSrcPad surface (reference rsclosedcaption
+    # other-types): per-pad target language + the translator element in use
+    PAD_PROPERTIES = {
+        "translate_src": [
+            Prop("language-code", "fr-FR", type="str", mutable="ready",
+                 doc="target language of this output pad"),
+            Prop("translator", None, type="object",
+                 doc="read-only: the translator element serving this pad "
+                     "(None for same-language passthrough branches)"),
+        ],
+    }
 
     def latency_additional_ns(self) -> int:
         return (self.get_property("transcribe-latency")
@@ -98,7 +109,15 @@ class TranslationBin(Element):
             "language": language_code,
             "translator_props": translator_props or {},
         })
+        if language_code is not None:
+            pad._props["language-code"] = language_code
         return pad
+
+    def pad_property_changed(self, pad: Pad, name: str, value) -> None:
+        if name == "language-code":
+            for req in self._requests:
+                if req["pad"] is pad:
+                    req["language"] = value
 
     def _build(self) -> None:
         if self._built:
@@ -132,6 +151,7 @@ class TranslationBin(Element):
                 for k, v in req["translator_props"].items():
                     translator.set_property(k, v)
                 self._children.append(translator)
+            outer._props["translator"] = translator
             branches.append((translator, outer))
 
         def fanout_chain(pad: Pad, buf: Buffer) -> FlowReturn:

@@ -816,6 +816,38 @@ class AwsTranscriber2(BaseTransform):
         ("translate_src_%u", "src", "request", "text/x-raw"),
         ("unsynced_translate_src_%u", "src", "sometimes", "text/x-raw"),
     ]
+    # GstTranslateSrcPad surface (reference aws other-types): the main src
+    # and every translate_src pad carry a target language + tokenization
+    PAD_PROPERTIES = {
+        "src": [
+            Prop("language-code", None, type="str", mutable="playing",
+                 doc="translate the main transcript to this language "
+                     "(None = emit untranslated)"),
+            Prop("tokenization-method", "none", type="enum",
+                 choices=["none", "span-based"], mutable="playing",
+                 doc="span-based marks translation segments with brackets "
+                     "for caption timing (Translate span tokenization)"),
+        ],
+        "translate_src": [
+            Prop("language-code", None, type="str", mutable="playing",
+                 doc="target language of this translation pad"),
+            Prop("tokenization-method", "none", type="enum",
+                 choices=["none", "span-based"], mutable="playing",
+                 doc="see src.tokenization-method"),
+        ],
+    }
+
+    def pad_property_changed(self, pad, name: str, value) -> None:
+        if pad is getattr(self, "srcpad", None) and name == "language-code" \
+                and value:
+            tr = AwsTranslate(f"{self.name}-translate-src")
+            for prop in ("region", "access-key", "secret-access-key",
+                         "session-token"):
+                tr.set_property(prop, self.get_property(prop))
+            tr.set_property("input-language-code",
+                            self.get_property("language-code").split("-")[0])
+            tr.set_property("output-language-code", str(value).split("-")[0])
+            self._src_translator = tr
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -848,14 +880,19 @@ class AwsTranscriber2(BaseTransform):
 
         class _TranslatePad(Pad):
             def set_property(self, prop_name, value, _tr=translator):
-                _tr.set_property(
-                    "output-language-code" if prop_name == "language-code"
-                    else prop_name, value)
+                if prop_name == "language-code":
+                    _tr.set_property("output-language-code", value)
+                elif prop_name == "tokenization-method":
+                    Pad.set_property(self, prop_name, value)
+                else:
+                    _tr.set_property(prop_name, value)
 
             def get_property(self, prop_name, _tr=translator):
-                return _tr.get_property(
-                    "output-language-code" if prop_name == "language-code"
-                    else prop_name)
+                if prop_name == "language-code":
+                    return _tr.get_property("output-language-code")
+                if prop_name == "tokenization-method":
+                    return Pad.get_property(self, prop_name)
+                return _tr.get_property(prop_name)
 
         pad = _TranslatePad(
             f"translate_src_{n}", PadDirection.SRC,
@@ -1030,6 +1067,9 @@ class AwsTranscriber2(BaseTransform):
         if pts is not None and late:
             pts += late * 1_000_000
         self._fan_out_text(text, pts)
+        src_tr = getattr(self, "_src_translator", None)
+        if src_tr is not None:  # src-pad language-code property set
+            text = src_tr._translate_one(text)
         return Buffer(np.frombuffer(text.encode(), np.uint8), pts=pts)
 
 

@@ -101,6 +101,27 @@ class HlsMultivariantSink(Element):
         "get-multivariant-playlist-stream": None,
         "delete-fragment": None,
     }
+    # HlsMultivariantSinkPad surface (reference hlsmultivariantsink
+    # other-types; imp.rs:707-735).  HlsMultivariantSinkPad.set_property
+    # implements the behavior; this declaration makes the surface
+    # introspectable (registry pad-properties + parity audit).
+    PAD_PROPERTIES = {
+        kind: [
+            Prop("variant", None, type="object", mutable="ready",
+                 doc="variant-stream structure: {uri, bandwidth, codecs?, "
+                     "audio?, video?, is-i-frame?}"),
+            Prop("alternate-rendition", None, type="object", mutable="ready",
+                 doc="EXT-X-MEDIA structure: {media_type?, uri, group_id, "
+                     "name, language?, default?, autoselect?, forced?}"),
+            Prop("playlist-location", None, type="str", mutable="ready",
+                 doc="media playlist path for this stream"),
+            Prop("init-segment-location", None, type="str", mutable="ready",
+                 doc="CMAF init segment path for this stream"),
+            Prop("segment-location", None, type="str", mutable="ready",
+                 doc="media segment path pattern for this stream"),
+        ]
+        for kind in ("audio", "video")
+    }
     PROPERTIES = [
         Prop("playlist-location", "master.m3u8", type="str"),
         Prop("multivariant-playlist-location", "", type="str",

@@ -49,13 +49,16 @@ RTP_CAPS = Caps.builder("application/x-rtp")
 
 
 class QuinnQuicMeta(Meta):
-    """Routing tag: which QUIC stream a buffer belongs to (or datagram)."""
+    """Routing tag: which QUIC stream a buffer belongs to (or datagram).
+    `priority` carries the mux pad's send priority to the sink."""
 
     api = "quinn-quic"
 
-    def __init__(self, stream_id: Optional[int] = None, datagram: bool = False):
+    def __init__(self, stream_id: Optional[int] = None, datagram: bool = False,
+                 priority: int = 0):
         self.stream_id = stream_id
         self.datagram = datagram
+        self.priority = priority
 
 
 class _UdpQuicEndpoint:
@@ -455,6 +458,15 @@ class QuinnQuicMux(Element):
     ]
     ELEMENT_CLASS = "Muxer/Network/QUIC"
     ELEMENT_DESCRIPTION = "Multiplexes multiple streams and datagram for QUIC"
+    # QuinnQuicMuxPad surface (reference quinn other-types): per-stream
+    # send priority, forwarded to the sink's stream scheduler via the meta
+    PAD_PROPERTIES = {
+        "stream": [
+            Prop("priority", 0, type="int", minimum=-(2**31), maximum=2**31 - 1,
+                 mutable="playing",
+                 doc="relative send priority of this stream (higher first)"),
+        ],
+    }
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -478,15 +490,18 @@ class QuinnQuicMux(Element):
                             Caps.new_any()))
         )
         pad.chain_function = lambda p, buf, _tag=tag, _dg=(name == "datagram"): \
-            self._chain(buf, _tag, _dg)
+            self._chain(p, buf, _tag, _dg)
         pad.event_function = self._event
         return pad
 
     def request_datagram_pad(self) -> Pad:
         return self.request_sink_pad("datagram")
 
-    def _chain(self, buf: Buffer, tag: Optional[int], datagram: bool) -> FlowReturn:
-        buf.add_meta(QuinnQuicMeta(stream_id=tag, datagram=datagram))
+    def _chain(self, pad: Pad, buf: Buffer, tag: Optional[int],
+               datagram: bool) -> FlowReturn:
+        prio = pad._props.get("priority", 0)
+        buf.add_meta(QuinnQuicMeta(stream_id=tag, datagram=datagram,
+                                   priority=prio))
         return self.srcpad.push(buf)
 
     def _event(self, pad: Pad, event) -> bool:
@@ -588,6 +603,25 @@ class QuinnRoqMux(Element):
     ]
     ELEMENT_CLASS = "Muxer/Network/QUIC/RTP"
     ELEMENT_DESCRIPTION = "Multiplexes RTP streams over QUIC"
+    # QuinnRoqMuxPad surface (reference quinn other-types): the RoQ flow id
+    # is a pad property (settable before data flows) plus a send priority
+    PAD_PROPERTIES = {
+        "stream": [
+            Prop("flow-id", 0, type="uint64", mutable="ready",
+                 doc="RoQ flow identifier this pad's RTP rides on"),
+            Prop("priority", 0, type="int", minimum=-(2**31), maximum=2**31 - 1,
+                 mutable="playing",
+                 doc="relative send priority of this flow's QUIC stream"),
+        ],
+        "datagram": [
+            Prop("flow-id", 0, type="uint64", mutable="ready",
+                 doc="RoQ flow identifier this pad's RTP rides on"),
+            Prop("priority", 0, type="int", minimum=-(2**31), maximum=2**31 - 1,
+                 mutable="playing",
+                 doc="relative send priority (datagrams are unqueued; "
+                     "advisory)"),
+        ],
+    }
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -615,10 +649,15 @@ class QuinnRoqMux(Element):
                             RTP_CAPS))
         )
         self._started[flow_id] = False
-        pad.chain_function = lambda p, buf, fid=flow_id, dg=datagram: \
-            self._chain(buf, fid, dg)
+        pad._props["flow-id"] = flow_id  # default from the pad name
+        pad.chain_function = lambda p, buf, dg=datagram: \
+            self._chain(buf, int(p._props.get("flow-id", 0)), dg)
         pad.event_function = self._event
         return pad
+
+    def pad_property_changed(self, pad: Pad, name: str, value) -> None:
+        if name == "flow-id":
+            self._started.setdefault(int(value), False)
 
     def _chain(self, buf: Buffer, flow_id: int, datagram: bool) -> FlowReturn:
         pkt = np.asarray(buf.data, dtype=np.uint8).tobytes()

@@ -280,6 +280,20 @@ class SpeechmaticsTranscriber(_WsTranscriberBase):
         ("translate_src_%u", "src", "request", "text/x-raw"),
         ("unsynced_translate_src_%u", "src", "sometimes", "text/x-raw"),
     ]
+    # GstSpeechmaticsTranscriberSrcPad surface (reference speechmatics
+    # other-types): per-src-pad target language, fed into
+    # translation_config.target_languages
+    PAD_PROPERTIES = {
+        "src": [
+            Prop("language-code", None, type="str", mutable="ready",
+                 doc="target language for this pad's text (None = the "
+                     "untranslated transcript)"),
+        ],
+        "translate_src": [
+            Prop("language-code", None, type="str", mutable="ready",
+                 doc="target language of this translation pad"),
+        ],
+    }
 
     def latency_additional_ns(self) -> int:
         return self.get_property("latency") * 1_000_000

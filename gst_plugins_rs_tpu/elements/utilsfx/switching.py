@@ -40,6 +40,9 @@ from ...core.aggregator import Aggregator, AggregatorPad
 
 
 class FallbackSinkPad(AggregatorPad):
+    """Per-pad surface parity: GstFallbackSwitchSinkPad priority/is-healthy
+    (reference utils/fallbackswitch/src/fallbackswitch/imp.rs:57-68)."""
+
     def __init__(self, name: str, template: PadTemplate, priority: int):
         super().__init__(name, template)
         self.priority = priority
@@ -143,6 +146,17 @@ class FallbackSwitch(Aggregator):
                 self._arm_timeout()  # deadline = last active buffer + timeout
             return ret
 
+    PAD_PROPERTIES = {
+        "sink": [
+            Prop("priority", 0, type="uint", mutable="playing",
+                 doc="pad priority; lower wins (0 = highest). New request "
+                     "pads default to their request order."),
+            Prop("is-healthy", True, type="bool", mutable="playing",
+                 doc="whether this input is currently usable; unhealthy "
+                     "pads are skipped when picking the active input"),
+        ],
+    }
+
     def request_sink_pad(self, name: Optional[str] = None) -> FallbackSinkPad:
         idx = self._pad_counter
         if name is None:
@@ -152,13 +166,23 @@ class FallbackSwitch(Aggregator):
         pad.chain_function = self._sink_chain
         pad.event_function = self._sink_event
         pad.query_function = self._sink_query
-        return self.add_pad(pad)  # type: ignore[return-value]
+        self.add_pad(pad)
+        pad._props["priority"] = idx  # default = request order
+        return pad
+
+    def pad_property_changed(self, pad, name: str, value) -> None:
+        if name == "priority":
+            pad.priority = value
+        elif name == "is-healthy":
+            self.set_pad_healthy(pad, value)
 
     def set_pad_priority(self, pad: FallbackSinkPad, priority: int) -> None:
         pad.priority = priority
+        pad._props["priority"] = priority
 
     def set_pad_healthy(self, pad: FallbackSinkPad, healthy: bool) -> None:
         pad.is_healthy = healthy
+        pad._props["is-healthy"] = healthy
         self._try_aggregate()
 
     def _pick_active(self) -> Optional[FallbackSinkPad]:

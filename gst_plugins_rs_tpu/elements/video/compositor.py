@@ -48,19 +48,56 @@ def _background_canvas(background: str, out_h: int, out_w: int,
     return jnp.zeros((out_h, out_w * channels), jnp.float32)
 
 
+#: GstSkiaCompositorPadOperator parity (reference skia compositor/pad.rs:36-51)
+OPERATORS = ["source", "over", "add", "dest", "clear", "dest-over",
+             "source-in", "dest-in", "source-out", "dest-out",
+             "source-atop", "dest-atop", "xor", "modulate"]
+
+
+def _blend(op: str, dst: jnp.ndarray, img: jnp.ndarray, a) -> jnp.ndarray:
+    """Porter-Duff composition of a uniform-alpha source over the opaque
+    canvas (dst alpha = 1, src alpha = pad alpha): the closed forms below
+    are the exact Porter-Duff results under those alphas."""
+    src = img * a
+    if op == "clear":
+        return jnp.zeros_like(dst)
+    if op == "source" or op == "source-in":
+        return src
+    if op == "over" or op == "source-atop":
+        return src + dst * (1.0 - a)
+    if op == "add":
+        return dst + src
+    if op == "dest" or op == "dest-over":
+        return dst
+    if op == "dest-in" or op == "dest-atop":
+        return dst * a
+    if op == "dest-out" or op == "xor":
+        return dst * (1.0 - a)
+    if op == "source-out":
+        return jnp.zeros_like(dst)
+    if op == "modulate":
+        return dst * img * (1.0 / 255.0)
+    raise ValueError(f"unknown operator {op!r}")
+
+
 @partial(jax.jit, static_argnames=("placements", "out_h", "out_w", "channels",
-                                   "background"))
+                                   "background", "operators", "methods"))
 def _composite(frames: Tuple[jnp.ndarray, ...], alphas: jnp.ndarray,
                *, placements: Tuple[Tuple[int, int, int, int], ...],
                out_h: int, out_w: int, channels: int,
-               background: str = "checker") -> jnp.ndarray:
+               background: str = "checker",
+               operators: Optional[Tuple[str, ...]] = None,
+               methods: Optional[Tuple[str, ...]] = None) -> jnp.ndarray:
     """frames: per-pad [h, w, c]; placements: (x, y, w, h) per pad (already
-    clipped); alphas: [n] f32.  One fused program: resize -> blend -> paste.
+    clipped); alphas: [n] f32; operators: per-pad Porter-Duff op (default
+    'over'); methods: per-pad resize method ('linear' when the pad's
+    anti-alias property is set, else 'nearest').
 
-    The blend runs on a 2D [H, W*c] canvas: a [H,W,3] f32 tensor lane-pads
-    3 -> 128 in the (8,128) TPU tile (~42x the traffic), while the flattened
-    form is dense.  Bit-identical math — the blend is per-channel
-    independent and the flatten is a pure reshape."""
+    One fused program: resize -> blend -> paste.  The blend runs on a 2D
+    [H, W*c] canvas: a [H,W,3] f32 tensor lane-pads 3 -> 128 in the (8,128)
+    TPU tile (~42x the traffic), while the flattened form is dense.
+    Bit-identical math — the blend is per-channel independent and the
+    flatten is a pure reshape."""
     canvas = _background_canvas(background, out_h, out_w, channels)
     for i, (frame, (x, y, w, h)) in enumerate(zip(frames, placements)):
         img = frame.astype(jnp.float32)
@@ -71,20 +108,25 @@ def _composite(frames: Tuple[jnp.ndarray, ...], alphas: jnp.ndarray,
             else:
                 img = rgb
         if (img.shape[0], img.shape[1]) != (h, w):
-            img = jax.image.resize(img, (h, w, channels), method="nearest")
+            method = methods[i] if methods else "nearest"
+            img = jax.image.resize(img, (h, w, channels), method=method)
         img = img.reshape(h, w * channels)
         region = jax.lax.dynamic_slice(canvas, (y, x * channels), (h, w * channels))
-        blended = region * (1.0 - alphas[i]) + img * alphas[i]
+        op = operators[i] if operators else "over"
+        blended = _blend(op, region, img, alphas[i])
         canvas = jax.lax.dynamic_update_slice(canvas, blended, (y, x * channels))
     out = jnp.clip(canvas, 0.0, 255.0).astype(jnp.uint8)
     return out.reshape(out_h, out_w, channels)
 
 
 class CompositorPad(AggregatorPad):
+    """Pad surface parity: GstSkiaCompositorPad (xpos/ypos/width/height/
+    alpha/operator/anti-alias; reference skia compositor/pad.rs).  `props`
+    aliases the per-pad property store for back-compat."""
+
     def __init__(self, name, template):
         super().__init__(name, template)
-        # per-pad properties (compositor/imp.rs pad property names)
-        self.props = {"xpos": 0, "ypos": 0, "width": 0, "height": 0, "alpha": 1.0}
+        self.props = self._props  # alias: pad.props["xpos"] == property
 
 
 @register
@@ -101,6 +143,26 @@ class SkiaCompositor(Aggregator):
              choices=["checker", "black", "white", "transparent"],
              doc="canvas fill behind the composed pads"),
     ]
+    PAD_PROPERTIES = {
+        "sink": [
+            Prop("xpos", 0.0, type="float", mutable="playing",
+                 doc="horizontal position of the input"),
+            Prop("ypos", 0.0, type="float", mutable="playing",
+                 doc="vertical position of the input"),
+            Prop("width", 0.0, type="float", mutable="playing",
+                 doc="width of the picture (<=0 = input width)"),
+            Prop("height", 0.0, type="float", mutable="playing",
+                 doc="height of the picture (<=0 = input height)"),
+            Prop("alpha", 1.0, type="float", minimum=0.0, maximum=1.0,
+                 mutable="playing", doc="alpha of the input"),
+            Prop("operator", "over", type="enum", choices=OPERATORS,
+                 mutable="playing",
+                 doc="Porter-Duff blend of this pad over the accumulated "
+                     "canvas (opaque-destination closed forms)"),
+            Prop("anti-alias", True, type="bool", mutable="playing",
+                 doc="bilinear resampling when scaling (nearest when off)"),
+        ],
+    }
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -144,7 +206,7 @@ class SkiaCompositor(Aggregator):
             return FlowReturn.OK
         self._send_caps()
         out = self._out_info
-        frames, placements, alphas = [], [], []
+        frames, placements, alphas, operators, methods = [], [], [], [], []
         pts = None
         duration = None
         for pad in self.agg_pads():
@@ -156,9 +218,9 @@ class SkiaCompositor(Aggregator):
                 duration = buf.duration
             frame = jnp.asarray(buf.data)
             info = VideoInfo.from_caps(pad.current_caps)
-            w = pad.props["width"] or info.width
-            h = pad.props["height"] or info.height
-            x, y = pad.props["xpos"], pad.props["ypos"]
+            w = int(pad.props["width"]) if pad.props["width"] > 0 else info.width
+            h = int(pad.props["height"]) if pad.props["height"] > 0 else info.height
+            x, y = int(pad.props["xpos"]), int(pad.props["ypos"])
             # clip to the canvas (host-side so the kernel stays static)
             x0, y0 = max(x, 0), max(y, 0)
             x1, y1 = min(x + w, out.width), min(y + h, out.height)
@@ -174,6 +236,8 @@ class SkiaCompositor(Aggregator):
             frames.append(frame)
             placements.append((x0, y0, x1 - x0, y1 - y0))
             alphas.append(pad.props["alpha"])
+            operators.append(pad.props["operator"])
+            methods.append("linear" if pad.props["anti-alias"] else "nearest")
         if not frames:
             return FlowReturn.OK
         canvas = _composite(
@@ -181,6 +245,7 @@ class SkiaCompositor(Aggregator):
             placements=tuple(placements),
             out_h=out.height, out_w=out.width, channels=out.components,
             background=self.get_property("background"),
+            operators=tuple(operators), methods=tuple(methods),
         )
         return self.finish_buffer(Buffer(canvas, pts=pts, duration=duration))
 

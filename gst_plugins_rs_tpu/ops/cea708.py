@@ -346,3 +346,58 @@ __all__ = [
     "build_cdp", "parse_cdp",
     "RST", "DLW", "DSW", "SPL", "CR", "DF0",
 ]
+
+
+def _filter_packet_blocks(packet: bytes, discard) -> bytes:
+    """Service blocks of one DTVCC packet with `discard`ed services removed
+    (header byte excluded from the result)."""
+    pos = 1
+    out = bytearray()
+    while pos < len(packet):
+        hdr = packet[pos]
+        service = hdr >> 5
+        size = hdr & 0x1F
+        if service == 0 or size == 0:
+            break
+        ext = 0
+        if service == 7 and pos + 1 < len(packet):
+            service = packet[pos + 1] & 0x3F
+            ext = 1
+        block = packet[pos:pos + 1 + ext + size]
+        if service not in discard:
+            out += block
+        pos += 1 + ext + size
+    return bytes(out)
+
+
+def filter_dtvcc_services(cc_data: bytes, discard) -> bytes:
+    """Drop DTVCC service blocks for the given service numbers from packed
+    cc_data triplets (cea708mux sink-pad `discarded-services` property;
+    reference GstCea708MuxSinkPad).  608 compatibility triplets (types
+    0/1) pass through untouched; surviving DTVCC packets are re-packed
+    with their original sequence numbers."""
+    discard = set(discard)
+    trips = parse_cc_data(cc_data)
+    out = bytearray()
+    for valid, cc_type, b1, b2 in trips:
+        if cc_type in (0, 1):
+            out += cc_data_triplet(cc_type, b1, b2, valid)
+    packets = []
+    packet = bytearray()
+    for valid, cc_type, b1, b2 in trips:
+        if not valid or cc_type in (0, 1):
+            continue
+        if cc_type == 3:
+            if packet:
+                packets.append(bytes(packet))
+            packet = bytearray([b1, b2])
+        elif cc_type == 2 and packet:
+            packet += bytes([b1, b2])
+    if packet:
+        packets.append(bytes(packet))
+    for pkt in packets:
+        blocks = _filter_packet_blocks(pkt, discard)
+        if blocks:
+            for trip in pack_dtvcc_packet(blocks, sequence=pkt[0] >> 6):
+                out += trip
+    return bytes(out)
