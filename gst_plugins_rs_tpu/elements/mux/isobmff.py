@@ -41,8 +41,9 @@ from ...core import (
 )
 from ...core.aggregator import Aggregator, AggregatorPad
 from ...core.audio import AudioInfo
+from ...core.buffer import Meta
 from ...core.caps import IntRange, Structure, ValueList
-from ...core.events import Event, Segment
+from ...core.events import Event, EventType, Segment
 from ...core.registry import register
 from ...core.video import VideoInfo
 from ...mux import bmff
@@ -98,6 +99,17 @@ def _split_annexb(data: bytes):
     if start is not None:
         nals.append(data[start:])
     return [n for n in nals if n]
+
+
+class FMP4KeyframeMeta(Meta):
+    """Custom meta marking a fragment header whose first sample is a
+    keyframe (reference CustomMeta 'FMP4KeyframeMeta',
+    fmp4mux/imp.rs:3541; consumed by hlscmafsink for segment splitting)."""
+
+    api = "fmp4-keyframe"
+
+    def __init__(self, pts: Optional[int] = None):
+        self.pts = pts
 
 
 class _Stream:
@@ -379,6 +391,30 @@ class _MuxBase(Aggregator):
     def active_streams(self) -> List[_Stream]:
         return [self._streams[p.name] for p in self.agg_pads()]
 
+    def _apply_trak_override(self, st: _Stream) -> None:
+        """Per-pad trak-timescale property (GstFMP4MuxPad/GstRsMP4MuxPad):
+        rescale the configured track to the requested units/second."""
+        tts = int(st.pad._props.get("trak-timescale", 0) or 0)
+        if not tts or st.track is None or not st.timescale \
+                or tts == st.timescale:
+            return
+        old = st.timescale
+        if st.frame_dur_ts:
+            st.frame_dur_ts = st.frame_dur_ts * tts // old
+        if st.track.default_sample_duration:
+            st.track.default_sample_duration = \
+                st.track.default_sample_duration * tts // old
+        st.track.timescale = tts
+        st.timescale = tts
+
+    def _apply_pad_overrides(self, st: _Stream) -> None:
+        self._apply_trak_override(st)
+        # GstRsMP4MuxPad image-sequence: ISO/IEC 23008-12 image sequences
+        # use the 'pict' handler instead of 'vide'
+        if st.pad._props.get("image-sequence") and st.track is not None \
+                and st.track.handler == "vide":
+            st.track.handler = "pict"
+
     def _ensure_configured(self) -> bool:
         for st in self.active_streams():
             if st.track is None:
@@ -390,8 +426,12 @@ class _MuxBase(Aggregator):
                 st.configure(st.pad.current_caps, first_frame=first)
                 if st.track is None:
                     return False  # needs the first frame (AC-3 dac3)
+                self._apply_pad_overrides(st)
                 st._apply_tags(st.pad.current_caps.structure(0))
                 ct = self.get_property("precision-clock-type")
+                if (ct in (None, "none")) and "tai-precision-timestamps" in \
+                        self._props and self.get_property("tai-precision-timestamps"):
+                    ct = "unknown"  # taic clock box via the TAI property
                 if ct and ct != "none":
                     # ISO/IEC 23001-17 taic inside the sample entry
                     # (precision_timestamps.rs)
@@ -458,7 +498,38 @@ class FMP4Mux(_MuxBase):
         Prop("movie-timescale", 0, type="uint", doc="0 = auto (1000)"),
         Prop("start-fragment-sequence-number", 1, type="uint", minimum=1),
         Prop("offset-to-zero", False, type="bool"),
+        # GstFMP4Mux base surface (reference isobmff other-types;
+        # fmp4mux/imp.rs:160-199 defaults)
+        Prop("chunk-mode", "none", type="enum",
+             choices=["none", "duration", "keyframe"],
+             doc="chunk on duration (needs chunk-duration) or on every "
+                 "keyframe; none = duration when chunk-duration is set"),
+        Prop("interleave-bytes", 0, type="uint64",
+             doc="mdat interleave granularity between streams in bytes "
+                 "(0 = use interleave-time)"),
+        Prop("interleave-time", 250_000_000, type="uint64",
+             doc="mdat interleave granularity between streams in ns; each "
+                 "traf carries one trun per interleave run and runs lay "
+                 "out round-robin"),
+        Prop("manual-split", False, type="bool",
+             doc="disable duration-based splitting; fragments/chunks cut "
+                 "only on FMP4MuxSplitNow custom downstream events"),
+        Prop("send-force-keyunit", True, type="bool",
+             doc="send upstream force-keyunit events requesting keyframes "
+                 "at upcoming fragment boundaries"),
+        Prop("decode-time-offset", 0, type="int",
+             doc="signed ns offset applied to every tfdt (clamped at 0)"),
+        Prop("enable-keyframe-meta", False, type="bool",
+             doc="attach FMP4KeyframeMeta to fragment headers that start "
+                 "on a keyframe (single-stream; consumed by hlscmafsink)"),
     ]
+    # GstFMP4MuxPad surface
+    PAD_PROPERTIES = {
+        "sink": [
+            Prop("trak-timescale", 0, type="uint", mutable="ready",
+                 doc="track timescale override (units/s, 0 = automatic)"),
+        ],
+    }
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -531,6 +602,33 @@ class FMP4Mux(_MuxBase):
         )
 
     # -- fragments -----------------------------------------------------------
+    def _interleave_runs(self, st: _Stream):
+        """Split a stream's pending samples into interleave-bounded runs
+        (GstFMP4Mux interleave-bytes/-time; one trun per run, mdat
+        round-robin across tracks — fmp4mux/imp.rs:3221-3230)."""
+        il_bytes = self.get_property("interleave-bytes")
+        il_time = self.get_property("interleave-time")
+        il_ts = il_time * st.timescale // SECOND if il_time else 0
+        runs = []
+        cur, cur_bytes, cur_dur = [], 0, 0
+        for d, dur, sync in st.pending:
+            cur.append(bmff.FragmentSample(len(d), dur, sync))
+            cur_bytes += len(d)
+            cur_dur += dur
+            if (il_bytes and cur_bytes >= il_bytes) or \
+                    (not il_bytes and il_ts and cur_dur >= il_ts):
+                runs.append((cur, cur_bytes, len(runs)))
+                cur, cur_bytes, cur_dur = [], 0, 0
+        if cur:
+            runs.append((cur, cur_bytes, len(runs)))
+        # carve the data per run
+        blob = b"".join(d for d, _dur, _s in st.pending)
+        out, off = [], 0
+        for samples, nbytes, _i in runs:
+            out.append((samples, blob[off:off + nbytes]))
+            off += nbytes
+        return out
+
     def _cut(self, *, fragment_boundary: bool) -> FlowReturn:
         streams = [st for st in self.active_streams() if st.pending]
         if not streams:
@@ -538,14 +636,23 @@ class FMP4Mux(_MuxBase):
         frags = []
         start_ns = min(st.decode_ts * SECOND // st.timescale for st in streams)
         end_ns = max(st.end_ns for st in streams)
+        dto = self.get_property("decode-time-offset")
+        starts_on_keyframe = all(st.pending[0][2] for st in streams)
         for st in streams:
+            runs = self._interleave_runs(st) if len(streams) > 1 else None
             samples = [bmff.FragmentSample(len(d), dur, sync) for d, dur, sync in st.pending]
+            tfdt = st.decode_ts
+            if dto:
+                # decode-time-offset: signed ns applied to the tfdt
+                # (fmp4mux/imp.rs:3396-3403), clamped — tfdt is unsigned
+                tfdt = max(0, tfdt + dto * st.timescale // SECOND)
             frags.append(
                 bmff.TrackFragment(
                     st.track_id,
-                    st.decode_ts,
+                    tfdt,
                     samples,
                     b"".join(d for d, _dur, _s in st.pending),
+                    runs=runs,
                 )
             )
             self._mfra.setdefault(st.track_id, []).append(
@@ -561,10 +668,36 @@ class FMP4Mux(_MuxBase):
             data = bmff.styp(b"msdh", 0, [b"msdh", b"msix"]) + data
         self._seq += 1
         flags = BufferFlags.NONE if fragment_boundary else BufferFlags.DELTA_UNIT
-        ret = self._push_bytes(data, pts=start_ns, duration=end_ns - start_ns, flags=flags)
+        buf = Buffer(
+            np.frombuffer(data, np.uint8),
+            pts=start_ns, duration=end_ns - start_ns,
+            offset=self._bytes_pushed, flags=flags,
+        )
+        if (self.get_property("enable-keyframe-meta")
+                and len(self._streams) == 1 and starts_on_keyframe):
+            # FMP4KeyframeMeta for hlscmafsink (fmp4mux/imp.rs:3467,3541)
+            buf.add_meta(FMP4KeyframeMeta(pts=start_ns))
+        self._bytes_pushed += len(data)
+        ret = self.finish_buffer(buf)
         if fragment_boundary:
             self._frag_start_ns = end_ns
+            self._request_keyunit(end_ns)
         return ret
+
+    def _request_keyunit(self, frag_start_ns: int) -> None:
+        """send-force-keyunit: ask upstream video encoders for a keyframe
+        at the NEXT fragment boundary (fmp4mux/imp.rs:3262-3315)."""
+        if self.get_property("manual-split") or \
+                not self.get_property("send-force-keyunit"):
+            return
+        target = frag_start_ns + self.get_property("fragment-duration")
+        for st in self.active_streams():
+            if st.track is not None and st.track.handler == "vide" \
+                    and st.pad.peer is not None:
+                st.pad.push_event(Event(
+                    EventType.CUSTOM_UPSTREAM, name="GstForceKeyUnit",
+                    **{"running-time": target, "all-headers": True,
+                       "count": self._seq}))
 
     def _apply_caps_change(self, st: _Stream, buf: Buffer) -> FlowReturn:
         """Reconfigure a stream on a mid-stream caps change.  Only legal on
@@ -596,6 +729,16 @@ class FMP4Mux(_MuxBase):
         return FlowReturn.OK
 
     # -- aggregation ------------------------------------------------------------
+    def sink_event(self, pad, event) -> bool:
+        if event.type == EventType.CUSTOM_DOWNSTREAM \
+                and event.get("name") == "FMP4MuxSplitNow":
+            # manual-split protocol (reference SplitNowEvent, mod.rs:659-678):
+            # buffers after this event start a new fragment (chunk=false)
+            # or chunk (chunk=true)
+            self._cut(fragment_boundary=not event.get("chunk", False))
+            return True
+        return super().sink_event(pad, event)
+
     def aggregate(self, timeout: bool) -> FlowReturn:
         if not self._ensure_configured():
             return FlowReturn.OK
@@ -620,11 +763,25 @@ class FMP4Mux(_MuxBase):
             if ret != FlowReturn.OK:
                 return ret
         data, dur, sync = st.to_sample(buf)
+        manual = self.get_property("manual-split")
+        # chunk-mode=keyframe: every keyframe starts a new chunk
+        # (ChunkStrategy::Keyframe, fmp4mux/imp.rs:133,3028)
+        if (not manual and sync and st.pending
+                and self.get_property("chunk-mode") == "keyframe"
+                and st.track is not None and st.track.handler == "vide"):
+            ret = self._cut(fragment_boundary=False)
+            if ret != FlowReturn.OK:
+                return ret
         st.pending.append((data, dur, sync))
         st.pending_dur += dur
 
+        if manual:
+            return FlowReturn.OK  # cuts arrive via FMP4MuxSplitNow only
         frag_dur = self.get_property("fragment-duration")
         chunk_dur = self.get_property("chunk-duration")
+        if self.get_property("chunk-mode") == "duration" and not chunk_dur:
+            raise RuntimeError(
+                f"{self.name}: chunk-mode=duration requires chunk-duration")
         live = [s for s in self.active_streams() if not s.pad.is_inactive() or s.pending]
         frag_end = self._frag_start_ns + frag_dur
         if live and all(s.end_ns >= frag_end for s in live):
@@ -678,35 +835,91 @@ class MP4Mux(_MuxBase):
         Prop("precision-clock-type", "none", type="enum",
              choices=["none", "unknown", "can-sync", "cannot-sync"]),
         Prop("precision-clock-time-uncertainty", 0, type="uint64"),
+        # GstRsMP4Mux base surface (reference isobmff other-types)
+        Prop("extra-brands", "", type="str", mutable="ready",
+             doc="comma-separated 4-character brand codes appended to the "
+                 "ftyp compatible brands (e.g. 'duke,sook')"),
+        Prop("interleave-bytes", 0, type="uint64",
+             doc="chunk interleave granularity in bytes (0 = use "
+                 "interleave-time)"),
+        Prop("interleave-time", 500_000_000, type="uint64",
+             doc="chunk interleave granularity in ns: consecutive samples "
+                 "of one stream share a chunk until this bound"),
+        Prop("tai-precision-timestamps", False, type="bool", mutable="ready",
+             doc="write ISO/IEC 23001-17 taic clock boxes into the sample "
+                 "entries (per-sample TAI aux data is not emitted — "
+                 "documented divergence)"),
     ]
+    # GstRsMP4MuxPad surface
+    PAD_PROPERTIES = {
+        "sink": [
+            Prop("trak-timescale", 0, type="uint", mutable="ready",
+                 doc="track timescale override (units/s, 0 = automatic)"),
+            Prop("image-sequence", False, type="bool", mutable="ready",
+                 doc="write this video track as an ISO/IEC 23008-12 image "
+                     "sequence ('pict' handler) instead of 'vide'"),
+        ],
+    }
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._mdat: List[bytes] = []
         self._mdat_len = 0
+        self._cur_st: Optional[_Stream] = None
+        self._cur_chunk_bytes = 0
+        self._cur_chunk_dur = 0  # track timescale units
 
     def on_ready_to_paused(self) -> None:
         self._mdat = []
         self._mdat_len = 0
+        self._cur_st = None
+        self._cur_chunk_bytes = 0
+        self._cur_chunk_dur = 0
+
+    def _chunk_full(self, st: _Stream) -> bool:
+        il_b = self.get_property("interleave-bytes")
+        if il_b:
+            return self._cur_chunk_bytes >= il_b
+        il_t = self.get_property("interleave-time")
+        if il_t and st.timescale:
+            return self._cur_chunk_dur * SECOND // st.timescale >= il_t
+        return True  # no interleave bound: one chunk per buffer
 
     def aggregate(self, timeout: bool) -> FlowReturn:
         if not self._ensure_configured():
             return FlowReturn.OK
-        candidates = [
-            (st.pad.peek_buffer().pts or 0, st)
-            for st in self.active_streams()
-            if st.pad.has_buffer()
-        ]
-        if not candidates:
-            return FlowReturn.OK
-        _pts, st = min(candidates, key=lambda c: c[0])
+        # interleave scheduling (GstRsMP4Mux interleave-bytes/-time): keep
+        # draining the current stream into one chunk until the bound, then
+        # switch to the stream with the earliest queued pts
+        if (self._cur_st is not None and self._cur_st.pad.has_buffer()
+                and not self._chunk_full(self._cur_st)):
+            st = self._cur_st
+        else:
+            candidates = [
+                (st.pad.peek_buffer().pts or 0, st)
+                for st in self.active_streams()
+                if st.pad.has_buffer()
+            ]
+            if not candidates:
+                return FlowReturn.OK
+            _pts, st = min(candidates, key=lambda c: c[0])
         self._append(st, st.pad.pop_buffer())
         return FlowReturn.OK
 
     def _append(self, st: _Stream, buf: Buffer) -> None:
         data, dur, sync = st.to_sample(buf)
-        # one chunk per buffer; offset is relative to mdat payload for now
-        st.table.chunks.append((self._mdat_len, 1))
+        if st is self._cur_st and st.table.chunks \
+                and not self._chunk_full(st):
+            # extend the open chunk (consecutive in mdat by construction)
+            off, n = st.table.chunks[-1]
+            st.table.chunks[-1] = (off, n + 1)
+            self._cur_chunk_bytes += len(data)
+            self._cur_chunk_dur += dur
+        else:
+            st.table.chunks.append((self._mdat_len, 1))
+            self._cur_st = st
+            self._cur_chunk_bytes = len(data)
+            self._cur_chunk_dur = dur
         st.table.sizes.append(len(data))
         st.table.durations.append(dur)
         st.table.sync.append(sync)
@@ -721,7 +934,13 @@ class MP4Mux(_MuxBase):
                 self._append(st, st.pad.pop_buffer())
         streams = self.active_streams()
         mts = self.get_property("movie-timescale") or 1000
-        ftyp = bmff.ftyp(self.MAJOR_BRAND, 0, list(self.COMPAT_BRANDS))
+        brands = list(self.COMPAT_BRANDS)
+        extra = self.get_property("extra-brands") or ""
+        for b in extra.split(","):
+            b = b.strip()
+            if len(b) == 4:
+                brands.append(b.encode("ascii"))
+        ftyp = bmff.ftyp(self.MAJOR_BRAND, 0, brands)
         # rebase chunk offsets: absolute = ftyp + mdat header + relative
         base = len(ftyp) + 8
         tables = []

@@ -79,6 +79,20 @@ class _HlsBase(Element):
         Prop("send-keyframe-requests", True, type="bool",
              doc="send an upstream force-key-unit event when a new segment "
                  "should start"),
+        # GstHlsBaseSink surface (reference hlssink3 other-types)
+        Prop("enable-program-date-time", False, type="bool",
+             doc="write EXT-X-PROGRAM-DATE-TIME per segment"),
+        Prop("pdt-follows-pipeline-clock", True, type="bool",
+             doc="true: PDT = first-segment wallclock + pipeline segment "
+                 "durations (immune to wallclock drift); false: each "
+                 "segment stamps the current wallclock"),
+        Prop("program-date-time-reference", "pipeline", type="enum",
+             choices=["pipeline", "system"],
+             doc="source of the PDT epoch: pipeline clock mapped to UTC at "
+                 "the first segment, or the system wallclock"),
+        Prop("single-media-file", None, type="str", mutable="ready",
+             doc="write all segments into this one file; playlist entries "
+                 "use EXT-X-BYTERANGE addressing"),
     ]
 
     def latency_additional_ns(self) -> int:
@@ -92,6 +106,30 @@ class _HlsBase(Element):
         super().__init__(name)
         self._playlist: Optional[hls.MediaPlaylist] = None
         self._seg_index = 0
+        self._pdt_base = None  # datetime of the first segment
+        self._pdt_elapsed_ns = 0  # pipeline time since the first segment
+        self._smf = None  # single-media-file handle
+        self._smf_offset = 0
+
+    def _segment_pdt(self, duration_ns: int) -> Optional[str]:
+        """EXT-X-PROGRAM-DATE-TIME for the segment being added."""
+        if not self.get_property("enable-program-date-time"):
+            return None
+        from datetime import datetime, timezone
+
+        now = datetime.now(timezone.utc)
+        if self._pdt_base is None:
+            self._pdt_base = now
+        if self.get_property("pdt-follows-pipeline-clock") \
+                and self.get_property("program-date-time-reference") == "pipeline":
+            from datetime import timedelta
+
+            stamp = self._pdt_base + timedelta(
+                microseconds=self._pdt_elapsed_ns / 1000)
+        else:
+            stamp = now
+        self._pdt_elapsed_ns += duration_ns
+        return stamp.isoformat(timespec="milliseconds").replace("+00:00", "+00:00")
 
     def _uri(self, path: str) -> str:
         root = self.get_property("playlist-root")
@@ -119,13 +157,44 @@ class _HlsBase(Element):
         return open(path, "wb")
 
     def _write_segment(self, data: bytes, duration_ns: int) -> None:
+        pdt = self._segment_pdt(duration_ns)
+        single = self.get_property("single-media-file")
+        if single:
+            # all segments appended to one file; the playlist addresses
+            # them with EXT-X-BYTERANGE (GstHlsBaseSink single-media-file)
+            if self._smf is None:
+                self._smf = self._open_out("get-fragment-stream", single)
+                self._smf_offset = 0
+            self._smf.write(data)
+            self._smf.flush()
+            self._seg_index += 1
+            seg = hls.Segment(self._uri(single), duration_ns / SECOND, None,
+                              date_time=pdt,
+                              byterange=(len(data), self._smf_offset))
+            self._smf_offset += len(data)
+            assert self._playlist is not None
+            self._playlist.add_segment(seg)
+            self._write_playlist()
+            self.post_message(
+                Message(
+                    MessageType.ELEMENT,
+                    structure=Structure(
+                        "hls-segment-added",
+                        location=single,
+                        running_time=None,
+                        duration=duration_ns,
+                    ),
+                )
+            )
+            return
         path = self.get_property("location") % self._seg_index
         self._seg_index += 1
         with self._open_out("get-fragment-stream", path) as f:
             f.write(data)
         assert self._playlist is not None
         evicted = self._playlist.add_segment(
-            hls.Segment(self._uri(path), duration_ns / SECOND, path)
+            hls.Segment(self._uri(path), duration_ns / SECOND, path,
+                        date_time=pdt)
         )
         for old in evicted:
             handler = self.signal_handler("delete-fragment")
@@ -178,6 +247,11 @@ class _HlsBase(Element):
             hls.write_atomic(iframe_loc, ip.render())
 
     def _finish_playlist(self) -> None:
+        if self._smf is not None:
+            try:
+                self._smf.close()
+            finally:
+                self._smf = None
         if self._playlist is not None:
             self._playlist.end()
             self._write_playlist()

@@ -523,7 +523,8 @@ def _mdhd(timescale: int, duration: int, language: str = "und") -> bytes:
 
 
 def _hdlr(handler: str) -> bytes:
-    names = {"soun": b"SoundHandler\x00", "vide": b"VideoHandler\x00"}
+    names = {"soun": b"SoundHandler\x00", "vide": b"VideoHandler\x00",
+             "pict": b"PictureHandler\x00"}  # ISO 23008-12 image sequences
     payload = struct.pack(">I", 0) + handler.encode() + b"\x00" * 12 + names[handler]
     return full_box(b"hdlr", 0, 0, payload)
 
@@ -672,6 +673,12 @@ class TrackFragment:
     decode_time: int  # track timescale (tfdt baseMediaDecodeTime)
     samples: List[FragmentSample]
     data: bytes  # this track's mdat slice
+    #: optional interleave runs: [(samples, data), ...] — when set, the
+    #: traf carries one trun per run and the mdat lays runs out
+    #: round-robin across tracks (GstFMP4Mux interleave-bytes/-time;
+    #: reference fmp4mux/imp.rs:3221-3230).  samples/data above must be
+    #: the concatenation of the runs.
+    runs: Optional[List[Tuple[List[FragmentSample], bytes]]] = None
 
 
 SAMPLE_FLAG_SYNC = 0x02000000  # sample_depends_on=2 (independent)
@@ -687,38 +694,58 @@ def moof(sequence_number: int, fragments: Sequence[TrackFragment]) -> bytes:
     """
     mfhd = full_box(b"mfhd", 0, 0, struct.pack(">I", sequence_number))
 
+    # per-track run lists: [(samples, data), ...] — one trun per run
+    track_runs = [
+        frag.runs if frag.runs is not None else [(frag.samples, frag.data)]
+        for frag in fragments
+    ]
+    # mdat layout: round-robin across tracks so streams interleave at run
+    # granularity (run 0 of every track, then run 1 of every track, ...)
+    order: List[Tuple[int, int]] = []
+    max_runs = max((len(r) for r in track_runs), default=0)
+    for ri in range(max_runs):
+        for fi, runs in enumerate(track_runs):
+            if ri < len(runs):
+                order.append((fi, ri))
+
+    def _trun(samples: List[FragmentSample], off: int) -> bytes:
+        # trun flags: data-offset | sample-duration | sample-size | sample-flags
+        flags = 0x000001 | 0x000100 | 0x000200 | 0x000400
+        entries = b"".join(
+            struct.pack(
+                ">III",
+                s.duration,
+                s.size,
+                SAMPLE_FLAG_SYNC if s.sync else SAMPLE_FLAG_NON_SYNC,
+            )
+            for s in samples
+        )
+        return full_box(
+            b"trun", 0, flags, struct.pack(">Ii", len(samples), off) + entries
+        )
+
     # First pass with zero data offsets to learn the moof size.
-    def build(data_offsets: List[int]) -> bytes:
+    def build(run_offsets: dict) -> bytes:
         body = mfhd
-        for frag, off in zip(fragments, data_offsets):
+        for fi, (frag, runs) in enumerate(zip(fragments, track_runs)):
             tfhd = full_box(b"tfhd", 0, 0x020000, struct.pack(">I", frag.track_id))
             tfdt = full_box(b"tfdt", 1, 0, struct.pack(">Q", frag.decode_time))
-            # trun flags: data-offset | sample-duration | sample-size | sample-flags
-            flags = 0x000001 | 0x000100 | 0x000200 | 0x000400
-            entries = b"".join(
-                struct.pack(
-                    ">III",
-                    s.duration,
-                    s.size,
-                    SAMPLE_FLAG_SYNC if s.sync else SAMPLE_FLAG_NON_SYNC,
-                )
-                for s in frag.samples
+            truns = b"".join(
+                _trun(samples, run_offsets.get((fi, ri), 0))
+                for ri, (samples, _d) in enumerate(runs)
             )
-            trun = full_box(
-                b"trun", 0, flags, struct.pack(">Ii", len(frag.samples), off) + entries
-            )
-            body += box(b"traf", tfhd + tfdt + trun)
+            body += box(b"traf", tfhd + tfdt + truns)
         return box(b"moof", body)
 
-    probe = build([0] * len(fragments))
+    probe = build({})
     moof_size = len(probe)
-    offsets, acc = [], moof_size + 8  # + mdat header
-    for frag in fragments:
-        offsets.append(acc)
-        acc += len(frag.data)
+    offsets, acc = {}, moof_size + 8  # + mdat header
+    for fi, ri in order:
+        offsets[(fi, ri)] = acc
+        acc += len(track_runs[fi][ri][1])
     out = build(offsets)
     assert len(out) == moof_size
-    mdat = box(b"mdat", b"".join(f.data for f in fragments))
+    mdat = box(b"mdat", b"".join(track_runs[fi][ri][1] for fi, ri in order))
     return out + mdat
 
 

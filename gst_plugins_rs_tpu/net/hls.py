@@ -19,6 +19,12 @@ class Segment:
     uri: str
     duration_s: float
     path: Optional[str] = None  # on-disk path for max-files deletion
+    #: ISO-8601 wallclock of the segment start -> EXT-X-PROGRAM-DATE-TIME
+    #: (hlsbasesink enable-program-date-time)
+    date_time: Optional[str] = None
+    #: (length, offset) into a single media file -> EXT-X-BYTERANGE
+    #: (hlsbasesink single-media-file)
+    byterange: Optional[tuple] = None
 
 
 class MediaPlaylist:
@@ -72,9 +78,12 @@ class MediaPlaylist:
             self.target_duration,
             int(math.ceil(max((s.duration_s for s in visible), default=0))),
         )
+        version = 6 if self.init_uri else 3
+        if version < 4 and any(s.byterange for s in visible):
+            version = 4  # EXT-X-BYTERANGE needs protocol version 4
         lines = [
             "#EXTM3U",
-            f"#EXT-X-VERSION:{6 if self.init_uri else 3}",
+            f"#EXT-X-VERSION:{version}",
             f"#EXT-X-TARGETDURATION:{target}",
             f"#EXT-X-MEDIA-SEQUENCE:{seq}",
         ]
@@ -85,7 +94,12 @@ class MediaPlaylist:
         if self.init_uri:
             lines.append(f'#EXT-X-MAP:URI="{self.init_uri}"')
         for s in visible:
+            if s.date_time:
+                lines.append(f"#EXT-X-PROGRAM-DATE-TIME:{s.date_time}")
             lines.append(f"#EXTINF:{s.duration_s:.3f},")
+            if s.byterange:
+                length, offset = s.byterange
+                lines.append(f"#EXT-X-BYTERANGE:{length}@{offset}")
             lines.append(s.uri)
         if self.ended and self.enable_endlist:
             lines.append("#EXT-X-ENDLIST")

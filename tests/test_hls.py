@@ -360,3 +360,59 @@ class TestHlsSink3EmbeddedTsMux:
         import pytest
         with pytest.raises(ValueError, match="already requested"):
             sink.request_pad("video")
+
+
+class TestHlsBaseSurface:
+    """GstHlsBaseSink surface (reference hlssink3 other-types):
+    EXT-X-PROGRAM-DATE-TIME and single-media-file byterange playout."""
+
+    def test_program_date_time(self, tmp_path):
+        os.chdir(tmp_path)
+        p = fx.parse_launch(
+            "audiotestsrc wave=sine num-buffers=20 samplesperbuffer=4800 "
+            "! audio/x-raw,format=F32,rate=48000,channels=2 "
+            "! hlscmafsink name=sink target-duration=1 "
+            "enable-program-date-time=true "
+            f"playlist-location={tmp_path}/pdt.m3u8 "
+            f"init-location={tmp_path}/i%05d.mp4 "
+            f"location={tmp_path}/p%05d.m4s")
+        p.play_until_eos()
+        playlist = (tmp_path / "pdt.m3u8").read_text()
+        pdts = [ln for ln in playlist.splitlines()
+                if ln.startswith("#EXT-X-PROGRAM-DATE-TIME:")]
+        assert len(pdts) == playlist.count("#EXTINF:")
+        from datetime import datetime
+        stamps = [datetime.fromisoformat(ln.split(":", 1)[1]) for ln in pdts]
+        # pipeline-clock PDT: consecutive stamps differ by the 1 s segment
+        d = (stamps[1] - stamps[0]).total_seconds()
+        assert abs(d - 1.0) < 0.005
+
+    def test_single_media_file_byteranges(self, tmp_path):
+        os.chdir(tmp_path)
+        p = fx.parse_launch(
+            "audiotestsrc wave=sine num-buffers=20 samplesperbuffer=4800 "
+            "! audio/x-raw,format=F32,rate=48000,channels=2 "
+            "! hlscmafsink name=sink target-duration=1 "
+            f"single-media-file={tmp_path}/all.m4s "
+            f"playlist-location={tmp_path}/smf.m3u8 "
+            f"init-location={tmp_path}/si%05d.mp4 "
+            f"location={tmp_path}/s%05d.m4s")
+        p.play_until_eos()
+        playlist = (tmp_path / "smf.m3u8").read_text()
+        ranges = [ln for ln in playlist.splitlines()
+                  if ln.startswith("#EXT-X-BYTERANGE:")]
+        assert len(ranges) == playlist.count("#EXTINF:") == 2
+        # the ranges tile the media file contiguously and each range
+        # parses as a moof+mdat pair
+        blob = (tmp_path / "all.m4s").read_bytes()
+        init = next(tmp_path.glob("si*.mp4")).read_bytes()
+        off = 0
+        for ln in ranges:
+            length, start = ln.split(":")[1].split("@")
+            assert int(start) == off
+            seg = blob[off:off + int(length)]
+            assert reader.box_types(seg) == ["moof", "mdat"]
+            off += int(length)
+        assert off == len(blob)
+        # no per-segment files were written
+        assert not list(tmp_path.glob("s0*.m4s"))
