@@ -74,6 +74,7 @@ class EventType(enum.Enum):
     CUSTOM_DOWNSTREAM = "custom-downstream"
     CUSTOM_UPSTREAM = "custom-upstream"
     SEEK = "seek"  # upstream: reposition the stream (RFC: gst_event_new_seek)
+    NAVIGATION = "navigation"  # upstream: user input (gst_event_new_navigation)
 
 
 class Event:
@@ -118,6 +119,13 @@ class Event:
         """Upstream seek (gst_event_new_seek): fmt 'time' (ns) or 'bytes'."""
         return Event(EventType.SEEK, start=start, stop=stop, rate=rate,
                      flush=flush, format=fmt)
+
+    @staticmethod
+    def new_navigation(structure: Structure) -> "Event":
+        """Upstream user-input event (gst_event_new_navigation): the
+        structure carries event=<kind> plus kind-specific fields
+        (x/y/button/key...), matching GstNavigation's structure shape."""
+        return Event(EventType.NAVIGATION, structure=structure)
 
     def get(self, key: str, default: Any = None) -> Any:
         return self.fields.get(key, default)

@@ -19,9 +19,11 @@ clock-rate/payload taken from the producer's SDP offer.
 """
 from __future__ import annotations
 
+import json
 import queue
 import threading
 import time
+from collections import OrderedDict
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -45,6 +47,153 @@ from ...net.webrtc_signalling import (
 )
 
 RTP_CAPS = Caps.builder("application/x-rtp")
+
+#: GstBaseWebRTCSink property surface (reference rswebrtc other-types;
+#: net/webrtc/src/webrtcsink/imp.rs ParamSpec block around :5547-5560).
+#: Shared by webrtcsink and the signaller variants (janusvr / awskvs /
+#: ueps / whipclient / whepserver).
+BASE_WEBRTC_SINK_PROPS = [
+    Prop("video-caps", None, type="object", mutable="ready",
+         doc="priority-ordered caps governing proposed video codecs; the "
+             "in-repo encode chain produces video/x-av1, so a list "
+             "excluding it fails negotiation for raw video input"),
+    Prop("audio-caps", None, type="object", mutable="ready",
+         doc="priority-ordered caps governing proposed audio codecs "
+             "(in-repo raw-audio chain pays L16)"),
+    Prop("congestion-control", "homegrown", type="enum",
+         choices=["disabled", "homegrown", "gcc"], mutable="ready",
+         doc="loss-driven controller; 'gcc' negotiates TWCC-based GCC "
+             "where the consumer echoes transport feedback and otherwise "
+             "behaves as homegrown (reference defaults gcc)"),
+    Prop("min-bitrate", 1000, type="uint", doc="bps"),
+    Prop("max-bitrate", 8_192_000, type="uint", doc="bps"),
+    Prop("start-bitrate", 2_048_000, type="uint", doc="bps"),
+    Prop("do-fec", True, type="bool", mutable="ready",
+         doc="accepted for surface parity; ULPFEC/RED negotiation is not "
+             "implemented (documented divergence — in-repo FEC is "
+             "raptorq, a different wire format)"),
+    Prop("do-retransmission", True, type="bool", mutable="ready",
+         doc="honor RTCP NACK by resending from the send history"),
+    Prop("rtx-percentage", -1, type="int", minimum=-1, maximum=100,
+         doc="retransmission bandwidth cap as %% of media bandwidth over "
+             "a 1 s window (-1 = unlimited)"),
+    Prop("do-clock-signalling", False, type="bool", mutable="ready",
+         doc="add a=ts-refclk:local / a=mediaclk:sender clock signalling "
+             "to offered media sections (RFC 7273)"),
+    Prop("enable-control-data-channel", False, type="bool", mutable="ready",
+         doc="open a 'control' WebRTC data channel per session for "
+             "arbitrary events and forwarded metas"),
+    Prop("enable-data-channel-navigation", False, type="bool",
+         mutable="ready",
+         doc="open an 'input' data channel; received navigation JSON "
+             "becomes upstream GstNavigation events on the video pad"),
+    Prop("enable-mitigation-modes", "downsampled+downscaled", type="enum",
+         choices=["none", "downscaled", "downsampled",
+                  "downsampled+downscaled"], mutable="playing",
+         doc="congestion mitigation flags; this encoder chain mitigates "
+             "through bitrate, so the flags gate whether the cc loop may "
+             "request resolution/framerate hints (advisory)"),
+    Prop("forward-metas", "", type="str", mutable="playing",
+         doc="comma-separated buffer meta api names serialized over the "
+             "control data channel with each rendered buffer"),
+    Prop("ice-transport-policy", "all", type="enum", choices=["all", "relay"],
+         mutable="ready",
+         doc="'relay' requires TURN, which this stack does not implement "
+             "— selecting it raises at READY->PAUSED (documented)"),
+    Prop("meta", None, type="object",
+         doc="JSON metadata advertised with the producer"),
+    Prop("signaller", None, type="object",
+         doc="read-only: the signalling client object in use"),
+    Prop("stats", None, type="object",
+         doc="read-only: application/x-webrtcsink-stats per-session dict"),
+    Prop("stun-server", None, type="str",
+         doc="accepted for API parity; host candidates only"),
+    Prop("turn-servers", None, type="object", mutable="ready",
+         doc="accepted for API parity (turn(s)://user:pass@host:port "
+             "list); this stack offers host candidates only"),
+    Prop("run-web-server", False, type="bool", mutable="ready",
+         doc="serve web-server-directory over HTTP(S) while PAUSED+"),
+    Prop("web-server-cert", None, type="str",
+         doc="TLS certificate path for the web server"),
+    Prop("web-server-directory", "gstwebrtc-api/dist", type="str",
+         doc="directory the web server serves"),
+    Prop("web-server-host-addr", "http://127.0.0.1:8080/", type="str",
+         doc="address the web server listens on"),
+    Prop("web-server-key", None, type="str",
+         doc="TLS private key path for the web server"),
+    Prop("web-server-path", None, type="str",
+         doc="root path prefix the server strips before file lookup"),
+]
+
+#: GstBaseWebRTCSrc property surface (reference rswebrtc other-types)
+BASE_WEBRTC_SRC_PROPS = [
+    Prop("video-codecs", None, type="object", mutable="ready",
+         doc="list of acceptable video codec names for negotiation "
+             "(None = accept any)"),
+    Prop("audio-codecs", None, type="object", mutable="ready",
+         doc="list of acceptable audio codec names for negotiation"),
+    Prop("do-retransmission", True, type="bool", mutable="ready",
+         doc="send RTCP NACK for sequence gaps in received media"),
+    Prop("enable-control-data-channel", False, type="bool", mutable="ready",
+         doc="accept the producer's 'control' data channel"),
+    Prop("enable-data-channel-navigation", False, type="bool",
+         mutable="ready",
+         doc="serialize upstream GstNavigation events over the "
+             "producer's 'input' data channel"),
+    Prop("meta", None, type="object"),
+    Prop("signaller", None, type="object",
+         doc="read-only: the signalling client object in use"),
+    Prop("stun-server", None, type="str",
+         doc="accepted for API parity; host candidates only"),
+    Prop("turn-servers", None, type="object", mutable="ready",
+         doc="accepted for API parity; host candidates only"),
+]
+
+
+class _WebServer:
+    """Tiny embedded web server (GstBaseWebRTCSink run-web-server /
+    web-server-* properties): serves a directory over HTTP(S)."""
+
+    def __init__(self, host_addr: str, directory: str,
+                 cert: Optional[str] = None, key: Optional[str] = None,
+                 root_path: Optional[str] = None):
+        import http.server
+        from urllib.parse import urlparse
+
+        u = urlparse(host_addr)
+        host = u.hostname or "127.0.0.1"
+        port = u.port or (443 if u.scheme == "https" else 8080)
+        prefix = (root_path or "").strip("/")
+
+        class Handler(http.server.SimpleHTTPRequestHandler):
+            def __init__(self, *a, **kw):
+                super().__init__(*a, directory=directory, **kw)
+
+            def translate_path(self, path):
+                if prefix and path.lstrip("/").startswith(prefix):
+                    path = "/" + path.lstrip("/")[len(prefix):].lstrip("/")
+                return super().translate_path(path)
+
+            def log_message(self, *a):  # quiet
+                pass
+
+        self.httpd = http.server.ThreadingHTTPServer((host, port), Handler)
+        if cert:
+            import ssl
+
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(cert, key)
+            self.httpd.socket = ctx.wrap_socket(self.httpd.socket,
+                                                server_side=True)
+        self.port = self.httpd.server_address[1]
+        self._thread = threading.Thread(target=self.httpd.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+
+    def stop(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        self._thread.join(1.0)
 
 
 def _caps_media(caps: Optional[Caps]):
@@ -74,18 +223,8 @@ class WebRtcSink(BaseSink):
         _S("video/x-raw", format="I420"),
         _S("audio/x-raw"),
     ])
-    PROPERTIES = [
+    PROPERTIES = BASE_WEBRTC_SINK_PROPS + [
         Prop("signaller-uri", "ws://127.0.0.1:8443", type="str"),
-        Prop("meta", None, type="object", doc="JSON metadata advertised with the producer"),
-        Prop("stun-server", None, type="str", doc="accepted for API parity; host candidates only"),
-        # congestion control (webrtcsink/imp.rs:69-84 defaults; the
-        # reference's homegrown_cc loss-driven controller — full GCC needs
-        # TWCC extension negotiation, documented divergence)
-        Prop("congestion-control", "homegrown", type="enum",
-             choices=["disabled", "homegrown"], mutable="ready"),
-        Prop("min-bitrate", 1000, type="uint", doc="bps"),
-        Prop("max-bitrate", 8_192_000, type="uint", doc="bps"),
-        Prop("start-bitrate", 2_048_000, type="uint", doc="bps"),
         # embedded signalling server (webrtcsink/imp.rs run-signalling-server)
         Prop("run-signalling-server", False, type="bool",
              doc="start the in-repo gst-webrtc signalling relay and "
@@ -108,7 +247,9 @@ class WebRtcSink(BaseSink):
         super().__init__(name)
         self._client: Optional[SignallingClient] = None
         self._own_server = None
+        self._web_server = None
         self._sessions: Dict[str, PeerConnection] = {}
+        self._session_channels: Dict[str, dict] = {}  # sid -> {label: ch}
         self._lock = threading.RLock()
         self._chain_elements = []
         self._chain_head = None
@@ -117,11 +258,27 @@ class WebRtcSink(BaseSink):
         self._cc_encoder = None
         self._cc_bitrate = 0
         self._cc_last_update = 0.0
+        # do-retransmission send history: seq -> (rtp bytes, send time)
+        self._send_history: "OrderedDict[int, tuple]" = OrderedDict()
+        self._rtx_sent_window: List[tuple] = []  # (time, bytes) rtx accounting
+        self._media_sent_window: List[tuple] = []  # (time, bytes)
+
+    def get_property(self, name: str):
+        if name == "stats":
+            # reference: application/x-webrtcsink-stats, one entry per session
+            with self._lock:
+                return {
+                    sid: {
+                        "consumer-stats": dict(pc._rx_stats),
+                        "bitrate": self._cc_bitrate,
+                        "connected": pc._connected.is_set(),
+                    }
+                    for sid, pc in self._sessions.items()
+                }
+        return super().get_property(name)
 
     # -- loss-driven congestion control (homegrown_cc analog) -----------------
     def _on_rtcp(self, data: bytes) -> None:
-        if self.get_property("congestion-control") == "disabled":
-            return
         from ...net import rtcp as _rtcp
 
         try:
@@ -129,8 +286,39 @@ class WebRtcSink(BaseSink):
         except Exception:
             return
         for pkt in pkts:
-            if isinstance(pkt, _rtcp.ReceiverReport) and pkt.reports:
-                self._cc_update(max(rb.fraction_lost for rb in pkt.reports))
+            if isinstance(pkt, _rtcp.GenericNack):
+                self._handle_nack(pkt.seqs)
+            elif isinstance(pkt, _rtcp.ReceiverReport) and pkt.reports:
+                if self.get_property("congestion-control") != "disabled":
+                    self._cc_update(max(rb.fraction_lost for rb in pkt.reports))
+
+    # -- NACK retransmission (GstBaseWebRTCSink do-retransmission /
+    #    rtx-percentage; reference webrtcsink/imp.rs rtx handling) ------------
+    def _handle_nack(self, seqs) -> None:
+        if not self.get_property("do-retransmission"):
+            return
+        pct = self.get_property("rtx-percentage")
+        now = time.monotonic()
+        with self._lock:
+            sessions = list(self._sessions.values())
+            for seq in seqs:
+                pkt = self._send_history.get(seq & 0xFFFF)
+                if pkt is None:
+                    continue
+                if pct >= 0:
+                    # cap rtx bandwidth at pct% of media bandwidth over 1 s
+                    cutoff = now - 1.0
+                    self._rtx_sent_window = [
+                        e for e in self._rtx_sent_window if e[0] > cutoff]
+                    self._media_sent_window = [
+                        e for e in self._media_sent_window if e[0] > cutoff]
+                    media = sum(n for _, n in self._media_sent_window)
+                    rtx = sum(n for _, n in self._rtx_sent_window)
+                    if rtx + len(pkt) > media * pct / 100.0:
+                        continue
+                self._rtx_sent_window.append((now, len(pkt)))
+                for pc in sessions:
+                    pc.send_rtp(pkt)
 
     def _cc_update(self, fraction_lost: int) -> None:
         import time as _t
@@ -175,6 +363,19 @@ class WebRtcSink(BaseSink):
         from ...core.element import Pad, PadDirection, PadPresence, PadTemplate, State
         from ...core.events import Event, Segment
 
+        # video-caps / audio-caps: priority-ordered codec gating
+        # (GstBaseWebRTCSink video-caps/audio-caps ParamSpecs)
+        allowed = self.get_property(
+            "video-caps" if s.name == "video/x-raw" else "audio-caps")
+        if allowed is not None:
+            produced = "video/x-av1" if s.name == "video/x-raw" else "audio/x-raw"
+            names = [c if isinstance(c, str) else c.structure(0).name
+                     for c in (allowed if isinstance(allowed, (list, tuple))
+                               else [allowed])]
+            if produced not in names:
+                raise RuntimeError(
+                    f"{self.name}: {s.name} input but {produced} not in "
+                    f"{'video' if 'video' in s.name else 'audio'}-caps {names}")
         if s.name == "video/x-raw":
             enc = element_factory_make("rav1enc", f"{self.name}-enc")
             enc.set_property("low-latency", True)
@@ -218,9 +419,46 @@ class WebRtcSink(BaseSink):
         data = np.asarray(buffer.data, dtype=np.uint8).tobytes()
         with self._lock:
             sessions = list(self._sessions.values())
+            if len(data) >= 12 and self.get_property("do-retransmission"):
+                seq = int.from_bytes(data[2:4], "big")
+                self._send_history[seq] = data
+                while len(self._send_history) > 512:
+                    self._send_history.popitem(last=False)
+                self._media_sent_window.append((time.monotonic(), len(data)))
+                if len(self._media_sent_window) > 4096:
+                    del self._media_sent_window[:2048]
         for pc in sessions:
             pc.send_rtp(data)
+        self._forward_metas(buffer)
         return FlowReturn.OK
+
+    def _forward_metas(self, buffer: Buffer) -> None:
+        """GstBaseWebRTCSink forward-metas: serialize listed buffer metas
+        over each session's control data channel."""
+        wanted = self.get_property("forward-metas")
+        if not wanted or not buffer.metas:
+            return
+        names = {n.strip() for n in wanted.split(",") if n.strip()}
+        metas = [m for m in buffer.metas if type(m).__name__ in names]
+        if not metas:
+            return
+        payload = json.dumps({
+            "type": "metas",
+            "ts": buffer.pts,
+            "metas": [{"api": type(m).__name__,
+                       "fields": {k: v for k, v in vars(m).items()
+                                  if isinstance(v, (int, float, str, bool,
+                                                    type(None)))}}
+                      for m in metas],
+        })
+        with self._lock:
+            chans = [d.get("control") for d in self._session_channels.values()]
+        for ch in chans:
+            if ch is not None and ch.ready.is_set():
+                try:
+                    ch.send(payload)
+                except Exception:
+                    pass
 
     # -- extra media sections (request pads, webrtcsink video_%u/audio_%u) ----
     def request_sink_pad(self, kind: str = "video") -> "Pad":
@@ -253,6 +491,17 @@ class WebRtcSink(BaseSink):
 
     # -- signalling ------------------------------------------------------------
     def on_ready_to_paused(self) -> None:
+        if self.get_property("ice-transport-policy") == "relay":
+            raise RuntimeError(
+                f"{self.name}: ice-transport-policy=relay requires TURN "
+                "relaying, which this stack does not implement")
+        if self.get_property("run-web-server"):
+            self._web_server = _WebServer(
+                self.get_property("web-server-host-addr"),
+                self.get_property("web-server-directory"),
+                cert=self.get_property("web-server-cert"),
+                key=self.get_property("web-server-key"),
+                root_path=self.get_property("web-server-path"))
         uri = self.get_property("signaller-uri")
         if self.get_property("run-signalling-server"):
             from ...net.webrtc_signalling import SignallingServer
@@ -286,6 +535,9 @@ class WebRtcSink(BaseSink):
         if self._own_server is not None:
             self._own_server.stop()
             self._own_server = None
+        if self._web_server is not None:
+            self._web_server.stop()
+            self._web_server = None
 
     def _on_signal(self, msg: dict) -> None:
         t = msg.get("type")
@@ -319,22 +571,129 @@ class WebRtcSink(BaseSink):
         pc = PeerConnection(offerer=True)
         pc.on_rtcp = self._on_rtcp  # loss reports drive the encoder bitrate
         media, pt, enc, rate = self._rtp_media or _caps_media(self.caps)
-        pc.set_media(media, pt, enc, rate)
+        extra_attrs = None
+        if self.get_property("do-clock-signalling"):
+            # RFC 7273 media-level clock signalling (do-clock-signalling)
+            extra_attrs = ["a=ts-refclk:local", "a=mediaclk:sender"]
+        pc.set_media(media, pt, enc, rate, extra_attrs)
         for entry in self._extra_pads:
             if entry["media"] is not None:
                 pc.add_media(*entry["media"])
+        want_nav = self.get_property("enable-data-channel-navigation")
+        want_ctrl = self.get_property("enable-control-data-channel")
+        if want_nav or want_ctrl:
+            pc.enable_data_channel = True
         with self._lock:
             self._sessions[session_id] = pc
         pc.start()
         offer = pc.create_offer("sendonly")
         self._client.send(msg_peer_sdp(session_id, "offer", offer))
+        if want_nav or want_ctrl:
+            t = threading.Thread(
+                target=self._setup_session_channels,
+                args=(pc, session_id, want_nav, want_ctrl), daemon=True)
+            t.start()
         self.post_message(Message(
             MessageType.ELEMENT, name="webrtcsink-session-started", session_id=session_id
         ))
 
+    # -- data channels (NavigationEventHandler / ControlRequestHandler,
+    #    reference webrtcsink/imp.rs:1820-1916 — the producer CREATES the
+    #    'input' and 'control' channels once the peer connects) --------------
+    def _setup_session_channels(self, pc: PeerConnection, session_id: str,
+                                want_nav: bool, want_ctrl: bool) -> None:
+        try:
+            if not pc.wait_connected(15.0):
+                return
+            chans = {}
+            if want_nav:
+                ch = pc.create_data_channel("input")
+                ch.on_message = lambda data, _bin: \
+                    self._create_navigation_event(data)
+                chans["input"] = ch
+            if want_ctrl:
+                ch = pc.create_data_channel("control")
+                ch.on_message = lambda data, _bin, _ch=None: \
+                    self._handle_control_message(chans.get("control"), data)
+                chans["control"] = ch
+            with self._lock:
+                self._session_channels[session_id] = chans
+        except (WebRtcError, RuntimeError):
+            pass
+
+    def _video_sink_pads(self):
+        pads = []
+        if self.caps is not None and \
+                self.caps.structure(0).name.startswith("video"):
+            pads.append(self.sinkpad)
+        elif self._rtp_media is not None and self._rtp_media[0] == "video":
+            pads.append(self.sinkpad)
+        for entry in self._extra_pads:
+            if entry["pad"].name.startswith("video_"):
+                pads.append(entry["pad"])
+        return pads or [self.sinkpad]
+
+    def _create_navigation_event(self, data: bytes) -> bool:
+        """Navigation JSON from the 'input' channel -> upstream
+        GstNavigation event on the video sink pad(s)
+        (webrtcsink/imp.rs:433-473 create_navigation_event)."""
+        from ...core.caps import Structure
+        from ...core.events import Event
+
+        try:
+            msg = json.loads(data)
+        except (ValueError, UnicodeDecodeError):
+            return False
+        fields = {k: v for k, v in msg.items() if k != "mid"}
+        ev = Event.new_navigation(Structure("navigation", **fields))
+        ok = False
+        for pad in self._video_sink_pads():
+            ok = pad.push_event(ev) or ok
+        return ok
+
+    def _handle_control_message(self, channel, data: bytes) -> None:
+        """ControlRequestMessage {id, mid, request} -> upstream event;
+        reply ControlResponseMessage {id, error}
+        (webrtcsink/imp.rs:475-543 handle_control_event)."""
+        from ...core.caps import Structure
+        from ...core.events import Event, EventType
+
+        error = None
+        msg_id = None
+        try:
+            msg = json.loads(data)
+            msg_id = msg.get("id")
+            req = msg.get("request")
+            if isinstance(req, str):
+                req = json.loads(req)
+            rtype = req.get("type")
+            if rtype == "navigationEvent":
+                ev = Event.new_navigation(
+                    Structure("navigation", **req.get("event", {})))
+            elif rtype == "customUpstreamEvent":
+                ev = Event(EventType.CUSTOM_UPSTREAM,
+                           structure=Structure(req.get("structureName", ""),
+                                               **(req.get("structure") or {})))
+            else:
+                raise ValueError(f"unknown control request {rtype!r}")
+            ok = False
+            pads = [self.sinkpad] + [e["pad"] for e in self._extra_pads]
+            for pad in pads:
+                ok = pad.push_event(ev) or ok
+            if not ok:
+                error = "No sink pad could handle the request"
+        except (ValueError, KeyError, AttributeError, TypeError) as e:
+            error = f"Failed to handle control event: {e}"
+        if channel is not None:
+            try:
+                channel.send(json.dumps({"id": msg_id, "error": error}))
+            except Exception:
+                pass
+
     def _end_session(self, session_id: Optional[str]) -> None:
         with self._lock:
             pc = self._sessions.pop(session_id, None)
+            self._session_channels.pop(session_id, None)
         if pc:
             pc.close()
 
@@ -374,7 +733,7 @@ class WebRtcSrc(BaseSrc):
     ELEMENT_DESCRIPTION = "WebRTC consumer with gst-webrtc signalling (ICE+DTLS-SRTP)"
     SRC_CAPS = RTP_CAPS
     IS_LIVE = True
-    PROPERTIES = [
+    PROPERTIES = BASE_WEBRTC_SRC_PROPS + [
         Prop("signaller-uri", "ws://127.0.0.1:8443", type="str"),
         Prop("producer-peer-id", None, type="str",
              doc="producer to connect to; None = first producer to appear "
@@ -383,7 +742,6 @@ class WebRtcSrc(BaseSrc):
              doc="with no producer-peer-id, connect to the first producer "
                  "that appears (reference defaults false and errors; this "
                  "framework defaults true — documented divergence)"),
-        Prop("meta", None, type="object"),
         Prop("timeout", 10_000_000_000, type="uint64",
              doc="ns to wait for media before giving up (0 = forever)"),
         Prop("output", "rtp", type="enum", choices=["rtp", "raw"],
@@ -403,6 +761,10 @@ class WebRtcSrc(BaseSrc):
         self._producer_evt = threading.Event()
         self._producer_id: Optional[str] = None
         self._extra_pads = {}  # media index -> sometimes Pad
+        # producer-created data channels by label (GstBaseWebRTCSrc
+        # enable-data-channel-navigation / enable-control-data-channel)
+        self._channels: Dict[str, object] = {}
+        self._control_msg_id = 0
 
     def start(self) -> None:
         self._client = SignallingClient(self.get_property("signaller-uri"), self._on_signal)
@@ -482,6 +844,7 @@ class WebRtcSrc(BaseSrc):
         self._session_id = session_id
         pc = PeerConnection(offerer=False)
         pc.on_rtp_media = lambda idx, pkt: self._rtp_queue.put((idx, pkt))
+        pc.on_data_channel = self._on_data_channel
         pc.start()
         answer = pc.handle_offer(offer, "recvonly")
         # media description for our caps
@@ -490,9 +853,73 @@ class WebRtcSrc(BaseSrc):
         rtpmap = re.search(r"^a=rtpmap:(\d+) ([\w\-]+)/(\d+)", offer, re.M)
         if m and rtpmap:
             self._media = (m.group(1), int(rtpmap.group(1)), rtpmap.group(2), int(rtpmap.group(3)))
+            # video-codecs / audio-codecs: negotiation gating
+            # (GstBaseWebRTCSrc video-codecs/audio-codecs ParamSpecs)
+            allowed = self.get_property(
+                "video-codecs" if m.group(1) == "video" else "audio-codecs")
+            if allowed is not None and rtpmap.group(2).upper() not in \
+                    [str(c).upper() for c in allowed]:
+                self.post_message(Message(
+                    MessageType.ERROR,
+                    text=f"{self.name}: producer offers "
+                         f"{rtpmap.group(2)} but "
+                         f"{'video' if m.group(1) == 'video' else 'audio'}"
+                         f"-codecs only allows {list(allowed)}"))
+                pc.close()
+                self._rtp_queue.put(None)
+                return
         # publish LAST: start() unblocks on _pc and reads _media for caps
         self._pc = pc
         self._client.send(msg_peer_sdp(session_id, "answer", answer))
+
+    def _on_data_channel(self, channel) -> None:
+        """Producer-created channels arrive here; keep the ones the
+        enable-* properties ask for (webrtcsrc/imp.rs:418-471: the consumer
+        serializes upstream navigation over 'input' and arbitrary upstream
+        events over 'control')."""
+        label = getattr(channel, "label", "")
+        if label == "input" and \
+                self.get_property("enable-data-channel-navigation"):
+            self._channels["input"] = channel
+        elif label == "control" and \
+                self.get_property("enable-control-data-channel"):
+            self._channels["control"] = channel
+
+    def _src_event(self, pad, event) -> bool:
+        from ...core.events import EventType
+
+        if event.type == EventType.NAVIGATION:
+            ch = self._channels.get("input")
+            if ch is not None and ch.ready.is_set():
+                st = event.get("structure")
+                payload = dict(st.fields) if st is not None else {}
+                payload["mid"] = None
+                try:
+                    ch.send(json.dumps(payload))
+                    return True
+                except Exception:
+                    return False
+            return False
+        if event.type == EventType.CUSTOM_UPSTREAM:
+            ch = self._channels.get("control")
+            if ch is not None and ch.ready.is_set():
+                st = event.get("structure")
+                self._control_msg_id += 1
+                try:
+                    ch.send(json.dumps({
+                        "id": self._control_msg_id,
+                        "mid": None,
+                        "request": {
+                            "type": "customUpstreamEvent",
+                            "structureName": st.name if st else "",
+                            "structure": dict(st.fields) if st else {},
+                        },
+                    }))
+                    return True
+                except Exception:
+                    return False
+            return False
+        return super()._src_event(pad, event)
 
     def fixate(self, caps: Caps) -> Caps:
         from ...core.parse import parse_caps

@@ -78,6 +78,11 @@ class PeerConnection:
         self.local_ssrc = secrets.randbits(32)
         self._rx_stats: dict = {}  # ssrc -> {"count", "highest_seq", "cycles"}
         self.rtcp_interval = 2.0  # seconds; RFC 3550 reduced-size default
+        # WebRTC data channels (net/sctp.py; RFC 8831/8832 over RFC 8261):
+        # enabled adds an m=application webrtc-datachannel BUNDLE section
+        self.enable_data_channel = False
+        self.sctp = None
+        self.on_data_channel: Optional[Callable[[object], None]] = None
 
     # -- SDP -----------------------------------------------------------------
 
@@ -103,7 +108,8 @@ class PeerConnection:
         return 0
 
     def _sdp(self, setup: str, direction: str) -> str:
-        mids = " ".join(str(i) for i in range(len(self.medias)))
+        n_mids = len(self.medias) + (1 if self.enable_data_channel else 0)
+        mids = " ".join(str(i) for i in range(n_mids))
         lines = [
             "v=0",
             f"o=- {int(self.session_id[:8], 16)} 0 IN IP4 0.0.0.0",
@@ -125,6 +131,21 @@ class PeerConnection:
                 f"a=rtpmap:{m['pt']} {m['encoding']}/{m['rate']}",
                 *m["attrs"],
                 *[f"a={c.to_sdp()}" for c in self.ice.local_candidates()],
+            ]
+        if self.enable_data_channel:
+            # RFC 8841 SDP for SCTP-over-DTLS data channels
+            from .sctp import SCTP_PORT
+
+            lines += [
+                "m=application 9 UDP/DTLS/SCTP webrtc-datachannel",
+                "c=IN IP4 0.0.0.0",
+                f"a=mid:{len(self.medias)}",
+                f"a=sctp-port:{SCTP_PORT}",
+                "a=max-message-size:262144",
+                f"a=ice-ufrag:{self.ice.local_ufrag}",
+                f"a=ice-pwd:{self.ice.local_pwd}",
+                f"a=fingerprint:sha-256 {self.fingerprint}",
+                f"a=setup:{setup}",
             ]
         lines.append("")
         return "\r\n".join(lines)
@@ -153,6 +174,8 @@ class PeerConnection:
         parsed = parse_sdp_medias(sdp)
         if parsed:
             self.medias = parsed
+        if "webrtc-datachannel" in sdp:
+            self.enable_data_channel = True
         self._setup_dtls(is_client=True)
         return self._sdp("active", direction)
 
@@ -299,7 +322,44 @@ class PeerConnection:
         early, self._early_rtp = self._early_rtp, []
         for data in early:
             self._handle_srtp(data)
+        if self.enable_data_channel:
+            from .sctp import SctpAssociation
+
+            self.sctp = SctpAssociation(self.dtls.send,
+                                        client=self.dtls.is_client)
+            self.sctp.on_channel = self._on_sctp_channel
+            self.dtls.on_data = self.sctp.feed
+            if self.dtls.is_client:
+                self.sctp.connect()
+            t = threading.Thread(target=self._sctp_tick_loop, daemon=True)
+            t.start()
+            self._threads.append(t)
         self._connected.set()
+
+    def _on_sctp_channel(self, channel) -> None:
+        if self.on_data_channel is not None:
+            self.on_data_channel(channel)
+
+    def _sctp_tick_loop(self) -> None:
+        while not self._stop.wait(0.1):
+            if self.sctp is None or self.sctp.closed.is_set():
+                return
+            self.sctp.tick()
+
+    def create_data_channel(self, label: str, protocol: str = "",
+                            timeout: float = 10.0):
+        """Open a data channel; blocks until the association is up."""
+        if self.sctp is None:
+            deadline = time.monotonic() + timeout
+            while self.sctp is None and time.monotonic() < deadline:
+                if self._stop.wait(0.02):
+                    raise WebRtcError("connection stopped")
+            if self.sctp is None:
+                raise WebRtcError("no SCTP association (data channel not "
+                                  "negotiated?)")
+        if not self.sctp.established.wait(timeout):
+            raise WebRtcError("SCTP association timed out")
+        return self.sctp.open_channel(label, protocol)
 
     def wait_connected(self, timeout: float = 10.0) -> bool:
         deadline = time.monotonic() + timeout
@@ -336,6 +396,11 @@ class PeerConnection:
 
     def close(self) -> None:
         self._stop.set()
+        if self.sctp is not None:
+            try:
+                self.sctp.shutdown()
+            except Exception:
+                pass
         if self.dtls is not None:
             self.dtls.close()
         for t in self._threads:

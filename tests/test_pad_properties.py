@@ -7,7 +7,6 @@ import numpy as np
 import pytest
 
 import gst_plugins_rs_tpu as fx
-from gst_plugins_rs_tpu.core.element import State
 
 
 class TestFallbackSwitchPadProps:

@@ -311,9 +311,7 @@ class TestBasePaySurface:
         assert rx.last_read == (42, True)
 
     def test_max_reorder_restart_resync(self):
-        from gst_plugins_rs_tpu.elements.net.rtppay import RtpPcmuDepay
         from gst_plugins_rs_tpu.core.element import State
-        from gst_plugins_rs_tpu.core.caps import Caps as C
 
         depay = fx.element_factory_make("rtppcmudepay2")
         depay.set_property("max-reorder", 50)
