@@ -266,6 +266,13 @@ class Element:
     #: base-pay pads, ...); here they are installed on every Pad added
     #: whose template matches the key.
     PAD_PROPERTIES: Dict[str, List[Prop]] = {}
+    #: Property surfaces of GObject-like objects this element hands out
+    #: through signals/properties (the reference's `other-types` objects:
+    #: GstRtp2Session from get-session, GstWebRTCSession from the session
+    #: accessor, ...), keyed by the reference type name.  Introspected into
+    #: docs/elements.json as "object-properties" and audited by
+    #: ci/prop_parity.py OBJECT_TYPES.
+    OBJECT_PROPERTIES: Dict[str, List[Prop]] = {}
 
     _instance_counter: Dict[str, int] = {}
 
@@ -342,6 +349,16 @@ class Element:
                 for p in props:
                     bucket[p.name] = p
         return {tmpl: list(d.values()) for tmpl, d in seen.items()}
+
+    @classmethod
+    def _all_object_properties(cls) -> Dict[str, List[Prop]]:
+        seen: Dict[str, Dict[str, Prop]] = {}
+        for klass in reversed(cls.__mro__):
+            for tname, props in vars(klass).get("OBJECT_PROPERTIES", {}).items():
+                bucket = seen.setdefault(tname, {})
+                for p in props:
+                    bucket[p.name] = p
+        return {t: list(d.values()) for t, d in seen.items()}
 
     @staticmethod
     def _norm_pad_name(name: str) -> str:

@@ -22,7 +22,7 @@ import random as _random
 import threading
 import time as _time
 from collections import OrderedDict
-from typing import Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -158,25 +158,57 @@ class _SendStream:
 
 # rtp-id registry: the reference's rtpsend/rtprecv halves share one
 # session object keyed by rtp-id (rtpbin2/mod.rs). Here the registry
-# pairs the elements so feedback arriving at either half reaches the
-# right session state.
-_RTP_SESSIONS: Dict[str, Dict[str, "Element"]] = {}
+# pairs the elements — and carries the shared GstRtp2Session state
+# (pt-map/clock-map/sdes, signal handlers) — so feedback arriving at
+# either half reaches the right session state.
+class _SessionState:
+    """Shared per-rtp-id session state (session.rs Session analog)."""
+
+    SIGNALS = ("bye-ssrc", "new-ssrc", "timeout-ssrc")
+
+    def __init__(self) -> None:
+        self.elements: Dict[str, "Element"] = {}
+        self.pt_map: Dict[int, Caps] = {}     # payload type -> caps
+        self.clock_map: Dict[str, Any] = {}   # RFC 7273 ts-refclk -> clock
+        self.sdes: Dict[str, str] = {}        # extra local SDES items
+        self.handlers: Dict[str, List[Any]] = {}
+
+    def emit(self, signal: str, *args) -> None:
+        for cb in self.handlers.get(signal, []):
+            cb(*args)
+
+
+_RTP_SESSIONS: Dict[str, _SessionState] = {}
+
+
+def _session_state(rtp_id: str) -> _SessionState:
+    state = _RTP_SESSIONS.get(rtp_id)
+    if state is None:
+        state = _RTP_SESSIONS[rtp_id] = _SessionState()
+    return state
 
 
 def _session_register(rtp_id: str, role: str, element) -> None:
-    _RTP_SESSIONS.setdefault(rtp_id, {})[role] = element
+    _session_state(rtp_id).elements[role] = element
 
 
 def _session_peer(rtp_id: str, role: str):
-    return _RTP_SESSIONS.get(rtp_id, {}).get(role)
+    return _session_state(rtp_id).elements.get(role)
 
 
 class _SessionFacade:
-    """What `get-session` returns: the paired send/recv halves of one
-    rtp-id (the reference hands out its shared Session object)."""
+    """What `get-session` returns: the GstRtp2Session analog — the paired
+    send/recv halves of one rtp-id plus the session property surface
+    (clock-map / pt-map / sdes / stats) and the bye-ssrc / new-ssrc /
+    timeout-ssrc signals (reference rsrtp other-types GstRtp2Session;
+    net/rtp/src/rtpbin2/session.rs)."""
 
     def __init__(self, rtp_id: str):
         self.rtp_id = rtp_id
+
+    @property
+    def _state(self) -> _SessionState:
+        return _session_state(self.rtp_id)
 
     @property
     def send(self):
@@ -186,11 +218,80 @@ class _SessionFacade:
     def recv(self):
         return _session_peer(self.rtp_id, "recv")
 
+    def connect(self, signal: str, callback) -> None:
+        if signal not in _SessionState.SIGNALS:
+            raise KeyError(f"RtpSession: no signal {signal!r}")
+        self._state.handlers.setdefault(signal, []).append(callback)
+
+    def get_property(self, name: str):
+        from ...core.caps import Structure
+
+        state = self._state
+        if name == "pt-map":
+            return Structure("application/x-rtp2-pt-map",
+                             **{str(pt): caps for pt, caps in
+                                sorted(state.pt_map.items())})
+        if name == "clock-map":
+            return Structure("application/x-rtp2-clock-map",
+                             **dict(state.clock_map))
+        if name == "sdes":
+            send = self.send
+            cname = ""
+            if send is not None:
+                cname = send.get_property("cname") or send.name
+            return Structure("application/x-rtp2-sdes",
+                             cname=state.sdes.get("cname", cname),
+                             **{k: v for k, v in state.sdes.items()
+                                if k != "cname"})
+        if name == "stats":
+            fields: Dict[str, Any] = {}
+            if self.send is not None:
+                fields["send"] = self.send.get_property("stats")
+            if self.recv is not None:
+                fields["recv"] = self.recv.get_property("stats")
+            return Structure("application/x-rtp2-session-stats", **fields)
+        raise KeyError(f"RtpSession: no property {name!r}")
+
+    def set_property(self, name: str, value) -> None:
+        state = self._state
+        items = (dict(value.fields) if hasattr(value, "fields")
+                 else dict(value or {}))
+        if name == "pt-map":
+            state.pt_map = {int(pt): caps for pt, caps in items.items()}
+        elif name == "clock-map":
+            state.clock_map = items
+        elif name == "sdes":
+            state.sdes = {str(k): v for k, v in items.items()}
+            send = self.send
+            if send is not None and "cname" in state.sdes:
+                send.set_property("cname", state.sdes["cname"])
+        else:
+            raise KeyError(f"RtpSession: no writable property {name!r}")
+
     def __repr__(self):
         return f"RtpSession({self.rtp_id!r}, send={self.send}, recv={self.recv})"
 
 
 class _GetSessionMixin:
+    #: GstRtp2Session surface handed out by get-session (reference rsrtp
+    #: other-types; properties audited by ci/prop_parity.py OBJECT_TYPES)
+    OBJECT_PROPERTIES = {
+        "GstRtp2Session": [
+            Prop("clock-map", None, type="object",
+                 doc="RFC 7273 ts-refclk string -> synced clock mapping "
+                     "(application/x-rtp2-clock-map)"),
+            Prop("pt-map", None, type="object",
+                 doc="RTP payload type -> caps mapping consumed when "
+                     "rtprecv creates stream pads "
+                     "(application/x-rtp2-pt-map)"),
+            Prop("sdes", None, type="object",
+                 doc="local SDES items; setting cname reconfigures the "
+                     "send half (application/x-rtp2-sdes)"),
+            Prop("stats", None, type="object",
+                 doc="(read) merged send+recv session statistics"),
+        ],
+    }
+
     def get_session(self, _id: int = 0) -> "_SessionFacade":
         return _SessionFacade(self.get_property("rtp-id"))
 
@@ -243,6 +344,9 @@ class RtpSend(_GetSessionMixin, _RtcpTimerMixin, Element):
         self._sr_count = 0
         # twcc seq -> (send_time_ns, size); bounded
         self._twcc_sent: "OrderedDict[int, Tuple[int, int]]" = OrderedDict()
+        # RFC 3550 §8.2 collision resolution: old ssrc -> replacement;
+        # outgoing packets are rewritten after a collision was detected
+        self._ssrc_rewrite: Dict[int, int] = {}
         self._rtcp_timer_init()
         _session_register(self.get_property("rtp-id"), "send", self)
 
@@ -385,9 +489,44 @@ class RtpSend(_GetSessionMixin, _RtcpTimerMixin, Element):
             pad.push_event(Event.new_segment(Segment()))
         return pad
 
+    def _handle_ssrc_collision(self, old: int) -> None:
+        """RFC 3550 §8.2: a remote source chose one of our send SSRCs.
+        Send BYE on the old identity with the standard reason, pick a new
+        random SSRC and rewrite all subsequent outgoing packets to it
+        (session.rs local-ssrc-collision handling)."""
+        if old in self._ssrc_rewrite:
+            return
+        taken = set(self._streams) | set(self._ssrc_rewrite.values())
+        new = old
+        while new in taken or new == old:
+            new = _random.getrandbits(32)
+        st = self._streams.get(old)
+        idx = st.idx if st is not None else "0"
+        rtcp_pad = self._ensure_rtcp_stream(idx)
+        if rtcp_pad.peer is not None:
+            bye = rtcp.Bye([old], "ssrc collision detected")
+            rtcp_pad.push(Buffer(np.frombuffer(bye.to_bytes(), np.uint8),
+                                 pts=st.last_pts if st is not None else None))
+        self._ssrc_rewrite[old] = new
+        if st is not None:
+            # the stream keeps its stats under the new identity; the NACK
+            # history is invalid across the rename (different wire ssrc)
+            st.history.clear()
+            self._streams[new] = st
+            del self._streams[old]
+        log.warning("%s: ssrc collision on %#010x -> new ssrc %#010x",
+                    self.name, old, new)
+
     def _rtp_chain(self, pad: Pad, buf: Buffer, idx: str) -> FlowReturn:
         wire = np.asarray(buf.data).tobytes()
         pkt = RtpPacket.parse(wire)
+        if pkt.ssrc in self._ssrc_rewrite:
+            pkt.ssrc = self._ssrc_rewrite[pkt.ssrc]
+            wire = pkt.to_bytes()
+            out = Buffer(np.frombuffer(wire, np.uint8), pts=buf.pts,
+                         duration=buf.duration)
+            out.copy_metadata_from(buf)
+            buf = out
         st = self._streams.setdefault(pkt.ssrc, _SendStream())
         st.idx = idx
         st.packet_count += 1
@@ -490,6 +629,8 @@ class _RecvStream:
         # on arrival and re-NACKed when older than NACK_RETRY_NS (the
         # reference rtpbin2 re-sends NACKs on a timer — session.rs)
         self.nacked: "OrderedDict[int, int]" = OrderedDict()
+        self.cname: Optional[str] = None       # remote SDES CNAME
+        self.last_arrival: Optional[int] = None  # clock time of last packet
 
 
 @register
@@ -555,16 +696,30 @@ class RtpRecv(_GetSessionMixin, _RtcpTimerMixin, Element):
                     **{"packets-received": st.packets,
                        "lost": st.jb.num_lost,
                        "late": st.jb.num_late_dropped,
-                       "duplicates": st.jb.num_duplicates})
+                       "duplicates": st.jb.num_duplicates,
+                       **({"cname": st.cname} if st.cname else {})})
             return Structure("rtprecv-stats", **fields)
         return super().get_property(name)
-        self._rtcp_timer_init()
 
     def _rtcp_timer_tick(self) -> None:
         """Clock-scheduled RRs for every stream — a stalled upstream still
-        gets reception reports."""
+        gets reception reports.  Also expires sources idle for more than
+        five report intervals (RFC 3550 §6.3.5 timeout; the reference
+        emits timeout-ssrc on its session — session.rs)."""
         now = self.running_time()
+        timeout = 5 * self.get_property("rtcp-interval")
+        clock_now = self.clock.now() if self.clock is not None else None
         for ssrc, st in list(self._streams.items()):
+            if (clock_now is not None and st.last_arrival is not None
+                    and clock_now - st.last_arrival > timeout):
+                self._streams.pop(ssrc, None)
+                self._idx_for_ssrc.pop(ssrc, None)
+                if st.pad is not None and st.pad.peer is not None:
+                    for item in st.jb.flush():
+                        st.pad.push(item)
+                _session_state(self.get_property("rtp-id")).emit(
+                    "timeout-ssrc", ssrc)
+                continue
             idx = self._idx_for_ssrc.get(ssrc)
             if idx is not None:
                 self._send_rr(idx, ssrc, st, now)
@@ -608,8 +763,12 @@ class RtpRecv(_GetSessionMixin, _RtcpTimerMixin, Element):
             if self._pending_peer is not None and self._pending_peer.peer is None:
                 pad.link(self._pending_peer)
             if pad.peer is not None:
+                # session pt-map takes precedence over upstream caps when
+                # the application registered caps for this payload type
+                mapped = _session_state(self.get_property("rtp-id")) \
+                    .pt_map.get(pkt.payload_type)
                 pad.push_event(Event.new_stream_start(f"{self.name}-{pkt.ssrc}"))
-                pad.push_event(Event.new_caps(caps or RTP_CAPS))
+                pad.push_event(Event.new_caps(mapped or caps or RTP_CAPS))
                 pad.push_event(Event.new_segment(Segment()))
             st.pad = pad
         return st.pad
@@ -675,6 +834,18 @@ class RtpRecv(_GetSessionMixin, _RtcpTimerMixin, Element):
     def _rtp_chain(self, pad: Pad, buf: Buffer, idx: str) -> FlowReturn:
         wire = np.asarray(buf.data).tobytes()
         pkt = RtpPacket.parse(wire)
+        # RFC 3550 §8.2 third-party collision with one of the paired send
+        # half's source identifiers.  A packet that is byte-equal to one
+        # the send half recently emitted is our own data looped back (the
+        # "same source transport address" case) and is processed normally;
+        # a DIFFERENT packet under our SSRC forces the sender to
+        # re-identify (session.rs collision handling).
+        peer = _session_peer(self.get_property("rtp-id"), "send")
+        if peer is not None and pkt.ssrc in peer._streams:
+            sent = peer._streams[pkt.ssrc].history.get(
+                pkt.sequence_number & 0xFFFF)
+            if sent is not None and sent != wire:
+                peer._handle_ssrc_collision(pkt.ssrc)
         rtx_map = self._rtx_map()
         if pkt.payload_type in rtx_map:
             # RFC 4588 §4: original seqnum in the first two payload bytes;
@@ -698,8 +869,12 @@ class RtpRecv(_GetSessionMixin, _RtcpTimerMixin, Element):
         if pkt.ssrc not in self._streams:
             self._streams[pkt.ssrc] = _RecvStream(self.get_property("latency"))
             self._idx_for_ssrc[pkt.ssrc] = idx
+            _session_state(self.get_property("rtp-id")).emit(
+                "new-ssrc", pkt.ssrc)
         st = self._streams[pkt.ssrc]
         st.packets += 1
+        if self.clock is not None:
+            st.last_arrival = self.clock.now()
         # TWCC arrival bookkeeping (feedback generated on the rtcp pad)
         twcc_id = self.get_property("twcc-ext-id")
         if twcc_id:
@@ -842,13 +1017,23 @@ class RtpRecv(_GetSessionMixin, _RtcpTimerMixin, Element):
                         peer._handle_nack(pkt)
                     else:
                         peer._handle_twcc(pkt, "0")
+            elif isinstance(pkt, rtcp.Sdes):
+                # surface the remote CNAME in stats (session.rs SDES items)
+                st = self._streams.get(pkt.ssrc)
+                if st is not None and pkt.cname:
+                    st.cname = pkt.cname
             elif isinstance(pkt, rtcp.Bye):
                 for ssrc in pkt.ssrcs:
-                    st = self._streams.get(ssrc)
+                    st = self._streams.pop(ssrc, None)  # tear the stream down
+                    self._idx_for_ssrc.pop(ssrc, None)
                     if st is not None and st.pad is not None and st.pad.peer is not None:
                         for item in st.jb.flush():
                             st.pad.push(item)
                         st.pad.push_event(Event.new_eos())
+                    # reason propagated to the session signal (RFC 3550
+                    # §6.6 BYE reason; session.rs bye handling)
+                    _session_state(self.get_property("rtp-id")).emit(
+                        "bye-ssrc", ssrc, pkt.reason)
         return FlowReturn.OK
 
     def on_paused_to_ready(self) -> None:

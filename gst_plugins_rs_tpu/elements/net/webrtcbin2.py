@@ -36,8 +36,65 @@ from ...net.webrtc_peer import PeerConnection
 RTP_CAPS = Caps.builder("application/x-rtp")
 
 
+class WebRTCSession:
+    """The GstWebRTCSession analog returned by the `session` property:
+    W3C-style description/signaling-state surface over the element's
+    PeerConnection (reference rswebrtcbin2 other-types GstWebRTCSession).
+    `pc` is the underlying transport session."""
+
+    def __init__(self, owner) -> None:
+        self._owner = owner
+
+    @property
+    def pc(self) -> Optional[PeerConnection]:
+        return self._owner._pc
+
+    def get_property(self, name: str):
+        o = self._owner
+        if name == "current-local-description":
+            return o._sess_current_local
+        if name == "current-remote-description":
+            return o._sess_current_remote
+        if name == "pending-local-description":
+            return o._sess_pending_local
+        if name == "pending-remote-description":
+            return o._sess_pending_remote
+        if name == "signaling-state":
+            return o._sess_signaling_state
+        raise KeyError(f"WebRTCSession: no property {name!r}")
+
+    def __repr__(self):
+        return (f"WebRTCSession(state={self._owner._sess_signaling_state!r}, "
+                f"pc={self.pc})")
+
+
 class _SessionMixin:
     """Expose PeerConnection SDP/ICE handles on the element (WebRTCSession)."""
+
+    #: surface of the object the `session` property returns (audited by
+    #: ci/prop_parity.py OBJECT_TYPES["GstWebRTCSession"])
+    OBJECT_PROPERTIES = {
+        "GstWebRTCSession": [
+            Prop("current-local-description", None, type="str",
+                 doc="(read) latest local SDP that negotiated to stable"),
+            Prop("current-remote-description", None, type="str",
+                 doc="(read) latest remote SDP that negotiated to stable"),
+            Prop("pending-local-description", None, type="str",
+                 doc="(read) local SDP still being negotiated"),
+            Prop("pending-remote-description", None, type="str",
+                 doc="(read) remote SDP still being negotiated"),
+            Prop("signaling-state", "stable", type="enum",
+                 choices=["stable", "have-local-offer", "have-remote-offer"],
+                 doc="(read) W3C RTCSignalingState"),
+        ],
+    }
+
+    # description/signaling-state tracking (W3C negotiation state machine)
+    _sess_current_local: Optional[str] = None
+    _sess_current_remote: Optional[str] = None
+    _sess_pending_local: Optional[str] = None
+    _sess_pending_remote: Optional[str] = None
+    _sess_signaling_state: str = "stable"
 
     def _ensure_pc(self, offerer: bool) -> PeerConnection:
         if self._pc is None:
@@ -62,13 +119,27 @@ class _SessionMixin:
 
     # -- the session API -------------------------------------------------------
     def create_offer(self, direction: str) -> str:
-        return self._ensure_pc(offerer=True).create_offer(direction)
+        offer = self._ensure_pc(offerer=True).create_offer(direction)
+        self._sess_pending_local = offer
+        self._sess_signaling_state = "have-local-offer"
+        return offer
 
     def handle_answer(self, sdp: str) -> None:
         self._ensure_pc(offerer=True).handle_answer(sdp)
+        self._sess_current_local = self._sess_pending_local
+        self._sess_pending_local = None
+        self._sess_current_remote = sdp
+        self._sess_signaling_state = "stable"
 
     def handle_offer(self, sdp: str, direction: str) -> str:
-        return self._ensure_pc(offerer=False).handle_offer(sdp, direction)
+        self._sess_pending_remote = sdp
+        self._sess_signaling_state = "have-remote-offer"
+        answer = self._ensure_pc(offerer=False).handle_offer(sdp, direction)
+        self._sess_current_remote = sdp
+        self._sess_pending_remote = None
+        self._sess_current_local = answer
+        self._sess_signaling_state = "stable"
+        return answer
 
     def add_remote_ice(self, candidate: str) -> None:
         if self._pc is not None:
@@ -109,7 +180,7 @@ class WebRtcSend(BaseSink, _SessionMixin):
 
     def get_property(self, name):
         if name == "session":
-            return self._pc
+            return WebRTCSession(self)
         return super().get_property(name)
 
     def __init__(self, name: Optional[str] = None):
@@ -166,7 +237,7 @@ class WebRtcRecv(BaseSrc, _SessionMixin):
 
     def get_property(self, name):
         if name == "session":
-            return self._pc
+            return WebRTCSession(self)
         return super().get_property(name)
 
     def property_changed(self, name, value) -> None:

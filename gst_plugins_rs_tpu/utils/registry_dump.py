@@ -96,6 +96,16 @@ def element_info(name: str) -> Dict[str, Any]:
             for p in specs
         ]
 
+    # signal-returned / accessor object surfaces (reference `other-types`
+    # objects like GstRtp2Session), keyed by the reference type name
+    obj_props = {}
+    for tname, specs in cls._all_object_properties().items():
+        obj_props[tname] = [
+            {"name": p.name, "type": p.type, "default": _value_repr(p.default),
+             **({"doc": p.doc} if p.doc else {})}
+            for p in specs
+        ]
+
     return {
         "name": name,
         "class": cls.ELEMENT_CLASS,
@@ -106,6 +116,7 @@ def element_info(name: str) -> Dict[str, Any]:
                     for s, m in cls._all_signals().items()},
         "pads": pads,
         **({"pad-properties": pad_props} if pad_props else {}),
+        **({"object-properties": obj_props} if obj_props else {}),
     }
 
 

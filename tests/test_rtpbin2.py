@@ -552,3 +552,145 @@ class TestTwccWraparound:
         assert len(fb.packets) == 4  # unwrapped: no phantom entries
         assert [s for s, _ in fb.packets] == [65534, 65535, 0, 1]
         assert all(a is not None for _, a in fb.packets)
+
+
+class TestRtp2Session:
+    """GstRtp2Session surface + session hardening (VERDICT r3 #8 /
+    reference net/rtp/src/rtpbin2/session.rs): SSRC collision forces
+    re-SSRC, BYE tears down the jitterbuffer with reason propagation,
+    SDES CNAME visible in stats, pt-map/clock-map/sdes/stats object
+    properties, new-ssrc signal."""
+
+    def _pair(self, rtp_id):
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        p = fx.Pipeline()
+        src = fx.element_factory_make("appsrc")
+        src.set_property("caps", parse_caps("application/x-rtp"))
+        send = fx.element_factory_make("rtpsend")
+        send.set_property("rtp-id", rtp_id)
+        recv = fx.element_factory_make("rtprecv")
+        recv.set_property("rtp-id", rtp_id)
+        media = fx.element_factory_make("appsink", "media")
+        rtcp_out = fx.element_factory_make("appsink", "sendrtcp")
+        for e in (src, send, recv, media, rtcp_out):
+            p.add(e)
+        src.pad("src").link(send.request_sink_pad())
+        send.pad("rtp_src_0").link(recv.request_sink_pad())
+        send.pad("rtcp_src_0").link(rtcp_out.pad("sink"))
+        recv.link(media)
+        return p, src, send, recv, media, rtcp_out
+
+    def test_loopback_is_not_a_collision(self):
+        """Our own packets arriving at the paired recv half are a loop
+        (RFC 3550 §8.2 same-transport-address case), not a collision."""
+        p, src, send, recv, media, rtcp_out = self._pair("loop-ok")
+        for b in make_rtp_buffers(6, ssrc=0x11):
+            src.push_buffer(b)
+        src.end_of_stream()
+        p.play_until_eos()
+        assert len(media.samples) == 6
+        byes = [x for s in rtcp_out.samples
+                for x in rtcp.parse_compound(np.asarray(s.buffer.data).tobytes())
+                if isinstance(x, rtcp.Bye)]
+        assert not byes
+
+    def test_ssrc_collision_forces_re_ssrc(self):
+        """A remote packet under one of our send SSRCs (same seq, different
+        bytes) forces BYE on the old identity and a rewrite of subsequent
+        outgoing packets to a fresh SSRC."""
+        send = fx.element_factory_make("rtpsend")
+        send.set_property("rtp-id", "collide")
+        recv = fx.element_factory_make("rtprecv")
+        recv.set_property("rtp-id", "collide")
+        media = fx.element_factory_make("appsink", "media")
+        rtcp_out = fx.element_factory_make("appsink", "sendrtcp")
+        spad = send.request_sink_pad()
+        send.pad("rtp_src_0").link(recv.request_sink_pad())
+        send.pad("rtcp_src_0").link(rtcp_out.pad("sink"))
+        recv.link(media)
+        bufs = make_rtp_buffers(2, ssrc=0x22, payload=b"ours" * 25)
+        spad.chain(bufs[0])
+        # remote impostor: same ssrc + seq as our in-history packet, but
+        # different payload bytes -> genuine third-party collision
+        impostor = RtpPacket(96, 0, 999, 0x22, b"them" * 25)
+        recv.pad("rtp_sink_0").chain(
+            fx.Buffer(np.frombuffer(impostor.to_bytes(), np.uint8), pts=0))
+        spad.chain(bufs[1])
+        byes = [x for s in rtcp_out.samples
+                for x in rtcp.parse_compound(np.asarray(s.buffer.data).tobytes())
+                if isinstance(x, rtcp.Bye)]
+        assert byes and byes[0].ssrcs == [0x22]
+        assert byes[0].reason == "ssrc collision detected"
+        # the second outgoing packet no longer uses the collided ssrc:
+        # recv demuxed it onto a fresh ssrc stream, and the send half's
+        # stats moved to the new identity
+        assert 0x22 in recv._streams
+        new_ssrcs = [s for s in recv._streams if s != 0x22]
+        assert len(new_ssrcs) == 1
+        assert 0x22 not in send._streams
+        assert send.get_property("stats").fields.get(f"ssrc-{new_ssrcs[0]}")
+
+    def test_bye_tears_down_stream_with_reason(self):
+        p, src, send, recv, media, rtcp_out = self._pair("bye-reason")
+        seen = []
+        session = recv.emit("get-session", 0)
+        session.connect("bye-ssrc", lambda ssrc, reason: seen.append(
+            (ssrc, reason)))
+        for b in make_rtp_buffers(3, ssrc=0x33):
+            src.push_buffer(b)
+        bye = rtcp.Bye([0x33], "shutting down")
+        recv.pad("rtcp_sink_0").chain(
+            fx.Buffer(np.frombuffer(bye.to_bytes(), np.uint8), pts=0))
+        assert seen == [(0x33, "shutting down")]
+        assert 0x33 not in recv._streams  # jitterbuffer torn down
+        src.end_of_stream()
+        p.play_until_eos()
+        assert len(media.samples) == 3
+
+    def test_sdes_cname_visible_in_stats(self):
+        recv = fx.element_factory_make("rtprecv")
+        recv.set_property("rtp-id", "sdes-stats")
+        rpad = recv.request_sink_pad()
+        sink = fx.element_factory_make("appsink")
+        recv.link(sink)
+        for b in make_rtp_buffers(2, ssrc=0x44):
+            rpad.chain(b)
+        sdes = rtcp.Sdes(0x44, "remote@example")
+        recv.pad("rtcp_sink_0").chain(
+            fx.Buffer(np.frombuffer(sdes.to_bytes(), np.uint8), pts=0))
+        stats = recv.get_property("stats")
+        assert stats.fields["ssrc-68"]["cname"] == "remote@example"
+
+    def test_session_object_properties(self):
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        send = fx.element_factory_make("rtpsend")
+        send.set_property("rtp-id", "sess-props")
+        recv = fx.element_factory_make("rtprecv")
+        recv.set_property("rtp-id", "sess-props")
+        media = fx.element_factory_make("appsink")
+        spad = send.request_sink_pad()
+        send.pad("rtp_src_0").link(recv.request_sink_pad())
+        recv.link(media)
+        session = send.emit("get-session", 0)
+        news = []
+        session.connect("new-ssrc", news.append)
+        caps = parse_caps("application/x-rtp,encoding-name=OPUS,clock-rate=48000")
+        session.set_property("pt-map", {96: caps})
+        session.set_property("sdes", {"cname": "me@host", "tool": "fx"})
+        session.set_property("clock-map", {"ptp=IEEE1588:00-11": "clock-a"})
+        assert send.get_property("cname") == "me@host"
+        for b in make_rtp_buffers(2, ssrc=0x55):
+            spad.chain(b)
+        assert news == [0x55]
+        # pt-map drove the stream pad caps (caps land on the sink side)
+        assert media.pad("sink").current_caps.structure(0)[
+            "encoding-name"] == "OPUS"
+        assert session.get_property("pt-map").fields["96"] is caps
+        assert session.get_property("sdes")["cname"] == "me@host"
+        assert session.get_property("sdes")["tool"] == "fx"
+        assert session.get_property("clock-map").fields[
+            "ptp=IEEE1588:00-11"] == "clock-a"
+        stats = session.get_property("stats")
+        assert "send" in stats.fields and "recv" in stats.fields
