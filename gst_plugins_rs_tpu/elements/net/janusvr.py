@@ -38,6 +38,12 @@ from ...core import (
 )
 from ...core.parse import parse_caps
 from ...net.webrtc_peer import PeerConnection
+from .webrtc import (
+    BASE_WEBRTC_SINK_PROPS,
+    BASE_WEBRTC_SRC_PROPS,
+    WebRtcSinkBaseMixin,
+    WebRtcSrcBaseMixin,
+)
 
 RTP_CAPS = Caps.builder("application/x-rtp")
 
@@ -149,12 +155,15 @@ def _room_id(value, force_string: bool = False):
 
 
 @register
-class JanusVrWebRtcSink(BaseSink):
+class JanusVrWebRtcSink(WebRtcSinkBaseMixin, BaseSink):
     ELEMENT_NAME = "janusvrwebrtcsink"
     ELEMENT_CLASS = "Sink/Network/WebRTC"
     ELEMENT_DESCRIPTION = "Publishes into a Janus VideoRoom over DTLS-SRTP"
     SINK_CAPS = RTP_CAPS
-    PROPERTIES = [
+    # GstBaseWebRTCSink surface inherited like the reference's signaller
+    # variants; raw-input-only props (video-caps/audio-caps) are accepted
+    # for surface parity — this element takes pre-payloaded x-rtp.
+    PROPERTIES = BASE_WEBRTC_SINK_PROPS + [
         Prop("janus-endpoint", "ws://127.0.0.1:8188", type="str"),
         Prop("room-id", None, type="object"),
         Prop("feed-id", None, type="object"),
@@ -171,9 +180,16 @@ class JanusVrWebRtcSink(BaseSink):
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
+        self._base_init()
         self._session: Optional[JanusSession] = None
         self._pc: Optional[PeerConnection] = None
         self._published = threading.Event()
+
+    def _base_pc_map(self):
+        return {"janus": self._pc} if self._pc is not None else {}
+
+    def on_ready_to_paused(self) -> None:
+        self._base_on_start()
 
     def on_caps(self, caps: Caps) -> None:
         if self._pc is not None:
@@ -196,10 +212,11 @@ class JanusVrWebRtcSink(BaseSink):
         self._props["janus-state"] = "room-joined"
 
         s = caps.structure(0)
-        pc = PeerConnection(offerer=True)
+        pc = self._base_prepare_pc(PeerConnection(offerer=True))
         pc.set_media(
             s.get("media", "video"), int(s.get("payload", 96)),
             s.get("encoding-name", "VP8"), int(s.get("clock-rate", 90000)),
+            self._base_media_attrs(),
         )
         pc.start()
         offer = pc.create_offer("sendonly")
@@ -212,6 +229,7 @@ class JanusVrWebRtcSink(BaseSink):
             raise RuntimeError("janus publish returned no answer")
         pc.handle_answer(jsep["sdp"])
         self._pc = pc
+        self._base_arm_channels(pc, "janus")
         self._published.set()
         self._props["janus-state"] = "webrtc-up"
 
@@ -220,10 +238,14 @@ class JanusVrWebRtcSink(BaseSink):
             return FlowReturn.ERROR
         if not self._pc._connected.is_set() and not self._pc.wait_connected(10.0):
             return FlowReturn.ERROR
-        self._pc.send_rtp(np.asarray(buffer.data, dtype=np.uint8).tobytes())
+        data = np.asarray(buffer.data, dtype=np.uint8).tobytes()
+        self._base_record_send(data)
+        self._pc.send_rtp(data)
+        self._forward_metas(buffer)
         return FlowReturn.OK
 
     def on_paused_to_ready(self) -> None:
+        self._base_on_stop()
         if self._session:
             try:
                 self._session.plugin_message({"request": "unpublish"}, timeout=2.0)
@@ -237,13 +259,13 @@ class JanusVrWebRtcSink(BaseSink):
 
 
 @register
-class JanusVrWebRtcSrc(BaseSrc):
+class JanusVrWebRtcSrc(WebRtcSrcBaseMixin, BaseSrc):
     ELEMENT_NAME = "janusvrwebrtcsrc"
     ELEMENT_CLASS = "Source/Network/WebRTC"
     ELEMENT_DESCRIPTION = "Subscribes to a Janus VideoRoom feed over DTLS-SRTP"
     SRC_CAPS = RTP_CAPS
     IS_LIVE = True
-    PROPERTIES = [
+    PROPERTIES = BASE_WEBRTC_SRC_PROPS + [
         Prop("janus-endpoint", "ws://127.0.0.1:8188", type="str"),
         Prop("room-id", None, type="object"),
         Prop("feed-id", None, type="object", doc="publisher feed to subscribe to"),
@@ -259,6 +281,7 @@ class JanusVrWebRtcSrc(BaseSrc):
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
+        self._src_base_init()
         self._session: Optional[JanusSession] = None
         self._pc: Optional[PeerConnection] = None
         self._queue: "queue.Queue[Optional[bytes]]" = queue.Queue()
@@ -279,6 +302,7 @@ class JanusVrWebRtcSrc(BaseSrc):
         offer = jsep["sdp"]
         pc = PeerConnection(offerer=False)
         pc.on_rtp = self._queue.put
+        self._base_accept_channels(pc)
         pc.start()
         answer = pc.handle_offer(offer, "recvonly")
         import re

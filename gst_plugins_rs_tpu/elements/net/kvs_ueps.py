@@ -32,43 +32,54 @@ from websockets.sync.client import connect as ws_connect
 from ...core import BaseSink, Buffer, Caps, FlowReturn, Prop, register
 from ...net.webrtc_peer import PeerConnection, WebRtcError
 from ...net import sigv4
+from .webrtc import BASE_WEBRTC_SINK_PROPS, WebRtcSinkBaseMixin
 
 RTP_CAPS = Caps.builder("application/x-rtp")
 
 
-def _pc_for_caps(caps: Optional[Caps]) -> PeerConnection:
+def _pc_for_caps(caps: Optional[Caps], extra_attrs=None) -> PeerConnection:
     pc = PeerConnection(offerer=True)
     s = caps.structure(0) if caps is not None and caps.structures else None
     if s is not None:
         pc.set_media(
             s.get("media", "video"), int(s.get("payload", 96)),
             s.get("encoding-name", "VP8"), int(s.get("clock-rate", 90000)),
+            extra_attrs,
         )
     return pc
 
 
-class _FanoutSinkBase(BaseSink):
-    """Shared session bookkeeping: one PeerConnection per remote viewer."""
+class _FanoutSinkBase(WebRtcSinkBaseMixin, BaseSink):
+    """Shared session bookkeeping: one PeerConnection per remote viewer,
+    with the GstBaseWebRTCSink surface (the reference's signaller variants
+    subclass BaseWebRTCSink; raw-input-only props like video-caps are
+    accepted for surface parity — these elements take pre-payloaded x-rtp)."""
 
     SINK_CAPS = RTP_CAPS
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
+        self._base_init()
         self._sessions: Dict[str, PeerConnection] = {}
         self._lock = threading.RLock()
+
+    def _base_pc_map(self):
+        with self._lock:
+            return dict(self._sessions)
 
     def _close_sessions(self) -> None:
         with self._lock:
             sessions, self._sessions = dict(self._sessions), {}
-        for pc in sessions.values():
+        for key, pc in sessions.items():
+            self._base_release(key)
             pc.close()
 
     def render(self, buffer: Buffer) -> FlowReturn:
         data = np.asarray(buffer.data, dtype=np.uint8).tobytes()
-        with self._lock:
-            sessions = list(self._sessions.values())
-        for pc in sessions:
+        self._base_record_send(data)
+        for pc in self._base_pcs():
             pc.send_rtp(data)
+        self._forward_metas(buffer)
         return FlowReturn.OK
 
     def connected_count(self) -> int:
@@ -81,7 +92,7 @@ class AwsKvsWebRtcSink(_FanoutSinkBase):
     ELEMENT_NAME = "awskvswebrtcsink"
     ELEMENT_CLASS = "Sink/Network/WebRTC"
     ELEMENT_DESCRIPTION = "KVS WebRTC master streaming to viewers over DTLS-SRTP"
-    PROPERTIES = [
+    PROPERTIES = BASE_WEBRTC_SINK_PROPS + [
         Prop("address", "ws://127.0.0.1:8443", type="str",
              doc="signaling endpoint; presigned wss URL in production"),
         Prop("channel-name", None, type="str"),
@@ -114,12 +125,14 @@ class AwsKvsWebRtcSink(_FanoutSinkBase):
         return address
 
     def on_ready_to_paused(self) -> None:
+        self._base_on_start()
         self._ws = ws_connect(self._connect_url(), open_timeout=10)
         self._thread = threading.Thread(target=self._recv_loop, daemon=True)
         self._thread.start()
 
     def on_paused_to_ready(self) -> None:
         self._close_sessions()
+        self._base_on_stop()
         if self._ws is not None:
             try:
                 self._ws.close()
@@ -156,7 +169,7 @@ class AwsKvsWebRtcSink(_FanoutSinkBase):
             pass
 
     def _on_offer(self, client_id: str, sdp: str) -> None:
-        pc = PeerConnection(offerer=False)
+        pc = self._base_prepare_pc(PeerConnection(offerer=False))
         pc.start()
         try:
             answer = pc.handle_offer(sdp, "sendonly")
@@ -165,6 +178,7 @@ class AwsKvsWebRtcSink(_FanoutSinkBase):
             return
         with self._lock:
             self._sessions[client_id] = pc
+        self._base_arm_channels(pc, client_id)
         self._send_msg("SDP_ANSWER", {"type": "answer", "sdp": answer}, client_id)
 
 
@@ -173,7 +187,7 @@ class UePsWebRtcSink(_FanoutSinkBase):
     ELEMENT_NAME = "uepswebrtcsink"
     ELEMENT_CLASS = "Sink/Network/WebRTC"
     ELEMENT_DESCRIPTION = "Unreal Pixel Streaming streamer over DTLS-SRTP"
-    PROPERTIES = [
+    PROPERTIES = BASE_WEBRTC_SINK_PROPS + [
         Prop("signaller-uri", "ws://127.0.0.1:8888", type="str"),
         Prop("streamer-id", "gstpu-streamer", type="str"),
     ]
@@ -186,12 +200,14 @@ class UePsWebRtcSink(_FanoutSinkBase):
         self._id_confirmed = threading.Event()
 
     def on_ready_to_paused(self) -> None:
+        self._base_on_start()
         self._ws = ws_connect(self.get_property("signaller-uri"), open_timeout=10)
         self._thread = threading.Thread(target=self._recv_loop, daemon=True)
         self._thread.start()
 
     def on_paused_to_ready(self) -> None:
         self._close_sessions()
+        self._base_on_stop()
         if self._ws is not None:
             try:
                 self._ws.send(json.dumps({"type": "stopStreaming"}))
@@ -221,8 +237,10 @@ class UePsWebRtcSink(_FanoutSinkBase):
                 elif t == "playerConnected":
                     self._on_player(str(msg.get("playerId")))
                 elif t == "playerDisconnected":
+                    pid = str(msg.get("playerId"))
                     with self._lock:
-                        pc = self._sessions.pop(str(msg.get("playerId")), None)
+                        pc = self._sessions.pop(pid, None)
+                    self._base_release(pid)
                     if pc:
                         pc.close()
                 elif t == "answer":
@@ -247,9 +265,11 @@ class UePsWebRtcSink(_FanoutSinkBase):
             pass
 
     def _on_player(self, player_id: str) -> None:
-        pc = _pc_for_caps(self.caps)
+        pc = self._base_prepare_pc(
+            _pc_for_caps(self.caps, self._base_media_attrs()))
         pc.start()
         with self._lock:
             self._sessions[player_id] = pc
         offer = pc.create_offer("sendonly")
         self._ws.send(json.dumps({"type": "offer", "sdp": offer, "playerId": player_id}))
+        self._base_arm_channels(pc, player_id)

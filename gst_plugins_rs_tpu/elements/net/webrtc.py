@@ -208,13 +208,376 @@ def _caps_media(caps: Optional[Caps]):
     )
 
 
+class WebRtcSinkBaseMixin:
+    """GstBaseWebRTCSink shared behavior (reference webrtcsink/imp.rs — the
+    signaller variants janusvr/awskvs/ueps/whipclient/whepserver all subclass
+    the same base there and inherit its full surface).
+
+    Subclasses call `_base_init()` from __init__, `_base_on_start()` /
+    `_base_on_stop()` around READY<->PAUSED, `_base_prepare_pc(pc)` on every
+    new PeerConnection before the SDP exchange, `_base_arm_channels(pc, key)`
+    after it, and `_base_record_send(data)` on the send path.  They provide
+    `_base_pc_map()` returning {session-key: PeerConnection}.
+    """
+
+    def _base_init(self) -> None:
+        self._base_lock = threading.RLock()
+        self._web_server = None
+        # do-retransmission send history: seq -> rtp bytes
+        self._send_history: "OrderedDict[int, bytes]" = OrderedDict()
+        self._rtx_sent_window: List[tuple] = []  # (time, bytes)
+        self._media_sent_window: List[tuple] = []  # (time, bytes)
+        self._cc_encoder = None
+        self._cc_bitrate = 0
+        self._cc_last_update = 0.0
+        self._base_channels: Dict[object, dict] = {}  # key -> {label: ch}
+
+    # -- subclass surface -----------------------------------------------------
+    def _base_pc_map(self) -> Dict[object, PeerConnection]:
+        raise NotImplementedError
+
+    def _base_pcs(self) -> List[PeerConnection]:
+        return list(self._base_pc_map().values())
+
+    def _video_sink_pads(self):
+        return [self.sinkpad]
+
+    def _control_pads(self):
+        return [self.sinkpad]
+
+    # -- property surface -----------------------------------------------------
+    def get_property(self, name: str):
+        if name == "stats":
+            # reference: application/x-webrtcsink-stats, one entry per session
+            return {
+                str(key): {
+                    "consumer-stats": dict(pc._rx_stats),
+                    "bitrate": self._cc_bitrate,
+                    "connected": pc._connected.is_set(),
+                }
+                for key, pc in self._base_pc_map().items()
+            }
+        return super().get_property(name)
+
+    # -- lifecycle ------------------------------------------------------------
+    def _base_on_start(self) -> None:
+        if self.get_property("ice-transport-policy") == "relay":
+            raise RuntimeError(
+                f"{self.name}: ice-transport-policy=relay requires TURN "
+                "relaying, which this stack does not implement")
+        if self.get_property("run-web-server"):
+            self._web_server = _WebServer(
+                self.get_property("web-server-host-addr"),
+                self.get_property("web-server-directory"),
+                cert=self.get_property("web-server-cert"),
+                key=self.get_property("web-server-key"),
+                root_path=self.get_property("web-server-path"))
+
+    def _base_on_stop(self) -> None:
+        with self._base_lock:
+            self._base_channels.clear()
+        if self._web_server is not None:
+            self._web_server.stop()
+            self._web_server = None
+
+    def _base_media_attrs(self) -> Optional[List[str]]:
+        """RFC 7273 media-clock attrs when do-clock-signalling is set."""
+        if self.get_property("do-clock-signalling"):
+            return ["a=ts-refclk:local", "a=mediaclk:sender"]
+        return None
+
+    def _base_prepare_pc(self, pc: PeerConnection) -> PeerConnection:
+        """Wire loss-report/NACK handling and (for offerers) the data-channel
+        m=application section before the SDP exchange."""
+        pc.on_rtcp = self._on_rtcp
+        if pc.offerer and (self.get_property("enable-control-data-channel")
+                           or self.get_property(
+                               "enable-data-channel-navigation")):
+            pc.enable_data_channel = True
+        return pc
+
+    def _base_arm_channels(self, pc: PeerConnection, key) -> None:
+        """Create the 'input'/'control' channels once the peer connects
+        (webrtcsink/imp.rs:1820-1916 — the producer CREATES both)."""
+        want_nav = self.get_property("enable-data-channel-navigation")
+        want_ctrl = self.get_property("enable-control-data-channel")
+        if not (want_nav or want_ctrl) or not pc.enable_data_channel:
+            return
+        threading.Thread(
+            target=self._base_setup_channels,
+            args=(pc, key, want_nav, want_ctrl), daemon=True).start()
+
+    def _base_setup_channels(self, pc: PeerConnection, key,
+                             want_nav: bool, want_ctrl: bool) -> None:
+        try:
+            if not pc.wait_connected(15.0):
+                return
+            chans = {}
+            if want_nav:
+                ch = pc.create_data_channel("input")
+                ch.on_message = lambda data, _bin: \
+                    self._create_navigation_event(data)
+                chans["input"] = ch
+            if want_ctrl:
+                ch = pc.create_data_channel("control")
+                ch.on_message = lambda data, _bin: \
+                    self._handle_control_message(chans.get("control"), data)
+                chans["control"] = ch
+            with self._base_lock:
+                self._base_channels[key] = chans
+        except (WebRtcError, RuntimeError):
+            pass
+
+    def _base_release(self, key) -> None:
+        with self._base_lock:
+            self._base_channels.pop(key, None)
+
+    # -- loss-driven congestion control (homegrown_cc analog) -----------------
+    def _on_rtcp(self, data: bytes) -> None:
+        from ...net import rtcp as _rtcp
+
+        try:
+            pkts = _rtcp.parse_compound(data)
+        except Exception:
+            return
+        for pkt in pkts:
+            if isinstance(pkt, _rtcp.GenericNack):
+                self._handle_nack(pkt.seqs)
+            elif isinstance(pkt, _rtcp.ReceiverReport) and pkt.reports:
+                if self.get_property("congestion-control") != "disabled":
+                    self._cc_update(max(rb.fraction_lost for rb in pkt.reports))
+
+    # -- NACK retransmission (do-retransmission / rtx-percentage) -------------
+    def _handle_nack(self, seqs) -> None:
+        if not self.get_property("do-retransmission"):
+            return
+        pct = self.get_property("rtx-percentage")
+        now = time.monotonic()
+        sessions = self._base_pcs()
+        with self._base_lock:
+            for seq in seqs:
+                pkt = self._send_history.get(seq & 0xFFFF)
+                if pkt is None:
+                    continue
+                if pct >= 0:
+                    # cap rtx bandwidth at pct% of media bandwidth over 1 s
+                    cutoff = now - 1.0
+                    self._rtx_sent_window = [
+                        e for e in self._rtx_sent_window if e[0] > cutoff]
+                    self._media_sent_window = [
+                        e for e in self._media_sent_window if e[0] > cutoff]
+                    media = sum(n for _, n in self._media_sent_window)
+                    rtx = sum(n for _, n in self._rtx_sent_window)
+                    if rtx + len(pkt) > media * pct / 100.0:
+                        continue
+                self._rtx_sent_window.append((now, len(pkt)))
+                for pc in sessions:
+                    pc.send_rtp(pkt)
+
+    def _cc_update(self, fraction_lost: int) -> None:
+        now = time.monotonic()
+        if now - self._cc_last_update < 0.5:  # rate-limit reconfigs
+            return
+        self._cc_last_update = now
+        if not self._cc_bitrate:
+            self._cc_bitrate = self.get_property("start-bitrate")
+        loss = fraction_lost / 256.0
+        if loss > 0.10:
+            # multiplicative decrease proportional to loss (homegrown_cc)
+            self._cc_bitrate = int(self._cc_bitrate * (1.0 - 0.5 * loss))
+        elif loss < 0.02:
+            self._cc_bitrate = int(self._cc_bitrate * 1.05)
+        self._cc_bitrate = max(self.get_property("min-bitrate"),
+                               min(self.get_property("max-bitrate"),
+                                   self._cc_bitrate))
+        enc = self._cc_encoder
+        if enc is not None and enc.get_property("bitrate") != self._cc_bitrate:
+            enc.set_property("bitrate", self._cc_bitrate)
+        from ...core.caps import Structure
+
+        self.post_message(Message(
+            MessageType.ELEMENT,
+            structure=Structure("webrtcsink-congestion",
+                                bitrate=self._cc_bitrate,
+                                fraction_lost=fraction_lost)))
+
+    # -- send-path bookkeeping ------------------------------------------------
+    def _base_record_send(self, data: bytes) -> None:
+        if len(data) >= 12 and self.get_property("do-retransmission"):
+            with self._base_lock:
+                seq = int.from_bytes(data[2:4], "big")
+                self._send_history[seq] = data
+                while len(self._send_history) > 512:
+                    self._send_history.popitem(last=False)
+                self._media_sent_window.append((time.monotonic(), len(data)))
+                if len(self._media_sent_window) > 4096:
+                    del self._media_sent_window[:2048]
+
+    def _forward_metas(self, buffer: Buffer) -> None:
+        """GstBaseWebRTCSink forward-metas: serialize listed buffer metas
+        over each session's control data channel."""
+        wanted = self.get_property("forward-metas")
+        if not wanted or not buffer.metas:
+            return
+        names = {n.strip() for n in wanted.split(",") if n.strip()}
+        metas = [m for m in buffer.metas if type(m).__name__ in names]
+        if not metas:
+            return
+        payload = json.dumps({
+            "type": "metas",
+            "ts": buffer.pts,
+            "metas": [{"api": type(m).__name__,
+                       "fields": {k: v for k, v in vars(m).items()
+                                  if isinstance(v, (int, float, str, bool,
+                                                    type(None)))}}
+                      for m in metas],
+        })
+        with self._base_lock:
+            chans = [d.get("control") for d in self._base_channels.values()]
+        for ch in chans:
+            if ch is not None and ch.ready.is_set():
+                try:
+                    ch.send(payload)
+                except Exception:
+                    pass
+
+    # -- data-channel event handling ------------------------------------------
+    def _create_navigation_event(self, data: bytes) -> bool:
+        """Navigation JSON from the 'input' channel -> upstream
+        GstNavigation event on the video sink pad(s)
+        (webrtcsink/imp.rs:433-473 create_navigation_event)."""
+        from ...core.caps import Structure
+        from ...core.events import Event
+
+        try:
+            msg = json.loads(data)
+        except (ValueError, UnicodeDecodeError):
+            return False
+        fields = {k: v for k, v in msg.items() if k != "mid"}
+        ev = Event.new_navigation(Structure("navigation", **fields))
+        ok = False
+        for pad in self._video_sink_pads():
+            ok = pad.push_event(ev) or ok
+        return ok
+
+    def _handle_control_message(self, channel, data: bytes) -> None:
+        """ControlRequestMessage {id, mid, request} -> upstream event;
+        reply ControlResponseMessage {id, error}
+        (webrtcsink/imp.rs:475-543 handle_control_event)."""
+        from ...core.caps import Structure
+        from ...core.events import Event, EventType
+
+        error = None
+        msg_id = None
+        try:
+            msg = json.loads(data)
+            msg_id = msg.get("id")
+            req = msg.get("request")
+            if isinstance(req, str):
+                req = json.loads(req)
+            rtype = req.get("type")
+            if rtype == "navigationEvent":
+                ev = Event.new_navigation(
+                    Structure("navigation", **req.get("event", {})))
+            elif rtype == "customUpstreamEvent":
+                ev = Event(EventType.CUSTOM_UPSTREAM,
+                           structure=Structure(req.get("structureName", ""),
+                                               **(req.get("structure") or {})))
+            else:
+                raise ValueError(f"unknown control request {rtype!r}")
+            ok = False
+            for pad in self._control_pads():
+                ok = pad.push_event(ev) or ok
+            if not ok:
+                error = "No sink pad could handle the request"
+        except (ValueError, KeyError, AttributeError, TypeError) as e:
+            error = f"Failed to handle control event: {e}"
+        if channel is not None:
+            try:
+                channel.send(json.dumps({"id": msg_id, "error": error}))
+            except Exception:
+                pass
+
+
+class WebRtcSrcBaseMixin:
+    """GstBaseWebRTCSrc shared behavior: accept producer-created data
+    channels and serialize navigation / custom upstream events over them
+    (webrtcsrc/imp.rs:418-471)."""
+
+    def _src_base_init(self) -> None:
+        self._channels: Dict[str, object] = {}
+        self._control_msg_id = 0
+
+    def _base_accept_channels(self, pc: PeerConnection) -> None:
+        pc.on_data_channel = self._on_data_channel
+        if pc.offerer and (self.get_property("enable-control-data-channel")
+                           or self.get_property(
+                               "enable-data-channel-navigation")):
+            # consumer-offered sessions must carry the m=application section
+            # themselves for the producer to open channels on it
+            pc.enable_data_channel = True
+
+    def _on_data_channel(self, channel) -> None:
+        label = getattr(channel, "label", "")
+        if label == "input" and \
+                self.get_property("enable-data-channel-navigation"):
+            self._channels["input"] = channel
+        elif label == "control" and \
+                self.get_property("enable-control-data-channel"):
+            self._channels["control"] = channel
+
+    def _src_event(self, pad, event) -> bool:
+        from ...core.events import EventType
+
+        if event.type == EventType.NAVIGATION:
+            ch = self._channels.get("input")
+            if ch is not None and ch.ready.is_set():
+                st = event.get("structure")
+                payload = dict(st.fields) if st is not None else {}
+                payload["mid"] = None
+                try:
+                    ch.send(json.dumps(payload))
+                    return True
+                except Exception:
+                    return False
+            return False
+        if event.type == EventType.CUSTOM_UPSTREAM:
+            ch = self._channels.get("control")
+            if ch is not None and ch.ready.is_set():
+                st = event.get("structure")
+                self._control_msg_id += 1
+                try:
+                    ch.send(json.dumps({
+                        "id": self._control_msg_id,
+                        "mid": None,
+                        "request": {
+                            "type": "customUpstreamEvent",
+                            "structureName": st.name if st else "",
+                            "structure": dict(st.fields) if st else {},
+                        },
+                    }))
+                    return True
+                except Exception:
+                    return False
+            return False
+        return super()._src_event(pad, event)
+
+
 @register
-class WebRtcSink(BaseSink):
+class WebRtcSink(WebRtcSinkBaseMixin, BaseSink):
     ELEMENT_NAME = "webrtcsink"
     EXTRA_PAD_TEMPLATES = [
         ('video_%u', 'sink', 'request', 'video/x-raw'),
         ('audio_%u', 'sink', 'request', 'audio/x-raw'),
     ]
+    # GstWebRTCSinkPad (reference webrtcsink/imp.rs WebRTCSinkPad msid
+    # ParamSpec): the msid advertised in the pad's m-section (a=msid)
+    PAD_PROPERTIES = {
+        "video": [Prop("msid", None, type="str", mutable="ready",
+                       doc="a=msid value for this stream's media section")],
+        "audio": [Prop("msid", None, type="str", mutable="ready",
+                       doc="a=msid value for this stream's media section")],
+    }
     ELEMENT_CLASS = "Sink/Network/WebRTC"
     ELEMENT_DESCRIPTION = "WebRTC producer with gst-webrtc signalling (ICE+DTLS-SRTP)"
     from ...core.caps import Structure as _S
@@ -245,110 +608,19 @@ class WebRtcSink(BaseSink):
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
+        self._base_init()
         self._client: Optional[SignallingClient] = None
         self._own_server = None
-        self._web_server = None
         self._sessions: Dict[str, PeerConnection] = {}
-        self._session_channels: Dict[str, dict] = {}  # sid -> {label: ch}
         self._lock = threading.RLock()
         self._chain_elements = []
         self._chain_head = None
         self._rtp_media = None  # (media, pt, encoding, rate) for offers
         self._extra_pads = []  # request pads -> extra BUNDLE sections
-        self._cc_encoder = None
-        self._cc_bitrate = 0
-        self._cc_last_update = 0.0
-        # do-retransmission send history: seq -> (rtp bytes, send time)
-        self._send_history: "OrderedDict[int, tuple]" = OrderedDict()
-        self._rtx_sent_window: List[tuple] = []  # (time, bytes) rtx accounting
-        self._media_sent_window: List[tuple] = []  # (time, bytes)
 
-    def get_property(self, name: str):
-        if name == "stats":
-            # reference: application/x-webrtcsink-stats, one entry per session
-            with self._lock:
-                return {
-                    sid: {
-                        "consumer-stats": dict(pc._rx_stats),
-                        "bitrate": self._cc_bitrate,
-                        "connected": pc._connected.is_set(),
-                    }
-                    for sid, pc in self._sessions.items()
-                }
-        return super().get_property(name)
-
-    # -- loss-driven congestion control (homegrown_cc analog) -----------------
-    def _on_rtcp(self, data: bytes) -> None:
-        from ...net import rtcp as _rtcp
-
-        try:
-            pkts = _rtcp.parse_compound(data)
-        except Exception:
-            return
-        for pkt in pkts:
-            if isinstance(pkt, _rtcp.GenericNack):
-                self._handle_nack(pkt.seqs)
-            elif isinstance(pkt, _rtcp.ReceiverReport) and pkt.reports:
-                if self.get_property("congestion-control") != "disabled":
-                    self._cc_update(max(rb.fraction_lost for rb in pkt.reports))
-
-    # -- NACK retransmission (GstBaseWebRTCSink do-retransmission /
-    #    rtx-percentage; reference webrtcsink/imp.rs rtx handling) ------------
-    def _handle_nack(self, seqs) -> None:
-        if not self.get_property("do-retransmission"):
-            return
-        pct = self.get_property("rtx-percentage")
-        now = time.monotonic()
+    def _base_pc_map(self) -> Dict[object, PeerConnection]:
         with self._lock:
-            sessions = list(self._sessions.values())
-            for seq in seqs:
-                pkt = self._send_history.get(seq & 0xFFFF)
-                if pkt is None:
-                    continue
-                if pct >= 0:
-                    # cap rtx bandwidth at pct% of media bandwidth over 1 s
-                    cutoff = now - 1.0
-                    self._rtx_sent_window = [
-                        e for e in self._rtx_sent_window if e[0] > cutoff]
-                    self._media_sent_window = [
-                        e for e in self._media_sent_window if e[0] > cutoff]
-                    media = sum(n for _, n in self._media_sent_window)
-                    rtx = sum(n for _, n in self._rtx_sent_window)
-                    if rtx + len(pkt) > media * pct / 100.0:
-                        continue
-                self._rtx_sent_window.append((now, len(pkt)))
-                for pc in sessions:
-                    pc.send_rtp(pkt)
-
-    def _cc_update(self, fraction_lost: int) -> None:
-        import time as _t
-
-        now = _t.monotonic()
-        if now - self._cc_last_update < 0.5:  # rate-limit reconfigs
-            return
-        self._cc_last_update = now
-        if not self._cc_bitrate:
-            self._cc_bitrate = self.get_property("start-bitrate")
-        loss = fraction_lost / 256.0
-        if loss > 0.10:
-            # multiplicative decrease proportional to loss (homegrown_cc)
-            self._cc_bitrate = int(self._cc_bitrate * (1.0 - 0.5 * loss))
-        elif loss < 0.02:
-            self._cc_bitrate = int(self._cc_bitrate * 1.05)
-        self._cc_bitrate = max(self.get_property("min-bitrate"),
-                               min(self.get_property("max-bitrate"),
-                                   self._cc_bitrate))
-        enc = self._cc_encoder
-        if enc is not None and enc.get_property("bitrate") != self._cc_bitrate:
-            enc.set_property("bitrate", self._cc_bitrate)
-        from ...core.caps import Structure
-        from ...core.events import Message, MessageType
-
-        self.post_message(Message(
-            MessageType.ELEMENT,
-            structure=Structure("webrtcsink-congestion",
-                                bitrate=self._cc_bitrate,
-                                fraction_lost=fraction_lost)))
+            return dict(self._sessions)
 
     # -- internal encode chain for raw media (webrtcsink/imp.rs encoder role)
     def on_caps(self, caps: Caps) -> None:
@@ -417,48 +689,11 @@ class WebRtcSink(BaseSink):
 
     def _send_rtp_buffer(self, buffer: Buffer) -> FlowReturn:
         data = np.asarray(buffer.data, dtype=np.uint8).tobytes()
-        with self._lock:
-            sessions = list(self._sessions.values())
-            if len(data) >= 12 and self.get_property("do-retransmission"):
-                seq = int.from_bytes(data[2:4], "big")
-                self._send_history[seq] = data
-                while len(self._send_history) > 512:
-                    self._send_history.popitem(last=False)
-                self._media_sent_window.append((time.monotonic(), len(data)))
-                if len(self._media_sent_window) > 4096:
-                    del self._media_sent_window[:2048]
-        for pc in sessions:
+        self._base_record_send(data)
+        for pc in self._base_pcs():
             pc.send_rtp(data)
         self._forward_metas(buffer)
         return FlowReturn.OK
-
-    def _forward_metas(self, buffer: Buffer) -> None:
-        """GstBaseWebRTCSink forward-metas: serialize listed buffer metas
-        over each session's control data channel."""
-        wanted = self.get_property("forward-metas")
-        if not wanted or not buffer.metas:
-            return
-        names = {n.strip() for n in wanted.split(",") if n.strip()}
-        metas = [m for m in buffer.metas if type(m).__name__ in names]
-        if not metas:
-            return
-        payload = json.dumps({
-            "type": "metas",
-            "ts": buffer.pts,
-            "metas": [{"api": type(m).__name__,
-                       "fields": {k: v for k, v in vars(m).items()
-                                  if isinstance(v, (int, float, str, bool,
-                                                    type(None)))}}
-                      for m in metas],
-        })
-        with self._lock:
-            chans = [d.get("control") for d in self._session_channels.values()]
-        for ch in chans:
-            if ch is not None and ch.ready.is_set():
-                try:
-                    ch.send(payload)
-                except Exception:
-                    pass
 
     # -- extra media sections (request pads, webrtcsink video_%u/audio_%u) ----
     def request_sink_pad(self, kind: str = "video") -> "Pad":
@@ -491,17 +726,7 @@ class WebRtcSink(BaseSink):
 
     # -- signalling ------------------------------------------------------------
     def on_ready_to_paused(self) -> None:
-        if self.get_property("ice-transport-policy") == "relay":
-            raise RuntimeError(
-                f"{self.name}: ice-transport-policy=relay requires TURN "
-                "relaying, which this stack does not implement")
-        if self.get_property("run-web-server"):
-            self._web_server = _WebServer(
-                self.get_property("web-server-host-addr"),
-                self.get_property("web-server-directory"),
-                cert=self.get_property("web-server-cert"),
-                key=self.get_property("web-server-key"),
-                root_path=self.get_property("web-server-path"))
+        self._base_on_start()
         uri = self.get_property("signaller-uri")
         if self.get_property("run-signalling-server"):
             from ...net.webrtc_signalling import SignallingServer
@@ -535,9 +760,7 @@ class WebRtcSink(BaseSink):
         if self._own_server is not None:
             self._own_server.stop()
             self._own_server = None
-        if self._web_server is not None:
-            self._web_server.stop()
-            self._web_server = None
+        self._base_on_stop()
 
     def _on_signal(self, msg: dict) -> None:
         t = msg.get("type")
@@ -568,58 +791,27 @@ class WebRtcSink(BaseSink):
         while self._rtp_media is None and self.caps is None \
                 and time.monotonic() < deadline:
             time.sleep(0.02)
-        pc = PeerConnection(offerer=True)
-        pc.on_rtcp = self._on_rtcp  # loss reports drive the encoder bitrate
+        pc = self._base_prepare_pc(PeerConnection(offerer=True))
         media, pt, enc, rate = self._rtp_media or _caps_media(self.caps)
-        extra_attrs = None
-        if self.get_property("do-clock-signalling"):
-            # RFC 7273 media-level clock signalling (do-clock-signalling)
-            extra_attrs = ["a=ts-refclk:local", "a=mediaclk:sender"]
-        pc.set_media(media, pt, enc, rate, extra_attrs)
+        pc.set_media(media, pt, enc, rate, self._base_media_attrs())
         for entry in self._extra_pads:
             if entry["media"] is not None:
-                pc.add_media(*entry["media"])
-        want_nav = self.get_property("enable-data-channel-navigation")
-        want_ctrl = self.get_property("enable-control-data-channel")
-        if want_nav or want_ctrl:
-            pc.enable_data_channel = True
+                attrs = []
+                # GstWebRTCSinkPad msid -> a=msid on the pad's m-section
+                msid = entry["pad"].get_property("msid") \
+                    if "msid" in entry["pad"]._props else None
+                if msid:
+                    attrs.append(f"a=msid:{msid}")
+                pc.add_media(*entry["media"], extra_attrs=attrs or None)
         with self._lock:
             self._sessions[session_id] = pc
         pc.start()
         offer = pc.create_offer("sendonly")
         self._client.send(msg_peer_sdp(session_id, "offer", offer))
-        if want_nav or want_ctrl:
-            t = threading.Thread(
-                target=self._setup_session_channels,
-                args=(pc, session_id, want_nav, want_ctrl), daemon=True)
-            t.start()
+        self._base_arm_channels(pc, session_id)
         self.post_message(Message(
             MessageType.ELEMENT, name="webrtcsink-session-started", session_id=session_id
         ))
-
-    # -- data channels (NavigationEventHandler / ControlRequestHandler,
-    #    reference webrtcsink/imp.rs:1820-1916 — the producer CREATES the
-    #    'input' and 'control' channels once the peer connects) --------------
-    def _setup_session_channels(self, pc: PeerConnection, session_id: str,
-                                want_nav: bool, want_ctrl: bool) -> None:
-        try:
-            if not pc.wait_connected(15.0):
-                return
-            chans = {}
-            if want_nav:
-                ch = pc.create_data_channel("input")
-                ch.on_message = lambda data, _bin: \
-                    self._create_navigation_event(data)
-                chans["input"] = ch
-            if want_ctrl:
-                ch = pc.create_data_channel("control")
-                ch.on_message = lambda data, _bin, _ch=None: \
-                    self._handle_control_message(chans.get("control"), data)
-                chans["control"] = ch
-            with self._lock:
-                self._session_channels[session_id] = chans
-        except (WebRtcError, RuntimeError):
-            pass
 
     def _video_sink_pads(self):
         pads = []
@@ -633,67 +825,13 @@ class WebRtcSink(BaseSink):
                 pads.append(entry["pad"])
         return pads or [self.sinkpad]
 
-    def _create_navigation_event(self, data: bytes) -> bool:
-        """Navigation JSON from the 'input' channel -> upstream
-        GstNavigation event on the video sink pad(s)
-        (webrtcsink/imp.rs:433-473 create_navigation_event)."""
-        from ...core.caps import Structure
-        from ...core.events import Event
-
-        try:
-            msg = json.loads(data)
-        except (ValueError, UnicodeDecodeError):
-            return False
-        fields = {k: v for k, v in msg.items() if k != "mid"}
-        ev = Event.new_navigation(Structure("navigation", **fields))
-        ok = False
-        for pad in self._video_sink_pads():
-            ok = pad.push_event(ev) or ok
-        return ok
-
-    def _handle_control_message(self, channel, data: bytes) -> None:
-        """ControlRequestMessage {id, mid, request} -> upstream event;
-        reply ControlResponseMessage {id, error}
-        (webrtcsink/imp.rs:475-543 handle_control_event)."""
-        from ...core.caps import Structure
-        from ...core.events import Event, EventType
-
-        error = None
-        msg_id = None
-        try:
-            msg = json.loads(data)
-            msg_id = msg.get("id")
-            req = msg.get("request")
-            if isinstance(req, str):
-                req = json.loads(req)
-            rtype = req.get("type")
-            if rtype == "navigationEvent":
-                ev = Event.new_navigation(
-                    Structure("navigation", **req.get("event", {})))
-            elif rtype == "customUpstreamEvent":
-                ev = Event(EventType.CUSTOM_UPSTREAM,
-                           structure=Structure(req.get("structureName", ""),
-                                               **(req.get("structure") or {})))
-            else:
-                raise ValueError(f"unknown control request {rtype!r}")
-            ok = False
-            pads = [self.sinkpad] + [e["pad"] for e in self._extra_pads]
-            for pad in pads:
-                ok = pad.push_event(ev) or ok
-            if not ok:
-                error = "No sink pad could handle the request"
-        except (ValueError, KeyError, AttributeError, TypeError) as e:
-            error = f"Failed to handle control event: {e}"
-        if channel is not None:
-            try:
-                channel.send(json.dumps({"id": msg_id, "error": error}))
-            except Exception:
-                pass
+    def _control_pads(self):
+        return [self.sinkpad] + [e["pad"] for e in self._extra_pads]
 
     def _end_session(self, session_id: Optional[str]) -> None:
         with self._lock:
             pc = self._sessions.pop(session_id, None)
-            self._session_channels.pop(session_id, None)
+        self._base_release(session_id)
         if pc:
             pc.close()
 
@@ -724,7 +862,7 @@ class WebRtcSink(BaseSink):
 
 
 @register
-class WebRtcSrc(BaseSrc):
+class WebRtcSrc(WebRtcSrcBaseMixin, BaseSrc):
     ELEMENT_NAME = "webrtcsrc"
     EXTRA_PAD_TEMPLATES = [
         ('stream_%u', 'src', 'sometimes', 'application/x-rtp'),
@@ -763,8 +901,7 @@ class WebRtcSrc(BaseSrc):
         self._extra_pads = {}  # media index -> sometimes Pad
         # producer-created data channels by label (GstBaseWebRTCSrc
         # enable-data-channel-navigation / enable-control-data-channel)
-        self._channels: Dict[str, object] = {}
-        self._control_msg_id = 0
+        self._src_base_init()
 
     def start(self) -> None:
         self._client = SignallingClient(self.get_property("signaller-uri"), self._on_signal)
@@ -844,7 +981,7 @@ class WebRtcSrc(BaseSrc):
         self._session_id = session_id
         pc = PeerConnection(offerer=False)
         pc.on_rtp_media = lambda idx, pkt: self._rtp_queue.put((idx, pkt))
-        pc.on_data_channel = self._on_data_channel
+        self._base_accept_channels(pc)
         pc.start()
         answer = pc.handle_offer(offer, "recvonly")
         # media description for our caps
@@ -871,55 +1008,6 @@ class WebRtcSrc(BaseSrc):
         # publish LAST: start() unblocks on _pc and reads _media for caps
         self._pc = pc
         self._client.send(msg_peer_sdp(session_id, "answer", answer))
-
-    def _on_data_channel(self, channel) -> None:
-        """Producer-created channels arrive here; keep the ones the
-        enable-* properties ask for (webrtcsrc/imp.rs:418-471: the consumer
-        serializes upstream navigation over 'input' and arbitrary upstream
-        events over 'control')."""
-        label = getattr(channel, "label", "")
-        if label == "input" and \
-                self.get_property("enable-data-channel-navigation"):
-            self._channels["input"] = channel
-        elif label == "control" and \
-                self.get_property("enable-control-data-channel"):
-            self._channels["control"] = channel
-
-    def _src_event(self, pad, event) -> bool:
-        from ...core.events import EventType
-
-        if event.type == EventType.NAVIGATION:
-            ch = self._channels.get("input")
-            if ch is not None and ch.ready.is_set():
-                st = event.get("structure")
-                payload = dict(st.fields) if st is not None else {}
-                payload["mid"] = None
-                try:
-                    ch.send(json.dumps(payload))
-                    return True
-                except Exception:
-                    return False
-            return False
-        if event.type == EventType.CUSTOM_UPSTREAM:
-            ch = self._channels.get("control")
-            if ch is not None and ch.ready.is_set():
-                st = event.get("structure")
-                self._control_msg_id += 1
-                try:
-                    ch.send(json.dumps({
-                        "id": self._control_msg_id,
-                        "mid": None,
-                        "request": {
-                            "type": "customUpstreamEvent",
-                            "structureName": st.name if st else "",
-                            "structure": dict(st.fields) if st else {},
-                        },
-                    }))
-                    return True
-                except Exception:
-                    return False
-            return False
-        return super()._src_event(pad, event)
 
     def fixate(self, caps: Caps) -> Caps:
         from ...core.parse import parse_caps

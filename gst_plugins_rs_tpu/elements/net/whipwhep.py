@@ -44,6 +44,12 @@ from ...core import (
 )
 from ...core.parse import parse_caps
 from ...net.webrtc_peer import PeerConnection, WebRtcError
+from .webrtc import (
+    BASE_WEBRTC_SINK_PROPS,
+    BASE_WEBRTC_SRC_PROPS,
+    WebRtcSinkBaseMixin,
+    WebRtcSrcBaseMixin,
+)
 
 RTP_CAPS = Caps.builder("application/x-rtp")
 
@@ -100,26 +106,35 @@ class _WhipWhepClientMixin:
 
 
 @register
-class WhipClientSink(BaseSink, _WhipWhepClientMixin):
+class WhipClientSink(WebRtcSinkBaseMixin, BaseSink, _WhipWhepClientMixin):
     ELEMENT_NAME = "whipclientsink"
     ELEMENT_CLASS = "Sink/Network/WebRTC"
     ELEMENT_DESCRIPTION = "WHIP client (RFC 9725) streaming over DTLS-SRTP"
     SINK_CAPS = RTP_CAPS
-    PROPERTIES = [
+    # GstBaseWebRTCSink surface (the reference's whipclientsink subclasses
+    # BaseWebRTCSink); raw-input-only props accepted for surface parity.
+    PROPERTIES = BASE_WEBRTC_SINK_PROPS + [
         Prop("whip-endpoint", None, type="str"),
         Prop("auth-token", None, type="str"),
     ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
+        self._base_init()
         self._pc: Optional[PeerConnection] = None
         self._resource: Optional[str] = None
+
+    def _base_pc_map(self):
+        return {"whip": self._pc} if self._pc is not None else {}
+
+    def on_ready_to_paused(self) -> None:
+        self._base_on_start()
 
     def on_caps(self, caps: Caps) -> None:
         if self._pc is not None:
             return
-        pc = PeerConnection(offerer=True)
-        pc.set_media(*_caps_media(caps))
+        pc = self._base_prepare_pc(PeerConnection(offerer=True))
+        pc.set_media(*_caps_media(caps), extra_attrs=self._base_media_attrs())
         pc.start()
         offer = pc.create_offer("sendonly")
         answer, self._resource = self._post_offer(
@@ -127,6 +142,7 @@ class WhipClientSink(BaseSink, _WhipWhepClientMixin):
         )
         pc.handle_answer(answer)
         self._pc = pc
+        self._base_arm_channels(pc, "whip")
 
     def render(self, buffer: Buffer) -> FlowReturn:
         if self._pc is None:
@@ -135,10 +151,14 @@ class WhipClientSink(BaseSink, _WhipWhepClientMixin):
             # generous: ICE+DTLS on a loaded host can take a while
             if not self._pc.wait_connected(20.0):
                 return FlowReturn.ERROR
-        self._pc.send_rtp(np.asarray(buffer.data, dtype=np.uint8).tobytes())
+        data = np.asarray(buffer.data, dtype=np.uint8).tobytes()
+        self._base_record_send(data)
+        self._pc.send_rtp(data)
+        self._forward_metas(buffer)
         return FlowReturn.OK
 
     def on_paused_to_ready(self) -> None:
+        self._base_on_stop()
         self._delete_resource()
         if self._pc:
             self._pc.close()
@@ -146,13 +166,13 @@ class WhipClientSink(BaseSink, _WhipWhepClientMixin):
 
 
 @register
-class WhepClientSrc(BaseSrc, _WhipWhepClientMixin):
+class WhepClientSrc(WebRtcSrcBaseMixin, BaseSrc, _WhipWhepClientMixin):
     ELEMENT_NAME = "whepclientsrc"
     ELEMENT_CLASS = "Source/Network/WebRTC"
     ELEMENT_DESCRIPTION = "WHEP client receiving over DTLS-SRTP"
     SRC_CAPS = RTP_CAPS
     IS_LIVE = True
-    PROPERTIES = [
+    PROPERTIES = BASE_WEBRTC_SRC_PROPS + [
         Prop("whep-endpoint", None, type="str"),
         Prop("auth-token", None, type="str"),
         Prop("timeout", 10_000_000_000, type="uint64"),
@@ -163,6 +183,7 @@ class WhepClientSrc(BaseSrc, _WhipWhepClientMixin):
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
+        self._src_base_init()
         self._pc: Optional[PeerConnection] = None
         self._resource: Optional[str] = None
         self._queue: "queue.Queue[Optional[bytes]]" = queue.Queue()
@@ -173,6 +194,7 @@ class WhepClientSrc(BaseSrc, _WhipWhepClientMixin):
         pc = PeerConnection(offerer=True)
         pc.set_media(*_caps_media(parse_caps(self.get_property("caps"))))
         pc.on_rtp = self._queue.put
+        self._base_accept_channels(pc)
         pc.start()
         offer = pc.create_offer("recvonly")
         answer, self._resource = self._post_offer(
@@ -278,7 +300,7 @@ class _WhipWhepHttpServer:
 
 
 @register
-class WhipServerSrc(BaseSrc):
+class WhipServerSrc(WebRtcSrcBaseMixin, BaseSrc):
     """WHIP media-ingest server: WHIP clients POST offers, media flows in."""
 
     ELEMENT_NAME = "whipserversrc"
@@ -286,7 +308,7 @@ class WhipServerSrc(BaseSrc):
     ELEMENT_DESCRIPTION = "WHIP server source (accepts WHIP ingests over DTLS-SRTP)"
     SRC_CAPS = RTP_CAPS
     IS_LIVE = True
-    PROPERTIES = [
+    PROPERTIES = BASE_WEBRTC_SRC_PROPS + [
         Prop("host-address", "127.0.0.1", type="str"),
         Prop("port", 0, type="uint", doc="0 = ephemeral; read back via bound_port"),
         Prop("auth-token", None, type="str"),
@@ -295,6 +317,7 @@ class WhipServerSrc(BaseSrc):
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
+        self._src_base_init()
         self._server: Optional[_WhipWhepHttpServer] = None
         self._queue: "queue.Queue[Optional[bytes]]" = queue.Queue()
         self._media = ("video", 96, "VP8", 90000)
@@ -325,6 +348,7 @@ class WhipServerSrc(BaseSrc):
     def _accept_offer(self, offer: str):
         pc = PeerConnection(offerer=False)
         pc.on_rtp = self._queue.put
+        self._base_accept_channels(pc)
         pc.start()
         answer = pc.handle_offer(offer, "recvonly")
         self._media = _media_from_sdp(offer)
@@ -362,14 +386,17 @@ class WhipServerSrc(BaseSrc):
 
 
 @register
-class WhepServerSink(BaseSink):
-    """WHEP playout server: viewers POST offers, media fans out to all."""
+class WhepServerSink(WebRtcSinkBaseMixin, BaseSink):
+    """WHEP playout server: viewers POST offers, media fans out to all.
+
+    Carries the GstBaseWebRTCSink surface (the reference's whepserversink
+    subclasses BaseWebRTCSink); raw-input-only props accepted for parity."""
 
     ELEMENT_NAME = "whepserversink"
     ELEMENT_CLASS = "Sink/Network/WebRTC"
     ELEMENT_DESCRIPTION = "WHEP server sink (serves WHEP viewers over DTLS-SRTP)"
     SINK_CAPS = RTP_CAPS
-    PROPERTIES = [
+    PROPERTIES = BASE_WEBRTC_SINK_PROPS + [
         Prop("host-address", "127.0.0.1", type="str"),
         Prop("port", 0, type="uint"),
         Prop("auth-token", None, type="str"),
@@ -377,6 +404,7 @@ class WhepServerSink(BaseSink):
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
+        self._base_init()
         self._server: Optional[_WhipWhepHttpServer] = None
 
     @property
@@ -384,7 +412,14 @@ class WhepServerSink(BaseSink):
         assert self._server is not None
         return self._server.port
 
+    def _base_pc_map(self):
+        if self._server is None:
+            return {}
+        with self._server._lock:
+            return dict(self._server.sessions)
+
     def on_ready_to_paused(self) -> None:
+        self._base_on_start()
         self._server = _WhipWhepHttpServer(
             self, self.get_property("host-address"), self.get_property("port"),
             "/whep", self.get_property("auth-token"),
@@ -399,19 +434,22 @@ class WhepServerSink(BaseSink):
                 pc.close()
             self._server.stop()
             self._server = None
+        self._base_on_stop()
 
     def _accept_offer(self, offer: str):
-        pc = PeerConnection(offerer=False)
+        pc = self._base_prepare_pc(PeerConnection(offerer=False))
         pc.start()
         answer = pc.handle_offer(offer, "sendonly")
         session_id = uuid.uuid4().hex
         with self._server._lock:
             self._server.sessions[session_id] = pc
+        self._base_arm_channels(pc, session_id)
         return session_id, answer
 
     def _end_session(self, session_id: str) -> None:
         with self._server._lock:
             pc = self._server.sessions.pop(session_id, None)
+        self._base_release(session_id)
         if pc:
             pc.close()
 
@@ -421,8 +459,8 @@ class WhepServerSink(BaseSink):
 
     def render(self, buffer: Buffer) -> FlowReturn:
         data = np.asarray(buffer.data, dtype=np.uint8).tobytes()
-        with self._server._lock:
-            sessions = list(self._server.sessions.values())
-        for pc in sessions:
+        self._base_record_send(data)
+        for pc in self._base_pcs():
             pc.send_rtp(data)
+        self._forward_metas(buffer)
         return FlowReturn.OK
