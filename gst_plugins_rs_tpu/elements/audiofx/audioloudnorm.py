@@ -73,6 +73,19 @@ class AudioLoudNorm(Element):
              doc="Maximum True Peak in dbTP"),
         Prop("offset", 0.0, minimum=-99.0, maximum=99.0, mutable="ready",
              doc="Offset Gain in LU"),
+        Prop("time-shard", False, type="bool", mutable="ready",
+             doc="SP mode (SURVEY §2.3): buffer the whole stream and "
+                 "normalize it with ONE linear gain, the time axis sharded "
+                 "across every visible device "
+                 "(parallel/timeshard.sharded_loudnorm_linear — blocked-IIR "
+                 "K-weighting with all_gather state handoff, ppermute halo "
+                 "for the 400 ms gating-block overlap, psum'd gating "
+                 "histogram).  Semantics = the reference's LINEAR frame "
+                 "type (imp.rs:323-366,781-816) applied to the whole "
+                 "stream; streaming First/Inner/Final gain is sequential "
+                 "at 100 ms frames by construction and stays single-"
+                 "device.  Sample-parity with the default path on sub-3s "
+                 "streams is test-gated (tests/test_timeshard.py)."),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -131,6 +144,24 @@ class AudioLoudNorm(Element):
                 out_pts = None if pts is None else pts + 100 * SECOND // 1000 - 3 * SECOND
                 self._push_out(out, out_pts)
 
+    def _drain_sharded(self, src, pts: Optional[int]) -> None:
+        """Whole-stream linear normalization on a time-sharded mesh."""
+        from ...parallel.streams import make_stream_mesh
+        from ...parallel.timeshard import sharded_loudnorm_linear
+
+        s = self._state
+        n100 = s.params.r128.n100
+        mesh = make_stream_mesh(axis="time")
+        stride = mesh.shape["time"] * n100
+        n = int(src.shape[0])
+        nfull = (n // n100) * n100
+        npad = -(-max(n, 1) // stride) * stride
+        xp = jnp.zeros((npad, s.info.channels), s.dtype).at[:n].set(
+            jnp.asarray(src, s.dtype))
+        y, _gain, _gl = sharded_loudnorm_linear(
+            xp, s.params, mesh, n_valid_sb=nfull // n100)
+        self._push_out(y[:n], pts)
+
     def _drain(self) -> None:
         """Flush everything buffered (EOS / caps change / discont / segment)."""
         s = self._state
@@ -139,6 +170,11 @@ class AudioLoudNorm(Element):
         pts = self._adapter_pts()
         avail = s.adapter.available()
         src = s.adapter.take(avail) if avail else None
+
+        if self.get_property("time-shard"):
+            if src is not None and src.shape[0] > 0:
+                self._drain_sharded(src, pts)
+            return
 
         if s.frame_type == "inner":
             # final-frame processing (imp.rs:697-779): drain tail+backlog
@@ -185,7 +221,8 @@ class AudioLoudNorm(Element):
             self._reset_state()
             s = self._state
         s.adapter.push(buf)
-        self._drain_full_frames()
+        if not self.get_property("time-shard"):
+            self._drain_full_frames()
         return FlowReturn.OK
 
     def _sink_event(self, pad: Pad, event: Event) -> bool:
