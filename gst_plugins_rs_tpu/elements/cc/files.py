@@ -40,8 +40,9 @@ MCC_CAPS = Caps.builder("application/x-mcc", version=1)
 SCC_HEADER = "Scenarist_SCC V1.0"
 
 
-def _tc_to_ns(tc: str, fps: Fraction) -> int:
-    drop = ";" in tc
+def _tc_to_ns(tc: str, fps: Fraction, drop: Optional[bool] = None) -> int:
+    if drop is None:
+        drop = ";" in tc
     parts = tc.replace(";", ":").split(":")
     h, m, s, f = (int(p) for p in parts)
     fpsec = int(round(float(fps)))  # timecode counts f at the rounded rate
@@ -53,12 +54,34 @@ def _tc_to_ns(tc: str, fps: Fraction) -> int:
     return frame_num * SECOND * fps.denominator // fps.numerator
 
 
-def _ns_to_tc(ns: int, fps: Fraction) -> str:
-    total_frames = ns * fps.numerator // (SECOND * fps.denominator)
+def _frames_to_tc(frame_num: int, fps: Fraction) -> str:
+    """Frame count -> SMPTE timecode string; drop-frame (semicolon form,
+    scc_enc.rs expected vectors) when the rate is fractional."""
     fpsec = int(round(float(fps)))
-    f = total_frames % fpsec
-    s = total_frames // fpsec
+    if fps.denominator == 1001:
+        # re-insert the dropped frame numbers (2/min except every 10th)
+        per10 = fpsec * 600 - 18  # frames in 10 minutes (17982 at 30 fps)
+        per1 = fpsec * 60 - 2  # frames in a dropped minute (1798)
+        d10, rem = divmod(frame_num, per10)
+        extra_min = 0 if rem < fpsec * 60 else 1 + (rem - fpsec * 60) // per1
+        nominal = frame_num + 2 * (d10 * 9 + extra_min)
+        f = nominal % fpsec
+        s = nominal // fpsec
+        return f"{s // 3600:02d}:{s // 60 % 60:02d}:{s % 60:02d};{f:02d}"
+    f = frame_num % fpsec
+    s = frame_num // fpsec
     return f"{s // 3600:02d}:{s // 60 % 60:02d}:{s % 60:02d}:{f:02d}"
+
+
+def _ns_to_frames(ns: int, fps: Fraction) -> int:
+    # round (not floor): _tc_to_ns floors the ns, so flooring here could
+    # come back one frame short
+    num, den = fps.numerator, SECOND * fps.denominator
+    return (ns * num + den // 2) // den
+
+
+def _ns_to_tc(ns: int, fps: Fraction) -> str:
+    return _frames_to_tc(_ns_to_frames(ns, fps), fps)
 
 
 def _text_of(buf: Buffer) -> str:
@@ -153,10 +176,16 @@ class SccEnc(BaseTransform):
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._sent_header = False
+        self._line_start = None  # frame number of the open line
+        self._line_words: List[str] = []
+        self._next_frame = None  # expected frame of the next pair
 
     def on_ready_to_paused(self) -> None:
         super().on_ready_to_paused()
         self._sent_header = False
+        self._line_start = None
+        self._line_words = []
+        self._next_frame = None
 
     def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
         out = (SCC_CAPS if direction == PadDirection.SINK else CEA608_CAPS).copy()
@@ -164,17 +193,64 @@ class SccEnc(BaseTransform):
             out = filter_.intersect(out)
         return out
 
-    def transform(self, inbuf: Buffer) -> Buffer:
+    #: max byte pairs per SCC line before continuing on a new line with the
+    #: timecode advanced by the frames consumed (scc_enc.rs
+    #: test_encode_multiple_packets expected vectors)
+    MAX_LINE_WORDS = 16
+
+    def _flush_line(self, fps: Fraction) -> str:
+        if not self._line_words:
+            return ""
+        text = (f"{_frames_to_tc(self._line_start, fps)}\t"
+                f"{' '.join(self._line_words)}\r\n\r\n")
+        self._line_start = None
+        self._line_words = []
+        return text
+
+    def _with_header(self, text: str) -> str:
+        if not self._sent_header:
+            text = f"{SCC_HEADER}\r\n\r\n" + text
+            self._sent_header = True
+        return text
+
+    def generate_output(self) -> Optional[Buffer]:
+        """Merge consecutive-frame caption pairs into up-to-16-word lines,
+        like the reference encoder (scc_enc.rs expects one pair per frame
+        continuing the open line while timecodes stay consecutive)."""
+        inbuf = self.take_queued_buffer()
+        if inbuf is None:
+            return None
         fps = Fraction(self.get_property("framerate"))
         pairs = np.asarray(inbuf.data, np.uint8).reshape(-1, 2)
         if not self.get_property("output-padding"):
             pairs = pairs[~((pairs[:, 0] == 0x80) & (pairs[:, 1] == 0x80))]
-        words = " ".join(f"{hi:02x}{lo:02x}" for hi, lo in pairs)
-        line = f"{_ns_to_tc(inbuf.pts or 0, fps)}\t{words}\n\n"
-        if not self._sent_header:
-            line = f"{SCC_HEADER}\n\n" + line
-            self._sent_header = True
-        return Buffer(line, pts=inbuf.pts, duration=inbuf.duration)
+        frame = _ns_to_frames(inbuf.pts or 0, fps)
+        flushed = ""
+        out_pts = inbuf.pts
+        for hi, lo in pairs:
+            if self._line_words and (
+                    frame != self._next_frame
+                    or len(self._line_words) >= self.MAX_LINE_WORDS):
+                flushed += self._flush_line(fps)
+            if not self._line_words:
+                self._line_start = frame
+            self._line_words.append(f"{hi:02x}{lo:02x}")
+            self._next_frame = frame + 1
+            frame += 1
+        if not flushed:
+            return None
+        return Buffer(self._with_header(flushed), pts=out_pts,
+                      duration=inbuf.duration)
+
+    def drain(self) -> Optional[Buffer]:
+        fps = Fraction(self.get_property("framerate"))
+        start = self._line_start
+        text = self._flush_line(fps)
+        if not text:
+            return None
+        pts = (start * SECOND * fps.denominator // fps.numerator
+               if start is not None else None)
+        return Buffer(self._with_header(text), pts=pts)
 
 
 # MCC alias table (mcc_parse/parser.rs:130-199)
@@ -232,72 +308,196 @@ def mcc_encode_payload(data: bytes) -> str:
     return "".join(out)
 
 
+#: MCC "Time Code Rate=" header values -> (framerate, drop)
+_MCC_RATES = {
+    "24": (Fraction(24), False), "25": (Fraction(25), False),
+    "30": (Fraction(30), False), "30DF": (Fraction(30000, 1001), True),
+    "50": (Fraction(50), False), "60": (Fraction(60), False),
+    "60DF": (Fraction(60000, 1001), True),
+}
+
+ST2038_CAPS = Caps.builder("meta/x-st-2038", alignment="packet")
+
+
 @register
 class MccParse(_FileParseBase):
+    """MCC file parser.
+
+    Like the reference (mccparse src pad: meta/x-st-2038 alignment=packet;
+    mcc_enc.rs documents the first parsed packet of captions-test_708.mcc
+    byte for byte), each caption line becomes ONE packed ST-2038 ANC packet
+    with line_number 255 / horizontal_offset 4095 ("unknown" sentinels, the
+    values visible in that reference vector).  A closedcaption/x-cea-608
+    downstream instead negotiates the convenience 608-pairs output (the CDP
+    inside the ANC packet unwrapped, field-1 pairs extracted).  The
+    framerate follows the file's `Time Code Rate=` header."""
+
     ELEMENT_NAME = "mccparse"
     ELEMENT_CLASS = "Parser/ClosedCaption"
-    ELEMENT_DESCRIPTION = "Parses MCC files into CEA-608 byte pairs"
+    ELEMENT_DESCRIPTION = "Parses MCC files into ST-2038 ANC packets"
     SINK_CAPS = MCC_CAPS
+    SRC_CAPS = Caps([ST2038_CAPS.structure(0).copy(),
+                     CEA608_CAPS.structure(0).copy()])
     PROPERTIES = [Prop("framerate", "30000/1001", type="str")]
+
+    def __init__(self, name: Optional[str] = None):
+        super().__init__(name)
+        self._file_rate = None  # (Fraction, drop) from Time Code Rate=
+
+    def on_ready_to_paused(self) -> None:
+        super().on_ready_to_paused()
+        self._file_rate = None
+
+    def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
+        out = (self.SRC_CAPS if direction == PadDirection.SINK
+               else self.SINK_CAPS).copy()
+        if filter_ is not None:
+            out = filter_.intersect(out)
+        return out
+
+    def _emits_st2038(self) -> bool:
+        cur = self.srcpad.current_caps
+        return cur is None or cur.structure(0).name == "meta/x-st-2038"
+
+    def _fps(self):
+        if self._file_rate is not None:
+            return self._file_rate
+        fps = Fraction(self.get_property("framerate"))
+        return fps, fps.denominator == 1001
 
     def parse_line(self, line: str) -> Optional[Buffer]:
         line = line.strip()
-        if not line or line.startswith(("File Format", "//", "UUID", "Creation",
-                                        "Code Rate", "Time Code Rate")):
+        if line.startswith("Time Code Rate="):
+            self._file_rate = _MCC_RATES.get(
+                line.split("=", 1)[1].strip(), self._file_rate)
+            return None
+        if not line or line.startswith(("File Format", "//", "UUID",
+                                        "Creation", "Code Rate")):
             return None
         tc, _, payload = line.partition("\t")
         if not payload:
             return None
         data = mcc_decode_payload(payload.strip())
-        # full framing: ANC packet (DID 0x61 SDID 0x01) wrapping a CDP
-        if len(data) > 3 and data[0] == 0x61 and data[1] == 0x01:
+        fps, drop = self._fps()
+        pts = _tc_to_ns(tc, fps, drop)
+        if len(data) < 4:
+            return None
+        did, sdid, dc = data[0], data[1], data[2]
+        udw = data[3:3 + dc]
+        if self._emits_st2038():
+            from ...ops import st2038 as st
+
+            return Buffer(np.frombuffer(
+                st.pack(did, sdid, udw, line_number=255,
+                        horizontal_offset=4095), np.uint8), pts=pts)
+        # 608-pairs convenience output: unwrap the CDP inside the ANC packet
+        if (did, sdid) == (0x61, 0x01):
             from ...ops import cea708
 
-            dc = data[2]
-            cdp = data[3 : 3 + dc]
             try:
-                data, _seq = cea708.parse_cdp(cdp)
+                cc_data, _seq = cea708.parse_cdp(udw)
             except ValueError:
                 return None
-        # extract 608 field-1 pairs from cc_data triplets (cc_type 0 marker
-        # 0xfc with cc_valid set)
+        else:
+            cc_data = udw  # raw cc_data triplet lines
         pairs: List = []
-        for j in range(0, len(data) - 2, 3):
-            if data[j] == 0xFC:
-                pairs.append((data[j + 1], data[j + 2]))
+        for j in range(0, len(cc_data) - 2, 3):
+            if cc_data[j] == 0xFC:
+                pairs.append((cc_data[j + 1], cc_data[j + 2]))
         if not pairs:
             return None
-        fps = Fraction(self.get_property("framerate"))
-        return Buffer(pairs_to_array(pairs), pts=_tc_to_ns(tc, fps))
+        return Buffer(pairs_to_array(pairs), pts=pts)
+
+
+#: The MCC format's descriptive boilerplate.  The format mandates carrying
+#: this text verbatim ("Permission to generate this format is granted
+#: provided that ... this entire descriptive information text is included
+#: in a generated .mcc file") — byte-identical in the reference encoder
+#: (mcc_enc.rs expected vector) and in files written by MacCaption/Premiere.
+_MCC_BOILERPLATE = (
+    "///////////////////////////////////////////////////////////////////////////////////\r\n"
+    "// Computer Prompting and Captioning Company\r\n"
+    "// Ancillary Data Packet Transfer File\r\n"
+    "//\r\n"
+    "// Permission to generate this format is granted provided that\r\n"
+    "//   1. This ANC Transfer file format is used on an as-is basis and no warranty is given, and\r\n"
+    "//   2. This entire descriptive information text is included in a generated .mcc file.\r\n"
+    "//\r\n"
+    "// General file format:\r\n"
+    "//   HH:MM:SS:FF(tab)[Hexadecimal ANC data in groups of 2 characters]\r\n"
+    "//     Hexadecimal data starts with the Ancillary Data Packet DID (Data ID defined in S291M)\r\n"
+    "//       and concludes with the Check Sum following the User Data Words.\r\n"
+    "//     Each time code line must contain at most one complete ancillary data packet.\r\n"
+    "//     To transfer additional ANC Data successive lines may contain identical time code.\r\n"
+    "//     Time Code Rate=[24, 25, 30, 30DF, 50, 60]\r\n"
+    "//\r\n"
+    "//   ANC data bytes may be represented by one ASCII character according to the following schema:\r\n"
+    "//     G  FAh 00h 00h\r\n"
+    "//     H  2 x (FAh 00h 00h)\r\n"
+    "//     I  3 x (FAh 00h 00h)\r\n"
+    "//     J  4 x (FAh 00h 00h)\r\n"
+    "//     K  5 x (FAh 00h 00h)\r\n"
+    "//     L  6 x (FAh 00h 00h)\r\n"
+    "//     M  7 x (FAh 00h 00h)\r\n"
+    "//     N  8 x (FAh 00h 00h)\r\n"
+    "//     O  9 x (FAh 00h 00h)\r\n"
+    "//     P  FBh 80h 80h\r\n"
+    "//     Q  FCh 80h 80h\r\n"
+    "//     R  FDh 80h 80h\r\n"
+    "//     S  96h 69h\r\n"
+    "//     T  61h 01h\r\n"
+    "//     U  E1h 00h 00h 00h\r\n"
+    "//     Z  00h\r\n"
+    "//\r\n"
+    "///////////////////////////////////////////////////////////////////////////////////\r\n"
+)
 
 
 @register
 class MccEnc(BaseTransform):
+    """MCC encoder.
+
+    Like the reference (mccenc sink pad: meta/x-st-2038 alignment=packet;
+    mcc_enc.rs test_encode), the native input is packed ST-2038 ANC
+    packets, written as one aliased-hex ANC line per packet with the full
+    MCC header (boilerplate + UUID / Creation Program / Creation Date /
+    Creation Time / Time Code Rate).  closedcaption/x-cea-608 input is also
+    accepted for convenience: pairs are CDP-framed (SMPTE 334-2) and ANC-
+    wrapped first."""
+
     ELEMENT_NAME = "mccenc"
     ELEMENT_CLASS = "Encoder/ClosedCaption"
-    ELEMENT_DESCRIPTION = "Encodes CEA-608 byte pairs into MCC"
+    ELEMENT_DESCRIPTION = "Encodes ST-2038 ANC packets into MCC"
     MODE = TransformMode.NEVER_IN_PLACE
-    SINK_CAPS = CEA608_CAPS
+    SINK_CAPS = Caps([ST2038_CAPS.structure(0).copy(),
+                      CEA608_CAPS.structure(0).copy()])
     SRC_CAPS = MCC_CAPS
     PROPERTIES = [
         Prop("framerate", "30000/1001", type="str"),
         Prop("uuid", None, type="str",
              doc="UUID written in the header (None = fresh uuid4)"),
         Prop("creation-date", None, type="str",
-             doc="creation date/time for the header, ISO 8601 "
-                 "(None = now)"),
+             doc="creation date/time for the header; ISO 8601 "
+                 "YYYY-MM-DDTHH:MM:SS renders as the reference's split "
+                 "Creation Date= / Creation Time= lines (None = now)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
         self._sent_header = False
+        self._input_is_st2038 = False
 
     def on_ready_to_paused(self) -> None:
         super().on_ready_to_paused()
         self._sent_header = False
 
+    def set_caps(self, incaps: Caps, outcaps: Caps) -> None:
+        self._input_is_st2038 = \
+            incaps.structure(0).name == "meta/x-st-2038"
+
     def transform_caps(self, direction: PadDirection, caps: Caps, filter_) -> Caps:
-        out = (MCC_CAPS if direction == PadDirection.SINK else CEA608_CAPS).copy()
+        out = (MCC_CAPS if direction == PadDirection.SINK
+               else self.SINK_CAPS).copy()
         if filter_ is not None:
             out = filter_.intersect(out)
         return out
@@ -308,42 +508,76 @@ class MccEnc(BaseTransform):
         return seq
 
     @staticmethod
-    def _anc_wrap(cdp: bytes) -> bytes:
+    def _anc_wrap(cdp: bytes, did: int = 0x61, sdid: int = 0x01) -> bytes:
         """ANC packet bytes as MCC stores them: DID, SDID, DC, UDWs and the
         low 8 bits of the SMPTE 291 checksum over the parity-extended words
         (matches the reference parser's caption test vector)."""
         from ...ops.st2038 import _parity10
 
-        words = [_parity10(0x61), _parity10(0x01), _parity10(len(cdp))]
+        words = [_parity10(did), _parity10(sdid), _parity10(len(cdp))]
         words += [_parity10(b) for b in cdp]
         checksum = sum(w & 0x1FF for w in words) & 0x1FF
-        return bytes([0x61, 0x01, len(cdp)]) + cdp + bytes([checksum & 0xFF])
+        return bytes([did, sdid, len(cdp)]) + cdp + bytes([checksum & 0xFF])
+
+    def _header(self, fps: Fraction) -> str:
+        import uuid as _uuid
+        from datetime import datetime, timezone
+
+        from ... import __version__ as _ver
+
+        uid = self.get_property("uuid") or str(_uuid.uuid4()).upper()
+        created = self.get_property("creation-date")
+        if created is None:
+            dt = datetime.now(timezone.utc)
+        else:
+            try:
+                dt = datetime.fromisoformat(created)
+            except ValueError:
+                dt = None
+        if dt is not None:
+            date_line = (f"Creation Date={dt.strftime('%A')}, "
+                         f"{dt.strftime('%B')} {dt.day:02d}, {dt.year}\r\n"
+                         f"Creation Time={dt.strftime('%H:%M:%S')}\r\n")
+        else:
+            date_line = f"Creation Date={created}\r\n"
+        rate = "30DF" if fps == Fraction(30000, 1001) else (
+            "60DF" if fps == Fraction(60000, 1001)
+            else str(int(round(float(fps)))))
+        return (f"{MCC_HEADER}\r\n\r\n{_MCC_BOILERPLATE}\r\n"
+                f"UUID={uid}\r\n"
+                f"Creation Program=gst-plugins-rs-tpu MCC Encoder {_ver}\r\n"
+                f"{date_line}"
+                f"Time Code Rate={rate}\r\n\r\n")
 
     def transform(self, inbuf: Buffer) -> Buffer:
-        from ...ops import cea708
-
         fps = Fraction(self.get_property("framerate"))
-        pairs = np.asarray(inbuf.data, np.uint8).reshape(-1, 2)
-        # cc_data: the 608 pairs as field-1 triplets, padded with DTVCC
-        # filler to the frame-rate-appropriate 20-triplet budget
-        cc = b"".join(bytes([0xFC, hi, lo]) for hi, lo in pairs)
-        while len(cc) // 3 < 20:
-            cc += bytes([0xFA, 0x00, 0x00])
-        cdp = cea708.build_cdp(cc, sequence=self.__init_seq(),
-                               fps=int(round(float(fps))))
-        line = f"{_ns_to_tc(inbuf.pts or 0, fps)}\t{mcc_encode_payload(self._anc_wrap(cdp))}\n"
-        if not self._sent_header:
-            import uuid as _uuid
-            from datetime import datetime, timezone
+        if self._input_is_st2038:
+            from ...ops import st2038 as st
 
-            uid = self.get_property("uuid") or str(_uuid.uuid4()).upper()
-            created = self.get_property("creation-date") or \
-                datetime.now(timezone.utc).strftime("%a, %b %d, %Y %H:%M:%S")
-            line = (f"{MCC_HEADER}\n//\nUUID={uid}\n"
-                    f"Creation Date={created}\n"
-                    f"Time Code Rate=30DF\n\n") + line
+            raw = np.asarray(inbuf.data, np.uint8).tobytes()
+            lines = []
+            tc = _ns_to_tc(inbuf.pts or 0, fps)
+            for pkt in st.unpack_all(raw):
+                anc = self._anc_wrap(pkt.data, pkt.did, pkt.sdid)
+                lines.append(f"{tc}\t{mcc_encode_payload(anc)}\r\n")
+            text = "".join(lines)
+        else:
+            from ...ops import cea708
+
+            pairs = np.asarray(inbuf.data, np.uint8).reshape(-1, 2)
+            # cc_data: the 608 pairs as field-1 triplets, padded with DTVCC
+            # filler to the frame-rate-appropriate 20-triplet budget
+            cc = b"".join(bytes([0xFC, hi, lo]) for hi, lo in pairs)
+            while len(cc) // 3 < 20:
+                cc += bytes([0xFA, 0x00, 0x00])
+            cdp = cea708.build_cdp(cc, sequence=self.__init_seq(),
+                                   fps=int(round(float(fps))))
+            text = (f"{_ns_to_tc(inbuf.pts or 0, fps)}\t"
+                    f"{mcc_encode_payload(self._anc_wrap(cdp))}\r\n")
+        if not self._sent_header:
+            text = self._header(fps) + text
             self._sent_header = True
-        return Buffer(line, pts=inbuf.pts, duration=inbuf.duration)
+        return Buffer(text, pts=inbuf.pts, duration=inbuf.duration)
 
 
 __all__ = ["SccParse", "SccEnc", "MccParse", "MccEnc",

@@ -91,6 +91,7 @@ class TestFilesSurface:
         h.set_src_caps(parse_caps("closedcaption/x-cea-608,format=raw"))
         pairs = np.asarray([[0x80, 0x80], [0xC1, 0xC2], [0x80, 0x80]], np.uint8)
         h.push(fx.Buffer(pairs, pts=0))
+        h.push_eos()  # lines flush lazily (consecutive-frame merging)
         text = str(h.pull().data)
         assert "8080" not in text and "c1c2" in text
 

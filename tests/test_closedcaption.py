@@ -155,10 +155,15 @@ class TestSccMcc:
         enc = fx.element_factory_make(enc_name)
         par = fx.element_factory_make(parse_name)
         sink = fx.element_factory_make("appsink")
+        # mccparse prefers its reference-native meta/x-st-2038 output;
+        # request the 608-pairs convenience path explicitly
+        cf = fx.element_factory_make("capsfilter")
+        cf.set_property(
+            "caps", parse_caps("closedcaption/x-cea-608,format=raw"))
         p = fx.Pipeline()
-        for e in (src, enc, par, sink):
+        for e in (src, enc, par, cf, sink):
             p.add(e)
-        src.link(enc); enc.link(par); par.link(sink)
+        src.link(enc); enc.link(par); par.link(cf); cf.link(sink)
         pts = 3_003_000_000  # exactly 90 frames at 29.97
         src.push_buffer(fx.Buffer(pairs_to_array(pairs), pts=pts))
         src.end_of_stream()
@@ -208,8 +213,9 @@ class TestSccMcc:
         src.end_of_stream()
         p.play_until_eos()
         text = "".join(str(s.buffer.data) for s in sink.samples)
-        assert text.startswith("Scenarist_SCC V1.0\n\n")
-        assert "00:00:00:00\t9420 9420" in text
+        # CRLF + drop-frame timecodes (scc_enc.rs expected vectors)
+        assert text.startswith("Scenarist_SCC V1.0\r\n\r\n")
+        assert "00:00:00;00\t9420 9420" in text
 
 
 class TestOverlay:
