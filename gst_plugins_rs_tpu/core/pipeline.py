@@ -157,7 +157,11 @@ class Pipeline:
         groups: dict = {}
         for s in self.sources():
             groups.setdefault(s._props.get("context") or "", []).append(s)
-        if not groups:
+        # self-driving elements (internal worker threads, e.g. fallbacksrc)
+        # expose wait_stream_done() instead of the BaseSrc iterate protocol
+        selfdriving = [e for e in self.elements
+                       if hasattr(e, "wait_stream_done")]
+        if not groups and not selfdriving:
             raise RuntimeError(f"{self.name}: no sources to drive")
         main = groups.pop("", [])
         errors: List[BaseException] = []
@@ -174,6 +178,9 @@ class Pipeline:
             self._drive_group(main, max_iterations, None, errors)
         for t in threads:
             t.join()
+        if max_iterations is None:
+            for e in selfdriving:
+                e.wait_stream_done()
         if errors:
             raise errors[0]
 

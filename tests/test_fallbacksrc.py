@@ -1,132 +1,339 @@
-"""fallbacksrc tests: primary flow, fallback on missing/failed primary,
-restart-on-eos, dummy stream, status messages."""
+"""fallbacksrc tests — one per row of the semantics table in
+elements/utilsfx/fallbacksrc.py (reference fallbacksrc/imp.rs:332-463),
+plus the TestClock-driven failure scenario: primary dies mid-stream ->
+fallback within `timeout` -> primary restored after `restart-timeout`."""
+import threading
+import time
+
 import numpy as np
 
 import gst_plugins_rs_tpu as fx
+from gst_plugins_rs_tpu.core.clock import TestClock
+from gst_plugins_rs_tpu.core.element import State
+
+MS = 1_000_000
 
 
-def run_src(tmp_path, **props):
+def status_msgs(p):
+    return [m.structure["status"] for m in p.bus.messages()
+            if m.structure and m.structure.name == "fallbacksrc-status"]
+
+
+def build(**props):
     src = fx.element_factory_make("fallbacksrc")
     for k, v in props.items():
         src.set_property(k, v)
     sink = fx.element_factory_make("appsink")
     p = fx.Pipeline()
-    p.add(src); p.add(sink)
+    p.add(src)
+    p.add(sink)
     src.link(sink)
-    p.play_until_eos()
-    data = b"".join(np.asarray(s.buffer.data).tobytes() for s in sink.samples)
-    msgs = [m.structure["status"] for m in p.bus.messages()
-            if m.structure and m.structure.name == "fallbacksrc-status"]
-    return data, msgs
+    return p, src, sink
+
+
+def collect(sink, n, timeout=8.0):
+    deadline = time.monotonic() + timeout
+    while len(sink.samples) < n and time.monotonic() < deadline:
+        time.sleep(0.01)
+    return b"".join(np.asarray(s.buffer.data).tobytes()
+                    for s in sink.samples)
 
 
 class TestFallbackSrc:
-    def test_primary_flows(self, tmp_path):
+    def test_uri_primary_flows(self, tmp_path):
+        """`uri` row: file uri -> rsfilesrc -> decodebin -> src pad."""
         f = tmp_path / "a.bin"
         f.write_bytes(b"PRIMARY" * 100)
-        data, msgs = run_src(tmp_path, **{"uri": f"file://{f}"})
+        p, src, sink = build(uri=f"file://{f}")
+        p.play_until_eos()
+        data = b"".join(np.asarray(s.buffer.data).tobytes()
+                        for s in sink.samples)
         assert data == b"PRIMARY" * 100
-        assert msgs[0] == "running"
+        assert status_msgs(p)[:2] == ["buffering", "running"]
 
     def test_fallback_uri_on_missing_primary(self, tmp_path):
+        """`fallback-uri` + `timeout` rows: a dead primary switches to the
+        (looping) fallback stream after the no-data timeout."""
         fb = tmp_path / "fb.bin"
         fb.write_bytes(b"FALLBACK")
-        data, msgs = run_src(
-            tmp_path,
-            **{"uri": f"file://{tmp_path}/missing.bin", "fallback-uri": f"file://{fb}"},
-        )
-        assert data == b"FALLBACK"
-        assert "fallback" in msgs
+        p, src, sink = build(**{
+            "uri": f"file://{tmp_path}/missing.bin",
+            "fallback-uri": f"file://{fb}",
+            "timeout": 50 * MS, "restart-timeout": 50 * MS})
+        p.set_state(State.PLAYING)
+        data = collect(sink, 2)
+        p.set_state(State.NULL)
+        assert data.startswith(b"FALLBACKFALLBACK")  # loops like the reference
+        assert "retrying" in status_msgs(p)
+        assert src.statistics["num-fallback-retry"] >= 1
 
     def test_dummy_when_nothing_works(self, tmp_path):
-        data, msgs = run_src(tmp_path, **{"uri": f"file://{tmp_path}/missing.bin"})
-        assert len(data) == 10 * 4096  # bounded dummy stream
-        assert set(data) == {0}
-        assert "fallback" in msgs
+        """`enable-dummy` + `dummy-audio-caps` rows: with no fallback, the
+        enabled dummy streams produce silence on the clock."""
+        p, src, sink = build(**{"uri": f"file://{tmp_path}/missing.bin",
+                                "restart-timeout": 20 * MS})
+        p.set_state(State.PLAYING)
+        data = collect(sink, 3)
+        n = len(sink.samples)
+        caps = sink.samples[0].caps if n else None
+        p.set_state(State.NULL)
+        assert n >= 3
+        s = caps.structure(0)
+        assert s.name == "audio/x-raw" and int(s["rate"]) == 48000
+        arr = np.frombuffer(data, np.float32)
+        assert (arr == 0).all()  # silence
+        assert "retrying" in status_msgs(p)
+
+    def test_enable_audio_false_yields_video_dummy(self, tmp_path):
+        """`enable-audio`/`enable-video` + `dummy-video-caps` rows."""
+        p, src, sink = build(**{
+            "uri": f"file://{tmp_path}/missing.bin",
+            "restart-timeout": 20 * MS, "enable-audio": False,
+            "dummy-video-caps": "video/x-raw,format=RGB,width=16,height=8,framerate=50/1"})
+        p.set_state(State.PLAYING)
+        collect(sink, 2)
+        caps = sink.samples[0].caps
+        p.set_state(State.NULL)
+        s = caps.structure(0)
+        assert s.name == "video/x-raw"
+        assert int(s["width"]) == 16 and int(s["height"]) == 8
+        frame = np.asarray(sink.samples[0].buffer.data)
+        assert frame.shape == (8, 16, 3) and (frame == 0).all()  # black
 
     def test_restart_on_eos(self, tmp_path):
+        """`restart-on-eos` row: the primary chain is rebuilt at EOS
+        instead of forwarding it."""
         f = tmp_path / "loop.bin"
         f.write_bytes(b"XY")
-        src = fx.element_factory_make("fallbacksrc")
-        src.set_property("uri", f"file://{f}")
-        src.set_property("restart-on-eos", True)
-        sink = fx.element_factory_make("appsink")
-        p = fx.Pipeline()
-        p.add(src); p.add(sink)
-        src.link(sink)
-        p.set_state(fx.State.PLAYING)
-        # drive a bounded number of iterations: restart-on-eos never ends
-        for _ in range(5):
-            src.iterate()
-        p.set_state(fx.State.NULL)
-        data = b"".join(np.asarray(s.buffer.data).tobytes() for s in sink.samples)
-        assert data.startswith(b"XYXY")  # looped past EOS
+        p, src, sink = build(**{"uri": f"file://{f}",
+                                "restart-on-eos": True})
+        p.set_state(State.PLAYING)
+        data = collect(sink, 3)
+        p.set_state(State.NULL)
+        assert data.startswith(b"XYXYXY")
+        assert src.statistics["last-retry-reason"] == "eos"
+        assert src.statistics["num-retry"] >= 2
+
+    def test_retry_timeout_gives_up(self, tmp_path):
+        """`retry-timeout` row: repeated failure beyond the wall-clock
+        window posts an ERROR and stops."""
+        p, src, sink = build(**{"uri": f"file://{tmp_path}/missing.bin",
+                                "retry-timeout": 0})
+        p.set_state(State.PLAYING)
+        deadline = time.monotonic() + 5
+        while src.status != "stopped" and time.monotonic() < deadline:
+            time.sleep(0.01)
+        errors = [m for m in p.bus.messages()
+                  if m.type.name == "ERROR"]
+        p.set_state(State.NULL)
+        assert src.status == "stopped"
+        assert errors, "no ERROR posted on give-up"
 
     def test_immediate_fallback(self, tmp_path):
-        f = tmp_path / "a.bin"; f.write_bytes(b"PRIMARY")
-        fb = tmp_path / "b.bin"; fb.write_bytes(b"FB")
-        data, msgs = run_src(
-            tmp_path,
-            **{"uri": f"file://{f}", "fallback-uri": f"file://{fb}",
-               "immediate-fallback": True},
-        )
-        assert data == b"FB"
-        assert msgs[0] == "fallback"
+        """`immediate-fallback` row: fallback output before the first
+        timeout elapses when the primary is slow to start."""
+        fb = tmp_path / "fb.bin"
+        fb.write_bytes(b"FB")
+        p, src, sink = build(**{
+            "uri": f"file://{tmp_path}/missing.bin",
+            "fallback-uri": f"file://{fb}",
+            # enormous timeout: only immediate-fallback can produce output
+            "timeout": 3600 * 1000 * MS,
+            "restart-timeout": 3600 * 1000 * MS,
+            "immediate-fallback": True})
+        p.set_state(State.PLAYING)
+        data = collect(sink, 1, timeout=5.0)
+        p.set_state(State.NULL)
+        assert data.startswith(b"FB")
+
+    def test_statistics_structure(self, tmp_path):
+        """`statistics` row: live num-retry / last-retry-reason /
+        buffering-percent fields."""
+        p, src, sink = build(**{"uri": f"file://{tmp_path}/missing.bin",
+                                "restart-timeout": 10 * MS})
+        p.set_state(State.PLAYING)
+        deadline = time.monotonic() + 5
+        while src.statistics["num-retry"] < 2 and \
+                time.monotonic() < deadline:
+            time.sleep(0.01)
+        stats = src.statistics
+        p.set_state(State.NULL)
+        assert stats.name == "application/x-fallbacksrc-stats"
+        assert stats["num-retry"] >= 2
+        assert "No such file" in stats["last-retry-reason"]
+        assert stats["buffering-percent"] == 100
+
+    def test_update_uri_signal(self, tmp_path):
+        """`update-uri` signal + `enable-dummy` rows: the next restart uses
+        the new uri; with enable-dummy=false no dummy streams appear in the
+        meantime."""
+        good = tmp_path / "good.bin"
+        good.write_bytes(b"DATA" * 8)
+        p, src, sink = build(**{"uri": f"file://{tmp_path}/missing.bin",
+                                "restart-timeout": 20 * MS,
+                                "enable-dummy": False})
+        p.set_state(State.PLAYING)
+        time.sleep(0.05)
+        assert not src._streams  # enable-dummy=false: no outage streams
+        src.emit("update-uri", f"file://{good}")
+        data = collect(sink, 1)
+        p.set_state(State.NULL)
+        assert b"DATA" in data
+        assert "running" in status_msgs(p)
+
+    def test_min_latency_in_query(self, tmp_path):
+        """`min-latency` row: added to LATENCY query results."""
+        from gst_plugins_rs_tpu.core import Query, QueryType
+
+        f = tmp_path / "a.bin"
+        f.write_bytes(b"DATA")
+        p, src, sink = build(**{"uri": f"file://{f}",
+                                "min-latency": 123456})
+        p.play_until_eos()
+        pad = src.pads.get("src") or next(iter(src.src_pads()), None)
+        q = Query(QueryType.LATENCY)
+        assert pad.query_function(pad, q)
+        assert q.result["min_latency"] == 123456
+
+    def test_audio_caps_constrains_stream(self):
+        """`audio-caps` row: the decoded stream's caps are intersected
+        with the configured constraint."""
+        from gst_plugins_rs_tpu.core import Event
+        from gst_plugins_rs_tpu.core.parse import parse_caps
+
+        src = fx.element_factory_make("fallbacksrc")
+        src.set_property("audio-caps", "audio/x-raw,rate=48000")
+        st = src._stream_for("audio")
+        got = []
+        st.primary.event_function = lambda pad, ev: got.append(ev) or True
+        src._route_primary("audio", Event.new_caps(parse_caps(
+            "audio/x-raw,format=F32,rate=48000,channels=2")))
+        assert got and got[0].get("caps").structure(0)["rate"] == 48000
 
 
-def test_source_element_property_feeds_primary():
-    from gst_plugins_rs_tpu.core import element_factory_make
+class _FlakySrc:
+    """Test source: produces numbered buffers, dies on command, recovers."""
 
-    import numpy as _np
+    RETRY = object()
 
-    class _MiniSrc:
-        def __init__(self):
-            self.n = 0
-        def start(self):
-            pass
-        def stop(self):
-            pass
-        def create(self):
-            if self.n >= 2:
-                return None
-            self.n += 1
-            return fx.Buffer(_np.full(64, 7, _np.uint8))
+    def __init__(self):
+        self.alive = True
+        self.counter = 0
+        self.produced = threading.Event()
 
-    src = element_factory_make("fallbacksrc")
-    src.set_property("source", _MiniSrc())
-    src.start()
-    buf = src.create()
-    assert buf is not None and np.asarray(buf.data).size > 0
-    assert src.status == "running"
-    src.stop()
+    def start(self):
+        if not self.alive:
+            raise OSError("flaky: down")
 
+    def stop(self):
+        pass
 
-def test_statistics_structure_counts_retries(tmp_path):
-    from gst_plugins_rs_tpu.core import element_factory_make
-
-    fb = tmp_path / "fb.bin"
-    fb.write_bytes(b"F" * 64)
-    src = element_factory_make("fallbacksrc")
-    src.set_property("uri", "file:///nonexistent/definitely")
-    src.set_property("fallback-uri", f"file://{fb}")
-    src.set_property("retry-timeout", 3)
-    src.start()
-    buf = src.create()
-    assert buf is not None
-    stats = src.statistics
-    assert stats.name == "application/x-fallbacksrc-stats"
-    assert stats["num-fallback-retry"] >= 1
-    assert stats["buffering-percent"] == 100
-    assert src.status == "fallback"
-    src.stop()
+    def create(self):
+        if not self.alive:
+            raise OSError("flaky: died mid-stream")
+        self.counter += 1
+        self.produced.set()
+        time.sleep(0.001)  # yield so the test thread can intervene
+        # values 1..9 only: 0x47 ('G') would typefind as an MPEG-TS sync
+        # 4096 bytes: decodebin exposes unknown byte streams once 4 KiB
+        # accumulated (elements/generic/decodebin.py _chain)
+        return fx.Buffer(np.full(4096, 1 + self.counter % 9, np.uint8))
 
 
-def test_caps_property_constrains_negotiation():
-    from gst_plugins_rs_tpu.core import element_factory_make
-    from gst_plugins_rs_tpu.core import Caps
+class TestClockDrivenFailover:
+    """VERDICT r3 #6 done-criterion: primary dies mid-stream -> fallback
+    (dummy) within `timeout` -> primary restored after `restart-timeout`,
+    all driven on a TestClock."""
 
-    src = element_factory_make("fallbacksrc")
-    src.set_property("video-caps", "video/x-raw,format=RGB,width=8,height=8")
-    out = src.fixate(Caps.new_any())
-    s = out.structure(0)
-    assert s.name == "video/x-raw" and s["width"] == 8
+    def test_failover_and_recovery(self, tmp_path):
+        flaky = _FlakySrc()
+        p, src, sink = build(**{
+            "source": flaky,
+            "timeout": 100 * MS,
+            "restart-timeout": 200 * MS,
+            "retry-timeout": 60_000 * MS,
+            "dummy-audio-caps": "audio/x-raw,format=F32,rate=48000,channels=1"})
+        tc = TestClock()
+        p.use_clock(tc)
+        p.set_state(State.PLAYING)
+
+        # phase 1: primary flows
+        assert flaky.produced.wait(5.0)
+        deadline = time.monotonic() + 5
+        while not sink.samples and time.monotonic() < deadline:
+            time.sleep(0.01)
+        assert sink.samples, "primary data never arrived"
+        assert src.status == "running"
+
+        # phase 2: primary dies mid-stream; advance past `timeout` so the
+        # switch's clock-armed deadline fires and the dummy takes over
+        flaky.alive = False
+        time.sleep(0.05)  # let the worker hit the error
+        n_before = len(sink.samples)
+        for _ in range(8):
+            tc.advance(50 * MS)  # switch timeout + dummy pacing
+            time.sleep(0.02)
+        deadline = time.monotonic() + 5
+        dummy_seen = False
+        while time.monotonic() < deadline and not dummy_seen:
+            for s in sink.samples[n_before:]:
+                arr = np.asarray(s.buffer.data)
+                # the byte-stream dummy: 4096 zero bytes per period
+                if arr.size == 4096 and (arr == 0).all():
+                    dummy_seen = True
+                    break
+            tc.advance(50 * MS)
+            time.sleep(0.01)
+        assert dummy_seen, "fallback dummy stream never took over"
+        assert "retrying" in status_msgs(p)
+
+        # phase 3: primary recovers; the retry fires after restart-timeout
+        # on the TestClock and real data flows again
+        flaky.alive = True
+        for _ in range(12):
+            tc.advance(100 * MS)
+            time.sleep(0.02)
+        deadline = time.monotonic() + 5
+        recovered = False
+        while time.monotonic() < deadline and not recovered:
+            for s in sink.samples[n_before:]:
+                arr = np.asarray(s.buffer.data)
+                if arr.dtype == np.uint8 and arr.size >= 16 and arr[0] != 0:
+                    recovered = True
+                    break
+            tc.advance(100 * MS)
+            time.sleep(0.01)
+        p.set_state(State.NULL)
+        assert recovered, "primary never restored after recovery"
+        assert src.statistics["num-retry"] >= 1
+
+    def test_manual_unblock_holds_fallback(self, tmp_path):
+        """`manual-unblock` row: the recovered primary stays held until
+        the unblock signal."""
+        flaky = _FlakySrc()
+        p, src, sink = build(**{
+            "source": flaky,
+            "manual-unblock": True,
+            "timeout": 50 * MS,
+            "restart-timeout": 50 * MS,
+            "retry-timeout": 60_000 * MS})
+        p.set_state(State.PLAYING)
+        assert flaky.produced.wait(5.0)
+        deadline = time.monotonic() + 5
+        while not sink.samples and time.monotonic() < deadline:
+            time.sleep(0.01)
+        flaky.alive = False
+        time.sleep(0.2)  # error + retry begins
+        flaky.alive = True
+        # wait until the primary produces again (recovery)
+        deadline = time.monotonic() + 5
+        c0 = flaky.counter
+        while flaky.counter == c0 and time.monotonic() < deadline:
+            time.sleep(0.01)
+        time.sleep(0.2)
+        st = src._streams["src"]
+        assert st.primary.get_property("is-healthy") is False, \
+            "manual-unblock did not hold the recovered primary"
+        src.emit("unblock")
+        assert st.primary.get_property("is-healthy") is True
+        p.set_state(State.NULL)
