@@ -42,6 +42,16 @@ def _caps_32() -> Caps:
     return caps
 
 
+def _caps_32_or_batch() -> Caps:
+    """Raw RGB frames, or analyticscombiner batch buffers (every stream's
+    frame in a window runs as ONE batched — optionally mesh-sharded —
+    forward pass; the TPU-native multi-stream path of SURVEY §2.3)."""
+    caps = _caps_32()
+    from .combiner import BATCH_CAPS
+
+    return Caps(list(caps.structures) + [s.copy() for s in BATCH_CAPS.structures])
+
+
 class YoloxInference(VideoFilter):
     ELEMENT_NAME = "yoloxinference"
     ELEMENT_CLASS = "Filter/Analyzer/Video"
@@ -49,8 +59,8 @@ class YoloxInference(VideoFilter):
     MODE = TransformMode.ALWAYS_IN_PLACE
     PASSTHROUGH_ON_SAME_CAPS = False
     TRANSFORM_IP_ON_PASSTHROUGH = False
-    SINK_CAPS = _caps_32()
-    SRC_CAPS = _caps_32()
+    SINK_CAPS = _caps_32_or_batch()
+    SRC_CAPS = _caps_32_or_batch()
 
     PROPERTIES = [
         Prop("model-type", "tiny", type="enum", choices=["nano", "tiny", "s", "m", "l", "x"],
@@ -65,11 +75,20 @@ class YoloxInference(VideoFilter):
              doc="bf16 compute halves activation traffic in the "
                  "small-channel backbone stages (PERF_NOTES.md round-3 "
                  "YOLOX s2d engine measurements)"),
-        Prop("engine", "fast", type="enum", choices=["fast", "reference"],
+        Prop("engine", "fast", type="enum",
+             choices=["fast", "fast-bf16", "reference"],
              mutable="ready",
              doc="fast = s2d-domain inference engine (models/yolox_fast.py, "
-                 "numerically equivalent, measured ~2x on v5e); reference = "
-                 "the reference-shaped flax graph (models/yolox.py)"),
+                 "numerically equivalent, measured ~2x on v5e); fast-bf16 "
+                 "additionally runs the dominant stem+dark2 stage in "
+                 "bfloat16 activations (detection-level parity gated in "
+                 "tests/test_yolox_fast.py); reference = the "
+                 "reference-shaped flax graph (models/yolox.py)"),
+        Prop("shard", False, type="bool", mutable="ready",
+             doc="shard the batch axis of analytics-batch input over a "
+                 "jax.sharding.Mesh of all visible devices (one forward "
+                 "pass per combiner window, streams data-parallel over "
+                 "the mesh)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -77,17 +96,36 @@ class YoloxInference(VideoFilter):
         self._model: Optional[Yolox] = None
         self._vars = None
         self._apply = None
+        self._batch_mode = False
+        self._mesh = None
 
     def start(self) -> None:
         variant = self.get_property("model-type")
         ncls = self.get_property("num-classes")
         self._model = Yolox.from_variant(variant, ncls)
         self._vars = None  # lazily initialized at first frame (needs H, W)
+        if self.get_property("shard"):
+            import numpy as _np
+            from jax.sharding import Mesh
+
+            self._mesh = Mesh(_np.array(jax.devices()), ("batch",))
 
     def stop(self) -> None:
         self._model = None
         self._vars = None
         self._apply = None
+        self._mesh = None
+
+    def set_caps(self, incaps: Caps, outcaps: Caps) -> None:
+        # analytics-batch input: per-stream video info comes from each
+        # BatchStreamEntry's caps instead of the element caps
+        if incaps.structure(0).name == "multistream/x-analytics-batch":
+            self._batch_mode = True
+            self.video_info = None
+            self.out_video_info = None
+            return
+        self._batch_mode = False
+        super().set_caps(incaps, outcaps)
 
     def _ensure_vars(self, h: int, w: int) -> None:
         if self._vars is not None:
@@ -100,11 +138,14 @@ class YoloxInference(VideoFilter):
             self._vars = load_torch_weights(path, self._vars)
         dtype = (jnp.bfloat16 if self.get_property("precision") == "bf16"
                  else jnp.float32)
-        if self.get_property("engine") == "fast":
+        engine = self.get_property("engine")
+        if engine in ("fast", "fast-bf16"):
             # weights stay f32 in the tree; apply_fast folds BN and casts
             # per-conv at trace time (constant-folded by XLA)
+            s2d_dtype = jnp.bfloat16 if engine == "fast-bf16" else None
             self._apply = jax.jit(
-                lambda v, img: apply_fast(model, v, img, dtype=dtype))
+                lambda v, img: apply_fast(model, v, img, dtype=dtype,
+                                          s2d_dtype=s2d_dtype))
         elif dtype == jnp.bfloat16:
             self._vars = jax.tree_util.tree_map(
                 lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
@@ -116,7 +157,65 @@ class YoloxInference(VideoFilter):
         else:
             self._apply = jax.jit(lambda v, img: model.apply(v, img))
 
+    def _transform_batch(self, buf: Buffer) -> Buffer:
+        """analytics-batch input: ONE forward pass over every frame in the
+        window ([N,H,W,3] stacked on device), optionally sharded over the
+        mesh (shard=true, streams data-parallel); per-frame [1,boxes,85]
+        TensorMeta slices are attached to each inner stream buffer."""
+        from .combiner import BatchMeta
+        from ...core.video import VideoInfo
+
+        meta = buf.get_meta(BatchMeta)
+        if meta is None or not meta.streams:
+            return buf
+        frames, owners = [], []
+        h = w = None
+        for entry in meta.streams:
+            vi = VideoInfo.from_caps(entry.caps) if entry.caps else None
+            for inner in entry.buffers:
+                if inner.data is None:
+                    continue
+                arr = jnp.asarray(inner.data)
+                if arr.ndim == 2:  # flat bytes: need caps dims
+                    assert vi is not None, "batch stream without video caps"
+                    arr = arr.reshape(vi.height, vi.width, 3)
+                if h is None:
+                    h, w = int(arr.shape[0]), int(arr.shape[1])
+                elif (int(arr.shape[0]), int(arr.shape[1])) != (h, w):
+                    raise ValueError(
+                        "analytics-batch streams must share dimensions for "
+                        f"batched inference: {(h, w)} vs {arr.shape[:2]}")
+                frames.append(arr)
+                owners.append(inner)
+        if not frames:
+            return buf
+        self._ensure_vars(h, w)
+        batch = jnp.stack(frames)  # [N, H, W, 3] u8
+        n = batch.shape[0]
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            ndev = len(self._mesh.devices.ravel())
+            pad = (-n) % ndev
+            if pad:  # batch must tile the mesh; padded rows are discarded
+                batch = jnp.concatenate(
+                    [batch, jnp.zeros((pad,) + batch.shape[1:], batch.dtype)])
+            batch = jax.device_put(
+                batch, NamedSharding(self._mesh, P("batch")))
+            with self._mesh:
+                out = self._apply(self._vars, batch)
+        else:
+            out = self._apply(self._vars, batch)
+        boxes, cols = int(out.shape[1]), int(out.shape[2])
+        for i, inner in enumerate(owners):
+            inner.add_meta(TensorMeta([
+                Tensor(YOLOX_OUT, TensorDataType.FLOAT32, (1, boxes, cols),
+                       TensorDimOrder.ROW_MAJOR, out[i:i + 1])]))
+        return buf
+
     def transform_ip(self, buf: Buffer) -> Buffer:
+        if self._batch_mode:
+            return self._transform_batch(buf)
         info = self.video_info
         assert info is not None
         h, w = info.height, info.width

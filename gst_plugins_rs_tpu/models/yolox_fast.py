@@ -175,10 +175,16 @@ def _csp_block(params, stats, x, n, spp):
     return _csp_bottleneck(params["c3"], stats["c3"], x, n, not spp)
 
 
-def _stem_dark2_s2d(params, stats, x, base_depth):
+def _stem_dark2_s2d(params, stats, x, base_depth, s2d_dtype, out_dtype):
     """stem + dark2 entirely in the s2d domain.
 
-    x: [B,H,W,3] float.  Returns [B,H/4,W/4,2*base_ch] (dark2 output)."""
+    x: [B,H,W,3] u8 or float.  Returns [B,H/4,W/4,2*base_ch] (dark2
+    output, float32).  The Focus16 transform runs in the INPUT dtype and
+    casts once at the end: u8 rows don't lane-pad, so transposing before
+    casting reads 1.2 MB/frame instead of 4.9 (isolated: 0.016 -> 0.007
+    ms/frame, examples/_yolox_r4_variants.py).  s2d_dtype=bfloat16 halves
+    the stage's inter-conv HBM traffic (engine=fast-bf16; detections
+    gated in tests/test_yolox_fast.py)."""
     b, h, w, c = x.shape
     # fused Focus(s2d, reference channel order (f1,e1,c)) + second s2d:
     # image row = 4p + 2e2 + e1, col = 4q + 2f2 + f1; channels
@@ -187,6 +193,7 @@ def _stem_dark2_s2d(params, stats, x, base_depth):
     #            b   p     e2 e1  q     f2 f1  c
     y = y.transpose(0, 1, 4, 2, 5, 6, 3, 7)  # b p q e2 f2 f1 e1 c
     y = y.reshape(b, h // 4, w // 4, 16 * c)
+    y = y.astype(s2d_dtype)
 
     st = params["stem"]["conv"], stats["stem"]["conv"]
     W, bb = _fold_bn(st[0]["conv"], st[0]["bn"], st[1]["bn"])
@@ -198,7 +205,7 @@ def _stem_dark2_s2d(params, stats, x, base_depth):
     y = _conv(y, s2d_kernel_s2(W), _tile4(bb), stride=2)  # [B,80,80,8*bc]
 
     y = _c3_s2d(d2p["c3"], d2s["c3"], y, base_depth)
-    return un_s2d(y)                                      # [B,160,160,2*bc]
+    return un_s2d(y).astype(out_dtype)                    # [B,160,160,2*bc]
 
 
 def _c3_s2d(c3p, c3s, y, n):
@@ -227,9 +234,15 @@ def _c3_s2d(c3p, c3s, y, n):
 
 
 def apply_fast(model: Yolox, variables: Dict[str, Any], x,
-               dtype=jnp.float32):
+               dtype=jnp.float32, s2d_dtype=None):
     """Drop-in replacement for model.apply(variables, x) (non-depthwise
-    variants; others delegate to the flax model)."""
+    variants; others delegate to the flax model).
+
+    s2d_dtype: activation dtype for the s2d stem+dark2 stage only
+    (defaults to dtype).  bfloat16 is the engine=fast-bf16 path: exact
+    detections are preserved (gated at the detection level in
+    tests/test_yolox_fast.py) while the dominant stage's HBM traffic
+    halves; the rest of the model stays in `dtype`."""
     if model.depthwise:
         return model.apply(variables, x)
     params = variables["params"]
@@ -237,15 +250,15 @@ def apply_fast(model: Yolox, variables: Dict[str, Any], x,
     bp, bs = params["backbone"], stats["backbone"]
     bbp, bbs = bp["backbone"], bs["backbone"]
 
-    if not jnp.issubdtype(x.dtype, jnp.floating):
-        x = x.astype(dtype)
-    elif x.dtype != dtype:
+    if s2d_dtype is None:
+        s2d_dtype = dtype
+    if jnp.issubdtype(x.dtype, jnp.floating) and x.dtype != dtype:
         x = x.astype(dtype)
 
     base_depth = max(round(model.depth * 3), 1)
     n_neck = round(3 * model.depth)
 
-    x = _stem_dark2_s2d(bbp, bbs, x, base_depth)
+    x = _stem_dark2_s2d(bbp, bbs, x, base_depth, s2d_dtype, dtype)
     # dark3 stays NHWC: running its C3 in s2d measured 4.2x on the isolated
     # 3x3/s1 convs but a same-process full-model A/B was a wash (within the
     # ±6% relay noise) — the s2d/un_s2d transitions eat the conv gain at
@@ -278,19 +291,28 @@ def apply_fast(model: Yolox, variables: Dict[str, Any], x,
                         hs[f"cls_convs_{i}"]["conv0"], feat)
         cf = _base_conv(hp[f"cls_convs_{i}"]["conv1"],
                         hs[f"cls_convs_{i}"]["conv1"], cf)
-        cls_out = _conv(cf, hp[f"cls_preds_{i}"]["kernel"],
-                        hp[f"cls_preds_{i}"]["bias"], act=False)
         rf = _base_conv(hp[f"reg_convs_{i}"]["conv0"],
                         hs[f"reg_convs_{i}"]["conv0"], feat)
         rf = _base_conv(hp[f"reg_convs_{i}"]["conv1"],
                         hs[f"reg_convs_{i}"]["conv1"], rf)
-        reg_out = _conv(rf, hp[f"reg_preds_{i}"]["kernel"],
-                        hp[f"reg_preds_{i}"]["bias"], act=False)
-        obj_out = _conv(rf, hp[f"obj_preds_{i}"]["kernel"],
-                        hp[f"obj_preds_{i}"]["bias"], act=False)
+        # fused prediction conv: one 1x1 over concat([rf, cf]) emitting
+        # [reg4 | obj1 | cls80] directly in output order — exact block
+        # rewrite of the three separate preds (reg/obj read rf, cls reads
+        # cf), one lane-padded write instead of three + a concat.
+        Wr = hp[f"reg_preds_{i}"]["kernel"]
+        Wo = hp[f"obj_preds_{i}"]["kernel"]
+        Wc = hp[f"cls_preds_{i}"]["kernel"]
+        hc = Wr.shape[2]
+        K = jnp.zeros((1, 1, 2 * hc, 5 + Wc.shape[3]), Wr.dtype)
+        K = K.at[:, :, :hc, 0:4].set(Wr)
+        K = K.at[:, :, :hc, 4:5].set(Wo)
+        K = K.at[:, :, hc:, 5:].set(Wc)
+        bias = jnp.concatenate([hp[f"reg_preds_{i}"]["bias"],
+                                hp[f"obj_preds_{i}"]["bias"],
+                                hp[f"cls_preds_{i}"]["bias"]])
+        out = _conv(jnp.concatenate([rf, cf], axis=-1), K, bias, act=False)
         out = jnp.concatenate(
-            [reg_out, jax.nn.sigmoid(obj_out), jax.nn.sigmoid(cls_out)],
-            axis=-1)
+            [out[..., :4], jax.nn.sigmoid(out[..., 4:])], axis=-1)
         b_, h_, w_, c_ = out.shape
         shapes.append((h_, w_))
         outs.append(out.reshape(b_, h_ * w_, c_))

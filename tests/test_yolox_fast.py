@@ -79,6 +79,26 @@ class TestApplyFast:
         # scores (sigmoid outputs, cols 4:) stay within a few percent
         assert float(jnp.abs(f32[..., 4:] - b16[..., 4:]).max()) < 0.05
 
+    def test_fast_bf16_stem_detection_parity(self):
+        """engine=fast-bf16 (bf16 stem+dark2 only) must keep detections:
+        same top-ranked cells, boxes within ~a pixel, scores within 5%."""
+        rng = np.random.RandomState(6)
+        m = Yolox.from_variant("tiny")
+        x = jnp.asarray(rng.randint(0, 256, (1, 128, 128, 3)).astype(np.uint8))
+        v = m.init(jax.random.PRNGKey(0), x)
+        f32 = apply_fast(m, v, x)
+        hyb = apply_fast(m, v, x, s2d_dtype=jnp.bfloat16)
+        assert hyb.shape == f32.shape and hyb.dtype == jnp.float32
+        # scores (obj*cls max) rank the same cells at the top
+        s_f32 = np.asarray(f32[0, :, 4] * f32[0, :, 5:].max(-1))
+        s_hyb = np.asarray(hyb[0, :, 4] * hyb[0, :, 5:].max(-1))
+        top = np.argsort(s_f32)[-20:]
+        assert len(set(top) & set(np.argsort(s_hyb)[-20:])) >= 18
+        # the top cells' boxes agree to ~a pixel, scores to 5%
+        assert float(np.abs(np.asarray(f32)[0, top, :4]
+                            - np.asarray(hyb)[0, top, :4]).max()) < 1.5
+        assert float(np.abs(s_f32[top] - s_hyb[top]).max()) < 0.05
+
     def test_depthwise_falls_back(self):
         rng = np.random.RandomState(5)
         m = Yolox.from_variant("nano")
