@@ -34,13 +34,18 @@ def _progress(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _bench(step, state, iters=200):
+def _bench(step, state, iters=200, repeats=3):
     """Time a dependency-chained step: state = step(state) repeated.
 
     Chaining prevents the runtime from overlapping/eliding dispatches; a
     scalar checksum readback at the end forces completion.  Differential
     timing (t(3n) - t(n)) cancels the readback/dispatch fixed costs, which
-    vary too much on this relay for subtract-a-zero-run to be reliable."""
+    vary too much on this relay for subtract-a-zero-run to be reliable.
+
+    The differential measurement is repeated `repeats` times and the MEDIAN
+    per-step time is returned (VERDICT r4 #7: single-run numbers drift ±17%
+    across relay days; median-of-3 inside one run removes the within-run
+    tail, the `relay_drift_factor` in the JSON normalizes across days)."""
     state1 = step(state)  # compile
     _checksum(state1)
 
@@ -52,16 +57,40 @@ def _bench(step, state, iters=200):
         _checksum(s)
         return time.perf_counter() - t0
 
-    t1 = run(iters)
-    t3 = run(3 * iters)  # differential cancels fixed costs
-    dt_diff = (t3 - t1) / (2 * iters)
-    dt_abs = t3 / (3 * iters)  # conservative: includes fixed costs
-    # relay timing variance can make t1 >= t3/3 (differential ~ 0 or
-    # negative); fall back to the absolute rate rather than reporting a
-    # physically impossible number
-    if dt_diff < 0.2 * dt_abs:
-        return dt_abs
-    return dt_diff
+    samples = []
+    for _ in range(repeats):
+        t1 = run(iters)
+        t3 = run(3 * iters)  # differential cancels fixed costs
+        dt_diff = (t3 - t1) / (2 * iters)
+        dt_abs = t3 / (3 * iters)  # conservative: includes fixed costs
+        # relay timing variance can make t1 >= t3/3 (differential ~ 0 or
+        # negative); fall back to the absolute rate rather than reporting a
+        # physically impossible number
+        samples.append(dt_abs if dt_diff < 0.2 * dt_abs else dt_diff)
+    samples.sort()
+    return samples[len(samples) // 2]
+
+
+# Nominal per-step seconds for the pinned drift-reference kernel below,
+# recorded on the round-4 capture day (BENCH_r04's relay state).  The
+# drift factor = measured / nominal lets cross-round comparisons divide
+# out day-to-day relay speed (PERF_NOTES: identical code measured 0.494
+# vs 0.577 ms/frame on different days).  The kernel is pure MXU work at a
+# fixed shape so its runtime tracks the device+relay state, not the code
+# under test.
+_DRIFT_NOMINAL_S = 1.632e-4  # measured 2026-08-19 (BENCH_r04 capture day)
+
+
+def _measure_drift(jax, jnp):
+    """Time the pinned reference matmul; returns (dt, drift_factor)."""
+    a = jnp.ones((2048, 2048), jnp.float32)
+
+    @jax.jit
+    def ref_step(x):
+        return jnp.tanh(x @ a * 1e-4)
+
+    dt = _bench(ref_step, a, iters=50, repeats=3)
+    return dt, dt / _DRIFT_NOMINAL_S
 
 
 def _init_backend(max_wait_s: float = 600.0):
@@ -413,13 +442,25 @@ def main():
     results["yolox_s_640_fps"] = YB / dt
     _progress("bench: yolox s done")
 
+    drift_dt, drift = _measure_drift(jax, jnp)
+    _progress(f"bench: drift reference done ({drift_dt*1e3:.3f} ms/step, "
+              f"factor {drift:.3f})")
+
     # Honest headline: the WORST tracked metric vs its BASELINE.md target
     # (VERDICT r1: a cherry-picked best-metric headline hides misses).
+    #
+    # colorlut targets follow the BASELINE.md re-baseline (proposed r3,
+    # applied r5 per VERDICT r4 #2 after two rounds unadjudicated): exact
+    # per-pixel 3D-LUT sampling is gather-rate-bound on this hardware
+    # (9 kernel families measured, PERF_NOTES "colorlut gather analysis")
+    # at ~100 fps/chip; the 1000 fps tier is carried by precision=approx
+    # (rank-64 CP, <=2 u8 LSB guaranteed).  The hsv+colorlut chain embeds
+    # the exact colorlut so inherits its target.
     targets = {
         "hsv_1080p_fps": 2000.0,
-        "colorlut_1080p_fps": 2000.0,
-        "colorlut_approx_1080p_fps": 2000.0,
-        "chain_hsv_colorlut_1080p_fps": 2000.0,
+        "colorlut_1080p_fps": 100.0,
+        "colorlut_approx_1080p_fps": 1000.0,
+        "chain_hsv_colorlut_1080p_fps": 100.0,
         "echo_realtime_x": 100.0,
         "hrtf_realtime_x": 100.0,
         "agingradio_realtime_x": 100.0,
@@ -439,7 +480,12 @@ def main():
                 "unit": "frames/s" if "fps" in worst else "realtime-x",
                 "vs_baseline": round(ratios[worst], 3),
                 "detail": {k: round(v, 1) for k, v in results.items()},
+                # drift-normalized rates: rate * drift = what the same code
+                # would measure on the nominal (round-4 capture) relay day
+                "detail_normalized": {
+                    k: round(v * drift, 1) for k, v in results.items()},
                 "ratios": {k: round(v, 3) for k, v in ratios.items()},
+                "relay_drift_factor": round(drift, 4),
                 "device": str(jax.devices()[0]),
             }
         )
