@@ -74,19 +74,36 @@ class AudioLoudNorm(Element):
         Prop("offset", 0.0, minimum=-99.0, maximum=99.0, mutable="ready",
              doc="Offset Gain in LU"),
         Prop("time-shard", False, type="bool", mutable="ready",
-             doc="SP mode (SURVEY §2.3): buffer the whole stream and "
-                 "normalize it with ONE linear gain, the time axis sharded "
-                 "across every visible device "
-                 "(parallel/timeshard.sharded_loudnorm_linear — blocked-IIR "
-                 "K-weighting with all_gather state handoff, ppermute halo "
-                 "for the 400 ms gating-block overlap, psum'd gating "
-                 "histogram).  Semantics = the reference's LINEAR frame "
-                 "type (imp.rs:323-366,781-816) applied to the whole "
-                 "stream; streaming First/Inner/Final gain is sequential "
-                 "at 100 ms frames by construction and stays single-"
-                 "device.  Sample-parity with the default path on sub-3s "
-                 "streams is test-gated (tests/test_timeshard.py)."),
+             doc="SP mode (SURVEY §2.3): shard the time axis across every "
+                 "visible device.  See time-shard-mode for semantics."),
+        Prop("time-shard-mode", "streaming", type="enum",
+             choices=["streaming", "linear"], mutable="ready",
+             doc="streaming (default): SAME OUTPUT as time-shard=false — "
+                 "input is processed in bounded chunks; each chunk's "
+                 "K-weighting/energy/peak analysis runs parallel across "
+                 "the mesh (parallel/timeshard."
+                 "sharded_kweight_frame_analysis: exact blocked-IIR with "
+                 "all_gather state handoff) and the sequential gain/"
+                 "limiter chain scans the precomputed results "
+                 "(ops/loudnorm.inner_frames_scan_pre).  The chain itself "
+                 "cannot be sharded without changing output: frame i's "
+                 "limiter output feeds r128_out which feeds frame i+1's "
+                 "delta (imp.rs:526-608).  Sample-parity on >=6 s streams "
+                 "is test-gated (tests/test_timeshard_streaming.py).  "
+                 "linear: buffer the WHOLE stream and normalize with ONE "
+                 "linear gain (parallel/timeshard.sharded_loudnorm_linear "
+                 "— ppermute halo for the 400 ms gating overlap, psum'd "
+                 "gating histogram).  Semantics = the reference's LINEAR "
+                 "frame type (imp.rs:323-366,781-816) applied to the "
+                 "whole stream: for streams >= 3 s the output DIFFERS "
+                 "from the streaming algorithm and memory grows with "
+                 "stream length — a WARNING bus message is posted when "
+                 "that threshold is crossed."),
     ]
+
+    # streaming time-shard: frames per device per chunk (the memory bound:
+    # a chunk is mesh_size * this * 100 ms of audio)
+    _TS_FRAMES_PER_DEV = 4
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -100,6 +117,7 @@ class AudioLoudNorm(Element):
         self.sinkpad.event_function = self._sink_event
         self.srcpad.query_function = self._src_query
         self._state: Optional[_State] = None
+        self._ts_linear_warned = False
 
     # ------------------------------------------------------------------
     # Processing
@@ -144,6 +162,52 @@ class AudioLoudNorm(Element):
                 out_pts = None if pts is None else pts + 100 * SECOND // 1000 - 3 * SECOND
                 self._push_out(out, out_pts)
 
+    def _drain_chunks_streaming_sharded(self) -> None:
+        """Streaming time-shard: process whole chunks of M = devices * K
+        frames as they accumulate.  Phase A (input K-weighting, subblock
+        energies, frame peaks) runs parallel across the mesh; phase B (the
+        sequential gain/limiter chain) scans the precomputed results.
+        Output is sample-parity with the default path; memory is bounded
+        by one chunk + the 3 s backlog in the state."""
+        from ...parallel.streams import make_stream_mesh
+        from ...parallel.timeshard import sharded_kweight_frame_analysis
+
+        s = self._state
+        # the 3 s first frame stays on the default path (one-off)
+        if s.frame_type == "first" and s.adapter.available() >= s.samples_per_frame:
+            pts = self._adapter_pts()
+            src = jnp.asarray(s.adapter.take(s.samples_per_frame), s.dtype)
+            s.dev, out = LN.first_frame_step_jit(s.dev, s.params, src)
+            s.frame_type = "inner"
+            s.samples_per_frame = LN.FRAME
+            self._push_out(out, pts)
+        if s.frame_type != "inner":
+            return
+        mesh = make_stream_mesh(axis="time")
+        m_frames = mesh.shape["time"] * self._TS_FRAMES_PER_DEV
+        chunk = m_frames * LN.FRAME
+        while s.adapter.available() >= chunk:
+            pts = self._adapter_pts()
+            src = jnp.asarray(s.adapter.take(chunk), s.dtype)
+            energies, peaks, filt_z = sharded_kweight_frame_analysis(
+                src, s.dev.r128_in.filt_z, s.params, mesh, m_frames,
+                axis="time")
+            # tiny per-frame scalars; phase B runs as a plain (replicated)
+            # jit on fully-addressable arrays
+            energies = jnp.asarray(jax.device_get(energies), s.dtype)
+            peaks = jnp.asarray(jax.device_get(peaks), s.dtype)
+            filt_z = jnp.asarray(jax.device_get(filt_z), s.dtype)
+            srcs = src.reshape(m_frames, LN.FRAME, -1)
+            s.dev, outs = LN.inner_frames_scan_pre_jit(
+                s.dev, s.params, srcs, energies, peaks)
+            # hand the sharded filter's exit state back so the default
+            # path (EOS drain, leftover frames) continues exactly
+            s.dev = s.dev._replace(
+                r128_in=s.dev.r128_in._replace(filt_z=filt_z))
+            out = outs.reshape(m_frames * LN.FRAME, -1)
+            out_pts = None if pts is None else pts + 100 * SECOND // 1000 - 3 * SECOND
+            self._push_out(out, out_pts)
+
     def _drain_sharded(self, src, pts: Optional[int]) -> None:
         """Whole-stream linear normalization on a time-sharded mesh."""
         from ...parallel.streams import make_stream_mesh
@@ -167,11 +231,18 @@ class AudioLoudNorm(Element):
         s = self._state
         if s is None:
             return
+        time_shard = self.get_property("time-shard")
+        linear = time_shard and self.get_property("time-shard-mode") == "linear"
+        if time_shard and not linear:
+            # streaming shard mode: the sub-chunk leftover continues on the
+            # default sequential path (bit-identical), then falls through
+            # to the normal final drain below
+            self._drain_full_frames()
         pts = self._adapter_pts()
         avail = s.adapter.available()
         src = s.adapter.take(avail) if avail else None
 
-        if self.get_property("time-shard"):
+        if linear:
             if src is not None and src.shape[0] > 0:
                 self._drain_sharded(src, pts)
             return
@@ -206,6 +277,7 @@ class AudioLoudNorm(Element):
         # else: nothing buffered at all
 
     def _reset_state(self) -> None:
+        self._ts_linear_warned = False
         if self._state is not None:
             self._state = _State(self, self._state.info)
 
@@ -223,6 +295,26 @@ class AudioLoudNorm(Element):
         s.adapter.push(buf)
         if not self.get_property("time-shard"):
             self._drain_full_frames()
+        elif self.get_property("time-shard-mode") == "streaming":
+            self._drain_chunks_streaming_sharded()
+        elif (not self._ts_linear_warned
+              and s.adapter.available() >= LN.GAIN_LOOKAHEAD):
+            # linear whole-stream mode past 3 s: output will diverge from
+            # the streaming algorithm and memory grows with stream length
+            # (VERDICT r4 #8)
+            self._ts_linear_warned = True
+            from ...core import Message, MessageType, Structure
+
+            self.post_message(Message(
+                MessageType.WARNING, src=self,
+                structure=Structure(
+                    "audioloudnorm-time-shard-linear",
+                    text="time-shard-mode=linear received >= 3 s of input: "
+                         "output diverges from the streaming algorithm "
+                         "(reference LINEAR frame type applies one whole-"
+                         "stream gain, imp.rs:323-366) and the element "
+                         "buffers the entire stream until EOS",
+                )))
         return FlowReturn.OK
 
     def _sink_event(self, pad: Pad, event: Event) -> bool:

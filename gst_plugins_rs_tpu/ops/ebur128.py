@@ -421,6 +421,23 @@ def _ingest_subblock_energies(state: R128State, params: R128Params, e):
     )
 
 
+def r128_ingest_frame(state: R128State, params: R128Params, e, sp) -> R128State:
+    """Ingest ONE 100 ms subblock whose K-weighted energy sum `e` (scalar)
+    and per-channel sample peak `sp` [ch] were precomputed by the
+    time-sharded analysis path (parallel/timeshard.py phase A).
+
+    Equivalent to `r128_add_full_subblocks` on the frame except: filt_z is
+    NOT touched (the sharded filter carries it across chunks and hands the
+    exit state back at chunk end), and true peak is NOT updated (loudnorm
+    never consumes it — the reference's linear mode reads sample peak only,
+    audio/audiofx/src/audioloudnorm/imp.rs:333-340)."""
+    state = state._replace(
+        sample_peak=jnp.maximum(state.sample_peak, sp),
+        prev_sample_peak=sp,
+    )
+    return _ingest_subblock_energies(state, params, e[None])
+
+
 def r128_add_full_subblocks(state: R128State, params: R128Params, x) -> R128State:
     """Process x: [B * n100, ch] (whole number of 100 ms subblocks).
 
@@ -630,6 +647,7 @@ __all__ = [
     "loudness_shortterm",
     "merged_loudness_global",
     "r128_add_full_subblocks",
+    "r128_ingest_frame",
     "r128_init",
     "r128_params",
     "r128_update_peaks",

@@ -39,6 +39,7 @@ from .ebur128 import (
     loudness_global,
     loudness_shortterm,
     r128_add_full_subblocks,
+    r128_ingest_frame,
     r128_init,
     r128_params,
     relative_threshold_energy,
@@ -446,16 +447,27 @@ def _scale_and_limit(state: LoudnormState, params: LoudnormParams, scale_src):
     return state, out
 
 
+def _inner_frame_after_ingest(state: LoudnormState, params: LoudnormParams, src):
+    """Inner-frame machinery after the r128_in input analysis: backlog
+    shift, gain-interp + limiter, r128_out add, gain update.  This is the
+    part of the frame chain that is SEQUENTIAL BY CONSTRUCTION: frame i's
+    limiter output feeds r128_out, whose global loudness feeds frame i+1's
+    delta (imp.rs:526-608) — a feedback loop through full-rate sample data
+    that no time-sharding can cut without changing the output."""
+    state, out = _scale_and_limit(state, params, src)
+    state = state._replace(
+        r128_out=r128_add_full_subblocks(state.r128_out, params.r128, out))
+    state = _update_gain(state, params)
+    return state, out
+
+
 def inner_frame_step(state: LoudnormState, params: LoudnormParams, src):
     """Process one 100 ms inner frame (imp.rs:609-647). src: [FRAME, ch]."""
     rp = params.r128
     state = state._replace(r128_in=r128_add_full_subblocks(state.r128_in, rp, src))
     scale_src = state.backlog[:FRAME]
     state = state._replace(backlog=jnp.concatenate([state.backlog[FRAME:], src], axis=0))
-    state, out = _scale_and_limit(state, params, scale_src)
-    state = state._replace(r128_out=r128_add_full_subblocks(state.r128_out, rp, out))
-    state = _update_gain(state, params)
-    return state, out
+    return _inner_frame_after_ingest(state, params, scale_src)
 
 
 def first_frame_step_batched(state: LoudnormState, params: LoudnormParams, src):
@@ -592,6 +604,30 @@ def inner_frames_scan(state: LoudnormState, params: LoudnormParams, srcs):
     return state, outs
 
 
+def inner_frames_scan_pre(state: LoudnormState, params: LoudnormParams,
+                          srcs, energies, peaks):
+    """`inner_frames_scan` with the r128_in input analysis PRECOMPUTED.
+
+    The time-sharded streaming mode (parallel/timeshard.py
+    sharded_kweight_frame_analysis) computes the K-weighted subblock
+    energies and per-frame sample peaks of a whole chunk in parallel
+    across the mesh; this scan then runs the sequential remainder of the
+    frame chain (see _inner_frame_after_ingest) bit-comparably to the
+    default path.  srcs: [K, FRAME, ch]; energies: [K]; peaks: [K, ch].
+    r128_in.filt_z is NOT advanced here — the caller restores the sharded
+    filter's exit state afterwards (loudnorm_set_filt_z)."""
+
+    def step(s, inp):
+        src, e, sp = inp
+        s = s._replace(r128_in=r128_ingest_frame(s.r128_in, params.r128, e, sp))
+        scale_src = s.backlog[:FRAME]
+        s = s._replace(backlog=jnp.concatenate([s.backlog[FRAME:], src], axis=0))
+        return _inner_frame_after_ingest(s, params, scale_src)
+
+    state, outs = jax.lax.scan(step, state, (srcs, energies, peaks))
+    return state, outs
+
+
 def drain_scan(state: LoudnormState, params: LoudnormParams, padded_src):
     """Whole final-frame drain in one dispatch: append step + 29 zero-input
     steps (30 x 100 ms out; caller trims to 29*FRAME + num real samples)."""
@@ -611,6 +647,7 @@ inner_frame_step_jit = jax.jit(inner_frame_step)
 final_frame_step_jit = jax.jit(final_frame_step)
 final_append_step_jit = jax.jit(final_append_step)
 inner_frames_scan_jit = jax.jit(inner_frames_scan)
+inner_frames_scan_pre_jit = jax.jit(inner_frames_scan_pre)
 drain_scan_jit = jax.jit(drain_scan)
 
 
@@ -633,6 +670,7 @@ __all__ = [
     "final_frame_step_jit",
     "inner_frames_scan",
     "inner_frames_scan_jit",
+    "inner_frames_scan_pre_jit",
     "first_frame_step",
     "first_frame_step_jit",
     "gaussian_weights",

@@ -51,7 +51,8 @@ def sharded_fir(x, h, mesh: Mesh, axis: str = "time"):
     return fn(x, h)
 
 
-def _shard_biquad(x_local, b, a, W, axis: str):
+def _shard_biquad(x_local, b, a, W, axis: str, s0=None, powers=None,
+                  return_exit=False):
     """Exact biquad over ONE shard of a time-sharded signal.
 
     Two local blocked-IIR passes (ops/ebur128.biquad_apply — MXU matmul
@@ -73,7 +74,18 @@ def _shard_biquad(x_local, b, a, W, axis: str):
     Wk = jnp.take(jnp.asarray(W, x_local.dtype), k, axis=0)  # [S, 2, 2]
     s_in = jnp.einsum("jab,jbc->ac", Wk, g,
                       precision=jax.lax.Precision.HIGHEST)
-    y, _ = biquad_apply(x_local, b, a, s_in)
+    if s0 is not None:
+        # continuing a longer stream: the chunk's entry state s0 propagates
+        # into shard k as A^(L*k) @ s0 (powers[k]; linearity of the IIR)
+        Pk = jnp.take(jnp.asarray(powers, x_local.dtype), k, axis=0)
+        s_in = s_in + jnp.einsum("ab,bc->ac", Pk, s0,
+                                 precision=jax.lax.Precision.HIGHEST)
+    y, zf = biquad_apply(x_local, b, a, s_in)
+    if return_exit:
+        # per-shard pass-2 final state; the caller takes the LAST shard's
+        # as the chunk exit (returned sharded — VMA cannot statically prove
+        # an all_gather result replicated)
+        return y, zf
     return y
 
 
@@ -92,6 +104,77 @@ def _entry_state_weights(a, L: int, n_shards: int):
         for j in range(k):
             W[k, j] = pows[k - 1 - j]
     return W
+
+
+def _entry_powers(a, L: int, n_shards: int):
+    """Host-precomputed A^(L*k) for k in [0, S) (f64) — the entry-state
+    propagation matrices for a chunk that continues a longer stream."""
+    import numpy as np
+
+    _, a1, a2 = np.asarray(a, np.float64)
+    A = np.array([[-a1, 1.0], [-a2, 0.0]])
+    AL = np.linalg.matrix_power(A, L)
+    pows = [np.eye(2)]
+    for _ in range(n_shards - 1):
+        pows.append(AL @ pows[-1])
+    return np.stack(pows)
+
+
+def sharded_kweight_frame_analysis(x, filt_z0, params, mesh: Mesh,
+                                   n_frames: int, axis: str = "time"):
+    """Phase A of the time-sharded STREAMING loudnorm: the input analysis
+    of one chunk of `n_frames` 100 ms frames, parallel across the mesh.
+
+    The streaming gain chain itself cannot be sharded without changing the
+    output: frame i's limiter output feeds r128_out, whose global loudness
+    feeds frame i+1's delta (imp.rs:526-608 — a feedback loop through
+    full-rate sample data).  What IS parallel is everything the chain
+    consumes about the INPUT: the K-weighting biquad cascade (exact
+    blocked-IIR with all_gather state handoff, continuing the carried
+    filter state `filt_z0` via A^(L*k) entry propagation), the per-frame
+    K-weighted energy sums, and the per-frame sample peaks.  Phase B
+    (ops/loudnorm.inner_frames_scan_pre) then scans the sequential
+    remainder bit-comparably to the default path.
+
+    x: [n_frames * FRAME, ch] with n_frames divisible by the mesh size;
+    filt_z0: [2, 2, ch] carried K-filter state.  Returns
+    (energies [n_frames], peaks [n_frames, ch], filt_z_exit [2, 2, ch]).
+    """
+    rp = params.r128
+    n100 = rp.n100
+    S = mesh.shape[axis]
+    N = int(x.shape[0])
+    if n_frames % S or N != n_frames * n100:
+        raise ValueError(f"chunk of {n_frames} frames not shardable over {S}")
+    L = N // S
+    K_local = n_frames // S
+    W1 = _entry_state_weights(rp.coeffs_a[0], L, S)
+    W2 = _entry_state_weights(rp.coeffs_a[1], L, S)
+    P1 = _entry_powers(rp.coeffs_a[0], L, S)
+    P2 = _entry_powers(rp.coeffs_a[1], L, S)
+
+    def kernel(x_local, z0, weights):
+        y1, z1x = _shard_biquad(x_local, rp.coeffs_b[0], rp.coeffs_a[0],
+                                W1, axis, s0=z0[0], powers=P1,
+                                return_exit=True)
+        y2, z2x = _shard_biquad(y1, rp.coeffs_b[1], rp.coeffs_a[1],
+                                W2, axis, s0=z0[1], powers=P2,
+                                return_exit=True)
+        wsq = jnp.einsum("nc,c->n", y2 * y2, weights)
+        e = jnp.sum(wsq.reshape(K_local, n100), axis=1)        # [K_local]
+        sp = jnp.max(jnp.abs(x_local).reshape(K_local, n100, -1), axis=1)
+        return e, sp, jnp.stack([z1x, z2x])[None]  # [1, 2, 2, ch] per shard
+
+    fn = jax.jit(shard_map(
+        kernel,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P()),
+        out_specs=(P(axis), P(axis), P(axis)),
+    ))
+    e, sp, zfs = fn(x, filt_z0, rp.weights)
+    # zfs: [S, 2, 2, ch] per-shard exit states; the chunk's exit state is
+    # the last shard's (its pass 2 ran with the true entry state)
+    return e, sp, zfs[-1]
 
 
 def sharded_loudnorm_linear(x, params, mesh: Mesh, n_valid_sb: int,
@@ -227,4 +310,5 @@ def sharded_block_loudness(x, mesh: Mesh, n100: int, axis: str = "time"):
     return fn(x)
 
 
-__all__ = ["sharded_fir", "sharded_block_loudness", "sharded_loudnorm_linear"]
+__all__ = ["sharded_fir", "sharded_block_loudness", "sharded_loudnorm_linear",
+           "sharded_kweight_frame_analysis"]

@@ -102,7 +102,7 @@ class TestShardedLoudnormLinear:
         np.testing.assert_allclose(np.asarray(y)[:n], x * gain_ref,
                                    rtol=1e-12, atol=0)
 
-    def _run_element(self, sig, time_shard):
+    def _run_element(self, sig, time_shard, mode="linear"):
         from gst_plugins_rs_tpu import parse_launch
         from gst_plugins_rs_tpu.core import Buffer, Caps, SECOND
 
@@ -110,6 +110,7 @@ class TestShardedLoudnormLinear:
             "appsrc name=src ! audioloudnorm name=ln ! appsink name=sink")
         if time_shard:
             p.by_name("ln").set_property("time-shard", True)
+            p.by_name("ln").set_property("time-shard-mode", mode)
         src = p.by_name("src")
         src.set_property("caps", Caps.builder(
             "audio/x-raw", format="F64", rate=self.RATE,
