@@ -112,6 +112,27 @@ class FMP4KeyframeMeta(Meta):
         self.pts = pts
 
 
+class _Gop:
+    """One queued GOP: a sync sample and its following delta units.
+
+    The fmp4 muxer queues whole GOPs and cuts fragments only at GOP
+    boundaries (fmp4mux/imp.rs:1655-1729 ChunkStrategy::None: a stream is
+    fragment-filled once a FINALIZED GOP ends at/after the fragment end).
+    `final` = the GOP's end is known (next keyframe arrived, or EOS)."""
+
+    __slots__ = ("samples", "start_ts", "dur_ts", "final")
+
+    def __init__(self, start_ts: int):
+        self.samples: List[Tuple[bytes, int, bool]] = []  # (data, dur_ts, sync)
+        self.start_ts = start_ts
+        self.dur_ts = 0
+        self.final = False
+
+    @property
+    def end_ts(self) -> int:
+        return self.start_ts + self.dur_ts
+
+
 class _Stream:
     """Per-sink-pad muxing state."""
 
@@ -127,12 +148,114 @@ class _Stream:
         self.track: Optional[bmff.TrackConfig] = None
         self.configured_caps: Optional[Caps] = None
         self.pending_caps: Optional[Caps] = None  # caps change awaiting a keyframe
-        # pending (not yet written) samples for the current fragment
+        # queued-but-unassigned GOPs (video) / samples (sync-only streams)
+        self.gops: List[_Gop] = []
+        # pending (staged for the next cut) samples
         self.pending: List[Tuple[bytes, int, bool]] = []  # (data, dur_ts, sync)
         self.decode_ts = 0  # cumulative decode time of first pending sample
         self.pending_dur = 0  # sum of pending durations (ts units)
         # non-fragmented accumulation
         self.table = bmff.SampleTable()
+
+    # -- GOP queue (fragmented path) ----------------------------------------
+    @property
+    def intra_only(self) -> bool:
+        """Audio / metadata streams: every sample is a sync point, so a
+        fragment may cut anywhere (the reference drains partial GOPs for
+        intra-only streams)."""
+        return not (self.track is not None and self.track.handler == "vide")
+
+    def queue_sample(self, data: bytes, dur_ts: int, sync: bool,
+                     pts_ts: Optional[int] = None) -> None:
+        """Queue one sample.  pts_ts (track-timescale units) lets a sparse
+        stream's NEW GOP start later than the cumulative end (late first
+        keyframe / gaps between GOPs); contiguous streams stay on the
+        cumulative clock so duration rounding never drifts."""
+        start = self.queued_end_ts
+        if self.intra_only:
+            if pts_ts is not None and pts_ts > start and not self.gops \
+                    and not self.pending and not self.decode_ts:
+                start = pts_ts
+            g = _Gop(start)
+            g.samples.append((data, dur_ts, True))
+            g.dur_ts = dur_ts
+            g.final = True
+            self.gops.append(g)
+            return
+        if not sync and not self.gops and not self.pending \
+                and not self.decode_ts:
+            # delta units before the stream's first keyframe cannot be
+            # decoded: dropped (fmp4mux's pre-first-GOP discard —
+            # tests/fmp4_tests.rs test_multi_stream_late_key_frame)
+            return
+        if sync or not self.gops:
+            if self.gops:
+                self.gops[-1].final = True
+            if pts_ts is not None and pts_ts > start:
+                start = pts_ts
+            self.gops.append(_Gop(start))
+        g = self.gops[-1]
+        g.samples.append((data, dur_ts, sync))
+        g.dur_ts += dur_ts
+
+    def finalize_gops(self) -> None:
+        """EOS / forced drain: all queued GOP ends become known."""
+        for g in self.gops:
+            g.final = True
+
+    @property
+    def queued_end_ts(self) -> int:
+        if self.gops:
+            return self.gops[-1].end_ts
+        return self.decode_ts + self.pending_dur
+
+    def stage_up_to(self, cut_ts: Optional[int]) -> None:
+        """Move queued samples into `pending` for the next cut.
+
+        cut_ts = None stages everything.  Video streams move whole GOPs
+        with end <= cut_ts (at least one if the first final GOP overshoots
+        — the long-GOP fragment extension, fmp4mux/imp.rs:1684-1729);
+        intra-only streams split GOP-lessly at the boundary."""
+        while self.gops:
+            g = self.gops[0]
+            if cut_ts is None or g.end_ts <= cut_ts:
+                self._stage_gop(g)
+                continue
+            if self.intra_only or not g.final:
+                break
+            if not self.pending and g.start_ts < cut_ts:
+                # late keyframe: the whole (finalized) GOP extends the
+                # fragment past its target end
+                self._stage_gop(g)
+            break
+
+    def _stage_gop(self, g: "_Gop") -> None:
+        if not self.pending and g.start_ts > self.decode_ts:
+            # sparse stream: the fragment's decode time jumps to the GOP
+            # start (tfdt follows the actual timeline, not the sample sum)
+            self.decode_ts = g.start_ts
+        self.pending.extend(g.samples)
+        self.pending_dur += g.dur_ts
+        assert self.gops[0] is g
+        self.gops.pop(0)
+
+    def stage_chunk_up_to(self, cut_ts: int) -> None:
+        """Chunk staging: split GOP-lessly at the boundary (a chunk's first
+        buffer may be a delta unit — ChunkStrategy::Duration)."""
+        while self.gops:
+            g = self.gops[0]
+            if g.end_ts <= cut_ts:
+                self._stage_gop(g)
+                continue
+            while g.samples and g.start_ts < cut_ts:
+                if not self.pending and g.start_ts > self.decode_ts:
+                    self.decode_ts = g.start_ts
+                data, dur, sync = g.samples.pop(0)
+                self.pending.append((data, dur, sync))
+                self.pending_dur += dur
+                g.start_ts += dur
+                g.dur_ts -= dur
+            break
 
     def _apply_tags(self, s) -> None:
         """Per-track language (mdhd) and video orientation (tkhd matrix)
@@ -343,7 +466,12 @@ class _MuxBase(Aggregator):
             dur = event.get("duration")
             if st is not None and dur and st.timescale:
                 gap_ts = int(dur) * st.timescale // SECOND
-                if st.pending:
+                if st.gops and st.gops[-1].samples:
+                    g = st.gops[-1]
+                    data, sdur, sync = g.samples[-1]
+                    g.samples[-1] = (data, sdur + gap_ts, sync)
+                    g.dur_ts += gap_ts
+                elif st.pending:
                     data, sdur, sync = st.pending[-1]
                     st.pending[-1] = (data, sdur + gap_ts, sync)
                     st.pending_dur += gap_ts
@@ -535,6 +663,7 @@ class FMP4Mux(_MuxBase):
         super().__init__(name)
         self._seq = 1
         self._frag_start_ns = 0
+        self._chunk_start_ns = 0
         self._first_pts: Optional[int] = None
         self._mfra: Dict[int, List[bmff.MfraEntry]] = {}
         self._total_dur_ts: Dict[int, int] = {}
@@ -548,6 +677,7 @@ class FMP4Mux(_MuxBase):
             )
         self._seq = self.get_property("start-fragment-sequence-number")
         self._frag_start_ns = 0
+        self._chunk_start_ns = 0
         self._first_pts = None
         self._mfra = {}
         self._total_dur_ts = {}
@@ -597,8 +727,11 @@ class FMP4Mux(_MuxBase):
         self.srcpad.push_event(Event.new_caps(self._src_caps()))
         self.srcpad.push_event(Event.new_segment(Segment()))
         self._header_sent = True
+        # HEADER|DISCONT on the init segment (fmp4_tests.rs
+        # test_buffer_flags_single_stream: stream header flags)
         return self._push_bytes(
-            self._header_bytes(final=False), pts=0, duration=None, flags=BufferFlags.HEADER
+            self._header_bytes(final=False), pts=0, duration=None,
+            flags=BufferFlags.HEADER | BufferFlags.DISCONT,
         )
 
     # -- fragments -----------------------------------------------------------
@@ -667,7 +800,11 @@ class FMP4Mux(_MuxBase):
             # DASH media segments are prefixed with styp (brands.rs:322-328)
             data = bmff.styp(b"msdh", 0, [b"msdh", b"msix"]) + data
         self._seq += 1
-        flags = BufferFlags.NONE if fragment_boundary else BufferFlags.DELTA_UNIT
+        # the chunk that STARTS a fragment is the non-delta one (reference
+        # fragment headers carry no DELTA_UNIT, continuation chunk headers
+        # do — fmp4_tests.rs test_chunking_single_stream flags)
+        flags = (BufferFlags.NONE if start_ns <= self._frag_start_ns
+                 else BufferFlags.DELTA_UNIT)
         buf = Buffer(
             np.frombuffer(data, np.uint8),
             pts=start_ns, duration=end_ns - start_ns,
@@ -711,6 +848,9 @@ class FMP4Mux(_MuxBase):
                 FlowReturn.ERROR,
                 f"{self.name}: caps change within a GOP (next buffer is a "
                 "delta unit) is not supported")
+        for s in self.active_streams():
+            s.finalize_gops()
+            s.stage_up_to(None)
         ret = self._cut(fragment_boundary=True)
         if ret != FlowReturn.OK:
             return ret
@@ -756,41 +896,188 @@ class FMP4Mux(_MuxBase):
             return FlowReturn.OK
         _pts, st = min(candidates, key=lambda c: c[0])
         buf = st.pad.pop_buffer()
+        manual = self.get_property("manual-split")
+        frag_dur = self.get_property("fragment-duration")
         if self._first_pts is None:
             self._first_pts = buf.pts or 0
+            self._frag_start_ns = 0
+            # earliest PTS known -> announce the SECOND fragment's start to
+            # upstream encoders (fmp4mux/imp.rs:2085-2103)
+            if not manual:
+                self._request_keyunit(self._frag_start_ns)
         if st.pending_caps is not None:
             ret = self._apply_caps_change(st, buf)
             if ret != FlowReturn.OK:
                 return ret
         data, dur, sync = st.to_sample(buf)
-        manual = self.get_property("manual-split")
         # chunk-mode=keyframe: every keyframe starts a new chunk
-        # (ChunkStrategy::Keyframe, fmp4mux/imp.rs:133,3028)
-        if (not manual and sync and st.pending
+        # (ChunkStrategy::Keyframe, fmp4mux/imp.rs:133,3028); a keyframe
+        # at/after the fragment end also closes the fragment
+        if (not manual and sync and (st.pending or st.gops)
                 and self.get_property("chunk-mode") == "keyframe"
                 and st.track is not None and st.track.handler == "vide"):
-            ret = self._cut(fragment_boundary=False)
+            key_ns = st.queued_end_ts * SECOND // st.timescale
+            frag_boundary = key_ns >= self._frag_start_ns + frag_dur
+            for s in self.active_streams():
+                s.stage_up_to(None)
+            ret = self._cut(fragment_boundary=frag_boundary)
             if ret != FlowReturn.OK:
                 return ret
-        st.pending.append((data, dur, sync))
-        st.pending_dur += dur
+        pts_ts = None if buf.pts is None else buf.pts * st.timescale // SECOND
+        st.queue_sample(data, dur, sync, pts_ts=pts_ts)
 
         if manual:
-            return FlowReturn.OK  # cuts arrive via FMP4MuxSplitNow only
-        frag_dur = self.get_property("fragment-duration")
+            st.stage_up_to(None)  # cuts arrive via FMP4MuxSplitNow only
+            return FlowReturn.OK
         chunk_dur = self.get_property("chunk-duration")
         if self.get_property("chunk-mode") == "duration" and not chunk_dur:
             raise RuntimeError(
                 f"{self.name}: chunk-mode=duration requires chunk-duration")
-        live = [s for s in self.active_streams() if not s.pad.is_inactive() or s.pending]
-        frag_end = self._frag_start_ns + frag_dur
-        if live and all(s.end_ns >= frag_end for s in live):
-            return self._cut(fragment_boundary=True)
-        if chunk_dur and live and all(
-            s.pending and s.pending_dur * SECOND // s.timescale >= chunk_dur for s in live
-        ):
-            return self._cut(fragment_boundary=False)
+
+        def _live():
+            return [s for s in self.active_streams()
+                    if not s.pad.is_inactive() or s.pending or s.gops]
+
+        if chunk_dur:
+            return self._aggregate_chunked(_live, frag_dur, chunk_dur)
+        # several fragments may become due from one consumed buffer (a very
+        # late keyframe releases every fragment the sparse stream was
+        # blocking — fmp4_tests.rs test_multi_stream_late_key_frame_skips_*)
+        live = _live()
+        while live:
+            frag_end = self._frag_start_ns + frag_dur
+            if not all(self._stream_fragment_filled(s, frag_end)
+                       for s in live):
+                break
+            cut_ns = self._select_cut(live, frag_end)
+            for s in live:
+                s.stage_up_to(cut_ns * s.timescale // SECOND)
+            if not any(s.pending for s in live):
+                break  # nothing stageable (all data past the cut)
+            ret = self._cut(fragment_boundary=True)
+            if ret != FlowReturn.OK:
+                return ret
+            live = _live()
         return FlowReturn.OK
+
+    def _aggregate_chunked(self, _live, frag_dur: int,
+                           chunk_dur: int) -> FlowReturn:
+        """chunk-duration mode (ChunkStrategy::Duration): chunk-sized cuts
+        that split GOP-lessly; the fragment closes at the first KEYFRAME
+        at/after the fragment end (chunks already shipped the data up to
+        the target, so — unlike fragment-only mode — the boundary can only
+        move FORWARD to the next key: fmp4_tests.rs
+        test_chunking_single_stream*_gops_after_fragment_end_*)."""
+        ret = FlowReturn.OK
+        while True:
+            live = _live()
+            if not live:
+                return ret
+            frag_end = self._frag_start_ns + frag_dur
+            chunk_end = self._chunk_start_ns + chunk_dur
+            key_pos = self._next_fragment_key_pos(live, frag_end)
+            if key_pos is not None and key_pos <= self._chunk_start_ns:
+                # fragment closes exactly at the last chunk's end: no
+                # closing chunk needed, the next chunk starts the fragment
+                self._frag_start_ns = key_pos
+                self._request_keyunit(key_pos)
+                continue
+            if key_pos is not None and key_pos <= chunk_end:
+                # closing chunk [chunk_start, key_pos)
+                for s in live:
+                    s.stage_chunk_up_to(key_pos * s.timescale // SECOND)
+                if not any(s.pending for s in live):
+                    return ret
+                self._chunk_start_ns = key_pos
+                ret = self._cut(fragment_boundary=True)
+                if ret != FlowReturn.OK:
+                    return ret
+                continue
+            # normal chunk [chunk_start, chunk_end): cut once every live
+            # stream has queued past the chunk end
+            if not all(s.queued_end_ts * SECOND // s.timescale >= chunk_end
+                       for s in live):
+                return ret
+            # The leader (first) stream drains up to the nominal chunk end
+            # — a sample straddling the boundary is included — and the
+            # chunk's ACTUAL end is wherever its drain landed; the other
+            # streams then drain to that end and the next chunk target
+            # rolls from it, not from the nominal grid
+            # (fmp4mux/imp.rs:2307-2330 dequeue_end_pts / :3606
+            # chunk_start_pts = chunk_end_pts).
+            leader = live[0]
+            leader.stage_chunk_up_to(chunk_end * leader.timescale // SECOND)
+            actual_end_ns = max(
+                chunk_end,
+                (leader.decode_ts + leader.pending_dur) * SECOND
+                // leader.timescale,
+            )
+            for s in live[1:]:
+                s.stage_chunk_up_to(actual_end_ns * s.timescale // SECOND)
+            if not any(s.pending for s in live):
+                return ret
+            self._chunk_start_ns = actual_end_ns
+            ret = self._cut(fragment_boundary=False)
+            if ret != FlowReturn.OK:
+                return ret
+
+    def _next_fragment_key_pos(self, live, frag_end_ns: int) -> Optional[int]:
+        """Where the current fragment will close in chunk mode: the start
+        of the leader video stream's first sync-headed GOP at/after the
+        fragment end (None = keyframe not seen yet).  Audio-only: the
+        fragment target itself."""
+        video = [s for s in live if not s.intra_only]
+        if not video:
+            return frag_end_ns
+        s = video[0]
+        end_ts = frag_end_ns * s.timescale // SECOND
+        for g in s.gops:
+            if g.samples and g.samples[0][2] and g.start_ts >= end_ts:
+                return g.start_ts * SECOND // s.timescale
+        if s.pad.is_inactive():
+            return frag_end_ns
+        return None
+
+    def _queued_ns(self, st: _Stream) -> int:
+        """ns of data queued beyond what has already been cut."""
+        return (st.queued_end_ts - st.decode_ts - st.pending_dur) * SECOND // st.timescale
+
+    def _stream_fragment_filled(self, st: _Stream, frag_end_ns: int) -> bool:
+        """fmp4mux/imp.rs:1655-1729: a stream has enough data for the
+        current fragment once a FINALIZED GOP ends at/after the fragment
+        end (video), or — intra-only — once its queued data reaches the
+        boundary.  A first GOP starting after the fragment end also counts
+        (sparse/late stream: it contributes nothing to this fragment)."""
+        end_ts = frag_end_ns * st.timescale // SECOND
+        if st.pad.is_inactive():
+            st.finalize_gops()
+            return True
+        if st.intra_only:
+            return st.queued_end_ts >= end_ts
+        if st.gops and st.gops[0].start_ts >= end_ts:
+            return True
+        return any(g.final and g.end_ts >= end_ts for g in st.gops)
+
+    def _select_cut(self, live: List[_Stream], frag_end_ns: int) -> int:
+        """The fragment's actual end: GOP-aligned on the video stream(s).
+
+        The largest final-GOP end <= the target among video streams; if the
+        first video GOP overshoots, its end (fragment extension — the
+        long-GOP case).  Audio-only: the target itself."""
+        video = [s for s in live if not s.intra_only and s.gops]
+        if not video:
+            return frag_end_ns
+        cuts = []
+        for s in video:
+            end_ts = frag_end_ns * s.timescale // SECOND
+            aligned = [g.end_ts for g in s.gops if g.final and g.end_ts <= end_ts]
+            if aligned:
+                cuts.append(max(aligned) * SECOND // s.timescale)
+            else:
+                g = s.gops[0]
+                if g.final and g.start_ts < end_ts:
+                    cuts.append(g.end_ts * SECOND // s.timescale)
+        return min(cuts) if cuts else frag_end_ns
 
     def drain(self) -> None:
         if not self._header_sent:
@@ -801,8 +1088,9 @@ class FMP4Mux(_MuxBase):
         for st in self.active_streams():
             while st.pad.has_buffer():
                 data, dur, sync = st.to_sample(st.pad.pop_buffer())
-                st.pending.append((data, dur, sync))
-                st.pending_dur += dur
+                st.queue_sample(data, dur, sync)
+            st.finalize_gops()
+            st.stage_up_to(None)
         self._cut(fragment_boundary=True)
         if self.get_property("write-mfra"):
             # DEFAULT_WRITE_MFRA=false (fmp4mux/imp.rs:149)
