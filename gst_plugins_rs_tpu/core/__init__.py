@@ -28,7 +28,16 @@ from .element import (
     Prop,
     State,
 )
-from .events import Event, EventType, Message, MessageType, Query, QueryType, Segment
+from .events import (
+    Event,
+    EventType,
+    Message,
+    MessageType,
+    Query,
+    QueryType,
+    Segment,
+    SegmentFlags,
+)
 from .harness import Harness
 from .parse import parse_caps, parse_launch, parse_value
 from .pipeline import Pipeline
@@ -80,6 +89,7 @@ __all__ = [
     "QueryType",
     "SECOND",
     "Segment",
+    "SegmentFlags",
     "State",
     "Structure",
     "TransformMode",

@@ -198,6 +198,18 @@ class TestClock(Clock):
         with self._lock:
             return len([c for c in self._pending if not c._unscheduled])
 
+    def crank(self) -> bool:
+        """Advance to the earliest pending wait and fire it — the
+        gst_test_clock_crank_single_clock_wait analog.  Returns False when
+        nothing is pending."""
+        with self._lock:
+            live = [c for c in self._pending if not c._unscheduled]
+            if not live:
+                return False
+            target = min(c.time for c in live)
+        self.set_time(max(target, self.now()))
+        return True
+
     def _wait(self, cid: ClockId) -> ClockReturn:
         with self._lock:
             if cid.time <= self._now:

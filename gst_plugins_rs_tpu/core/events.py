@@ -7,9 +7,20 @@ elements speak (sink_event hooks, segment handling, element messages like
 from __future__ import annotations
 
 import enum
+import itertools
 from typing import Any, Dict, Optional
 
 from .caps import Caps, Structure
+
+_event_seqnums = itertools.count(1)
+
+
+class SegmentFlags(enum.IntFlag):
+    """GstSegmentFlags analog (the subset elements consume)."""
+
+    NONE = 0
+    RESET = 1
+    SEGMENT = 8  # emit SEGMENT_DONE instead of EOS at the segment end
 
 
 class Segment:
@@ -29,6 +40,7 @@ class Segment:
         position: int = 0,
         base: int = 0,
         format: str = "time",
+        flags: SegmentFlags = SegmentFlags.NONE,
     ):
         self.rate = rate
         self.start = start
@@ -37,6 +49,7 @@ class Segment:
         self.position = position
         self.base = base
         self.format = format
+        self.flags = flags
 
     def to_running_time(self, pts: Optional[int]) -> Optional[int]:
         if pts is None or pts < self.start:
@@ -56,6 +69,8 @@ class Segment:
             time=self.time,
             position=self.position,
             base=self.base,
+            format=self.format,
+            flags=self.flags,
         )
 
     def __repr__(self):
@@ -68,6 +83,7 @@ class EventType(enum.Enum):
     SEGMENT = "segment"
     TAG = "tag"
     EOS = "eos"
+    SEGMENT_DONE = "segment-done"
     FLUSH_START = "flush-start"
     FLUSH_STOP = "flush-stop"
     GAP = "gap"
@@ -80,6 +96,9 @@ class EventType(enum.Enum):
 class Event:
     def __init__(self, type_: EventType, **fields: Any):
         self.type = type_
+        # GstEvent seqnum analog: related events (segment -> segment-done/eos)
+        # share one; fresh events draw from a process-wide counter.
+        self.seqnum: int = fields.pop("seqnum", None) or next(_event_seqnums)
         self.fields: Dict[str, Any] = fields
 
     # convenience constructors ------------------------------------------------
@@ -94,12 +113,19 @@ class Event:
         return Event(EventType.CAPS, caps=caps)
 
     @staticmethod
-    def new_segment(segment: Segment) -> "Event":
-        return Event(EventType.SEGMENT, segment=segment)
+    def new_segment(segment: Segment, *, seqnum: Optional[int] = None) -> "Event":
+        return Event(EventType.SEGMENT, segment=segment, seqnum=seqnum)
 
     @staticmethod
-    def new_eos() -> "Event":
-        return Event(EventType.EOS)
+    def new_eos(*, seqnum: Optional[int] = None) -> "Event":
+        return Event(EventType.EOS, seqnum=seqnum)
+
+    @staticmethod
+    def new_segment_done(position: Optional[int] = None, *,
+                         seqnum: Optional[int] = None) -> "Event":
+        """End-of-segment marker for SegmentFlags.SEGMENT playback
+        (gst_event_new_segment_done)."""
+        return Event(EventType.SEGMENT_DONE, position=position, seqnum=seqnum)
 
     @staticmethod
     def new_flush_start() -> "Event":
@@ -207,6 +233,7 @@ class Query:
 
 __all__ = [
     "Segment",
+    "SegmentFlags",
     "Event",
     "EventType",
     "Message",

@@ -156,18 +156,20 @@ class TestLiveSyncClocked:
             layout="interleaved"))
         ls.clock = tc
         ls.set_state(State.PLAYING)
-        h.push(Buffer(np.full((48, 1), 0.5, np.float32), pts=0, duration=MS))
+        h.push(Buffer(np.full((480, 1), 0.5, np.float32), pts=0,
+                      duration=10 * MS))
         assert len(h.pull_all()) == 1
         # upstream stalls: each elapsed period repeats the last buffer with
-        # advancing PTS
-        tc.advance(MS)
-        tc.advance(MS)
+        # advancing PTS (audio repeats are silence: imp.rs:1837-1848)
+        tc.advance(10 * MS)
+        tc.advance(10 * MS)
         reps = h.pull_all()
         assert len(reps) == 2
-        assert [b.pts for b in reps] == [MS, 2 * MS]
-        np.testing.assert_array_equal(np.asarray(reps[0].data), 0.5)
+        assert [b.pts for b in reps] == [10 * MS, 20 * MS]
+        np.testing.assert_array_equal(np.asarray(reps[0].data), 0.0)
         # new input cancels the pending deadline
-        h.push(Buffer(np.full((48, 1), 0.7, np.float32), pts=3 * MS, duration=MS))
+        h.push(Buffer(np.full((480, 1), 0.7, np.float32), pts=30 * MS,
+                      duration=10 * MS))
         assert len(h.pull_all()) == 1
 
     def test_no_buffers_after_eos(self):

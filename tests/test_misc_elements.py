@@ -156,12 +156,17 @@ def test_livesync_fills_gap():
     ls = element_factory_make("livesync")
     h = Harness(ls)
     h.set_src_caps(Caps.builder("audio/x-raw", format="F32", rate=48000, channels=1, layout="interleaved"))
-    h.push(Buffer(np.full((48, 1), 0.5, np.float32), pts=0, duration=MS))
-    h.push_event(Event.new_gap(MS, MS))
+    h.push(Buffer(np.full((480, 1), 0.5, np.float32), pts=0, duration=10 * MS))
+    h.push_event(Event.new_gap(10 * MS, 10 * MS))
     bufs = h.pull_all()
     assert len(bufs) == 2
-    assert bufs[1].pts == MS
-    np.testing.assert_array_equal(np.asarray(bufs[1].data), np.asarray(bufs[0].data))
+    assert bufs[1].pts == 10 * MS
+    # audio gaps repeat as SILENCE with the GAP flag
+    # (livesync/imp.rs:1837-1848 fill_silence)
+    from gst_plugins_rs_tpu.core import BufferFlags
+    assert bufs[1].has_flag(BufferFlags.GAP)
+    np.testing.assert_array_equal(np.asarray(bufs[1].data), 0.0)
+    assert np.asarray(bufs[1].data).shape == np.asarray(bufs[0].data).shape
 
 
 def test_togglerecord_closes_gaps():
