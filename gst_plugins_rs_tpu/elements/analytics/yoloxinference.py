@@ -89,6 +89,15 @@ class YoloxInference(VideoFilter):
                  "jax.sharding.Mesh of all visible devices (one forward "
                  "pass per combiner window, streams data-parallel over "
                  "the mesh)"),
+        Prop("shard-mode", "data", type="enum", choices=["data", "tensor"],
+             mutable="ready",
+             doc="with shard=true: 'data' = streams/batch data-parallel "
+                 "over the mesh; 'tensor' = ONE forward model-parallel — "
+                 "every conv's output channels pjit-sharded over the mesh "
+                 "(parallel/modelparallel.py; SURVEY §2.3 'shard model "
+                 "across TPU mesh with pjit if needed (YOLOX-X)'). Tensor "
+                 "mode pays per-layer all-gathers; prefer data mode unless "
+                 "single-image latency dominates (PERF_NOTES)"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -108,7 +117,9 @@ class YoloxInference(VideoFilter):
             import numpy as _np
             from jax.sharding import Mesh
 
-            self._mesh = Mesh(_np.array(jax.devices()), ("batch",))
+            axis = ("tp" if self.get_property("shard-mode") == "tensor"
+                    else "batch")
+            self._mesh = Mesh(_np.array(jax.devices()), (axis,))
 
     def stop(self) -> None:
         self._model = None
@@ -138,6 +149,19 @@ class YoloxInference(VideoFilter):
             self._vars = load_torch_weights(path, self._vars)
         dtype = (jnp.bfloat16 if self.get_property("precision") == "bf16"
                  else jnp.float32)
+        if self._mesh is not None and "tp" in self._mesh.shape:
+            # tensor parallelism: conv output channels sharded over the mesh
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ...parallel.modelparallel import shard_yolox_variables
+
+            with self._mesh:
+                self._vars = shard_yolox_variables(self._vars, self._mesh)
+            replicated = NamedSharding(self._mesh, P())
+            self._apply = jax.jit(
+                lambda v, img: jax.lax.with_sharding_constraint(
+                    model.apply(v, img), replicated))
+            return
         engine = self.get_property("engine")
         if engine in ("fast", "fast-bf16"):
             # weights stay f32 in the tree; apply_fast folds BN and casts
@@ -192,7 +216,14 @@ class YoloxInference(VideoFilter):
         self._ensure_vars(h, w)
         batch = jnp.stack(frames)  # [N, H, W, 3] u8
         n = batch.shape[0]
-        if self._mesh is not None:
+        if self._mesh is not None and "tp" in self._mesh.shape:
+            # tensor mode: batch replicated, weights channel-sharded
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            batch = jax.device_put(batch, NamedSharding(self._mesh, P()))
+            with self._mesh:
+                out = self._apply(self._vars, batch)
+        elif self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             ndev = len(self._mesh.devices.ravel())
