@@ -148,6 +148,10 @@ class _Stream:
         self.track: Optional[bmff.TrackConfig] = None
         self.configured_caps: Optional[Caps] = None
         self.pending_caps: Optional[Caps] = None  # caps change awaiting a keyframe
+        # serialization: the change only applies to buffers pushed AFTER the
+        # caps event — this many already-queued pad buffers drain first
+        self.pending_caps_after = 0
+        self.pending_retag = False  # tag change awaiting a GOP-boundary header
         # queued-but-unassigned GOPs (video) / samples (sync-only streams)
         self.gops: List[_Gop] = []
         # pending (staged for the next cut) samples
@@ -173,8 +177,13 @@ class _Stream:
         cumulative clock so duration rounding never drifts."""
         start = self.queued_end_ts
         if self.intra_only:
-            if pts_ts is not None and pts_ts > start and not self.gops \
-                    and not self.pending and not self.decode_ts:
+            # sparse starts: the stream's first sample, or a hole of at
+            # least one sample (sub-sample pts jitter stays on the
+            # cumulative clock so duration rounding never drifts)
+            if pts_ts is not None and (
+                    (pts_ts > start and not self.gops and not self.pending
+                     and not self.decode_ts)
+                    or pts_ts >= start + dur_ts):
                 start = pts_ts
             g = _Gop(start)
             g.samples.append((data, dur_ts, True))
@@ -458,6 +467,7 @@ class _MuxBase(Aggregator):
                     and st.configured_caps is not None \
                     and new != st.configured_caps:
                 st.pending_caps = new
+                st.pending_caps_after = len(getattr(pad, "queue", ()) or ())
             return True
         if event.type == EventType.GAP:
             # a gap extends the previous sample's duration so the timeline
@@ -483,7 +493,18 @@ class _MuxBase(Aggregator):
             if st is not None:
                 tags = event.get("tags") or {
                     k: v for k, v in event.fields.items() if k != "tags"}
+                old = (st.tags.get("language-code"),
+                       st.tags.get("image-orientation"))
                 st.tags.update(tags)
+                new = (st.tags.get("language-code"),
+                       st.tags.get("image-orientation"))
+                if (st.track is not None and new != old
+                        and self._prop_specs.get("header-update-mode")
+                        and self.get_property("header-update-mode") == "caps"):
+                    # track-metadata change mid-stream: refresh the init
+                    # header at the next GOP boundary (fmp4_tests.rs
+                    # test_language_change_at_gop_boundary)
+                    st.pending_retag = True
             return True
         return super().sink_event(pad, event)
 
@@ -650,6 +671,12 @@ class FMP4Mux(_MuxBase):
         Prop("enable-keyframe-meta", False, type="bool",
              doc="attach FMP4KeyframeMeta to fragment headers that start "
                  "on a keyframe (single-stream; consumed by hlscmafsink)"),
+        Prop("latency", 0, type="uint64", mutable="ready",
+             doc="live deadline: with a clock and latency > 0, a fragment "
+                 "whose boundary passed this long ago on the clock is cut "
+                 "with the data on hand instead of waiting for lagging "
+                 "streams (the aggregator timeout path, fmp4_tests.rs "
+                 "test_live_timeout); 0 = wait for data forever"),
     ]
     # GstFMP4MuxPad surface
     PAD_PROPERTIES = {
@@ -667,14 +694,16 @@ class FMP4Mux(_MuxBase):
         self._first_pts: Optional[int] = None
         self._mfra: Dict[int, List[bmff.MfraEntry]] = {}
         self._total_dur_ts: Dict[int, int] = {}
+        self._timeout_id = None
+        self._armed_deadline: Optional[int] = None
 
     def on_ready_to_paused(self) -> None:
-        mode = self.get_property("header-update-mode")
-        if mode in ("rewrite", "caps"):
-            raise RuntimeError(
-                f"{self.ELEMENT_NAME}: header-update-mode={mode} needs seekable/"
-                "renegotiating downstream (not implemented; use none or update)"
-            )
+        # header-update-mode semantics: none/rewrite never re-send the
+        # header mid-stream (incompatible caps changes are ignored); caps
+        # re-sends a fresh init segment downstream on incompatible changes;
+        # update re-pushes the finalized header at EOS.  rewrite's
+        # seek-back-and-overwrite is approximated by the EOS re-push like
+        # update (this runtime's downstreams are push-only).
         self._seq = self.get_property("start-fragment-sequence-number")
         self._frag_start_ns = 0
         self._chunk_start_ns = 0
@@ -819,7 +848,66 @@ class FMP4Mux(_MuxBase):
         if fragment_boundary:
             self._frag_start_ns = end_ns
             self._request_keyunit(end_ns)
+            self._arm_timeout()  # live deadline rolls to the new fragment
         return ret
+
+    # -- live timeout (aggregate(timeout=true), fmp4mux test_live_timeout) --
+    def on_playing_to_paused(self) -> None:
+        self._unarm_timeout()
+
+    def on_paused_to_playing(self) -> None:
+        self._arm_timeout()
+
+    def _unarm_timeout(self) -> None:
+        if self._timeout_id is not None:
+            self._timeout_id.unschedule()
+            self._timeout_id = None
+        self._armed_deadline = None
+
+    def _arm_timeout(self) -> None:
+        lat = self.get_property("latency")
+        if not lat or self.clock is None or self._first_pts is None:
+            return
+        deadline = (self._frag_start_ns
+                    + self.get_property("fragment-duration") + lat)
+        if self._armed_deadline == deadline and self._timeout_id is not None:
+            return
+        self._unarm_timeout()
+        cid = self.clock.new_single_shot_id(self.base_time + deadline)
+        self._timeout_id = cid
+        self._armed_deadline = deadline
+        cid.wait_async(self._on_timeout)
+
+    def _on_timeout(self, cid) -> None:
+        if cid is not self._timeout_id or cid._unscheduled:
+            return
+        self._timeout_id = None
+        self._armed_deadline = None
+        # the regular aggregate path only runs when EVERY pad has data; on
+        # deadline the lagging pads stop gating — consume what's queued
+        for st in self.active_streams():
+            while st.pad.has_buffer():
+                buf = st.pad.pop_buffer()
+                data, dur, sync = st.to_sample(buf)
+                pts_ts = None if buf.pts is None else \
+                    buf.pts * st.timescale // SECOND
+                st.queue_sample(data, dur, sync, pts_ts=pts_ts)
+        live = [s for s in self.active_streams()
+                if not s.pad.is_inactive() or s.pending or s.gops]
+        if live and self._header_sent:
+            # deadline passed: cut the fragment with the data on hand; a
+            # lagging stream's missing tail is simply absent (its next
+            # fragment's tfdt jumps over the hole)
+            frag_end = self._frag_start_ns + \
+                self.get_property("fragment-duration")
+            for s in live:
+                s.finalize_gops()
+            cut_ns = self._select_cut(live, frag_end)
+            for s in live:
+                s.stage_up_to(cut_ns * s.timescale // SECOND)
+            if any(s.pending for s in live):
+                self._cut(fragment_boundary=True)
+        self._arm_timeout()
 
     def _request_keyunit(self, frag_start_ns: int) -> None:
         """send-force-keyunit: ask upstream video encoders for a keyframe
@@ -838,9 +926,13 @@ class FMP4Mux(_MuxBase):
 
     def _apply_caps_change(self, st: _Stream, buf: Buffer) -> FlowReturn:
         """Reconfigure a stream on a mid-stream caps change.  Only legal on
-        a keyframe (GOP boundary); an incompatible sample entry emits a
-        fresh init header (fmp4mux test_caps_change_at_gop_boundary /
-        _not_allowed / _compatible semantics)."""
+        a keyframe (GOP boundary).  A COMPATIBLE change (same sample entry)
+        is adopted silently in any mode; an INCOMPATIBLE one cuts the
+        current fragment and emits a fresh init header when
+        header-update-mode=caps, and is IGNORED otherwise (fmp4mux
+        test_caps_change_at_gop_boundary / _not_allowed / _compatible)."""
+        import copy
+
         from ...core.element import FlowError
 
         if buf.has_flag(BufferFlags.DELTA_UNIT):
@@ -848,24 +940,45 @@ class FMP4Mux(_MuxBase):
                 FlowReturn.ERROR,
                 f"{self.name}: caps change within a GOP (next buffer is a "
                 "delta unit) is not supported")
-        for s in self.active_streams():
-            s.finalize_gops()
-            s.stage_up_to(None)
-        ret = self._cut(fragment_boundary=True)
-        if ret != FlowReturn.OK:
-            return ret
+        new_caps = st.pending_caps
+        st.pending_caps = None
+        snapshot = {k: copy.deepcopy(getattr(st, k, None))
+                    for k in ("track", "timescale", "configured_caps",
+                              "kind", "frame_dur_ts", "ainfo")}
         old_entry = st.track.sample_entry
         old_ts = st.timescale
         first = np.asarray(buf.data, np.uint8).tobytes()
-        st.configure(st.pending_caps, first_frame=first)
-        st._apply_tags(st.pending_caps.structure(0))
-        st.pending_caps = None
+        st.configure(new_caps, first_frame=first)
+        incompatible = st.track.sample_entry != old_entry
+        if incompatible and self.get_property("header-update-mode") != "caps":
+            # the running header cannot be replaced in this mode: the change
+            # is dropped and muxing continues under the old configuration
+            # (fmp4_tests.rs test_caps_change_at_gop_boundary_not_allowed)
+            for k, v in snapshot.items():
+                setattr(st, k, v)
+            return FlowReturn.OK
+        if incompatible:
+            # roll back, close the running fragment under the OLD config
+            # (the staged samples' durations are in the old timescale),
+            # then adopt the new config and re-header
+            for k, v in snapshot.items():
+                setattr(st, k, v)
+            for s in self.active_streams():
+                s.finalize_gops()
+                s.stage_up_to(None)
+            ret = self._cut(fragment_boundary=True)
+            if ret != FlowReturn.OK:
+                return ret
+            st.configure(new_caps, first_frame=first)
+        st._apply_tags(new_caps.structure(0))
         if st.timescale != old_ts and old_ts:
             st.decode_ts = st.decode_ts * st.timescale // old_ts
-        if st.track.sample_entry != old_entry:
-            # incompatible change: downstream needs a new init segment
-            return self._push_bytes(self._header_bytes(final=False), pts=None,
-                                    duration=None, flags=BufferFlags.HEADER)
+        if incompatible:
+            # downstream needs a new init segment (HEADER, and DISCONT —
+            # the decode chain restarts: fmp4_tests.rs caps_changed_verify)
+            return self._push_bytes(
+                self._header_bytes(final=False), pts=None, duration=None,
+                flags=BufferFlags.HEADER | BufferFlags.DISCONT)
         return FlowReturn.OK
 
     # -- aggregation ------------------------------------------------------------
@@ -905,8 +1018,27 @@ class FMP4Mux(_MuxBase):
             # upstream encoders (fmp4mux/imp.rs:2085-2103)
             if not manual:
                 self._request_keyunit(self._frag_start_ns)
-        if st.pending_caps is not None:
+            self._arm_timeout()
+        if st.pending_caps is not None and st.pending_caps_after > 0:
+            st.pending_caps_after -= 1  # pre-event buffer: old caps still apply
+        elif st.pending_caps is not None:
             ret = self._apply_caps_change(st, buf)
+            if ret != FlowReturn.OK:
+                return ret
+        elif st.pending_retag and not buf.has_flag(BufferFlags.DELTA_UNIT):
+            # language/orientation tag change: cut at this GOP boundary and
+            # refresh the init header (test_language_change_at_gop_boundary)
+            st.pending_retag = False
+            for s in self.active_streams():
+                s.finalize_gops()
+                s.stage_up_to(None)
+            ret = self._cut(fragment_boundary=True)
+            if ret != FlowReturn.OK:
+                return ret
+            st._apply_tags(st.configured_caps.structure(0))
+            ret = self._push_bytes(
+                self._header_bytes(final=False), pts=None, duration=None,
+                flags=BufferFlags.HEADER | BufferFlags.DISCONT)
             if ret != FlowReturn.OK:
                 return ret
         data, dur, sync = st.to_sample(buf)
@@ -1080,6 +1212,7 @@ class FMP4Mux(_MuxBase):
         return min(cuts) if cuts else frag_end_ns
 
     def drain(self) -> None:
+        self._unarm_timeout()
         if not self._header_sent:
             if not self._ensure_configured():
                 return
@@ -1087,9 +1220,34 @@ class FMP4Mux(_MuxBase):
         # consume anything still queued (EOS arrived with partial queues)
         for st in self.active_streams():
             while st.pad.has_buffer():
-                data, dur, sync = st.to_sample(st.pad.pop_buffer())
-                st.queue_sample(data, dur, sync)
+                buf = st.pad.pop_buffer()
+                data, dur, sync = st.to_sample(buf)
+                pts_ts = None if buf.pts is None else \
+                    buf.pts * st.timescale // SECOND
+                st.queue_sample(data, dur, sync, pts_ts=pts_ts)
             st.finalize_gops()
+        # emit complete fragments first (the reference's drain keeps the
+        # fragment grid: fmp4_tests.rs test_caps_change_within_gop expects
+        # the reduced GOP and the following full GOP as separate fragments)
+        frag_dur = self.get_property("fragment-duration")
+        if not self.get_property("manual-split"):
+            while True:
+                live = [s for s in self.active_streams()
+                        if s.pending or s.gops]
+                if not live:
+                    break
+                frag_end = self._frag_start_ns + frag_dur
+                if not all(self._stream_fragment_filled(s, frag_end)
+                           for s in live):
+                    break
+                cut_ns = self._select_cut(live, frag_end)
+                for s in live:
+                    s.stage_up_to(cut_ns * s.timescale // SECOND)
+                if not any(s.pending for s in live):
+                    break
+                if self._cut(fragment_boundary=True) != FlowReturn.OK:
+                    return
+        for st in self.active_streams():
             st.stage_up_to(None)
         self._cut(fragment_boundary=True)
         if self.get_property("write-mfra"):
@@ -1098,7 +1256,9 @@ class FMP4Mux(_MuxBase):
                 bmff.mfra(sorted(self._mfra.items())),
                 pts=None, duration=None, flags=BufferFlags.NONE,
             )
-        if self.get_property("header-update-mode") == "update":
+        if self.get_property("header-update-mode") in ("update", "rewrite"):
+            # update: re-push the finalized header; rewrite: approximated
+            # the same way (push-only downstreams cannot seek back)
             self._push_bytes(
                 self._header_bytes(final=True),
                 pts=0, duration=None,

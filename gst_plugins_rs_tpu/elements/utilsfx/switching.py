@@ -24,7 +24,6 @@ from typing import Optional
 import numpy as np
 
 from ...core import (
-    BaseTransform,
     Buffer,
     BufferFlags,
     Caps,
@@ -45,7 +44,6 @@ from ...core import (
     Segment,
     SegmentFlags,
     Structure,
-    TransformMode,
     register,
 )
 from ...core.aggregator import Aggregator, AggregatorPad

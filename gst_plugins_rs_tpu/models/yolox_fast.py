@@ -175,7 +175,8 @@ def _csp_block(params, stats, x, n, spp):
     return _csp_bottleneck(params["c3"], stats["c3"], x, n, not spp)
 
 
-def _stem_dark2_s2d(params, stats, x, base_depth, s2d_dtype, out_dtype):
+def _stem_dark2_s2d(params, stats, x, base_depth, s2d_dtype, out_dtype,
+                    fuse_c3=False, interpret=False):
     """stem + dark2 entirely in the s2d domain.
 
     x: [B,H,W,3] u8 or float.  Returns [B,H/4,W/4,2*base_ch] (dark2
@@ -204,8 +205,47 @@ def _stem_dark2_s2d(params, stats, x, base_depth, s2d_dtype, out_dtype):
                      d2s["conv"]["bn"])
     y = _conv(y, s2d_kernel_s2(W), _tile4(bb), stride=2)  # [B,80,80,8*bc]
 
-    y = _c3_s2d(d2p["c3"], d2s["c3"], y, base_depth)
+    if fuse_c3:
+        from ..ops.pallas_yolox_c3 import c3_s2d_fused
+        wts = _c3_fused_weights(d2p["c3"], d2s["c3"], base_depth)
+        y = c3_s2d_fused(y, **wts, width=y.shape[2], n=base_depth,
+                         interpret=interpret)
+    else:
+        y = _c3_s2d(d2p["c3"], d2s["c3"], y, base_depth)
     return un_s2d(y).astype(out_dtype)                    # [B,160,160,2*bc]
+
+
+def _c3_fused_weights(c3p, c3s, n):
+    """Fold + flatten the C3 params into the 2D matrices the fused Pallas
+    kernel (ops/pallas_yolox_c3.py) consumes.  All constructions are
+    trace-time constants (XLA folds them once per compile)."""
+    W1, b1 = _fold_bn(c3p["conv1"]["conv"], c3p["conv1"]["bn"],
+                      c3s["conv1"]["bn"])
+    W2, b2 = _fold_bn(c3p["conv2"]["conv"], c3p["conv2"]["bn"],
+                      c3s["conv2"]["bn"])
+    hidden = W1.shape[3]
+    Was, bas, Wbs, bbs = [], [], [], []
+    for i in range(n):
+        mp, ms = c3p[f"m_{i}"], c3s[f"m_{i}"]
+        Wa, ba = _fold_bn(mp["conv1"]["conv"], mp["conv1"]["bn"],
+                          ms["conv1"]["bn"])
+        Wb, bb = _fold_bn(mp["conv2"]["conv"], mp["conv2"]["bn"],
+                          ms["conv2"]["bn"])
+        Was.append(s2d_kernel_1x1(Wa)[0, 0])
+        bas.append(_tile4(ba)[None])
+        Kb = s2d_kernel_s1(Wb)                      # [3, 3, Ch, Ch]
+        Wbs.extend(Kb[u, v] for u in range(3) for v in range(3))
+        bbs.append(_tile4(bb)[None])
+    W3, b3 = _fold_bn(c3p["conv3"]["conv"], c3p["conv3"]["bn"],
+                      c3s["conv3"]["bn"])
+    K3 = _interleave_rows(s2d_kernel_1x1(W3), hidden, hidden)
+    return dict(
+        W1=s2d_kernel_1x1(W1)[0, 0], b1=_tile4(b1)[None],
+        W2=s2d_kernel_1x1(W2)[0, 0], b2=_tile4(b2)[None],
+        Wa=jnp.stack(Was), ba=jnp.stack(bas),
+        Wb=jnp.stack(Wbs), bb=jnp.stack(bbs),
+        W3=K3[0, 0], b3=_tile4(b3)[None],
+    )
 
 
 def _c3_s2d(c3p, c3s, y, n):
@@ -234,7 +274,8 @@ def _c3_s2d(c3p, c3s, y, n):
 
 
 def apply_fast(model: Yolox, variables: Dict[str, Any], x,
-               dtype=jnp.float32, s2d_dtype=None):
+               dtype=jnp.float32, s2d_dtype=None, fuse_c3=False,
+               interpret=False):
     """Drop-in replacement for model.apply(variables, x) (non-depthwise
     variants; others delegate to the flax model).
 
@@ -242,7 +283,12 @@ def apply_fast(model: Yolox, variables: Dict[str, Any], x,
     (defaults to dtype).  bfloat16 is the engine=fast-bf16 path: exact
     detections are preserved (gated at the detection level in
     tests/test_yolox_fast.py) while the dominant stage's HBM traffic
-    halves; the rest of the model stays in `dtype`."""
+    halves; the rest of the model stays in `dtype`.
+
+    fuse_c3: run dark2's C3 as the single fused Pallas kernel
+    (ops/pallas_yolox_c3.py) instead of per-conv XLA dispatches —
+    removes the stage's inter-conv HBM round trips (VERDICT r4 #1).
+    interpret: Pallas interpreter mode, for CPU-backed tests only."""
     if model.depthwise:
         return model.apply(variables, x)
     params = variables["params"]
@@ -258,7 +304,8 @@ def apply_fast(model: Yolox, variables: Dict[str, Any], x,
     base_depth = max(round(model.depth * 3), 1)
     n_neck = round(3 * model.depth)
 
-    x = _stem_dark2_s2d(bbp, bbs, x, base_depth, s2d_dtype, dtype)
+    x = _stem_dark2_s2d(bbp, bbs, x, base_depth, s2d_dtype, dtype,
+                        fuse_c3=fuse_c3, interpret=interpret)
     # dark3 stays NHWC: running its C3 in s2d measured 4.2x on the isolated
     # 3x3/s1 convs but a same-process full-model A/B was a wash (within the
     # ±6% relay noise) — the s2d/un_s2d transitions eat the conv gain at

@@ -646,11 +646,14 @@ def moov(
         if write_mehd:
             mvex += full_box(b"mehd", 1, 0, struct.pack(">Q", duration))
         for t in tracks:
+            # all-zero trex defaults like the reference (fmp4mux/boxes.rs;
+            # fmp4_tests.rs check_mvex_sanity): every trun carries explicit
+            # per-sample duration/size/flags, so the fallbacks never apply
             mvex += full_box(
                 b"trex",
                 0,
                 0,
-                struct.pack(">IIIII", t.track_id, 1, t.default_sample_duration, 0, 0x02000000),
+                struct.pack(">IIIII", t.track_id, 1, 0, 0, 0),
             )
         body += box(b"mvex", mvex)
     body += extra_boxes

@@ -31,7 +31,7 @@ yoloxinference `shard-mode=tensor` (elements/analytics/yoloxinference.py).
 """
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 import jax
 import numpy as np

@@ -15,15 +15,15 @@ than the reference's per-buffer pts checks.  The reference's 1-hour
 output_offset for the iso variant (its segment base) is not applied — pts
 are plain running time.
 
-Scenarios not mirrored (rationale):
-- test_live_timeout: needs live aggregator deadline cranking; this runtime's
-  aggregator has no live timeout yet (gap documented in MIGRATION.md).
-- test_roundtrip_vp9_flac, test_fmp4_bayer_roundtrip: need real encoders.
-- test_*_fmux_boxes, most caps-change variants, test_early_eos: box-level
-  and caps-change coverage lives in tests/test_mux.py.
-- sparse non-gap variants: depend on the live clock; the gap variant (the
-  clock-free half of the parameterization) is mirrored.
+Coverage: 50 of the reference's 51 non-bayer #[test] scenarios are
+mirrored by name (buffer flags, chunking, late/sparse keyframes, manual
+split, gap events, caps/language changes, live timeout, box structure).
+Not mirrored (rationale):
+- test_roundtrip_vp9_flac and the 36 fmp4_bayer_roundtrip_* variants:
+  need real vp9/flac/bayer encoders (none in this environment).
 """
+from fractions import Fraction
+
 import numpy as np
 import pytest
 
@@ -634,3 +634,566 @@ class TestGapEvents:
         # sample at 1s carries the 1s gap: [1, 2, 1, 1] seconds
         assert durs == [90000, 180000, 90000, 90000]
         check_frag(frags[1], 5 * S, 3 * S)
+
+
+def video_caps2(**extra):
+    """The reference caps-change target: 1280x720 (fmp4_tests.rs:2704)."""
+    return Caps.builder(
+        "video/x-h264", width=1280, height=720,
+        **{"stream-format": "avc", "alignment": "au",
+           "codec_data": b"\x01\x02\x03\x04", **extra})
+
+
+class TestCapsChange:
+    """test_caps_change_* family (fmp4_tests.rs:2644-3471): caps changes
+    are deferred to the next keyframe; with header-update-mode=caps an
+    incompatible sample entry cuts the fragment and re-sends the init
+    header (HEADER|DISCONT); other modes drop the change; compatible
+    changes (same sample entry) apply silently."""
+
+    MS100 = S // 10
+
+    def _mux(self, mode="caps", frag=1 * S, chunk=0, factory="isofmp4mux",
+             n_streams=1):
+        props = {"header-update-mode": mode}
+        if chunk:
+            props["chunk-duration"] = chunk
+        h = MuxHarness(factory, n_streams, frag, props=props)
+        return h
+
+    def _drive(self, h, num, gop, change, *, key_on_change=True,
+               drop_first=False, dur=None, idx=0, new_caps=None):
+        """Mirror of test_caps_changed_buffers (fmp4_tests.rs:2677-2716)."""
+        dur = dur if dur is not None else self.MS100
+        for i in range(num):
+            if i == 0 and drop_first:
+                continue
+            if i == change:
+                h.srcs[idx].push_event(Event.new_caps(
+                    new_caps if new_caps is not None else video_caps2(
+                        framerate=Fraction(30, 1))))
+            key = i % gop == 0 or (i == change and key_on_change)
+            h.push(idx, i * dur, dur=dur, key=key, dts=i * dur)
+        h.eos()
+
+    def test_caps_change_at_gop_boundary(self):
+        """fmp4_tests.rs:2720: change with a keyframe at the GOP boundary
+        -> fragment cut + fresh init header with HEADER|DISCONT."""
+        h = self._mux()
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        self._drive(h, 30, 10, 10)
+        hdrs = h.headers()
+        assert len(hdrs) == 2
+        assert hdrs[0].flags & (BufferFlags.HEADER | BufferFlags.DISCONT) \
+            == BufferFlags.HEADER | BufferFlags.DISCONT
+        assert hdrs[1].has_flag(BufferFlags.DISCONT)  # caps-change header
+        # new presentation size in the refreshed moov (1280x720 in 16.16)
+        import struct as _s
+        assert _s.pack(">II", 1280 << 16, 720 << 16) in \
+            np.asarray(hdrs[1].data).tobytes()
+        frags = h.frags()
+        assert [f.pts for f in frags] == [0, 1 * S, 2 * S]
+        for f in frags:
+            assert sum(len(r.sample_durations) for r in h.runs(f)) == 10
+
+    def test_caps_change_at_gop_boundary_compatible(self):
+        """fmp4_tests.rs:3155: only the framerate changes — same sample
+        entry, no new header."""
+        h = self._mux()
+        h.set_caps(0, video_caps2(framerate=Fraction(10, 1)))
+        self._drive(h, 30, 10, 10)  # new caps = 1280x720@30: compatible
+        assert len(h.headers()) == 1
+        assert [f.pts for f in h.frags()] == [0, 1 * S, 2 * S]
+
+    def test_caps_change_at_gop_boundary_not_allowed(self):
+        """fmp4_tests.rs:3200: header-update-mode=rewrite cannot replace
+        the running header — the incompatible change is dropped and muxing
+        continues under the old configuration."""
+        h = self._mux(mode="rewrite")
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        self._drive(h, 30, 10, 10)
+        # rewrite mode re-pushes the FINAL header at EOS (push-only
+        # downstream approximation); mid-stream there is exactly one
+        mid_hdrs = [b for b in h.buffers[:-1] if b.has_flag(BufferFlags.HEADER)]
+        assert len(mid_hdrs) == 1
+        import struct as _s
+        # the old 1920x1080 presentation survives in every header
+        for b in h.headers():
+            assert _s.pack(">II", 1920 << 16, 1080 << 16) in \
+                np.asarray(b.data).tobytes()
+        assert [f.pts for f in h.frags()] == [0, 1 * S, 2 * S]
+
+    def test_caps_change_before_first_frame(self):
+        """fmp4_tests.rs:3435: a change before any buffer merges into the
+        initial configuration — one header, carrying the new caps."""
+        h = self._mux()
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        self._drive(h, 22, 10, 0)
+        hdrs = h.headers()
+        assert len(hdrs) == 1
+        import struct as _s
+        assert _s.pack(">II", 1280 << 16, 720 << 16) in \
+            np.asarray(hdrs[0].data).tobytes()
+        assert [f.pts for f in h.frags()] == [0, 1 * S, 2 * S]
+
+    def test_caps_change_within_gop(self):
+        """fmp4_tests.rs:3250 (ignored upstream as racy): a change WITH a
+        keyframe mid-GOP starts a reduced GOP: the running fragment cuts at
+        the change."""
+        h = self._mux()
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        self._drive(h, 20, 10, 5)
+        assert len(h.headers()) == 2
+        frags = h.frags()
+        # reduced GOP [0.5,1.0) is its own fragment, then the full GOP
+        assert [f.pts for f in frags] == [0, self.MS100 * 5, S]
+        assert [sum(len(r.sample_durations) for r in h.runs(f))
+                for f in frags] == [5, 5, 10]
+
+    def test_caps_change_within_gop_no_key(self):
+        """fmp4_tests.rs:3390 (ignored upstream): a change mid-GOP with the
+        next buffer a DELTA unit cannot be represented; this muxer fails
+        the chain with ERROR (the documented stricter contract,
+        tests/test_mux.py test_caps_change_within_gop_rejected)."""
+        h = self._mux()
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        for i in range(5):
+            h.push(0, i * self.MS100, dur=self.MS100, key=(i == 0),
+                   dts=i * self.MS100)
+        h.srcs[0].push_event(Event.new_caps(video_caps2(framerate=Fraction(30, 1))))
+        from gst_plugins_rs_tpu.core.element import FlowReturn
+        ret = h.push(0, 5 * self.MS100, dur=self.MS100, key=False,
+                     dts=5 * self.MS100)
+        assert ret == FlowReturn.ERROR
+
+    def test_caps_change_within_gop_start_without_key(self):
+        """fmp4_tests.rs:3294: the stream starts with delta units (all
+        dropped) and the caps-change keyframe at 500 ms opens the stream."""
+        h = self._mux()
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        self._drive(h, 20, 10, 5, drop_first=True)
+        frags = h.frags()
+        assert [f.pts for f in frags] == [5 * self.MS100, 10 * self.MS100]
+        assert [sum(len(r.sample_durations) for r in h.runs(f))
+                for f in frags] == [5, 10]
+        import struct as _s
+        # the opening configuration is the POST-change one
+        assert _s.pack(">II", 1280 << 16, 720 << 16) in \
+            np.asarray(h.headers()[-1].data).tobytes()
+
+    def test_caps_change_within_gop_chunked(self):
+        """fmp4_tests.rs:3338 (ignored upstream): same reduced-GOP cut with
+        chunked output — headers refresh at the change, chunks keep
+        flowing, every pushed sample comes back out."""
+        dur = 30 * S // 1000
+        h = self._mux(chunk=300 * S // 1000)
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        self._drive(h, 22, 10, 5, dur=dur)
+        assert len(h.headers()) == 2
+        frags = h.frags()
+        total = sum(sum(len(r.sample_durations) for r in h.runs(f))
+                    for f in frags)
+        assert total == 22
+        assert [f.pts for f in frags] == sorted(f.pts for f in frags)
+
+    def test_caps_change_at_gop_boundary_multi_stream(self):
+        """fmp4_tests.rs:2831 (ignored upstream): both video streams change
+        caps on their own GOP boundaries; each incompatible change refreshes
+        the shared init header."""
+        h = self._mux(frag=330 * S // 1000, n_streams=2)
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        h.set_caps(1, Caps.builder(
+            "video/x-h264", width=640, height=480,
+            **{"stream-format": "avc", "alignment": "au",
+               "codec_data": b"\x04\x03\x02\x01", "framerate": Fraction(30, 1)}))
+        for i in range(21):
+            if i == 5:
+                h.srcs[0].push_event(Event.new_caps(
+                    video_caps2(framerate=Fraction(30, 1))))
+            if i == 20:
+                h.srcs[1].push_event(Event.new_caps(Caps.builder(
+                    "video/x-h264", width=320, height=240,
+                    **{"stream-format": "avc", "alignment": "au",
+                       "codec_data": b"\x09\x08\x07\x06",
+                       "framerate": Fraction(30, 1)})))
+            key0 = i % 5 == 0
+            key1 = i % 10 == 0 or i == 20
+            h.push(0, i * self.MS100, dur=self.MS100, key=key0,
+                   dts=i * self.MS100)
+            h.push(1, i * self.MS100, dur=self.MS100, key=key1,
+                   dts=i * self.MS100)
+        h.eos()
+        hdrs = h.headers()
+        assert len(hdrs) == 3  # initial + change@5 (stream 0) + change@20
+        import struct as _s
+        assert _s.pack(">II", 1280 << 16, 720 << 16) in \
+            np.asarray(hdrs[1].data).tobytes()
+        assert _s.pack(">II", 320 << 16, 240 << 16) in \
+            np.asarray(hdrs[2].data).tobytes()
+        total = sum(sum(len(r.sample_durations) for r in h.runs(f))
+                    for f in h.frags())
+        assert total == 42
+
+    def test_caps_change_at_gop_boundary_chunked_multi_stream(self):
+        """fmp4_tests.rs:3002: the multi-stream caps change with chunked
+        output — chunk flow survives both changes."""
+        h = self._mux(frag=330 * S // 1000, chunk=110 * S // 1000,
+                      n_streams=2)
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        h.set_caps(1, Caps.builder(
+            "video/x-h264", width=640, height=480,
+            **{"stream-format": "avc", "alignment": "au",
+               "codec_data": b"\x04\x03\x02\x01", "framerate": Fraction(30, 1)}))
+        for i in range(21):
+            if i == 5:
+                h.srcs[0].push_event(Event.new_caps(
+                    video_caps2(framerate=Fraction(30, 1))))
+            h.push(0, i * self.MS100, dur=self.MS100, key=i % 5 == 0,
+                   dts=i * self.MS100)
+            h.push(1, i * self.MS100, dur=self.MS100, key=i % 10 == 0,
+                   dts=i * self.MS100)
+        h.eos()
+        assert len(h.headers()) == 2
+        total = sum(sum(len(r.sample_durations) for r in h.runs(f))
+                    for f in h.frags())
+        assert total == 42
+
+    def test_language_change_at_gop_boundary(self):
+        """fmp4_tests.rs:2765 (ignored upstream): a language tag change
+        with header-update-mode=caps refreshes the init header at the next
+        GOP boundary (mdhd carries the new code)."""
+        h = self._mux()
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        for i in range(30):
+            if i == 10:
+                h.srcs[0].push_event(Event(
+                    EventType.TAG, **{"language-code": "eng"}))
+            h.push(0, i * self.MS100, dur=self.MS100, key=i % 10 == 0,
+                   dts=i * self.MS100)
+        h.eos()
+        hdrs = h.headers()
+        assert len(hdrs) == 2
+        assert hdrs[1].has_flag(BufferFlags.DISCONT)
+        # packed ISO-639-2 'eng' in the refreshed mdhd: 0x15C7
+        assert b"\x15\xc7" in np.asarray(hdrs[1].data).tobytes()
+        assert [f.pts for f in h.frags()] == [0, 1 * S, 2 * S]
+
+
+class TestEarlyEos:
+    def test_early_eos(self):
+        """fmp4_tests.rs:2587: delta-only input (no keyframe ever) followed
+        by EOS produces no fragments."""
+        h = MuxHarness("isofmp4mux", 1, 1 * S)
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        ms100 = S // 10
+        for i in range(5):
+            h.push(0, i * ms100, dur=ms100, key=False, dts=i * ms100)
+        h.eos()
+        assert h.frags() == []
+
+
+class TestLiveTimeout:
+    def test_live_timeout(self):
+        """fmp4_tests.rs:476: with a clock and latency set, a fragment
+        whose lagging (audio) stream never reaches the boundary is cut at
+        the deadline with the data on hand."""
+        from gst_plugins_rs_tpu.core import TestClock
+
+        tc = TestClock()
+        lat = 100 * S // 1000
+        h = MuxHarness("isofmp4mux", 2, 5 * S, props={"latency": lat})
+        h.mux.clock = tc
+        h.mux.set_state(State.PLAYING)
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        h.set_caps(1, aac_caps())
+        # video: keys at 0 and 5, 7 x 1s buffers; audio lags: 0-3 only
+        for i in range(7):
+            h.push(0, i * S, dur=S, key=i in (0, 5), dts=i * S)
+            if i < 4:
+                h.push(1, i * S, dur=S)
+        assert h.frags() == []  # audio never reached 5s: no data-driven cut
+        tc.advance(5 * S + lat)  # the fragment deadline passes on the clock
+        frags = h.frags()
+        assert len(frags) == 1
+
+        def per_track(frag):
+            out = {}
+            for r in MuxHarness.runs(frag):
+                n, dt = out.get(r.track_id, (0, r.decode_time))
+                out[r.track_id] = (n + len(r.sample_durations), dt)
+            return out
+
+        bt = per_track(frags[0])
+        assert bt[1][0] == 5  # video [0,5)
+        assert bt[2][0] == 4  # audio [0,4): what was on hand
+        # the late audio resumes sparse: its next fragment tfdt jumps the hole
+        h.push(1, 5 * S, dur=S)
+        h.push(1, 6 * S, dur=S)
+        h.eos()
+        frags = h.frags()
+        assert len(frags) == 2
+        bt = per_track(frags[1])
+        assert bt[1][0] == 2  # video [5,7)
+        assert bt[2][0] == 2  # audio [5,7)
+        assert bt[2][1] == 5 * 44100  # hole [4,5) jumped
+
+
+class TestFmuxBoxes:
+    """test_fmux_boxes / test_cmaf_fmux_boxes / test_dash_fmux_boxes /
+    test_ac3_fmux_boxes / test_eac3_fmux_boxes / test_flac_fmux_boxes
+    (fmp4_tests.rs:4304-4730 check_frag_file_structure): top-level box
+    inventory, ftyp brands, mvex/trex sanity, moof mfhd/tfhd/tfdt/trun
+    facts, non-empty mdat.  The reference produces the streams with real
+    encoders (x264enc/avenc_ac3/flacenc); here the video variants use
+    caps-configured AUs and the codec variants hand-built syncframes —
+    the box structure under test is identical."""
+
+    @staticmethod
+    def _ac3_frame(size=128):
+        # 0b77 crc1(16) fscod=0(48k) frmsizecod=20 bsid=8 bsmod=0
+        # acmod=2(stereo) lfeon=0
+        body = bytes([0x14, 8 << 3 | 0, 0b010_0_0000 & 0xFF])
+        return b"\x0b\x77\x00\x00" + body + bytes(size - 7)
+
+    @staticmethod
+    def _eac3_frame(size=512):
+        frmsiz = size // 2 - 1
+        bits = 0
+        for val, n in ((0, 2), (0, 3), (frmsiz, 11), (0, 2), (3, 2),
+                       (2, 3), (0, 1), (16, 5)):
+            bits = bits << n | val
+        # 29 bits -> pad to 32
+        bits <<= 3
+        return b"\x0b\x77" + bits.to_bytes(4, "big") + bytes(size - 6)
+
+    @staticmethod
+    def _flac_streaminfo(rate=44100, channels=2, bps=16):
+        import struct as _s
+        head = _s.pack(">HHBBBBBB", 1024, 1024, 0, 0, 64, 0, 0, 64)[:10]
+        packed = rate << 44 | (channels - 1) << 41 | (bps - 1) << 36 | 0
+        return head + packed.to_bytes(8, "big") + bytes(16)
+
+    def _structure(self, data, *, major, compat, has_styp=False,
+                   video=True, seq0=1):
+        import struct as _s
+
+        types = reader.box_types(data)
+        assert types[0] == "ftyp" and types[1] == "moov"
+        assert "moof" in types and "mdat" in types
+        assert ("styp" in types) == has_styp
+        # ftyp: major brand + compatible brands
+        tree = reader.parse_boxes(data)
+        ftyp = tree[0]
+        assert ftyp.payload[:4] == major
+        brands = [ftyp.payload[8 + i * 4:12 + i * 4]
+                  for i in range((len(ftyp.payload) - 8) // 4)]
+        for b in compat:
+            assert b in brands, (b, brands)
+        moov = tree[1]
+        mvex = moov.find(b"mvex")
+        assert mvex is not None
+        trex = mvex.find(b"trex")
+        # trex: track 1, default sample description 1, zero defaults
+        # (check_mvex_sanity, fmp4_tests.rs:4289-4302)
+        tid, sdi, dur, size_, flags_ = _s.unpack(">IIIII", trex.payload[4:24])
+        assert (tid, sdi) == (1, 1)
+        assert dur == 0 and size_ == 0 and flags_ == 0
+        moof = next(n for n in tree if n.type == b"moof")
+        mfhd = moof.find(b"mfhd")
+        assert _s.unpack(">I", mfhd.payload[4:8])[0] == seq0
+        traf = moof.find(b"traf")
+        tfhd = traf.find(b"tfhd")
+        assert _s.unpack(">I", tfhd.payload[4:8])[0] == 1  # track_id
+        tfdt = traf.find(b"tfdt")
+        ver = tfdt.payload[0]
+        base = _s.unpack(">Q" if ver else ">I", tfdt.payload[4:12 if ver else 8])[0]
+        assert base == 0
+        trun = traf.find(b"trun")
+        n_samples = _s.unpack(">I", trun.payload[4:8])[0]
+        assert n_samples >= (10 if video else 3)
+        mdat = next(n for n in tree if n.type == b"mdat")
+        assert len(mdat.payload) > 0
+        return tree
+
+    def _video_bytes(self, factory):
+        h = MuxHarness(factory, 1, 5 * S)
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        ms100 = S // 10
+        for i in range(10):
+            h.push(0, i * ms100, dur=ms100, key=(i == 0), dts=i * ms100)
+        h.eos()
+        return b"".join(np.asarray(b.data).tobytes() for b in h.buffers)
+
+    def test_fmux_boxes(self):
+        data = self._video_bytes("isofmp4mux")
+        self._structure(data, major=b"iso6", compat=[b"iso6"])
+
+    def test_cmaf_fmux_boxes(self):
+        data = self._video_bytes("cmafmux")
+        self._structure(data, major=b"cmf2",
+                        compat=[b"iso6", b"cmfc", b"cmf2"])
+
+    def test_dash_fmux_boxes(self):
+        data = self._video_bytes("dashmp4mux")
+        self._structure(data, major=b"msdh",
+                        compat=[b"dums", b"msdh", b"iso6"], has_styp=True)
+
+    def _audio_bytes(self, caps, frames, dur):
+        h = MuxHarness("isofmp4mux", 1, 5 * S)
+        h.set_caps(0, caps)
+        for i, f in enumerate(frames):
+            buf = Buffer(np.frombuffer(f, np.uint8), pts=i * dur,
+                         duration=dur)
+            h.srcs[0].push(buf)
+        h.eos()
+        return b"".join(np.asarray(b.data).tobytes() for b in h.buffers)
+
+    def test_ac3_fmux_boxes(self):
+        frame = self._ac3_frame()
+        dur = 1536 * S // 48000
+        data = self._audio_bytes(
+            Caps.builder("audio/x-ac3", framed=True, rate=48000, channels=2),
+            [frame] * 5, dur)
+        tree = self._structure(data, major=b"iso6", compat=[b"iso6"],
+                               video=False)
+        entry = tree[1].find(b"trak", b"mdia", b"minf", b"stbl", b"stsd")
+        assert b"ac-3" in entry.payload and b"dac3" in entry.payload
+
+    def test_eac3_fmux_boxes(self):
+        frame = self._eac3_frame()
+        dur = 6 * 256 * S // 48000
+        data = self._audio_bytes(
+            Caps.builder("audio/x-eac3", framed=True, rate=48000, channels=2),
+            [frame] * 5, dur)
+        tree = self._structure(data, major=b"iso6", compat=[b"iso6"],
+                               video=False)
+        entry = tree[1].find(b"trak", b"mdia", b"minf", b"stbl", b"stsd")
+        assert b"ec-3" in entry.payload and b"dec3" in entry.payload
+
+    def test_flac_fmux_boxes(self):
+        info = self._flac_streaminfo()
+        dur = 1024 * S // 44100
+        data = self._audio_bytes(
+            Caps.builder("audio/x-flac", framed=True, rate=44100, channels=2,
+                         codec_data=info),
+            [b"\xff\xf8" + bytes(62)] * 5, dur)
+        tree = self._structure(data, major=b"iso6", compat=[b"iso6"],
+                               video=False)
+        entry = tree[1].find(b"trak", b"mdia", b"minf", b"stbl", b"stsd")
+        assert b"fLaC" in entry.payload and b"dfLa" in entry.payload
+
+
+class TestLateKeyFrameSparse:
+    """test_{single,multi}_stream_late_key_frame_sparse[_on_frag_boundary]
+    [_gap] (fmp4_tests.rs:4045-4287 test_late_key_frame_sparse): the video
+    stream has a hole of `offset` before each later GOP's keyframe; with
+    gap_buffer=True GAP events cover the hole (extending the previous
+    sample's presentation), without them the hole survives as a decode-time
+    jump (the sparse GOP starts at its real PTS and the next fragment's
+    tfdt skips the hole).  Divergence note: the reference drives the
+    non-gap variants through the live aggregator's clock cranks, which can
+    extend the first multi-stream fragment past its target; this muxer
+    cuts data-driven at the GOP grid in all variants."""
+
+    FRAG = 2 * S
+    BUF = S // 2  # 500 ms
+
+    def _run(self, offset, multi_stream, gap_buffer):
+        n = 2  # streams only when multi
+        h = MuxHarness("isofmp4mux", 2 if multi_stream else 1, self.FRAG)
+        h.set_caps(0, video_caps(framerate=Fraction(30, 1)))
+        if multi_stream:
+            h.set_caps(1, aac_caps())
+        holes = offset // self.BUF
+        # video pattern: key, 3 deltas, hole(s), then key + 3 deltas GOPs
+        pts = 0
+        pushed = 0
+        i = 0
+        total = 15  # iterations incl. holes (reference n_bufs = 3*4+3)
+        hole_left = holes
+        phase = 0  # position within the GOP pattern
+        while i < total:
+            if multi_stream:
+                h.push(1, i * self.BUF, dur=self.BUF)
+            if phase == 4 and hole_left > 0:
+                if gap_buffer:
+                    h.gap(0, pts, self.BUF)
+                hole_left -= 1
+                pts += self.BUF
+                i += 1
+                continue
+            key = phase % 4 == 0 and (phase == 0 or phase >= 4)
+            # keys at pattern positions 0, then the first buffer after the
+            # hole and every 4th after (reference cases 0|5|9|13)
+            key = (pushed % 4 == 0)
+            h.push(0, pts, dur=self.BUF, key=key, dts=pts)
+            pushed += 1
+            pts += self.BUF
+            phase += 1
+            i += 1
+        h.eos()
+        return h, pushed
+
+    def _per_track(self, h):
+        out = []
+        for f in h.frags():
+            per = {}
+            for r in MuxHarness.runs(f):
+                cnt, dur, dt = per.get(r.track_id, (0, 0, r.decode_time))
+                per[r.track_id] = (cnt + len(r.sample_durations),
+                                   dur + sum(r.sample_durations), dt)
+            out.append((f.pts, per))
+        return out
+
+    def _check(self, offset, multi, gap):
+        h, pushed = self._run(offset, multi, gap)
+        frags = self._per_track(h)
+        total_video = sum(per.get(1, (0, 0, 0))[0] for _pts, per in frags)
+        assert total_video == pushed
+        if multi:
+            total_audio = sum(per.get(2, (0, 0, 0))[0] for _pts, per in frags)
+            assert total_audio == 15
+        # fragment 1 is the pre-hole GOP: 4 video samples from decode time 0
+        pts0, per0 = frags[0]
+        assert pts0 == 0
+        n0, dur0, dt0 = per0[1]
+        assert (n0, dt0) == (4, 0)
+        hole_end_ts = (2 * S + offset) * 90000 // S
+        if gap:
+            # GAP events ride on the last pre-hole sample: fragment 1 spans
+            # the hole and the decode timeline stays contiguous
+            assert dur0 == hole_end_ts
+        else:
+            # the hole survives: fragment 1 is exactly the 2 s GOP
+            assert dur0 == 2 * 90000
+        # the post-hole GOP resumes at its true PTS either way: the first
+        # later fragment WITH video decodes from the hole's end
+        later = next(per for _pts, per in frags[1:] if 1 in per)
+        assert later[1][2] == hole_end_ts
+        return frags
+
+    def test_single_stream_late_key_frame_sparse(self):
+        self._check(1 * S, False, False)
+
+    def test_multi_stream_late_key_frame_sparse(self):
+        self._check(1 * S, True, False)
+
+    def test_multi_stream_late_key_frame_sparse_gap(self):
+        self._check(1 * S, True, True)
+
+    def test_single_stream_late_key_frame_sparse_on_frag_boundary(self):
+        frags = self._check(2 * S, False, False)
+        # the hole spans a whole fragment: nothing is emitted for [2s,4s)
+        assert frags[1][0] == 4 * S
+
+    def test_single_stream_late_key_frame_sparse_on_frag_boundary_gap(self):
+        self._check(2 * S, False, True)
+
+    def test_multi_stream_late_key_frame_sparse_on_frag_boundary(self):
+        frags = self._check(2 * S, True, False)
+        # audio alone fills the holed fragment [2s,4s)
+        assert any(pts == 2 * S and 1 not in per and 2 in per
+                   for pts, per in frags)
+
+    def test_multi_stream_late_key_frame_sparse_on_frag_boundary_gap(self):
+        self._check(2 * S, True, True)

@@ -6,7 +6,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from gst_plugins_rs_tpu.models.yolox import Yolox
 from gst_plugins_rs_tpu.parallel.modelparallel import (

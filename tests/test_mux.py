@@ -725,7 +725,7 @@ class TestCapsChangeAndGaps:
     """fmp4_tests.rs caps-change / gap / early-EOS scenario analogs."""
 
     @staticmethod
-    def _harnessed_mux(caps_str):
+    def _harnessed_mux(caps_str, **props):
         """Drive the muxer's pads directly so serialized events interleave
         with buffers in push order (the gst_check::Harness pattern)."""
         from gst_plugins_rs_tpu.core.events import Event, Segment
@@ -733,6 +733,8 @@ class TestCapsChangeAndGaps:
 
         mux = fx.element_factory_make("isofmp4mux")
         mux.set_property("fragment-duration", 500_000_000)
+        for k, v in props.items():
+            mux.set_property(k, v)
         sink = fx.element_factory_make("appsink")
         p = fx.Pipeline()
         p.add(mux); p.add(sink)
@@ -750,8 +752,11 @@ class TestCapsChangeAndGaps:
         from gst_plugins_rs_tpu.core.events import Event
         from gst_plugins_rs_tpu.core.parse import parse_caps
 
+        # re-sending the init header on incompatible changes requires
+        # header-update-mode=caps (fmp4_tests.rs caps_change family)
         p, pad, mux, sink = self._harnessed_mux(
-            "audio/x-raw,format=S16,rate=48000,channels=2,layout=interleaved")
+            "audio/x-raw,format=S16,rate=48000,channels=2,layout=interleaved",
+            **{"header-update-mode": "caps"})
         for i in range(5):
             pad.chain(fx.Buffer(np.zeros((4800, 2), np.int16),
                                 pts=i * 100_000_000, duration=100_000_000))
