@@ -18,11 +18,12 @@ FORMAT_DTYPES = {
     "F64": np.float64,
     "F32": np.float32,
     "S32": np.int32,
+    "S24LE": np.uint8,  # 3-byte packed samples: carried as raw bytes
     "S16": np.int16,
     "U8": np.uint8,
 }
 
-FORMAT_WIDTHS = {"F64": 8, "F32": 4, "S32": 4, "S16": 2, "U8": 1}
+FORMAT_WIDTHS = {"F64": 8, "F32": 4, "S32": 4, "S24LE": 3, "S16": 2, "U8": 1}
 
 
 class AudioLayout(enum.Enum):

@@ -294,6 +294,41 @@ class InterSrc(BaseSrc):
 _COMPRESS_FORMATS = ["zlib", "deflate"]
 
 
+def _compressed_media_type(fmt: str) -> str:
+    return f"application/x-{fmt}-compressed"
+
+
+def _wrap_compressed_caps(media_type, caps, filter_=None):
+    """Sink -> src caps: wrap the input caps in an `original-caps` field on
+    the compressed media type (reference compress_caps_helper.rs:13-66)."""
+    from ...core.caps import Structure
+
+    if caps.is_any() or not caps.structures:
+        out = Caps.builder(media_type)
+    else:
+        out = Caps([Structure(media_type, **{"original-caps": Caps([s.copy()])})
+                    for s in caps.structures])
+    return out if filter_ is None else filter_.intersect(out)
+
+
+def _unwrap_compressed_caps(caps, filter_=None):
+    """Src -> sink caps: recover `original-caps`; ANY when absent."""
+    inner = []
+    for s in (caps.structures if not caps.is_any() else []):
+        oc = s.get("original-caps")
+        if oc is not None:
+            inner.extend(st.copy() for st in oc.structures)
+    if inner:
+        out = Caps(inner)
+    elif not caps.is_any() and caps.structures:
+        # no original-caps recorded (e.g. legacy application/octet-stream
+        # payloads): pass the caps through unchanged
+        out = caps.copy()
+    else:
+        out = Caps.new_any()
+    return out if filter_ is None else filter_.intersect(out)
+
+
 @register
 class CompressEnc(BaseTransform):
     ELEMENT_NAME = "compressenc"
@@ -304,6 +339,14 @@ class CompressEnc(BaseTransform):
         Prop("format", "zlib", type="enum", choices=_COMPRESS_FORMATS, mutable="ready"),
         Prop("level", 9, type="int", minimum=-1, maximum=9, mutable="ready"),
     ]
+
+    def transform_caps(self, direction, caps, filter_=None):
+        from ...core import PadDirection
+
+        media = _compressed_media_type(self.get_property("format"))
+        if direction == PadDirection.SINK:
+            return _wrap_compressed_caps(media, caps, filter_)
+        return _unwrap_compressed_caps(caps, filter_)
 
     def transform(self, inbuf: Buffer) -> Buffer:
         raw = np.asarray(inbuf.data).tobytes()
@@ -322,6 +365,14 @@ class CompressDec(BaseTransform):
     ELEMENT_DESCRIPTION = "Decompresses buffer payloads (zlib/deflate)"
     MODE = TransformMode.NEVER_IN_PLACE
     PROPERTIES = [Prop("format", "zlib", type="enum", choices=_COMPRESS_FORMATS, mutable="ready")]
+
+    def transform_caps(self, direction, caps, filter_=None):
+        from ...core import PadDirection
+
+        media = _compressed_media_type(self.get_property("format"))
+        if direction == PadDirection.SINK:
+            return _unwrap_compressed_caps(caps, filter_)
+        return _wrap_compressed_caps(media, caps, filter_)
 
     def transform(self, inbuf: Buffer) -> Buffer:
         raw = np.asarray(inbuf.data).tobytes()
@@ -373,9 +424,10 @@ class BrotliCompress(BaseTransform):
     def transform_caps(self, direction, caps, filter_=None):
         from ...core import PadDirection
 
-        out = (self.SRC_CAPS if direction == PadDirection.SINK
-               else Caps.new_any()).copy()
-        return out if filter_ is None else out.intersect(filter_)
+        if direction == PadDirection.SINK:
+            return _wrap_compressed_caps(
+                "application/x-brotli-compressed", caps, filter_)
+        return _unwrap_compressed_caps(caps, filter_)
     PROPERTIES = [
         Prop("level", 6, type="uint", maximum=11, mutable="playing",
              doc="Brotli compression level (0=fastest, 11=best ratio)"),

@@ -48,9 +48,20 @@ from ...core.registry import register
 from ...core.video import VideoInfo
 from ...mux import bmff
 
-AUDIO_FORMATS = ["S16", "S32", "F32", "F64"]
-# formats with an uncC mapping (bmff.uncv_sample_entry)
-VIDEO_FORMATS = ["RGB", "RGBA", "ABGR", "BGR", "BGRA", "ARGB", "GRAY8"]
+AUDIO_FORMATS = ["S16", "S24LE", "S32", "F32", "F64"]
+# formats with an uncC mapping (bmff._UNCC — the reference's full
+# ISO/IEC 23001-17 set from uncompressed.rs:455-770)
+VIDEO_FORMATS = [
+    "RGB", "RGBA", "ABGR", "BGR", "BGRA", "ARGB", "RGBx", "BGRx", "xRGB",
+    "xBGR", "r210", "GRAY8", "GRAY16_BE", "IYU2", "v308", "AYUV", "YUY2",
+    "YVYU", "UYVY", "VYUY", "Y444", "I420", "YV12", "Y42B", "Y41B", "GBR",
+    "RGBP", "BGRP", "NV12", "NV21", "NV16", "NV61",
+]
+COMPRESSED_RAW_CAPS = [
+    "application/x-zlib-compressed",
+    "application/x-deflate-compressed",
+    "application/x-brotli-compressed",
+]
 
 _SINK_CAPS = Caps(
     [
@@ -72,12 +83,16 @@ _SINK_CAPS = Caps(
         Structure("video/x-h265", **{"stream-format": ValueList(["hvc1", "hev1"])}),
         Structure("video/x-h266", **{"stream-format": ValueList(["vvc1", "vvi1"])}),
         Structure("video/x-av1"),
+        Structure("video/x-vp8"),
         Structure("video/x-vp9"),
         Structure("audio/mpeg", mpegversion=4),
         Structure("audio/x-opus"),
         Structure("audio/x-ac3", framed=True),
         Structure("audio/x-eac3", framed=True),
         Structure("audio/x-flac", framed=True),
+        # generically-compressed uncompressed video (compressenc upstream;
+        # ISO/IEC 23001-17 Amd.2 restricted scheme)
+        *[Structure(n) for n in COMPRESSED_RAW_CAPS],
     ]
 )
 
@@ -160,6 +175,7 @@ class _Stream:
         self.pending_dur = 0  # sum of pending durations (ts units)
         # non-fragmented accumulation
         self.table = bmff.SampleTable()
+        self.current_desc = 1  # active stsd sample_description_index
 
     # -- GOP queue (fragmented path) ----------------------------------------
     @property
@@ -313,7 +329,7 @@ class _Stream:
             )
             return
         if s.name in ("video/x-h264", "video/x-h265", "video/x-h266",
-                      "video/x-av1", "video/x-vp9"):
+                      "video/x-av1", "video/x-vp8", "video/x-vp9"):
             self.kind = "cvideo"
             w, h = s.get("width", 0), s.get("height", 0)
             fps = s.get("framerate")
@@ -347,6 +363,8 @@ class _Stream:
                 entry = bmff.vvc1_sample_entry(w, h, codec_data, fourcc=fourcc)
             elif s.name == "video/x-av1":
                 entry = bmff.av01_sample_entry(w, h, codec_data)
+            elif s.name == "video/x-vp8":
+                entry = bmff.vp08_sample_entry(w, h)
             else:
                 entry = bmff.vp09_sample_entry(w, h)
             self.track = bmff.TrackConfig(
@@ -402,16 +420,33 @@ class _Stream:
             self.track = bmff.TrackConfig(
                 self.track_id, self.timescale, "soun", entry
             )
-        elif s.name == "video/x-raw":
-            self.kind = "video"
-            self.vinfo = VideoInfo.from_caps(caps)
+        elif s.name == "video/x-raw" or s.name in (
+                "application/x-zlib-compressed",
+                "application/x-deflate-compressed",
+                "application/x-brotli-compressed"):
+            compression = None
+            if s.name != "video/x-raw":
+                # generically-compressed raw video: the real format rides in
+                # original-caps (reference uncompressed.rs:80-91); samples
+                # are opaque compressed payloads
+                compression = s.name.split("/")[1][2:].rsplit("-", 1)[0]
+                inner = s.get("original-caps")
+                if inner is None:
+                    raise ValueError(
+                        f"{s.name} caps need an original-caps field")
+                self.kind = "cvideo"
+                self.vinfo = VideoInfo.from_caps(inner)
+            else:
+                self.kind = "video"
+                self.vinfo = VideoInfo.from_caps(caps)
             fps = self.vinfo.fps
             # conventional exact pairing: ts = fps_n*1000, frame dur = fps_d*1000
             mul = 1000 if fps.numerator < 1000 else 1
             self.timescale = fps.numerator * mul
             self.frame_dur_ts = fps.denominator * mul
             entry = bmff.uncv_sample_entry(
-                self.vinfo.format, self.vinfo.width, self.vinfo.height
+                self.vinfo.format, self.vinfo.width, self.vinfo.height,
+                compression=compression,
             )
             self.track = bmff.TrackConfig(
                 self.track_id,
@@ -430,7 +465,9 @@ class _Stream:
             arr = np.asarray(buf.data)
             if arr.dtype != self.ainfo.dtype:
                 arr = arr.astype(self.ainfo.dtype)
-            return arr.tobytes(), arr.shape[0], True  # dur = frames (ts = rate)
+            data = arr.tobytes()
+            # frames from byte count (S24LE packs 3-byte samples in uint8)
+            return data, len(data) // self.ainfo.bpf, True
         if self.kind in ("caudio", "cvideo"):
             data = np.asarray(buf.data, np.uint8).tobytes()
             if buf.duration is not None:
@@ -1351,12 +1388,49 @@ class MP4Mux(_MuxBase):
             if not candidates:
                 return FlowReturn.OK
             _pts, st = min(candidates, key=lambda c: c[0])
-        self._append(st, st.pad.pop_buffer())
+        buf = st.pad.pop_buffer()
+        if st.pending_caps is not None and st.pending_caps_after > 0:
+            st.pending_caps_after -= 1
+        elif st.pending_caps is not None:
+            self._apply_caps_change(st, buf)
+        self._append(st, buf)
         return FlowReturn.OK
+
+    def _apply_caps_change(self, st: _Stream, buf: Buffer) -> None:
+        """Non-fragmented caps change: the new configuration becomes an
+        ADDITIONAL stsd entry and stsc switches sample_description_index
+        from this sample on (mp4_tests.rs test_caps_change_with_*).  The
+        track keeps its original timescale; the new nominal frame duration
+        is rescaled into it."""
+        import copy
+
+        new_caps = st.pending_caps
+        st.pending_caps = None
+        keep = {k: copy.deepcopy(getattr(st, k, None))
+                for k in ("track", "timescale", "configured_caps", "kind",
+                          "frame_dur_ts", "ainfo", "vinfo")}
+        first = np.asarray(buf.data, np.uint8).tobytes()
+        st.configure(new_caps, first_frame=first)
+        new_entry = st.track.sample_entry
+        new_ts, new_dur = st.timescale, st.frame_dur_ts
+        for k, v in keep.items():
+            setattr(st, k, v)
+        st.configured_caps = new_caps
+        entries = [st.track.sample_entry, *st.track.extra_sample_entries]
+        if new_entry in entries:
+            st.current_desc = entries.index(new_entry) + 1
+        else:
+            st.track.extra_sample_entries.append(new_entry)
+            st.current_desc = len(entries) + 1
+        if new_ts and new_ts != st.timescale and new_dur:
+            st.frame_dur_ts = new_dur * st.timescale // new_ts
+        elif new_dur:
+            st.frame_dur_ts = new_dur
 
     def _append(self, st: _Stream, buf: Buffer) -> None:
         data, dur, sync = st.to_sample(buf)
         if st is self._cur_st and st.table.chunks \
+                and st.table.desc(len(st.table.chunks) - 1) == st.current_desc \
                 and not self._chunk_full(st):
             # extend the open chunk (consecutive in mdat by construction)
             off, n = st.table.chunks[-1]
@@ -1364,7 +1438,10 @@ class MP4Mux(_MuxBase):
             self._cur_chunk_bytes += len(data)
             self._cur_chunk_dur += dur
         else:
+            while len(st.table.chunk_desc) < len(st.table.chunks):
+                st.table.chunk_desc.append(1)
             st.table.chunks.append((self._mdat_len, 1))
+            st.table.chunk_desc.append(st.current_desc)
             self._cur_st = st
             self._cur_chunk_bytes = len(data)
             self._cur_chunk_dur = dur
@@ -1379,7 +1456,12 @@ class MP4Mux(_MuxBase):
             return
         for st in self.active_streams():
             while st.pad.has_buffer():
-                self._append(st, st.pad.pop_buffer())
+                buf = st.pad.pop_buffer()
+                if st.pending_caps is not None and st.pending_caps_after > 0:
+                    st.pending_caps_after -= 1
+                elif st.pending_caps is not None:
+                    self._apply_caps_change(st, buf)
+                self._append(st, buf)
         streams = self.active_streams()
         mts = self.get_property("movie-timescale") or 1000
         brands = list(self.COMPAT_BRANDS)

@@ -45,7 +45,7 @@ def pcm_sample_entry(fmt: str, channels: int, rate: int) -> bytes:
     (boxes.rs:1458-1463); pcmC carries endianness flag + sample width
     (boxes.rs:2537-2563, ISO/IEC 23003-5).
     """
-    widths = {"S16": 16, "S32": 32, "F32": 32, "F64": 64, "U8": 8}
+    widths = {"S16": 16, "S24LE": 24, "S32": 32, "F32": 32, "F64": 64, "U8": 8}
     width = widths[fmt]
     fourcc = b"fpcm" if fmt.startswith("F") else b"ipcm"
     pcmc = full_box(b"pcmC", 0, 0, struct.pack(">BB", 1, width))  # 1 = little-endian
@@ -67,51 +67,129 @@ def pcm_sample_entry(fmt: str, channels: int, rate: int) -> bytes:
 # (uncompressed.rs:552-574).  v1 uncC (profile only) is used for the
 # zero-padding packed RGB family (uncompressed.rs:263-272).
 UNCC_V1_PROFILES = {"RGB": b"rgb3", "RGBA": b"rgba", "ABGR": b"abgr"}
-# component types per 23001-17: 4=red 5=green 6=blue 7=alpha
-_COMPONENT_TYPES = {"R": 4, "G": 5, "B": 6, "A": 7}
+
+# 23001-17 Table 1 component types (uncompressed.rs:366-377)
+_MONO, _Y, _CB, _CR, _R, _G, _B, _A = 0, 1, 2, 3, 4, 5, 6, 7
+
+# uncC parameters per video format (reference uncompressed.rs:455-770):
+#   components (in storage order), sampling_type (0=4:4:4 1=4:2:2 2=4:2:0
+#   3=4:1:1), interleave_type (0=planar 1=pixel 2=semi-planar 5=multi-Y),
+#   pixel_size (interleave 1/5 only), profile (Table 5 fourcc or zeros),
+#   bit depth (per component) and block_size where non-default.
+_UNCC = {
+    # packed RGB family (pixel interleave)
+    "RGB": dict(comps=[_R, _G, _B], il=1, px=3, profile=b"rgb3"),
+    "BGR": dict(comps=[_B, _G, _R], il=1, px=3),
+    "RGBA": dict(comps=[_R, _G, _B, _A], il=1, px=4, profile=b"rgba"),
+    "ARGB": dict(comps=[_A, _R, _G, _B], il=1, px=4),
+    "BGRA": dict(comps=[_B, _G, _R, _A], il=1, px=4),
+    "ABGR": dict(comps=[_A, _B, _G, _R], il=1, px=4, profile=b"abgr"),
+    "RGBx": dict(comps=[_R, _G, _B], il=1, px=4),
+    "BGRx": dict(comps=[_B, _G, _R], il=1, px=4),
+    "xRGB": dict(comps=[_R, _G, _B], il=1, px=4),
+    "xBGR": dict(comps=[_B, _G, _R], il=1, px=4),
+    "r210": dict(comps=[_R, _G, _B], il=1, px=4, depth=10, block=4),
+    # grayscale (single component = planar interleave, pixel_size 0)
+    "GRAY8": dict(comps=[_MONO], il=0),
+    "GRAY16_BE": dict(comps=[_MONO], il=0, depth=16),
+    # packed YUV 4:4:4
+    "IYU2": dict(comps=[_CB, _Y, _CR], il=1, px=3),
+    "v308": dict(comps=[_Y, _CB, _CR], il=1, px=3, profile=b"v308"),
+    "AYUV": dict(comps=[_A, _Y, _CB, _CR], il=1, px=4),
+    # packed YUV 4:2:2 (multi-Y)
+    "YUY2": dict(comps=[_Y, _CB, _Y, _CR], il=5, px=4, sampling=1,
+                 profile=b"yuv2"),
+    "YVYU": dict(comps=[_Y, _CR, _Y, _CB], il=5, px=4, sampling=1,
+                 profile=b"yvyu"),
+    "UYVY": dict(comps=[_CB, _Y, _CR, _Y], il=5, px=4, sampling=1,
+                 profile=b"2vuy"),
+    "VYUY": dict(comps=[_CR, _Y, _CB, _Y], il=5, px=4, sampling=1,
+                 profile=b"vyuy"),
+    # planar YUV
+    "Y444": dict(comps=[_Y, _CB, _CR], il=0),
+    "I420": dict(comps=[_Y, _CB, _CR], il=0, sampling=2, profile=b"i420"),
+    "YV12": dict(comps=[_Y, _CR, _CB], il=0, sampling=2, profile=b"yv20"),
+    "Y42B": dict(comps=[_Y, _CB, _CR], il=0, sampling=1, profile=b"yu22"),
+    "Y41B": dict(comps=[_Y, _CB, _CR], il=0, sampling=3),
+    # planar RGB
+    "GBR": dict(comps=[_G, _B, _R], il=0),
+    "RGBP": dict(comps=[_R, _G, _B], il=0),
+    "BGRP": dict(comps=[_B, _G, _R], il=0),
+    # semi-planar YUV
+    "NV12": dict(comps=[_Y, _CB, _CR], il=2, sampling=2, profile=b"nv12"),
+    "NV21": dict(comps=[_Y, _CR, _CB], il=2, sampling=2, profile=b"nv21"),
+    "NV16": dict(comps=[_Y, _CB, _CR], il=2, sampling=1),
+    "NV61": dict(comps=[_Y, _CR, _CB], il=2, sampling=1),
+}
+
+COMPRESSION_FOURCC = {
+    "zlib": b"zlib",
+    "deflate": b"defl",
+    "brotli": b"brot",
+}
 
 
-def uncv_sample_entry(fmt: str, width: int, height: int) -> bytes:
-    """VisualSampleEntry 'uncv' with uncC (+cmpd) children.
+def uncc_boxes(fmt: str, *, row_align: int = 0) -> bytes:
+    """cmpd + uncC (or the v1 profile-only uncC) for one video format —
+    the generic ISO/IEC 23001-17 component model
+    (reference uncompressed.rs:256-313)."""
+    if fmt in UNCC_V1_PROFILES and row_align == 0:
+        return full_box(b"uncC", 1, 0, UNCC_V1_PROFILES[fmt])
+    spec = _UNCC.get(fmt)
+    if spec is None:
+        raise ValueError(f"no uncC mapping for video format {fmt!r}")
+    comps = spec["comps"]
+    n = len(comps)
+    depth = spec.get("depth", 8)
+    cmpd = box(
+        b"cmpd",
+        struct.pack(">I", n) + b"".join(struct.pack(">H", t) for t in comps),
+    )
+    comp_entries = b"".join(
+        struct.pack(">HBBB", i, depth - 1, 0, 0)  # index, depth-1, fmt, align
+        for i in range(n)
+    )
+    il = spec["il"]
+    uncc = full_box(
+        b"uncC",
+        0,
+        0,
+        (spec.get("profile") or b"\x00\x00\x00\x00")
+        + struct.pack(">I", n)
+        + comp_entries
+        + struct.pack(">BB", spec.get("sampling", 0), il)
+        + struct.pack(">BB", spec.get("block", 0), 0)  # block_size, flag_bits
+        # pixel_size only for pixel/multi-Y interleave (23001-17 §5.2.1.7)
+        + struct.pack(">I", spec.get("px", 0) if il in (1, 5) else 0)
+        + struct.pack(">I", row_align)
+        + struct.pack(">III", 0, 0, 0),  # tile align / cols-1 / rows-1
+    )
+    return cmpd + uncc
 
-    v1 profile-only form for RGB/RGBA/ABGR, v0 component-list form for the
-    other packed RGB orders (reference uncompressed.rs:256-318).
-    """
-    if fmt in UNCC_V1_PROFILES:
-        children = full_box(b"uncC", 1, 0, UNCC_V1_PROFILES[fmt])
-    else:
-        # packed formats like BGR / BGRA / ARGB: describe components
-        # (component values match the reference's ComponentType enum,
-        # uncompressed.rs:366-377: R=4 G=5 B=6 A=7, monochrome=0)
-        if fmt == "GRAY8":
-            types = [0]
-        elif all(c in _COMPONENT_TYPES for c in fmt):
-            types = [_COMPONENT_TYPES[c] for c in fmt]
-        else:
-            raise ValueError(f"no uncC mapping for video format {fmt!r}")
-        n = len(types)
-        cmpd = box(
-            b"cmpd",
-            struct.pack(">I", n) + b"".join(struct.pack(">H", t) for t in types),
-        )
-        comp_entries = b"".join(
-            struct.pack(">HBBB", i, 7, 0, 0)  # index, bit_depth_minus_one=7, fmt=0, align=0
-            for i in range(n)
-        )
-        uncc = full_box(
-            b"uncC",
-            0,
-            0,
-            b"\x00\x00\x00\x00"  # profile: none
-            + struct.pack(">I", n)
-            + comp_entries
-            + struct.pack(">BB", 0, 1)  # sampling_type=0 (4:4:4), interleave=1 (pixel)
-            + struct.pack(">BB", 0, 0)  # block_size, flag_bits
-            + struct.pack(">I", n)  # pixel_size (bytes/pixel for interleave=1)
-            + struct.pack(">I", 0)  # row_align_size
-            + struct.pack(">III", 0, 0, 0),  # tile align / cols-1 / rows-1
-        )
-        children = cmpd + uncc
+
+def rinf_box(compression: str) -> bytes:
+    """RestrictedSchemeInfoBox for generically-compressed uncompressed
+    video (ISO/IEC 14496-12 8.12.5 + 23001-17 Amd.2 §9.3;
+    reference uncompressed.rs:226-254): frma 'uncv' + schm 'gcmp' +
+    schi{cmpC}."""
+    frma = box(b"frma", b"uncv")
+    schm = full_box(b"schm", 0, 0, b"gcmp" + struct.pack(">I", 1))
+    cmpc = full_box(
+        b"cmpC", 0, 0,
+        COMPRESSION_FOURCC[compression] + b"\x00")  # unit_type=0: whole sample
+    return box(b"rinf", frma + schm + box(b"schi", cmpc))
+
+
+def uncv_sample_entry(fmt: str, width: int, height: int, *,
+                      compression: Optional[str] = None,
+                      row_align: int = 0) -> bytes:
+    """VisualSampleEntry 'uncv' with uncC (+cmpd) children; with
+    `compression` set, the restricted 'resv' entry wrapping rinf
+    (frma/schm/schi{cmpC}) around the same uncC (the generically-
+    compressed form, reference uncompressed.rs:316-321)."""
+    children = uncc_boxes(fmt, row_align=row_align)
+    if compression is not None:
+        children = rinf_box(compression) + children
     body = (
         b"\x00" * 6
         + struct.pack(">H", 1)  # data_reference_index
@@ -125,7 +203,7 @@ def uncv_sample_entry(fmt: str, width: int, height: int) -> bytes:
         + struct.pack(">Hh", 0x0018, -1)  # depth, pre_defined
         + children
     )
-    return box(b"uncv", body)
+    return box(b"resv" if compression is not None else b"uncv", body)
 
 
 # ---------------------------------------------------------------------------
@@ -287,6 +365,12 @@ def av01_sample_entry(width: int, height: int, av1c: bytes) -> bytes:
     return box(b"av01", _visual_entry_body(width, height, box(b"av1C", av1c)))
 
 
+def vp08_sample_entry(width: int, height: int) -> bytes:
+    # vp08 + vpcC (reference boxes.rs get_video_fourcc: video/x-vp8 -> vp08)
+    vpcc = full_box(b"vpcC", 1, 0, bytes([0, 10, (8 << 4) | (1 << 1), 2, 2, 2]) + b"\x00\x00")
+    return box(b"vp08", _visual_entry_body(width, height, vpcc))
+
+
 def vp09_sample_entry(width: int, height: int) -> bytes:
     # vpcC: version 1, profile 0, level 10, 8-bit 4:2:0, no codec init
     vpcc = full_box(b"vpcC", 1, 0, bytes([0, 10, (8 << 4) | (1 << 1), 2, 2, 2]) + b"\x00\x00")
@@ -428,6 +512,10 @@ class TrackConfig:
     # video rotation in degrees CW (image-orientation tag -> tkhd matrix,
     # reference boxes.rs:1137-1195 per-stream orientation matrix)
     orientation: int = 0
+    # additional stsd entries appended by mid-stream caps changes in the
+    # non-fragmented muxer (stsc switches sample_description_index;
+    # mp4_tests.rs test_caps_change_with_*)
+    extra_sample_entries: List[bytes] = field(default_factory=list)
 
 
 @dataclass
@@ -439,10 +527,17 @@ class SampleTable:
     sync: List[bool] = field(default_factory=list)
     # chunks: (file_offset, n_samples) runs in mdat order
     chunks: List[Tuple[int, int]] = field(default_factory=list)
+    # per-chunk stsd sample_description_index (1-based; empty = all 1) —
+    # mid-stream caps changes append stsd entries and switch the index
+    # (mp4_tests.rs test_caps_change_with_*)
+    chunk_desc: List[int] = field(default_factory=list)
 
     @property
     def total_duration(self) -> int:
         return sum(self.durations)
+
+    def desc(self, i: int) -> int:
+        return self.chunk_desc[i] if i < len(self.chunk_desc) else 1
 
 
 def ftyp(major: bytes, minor: int, compatible: Sequence[bytes]) -> bytes:
@@ -535,8 +630,11 @@ def _dinf() -> bytes:
     return box(b"dinf", dref)
 
 
-def _stbl(entry: bytes, table: Optional[SampleTable]) -> bytes:
-    stsd = full_box(b"stsd", 0, 0, struct.pack(">I", 1) + entry)
+def _stbl(entry: bytes, table: Optional[SampleTable],
+          extra_entries: Sequence[bytes] = ()) -> bytes:
+    entries = [entry, *extra_entries]
+    stsd = full_box(b"stsd", 0, 0,
+                    struct.pack(">I", len(entries)) + b"".join(entries))
     if table is None or not table.sizes:
         # empty tables (fragmented init segment)
         stts = full_box(b"stts", 0, 0, struct.pack(">I", 0))
@@ -558,17 +656,19 @@ def _stbl(entry: bytes, table: Optional[SampleTable]) -> bytes:
         0,
         struct.pack(">I", len(runs)) + b"".join(struct.pack(">II", c, d) for c, d in runs),
     )
-    # stsc: runs of samples-per-chunk
-    stsc_entries: List[Tuple[int, int]] = []  # (first_chunk, samples_per_chunk)
+    # stsc: runs of (samples-per-chunk, sample_description_index)
+    stsc_entries: List[Tuple[int, int, int]] = []  # (first_chunk, n, desc)
     for i, (_off, n) in enumerate(table.chunks):
-        if not stsc_entries or stsc_entries[-1][1] != n:
-            stsc_entries.append((i + 1, n))
+        desc = table.desc(i)
+        if not stsc_entries or stsc_entries[-1][1:] != (n, desc):
+            stsc_entries.append((i + 1, n, desc))
     stsc = full_box(
         b"stsc",
         0,
         0,
         struct.pack(">I", len(stsc_entries))
-        + b"".join(struct.pack(">III", fc, n, 1) for fc, n in stsc_entries),
+        + b"".join(struct.pack(">III", fc, n, d)
+                   for fc, n, d in stsc_entries),
     )
     stsz = full_box(
         b"stsz",
@@ -617,7 +717,7 @@ def _trak(t: TrackConfig, movie_timescale: int, table: Optional[SampleTable]) ->
                 else full_box(b"vmhd", 0, 1, struct.pack(">HHHH", 0, 0, 0, 0))
             )
             + _dinf()
-            + _stbl(t.sample_entry, table),
+            + _stbl(t.sample_entry, table, t.extra_sample_entries),
         ),
     )
     edts = _elst(t.elst) if t.elst else b""

@@ -36,6 +36,9 @@ def _graceful(fn):
 CONTAINERS = {
     b"moov", b"trak", b"mdia", b"minf", b"stbl", b"mvex", b"moof", b"traf",
     b"dinf", b"edts", b"mfra", b"udta", b"mdhd_children",
+    # restricted-scheme wrapper (generically-compressed video, 23001-17
+    # Amd.2: rinf{frma, schm, schi{cmpC}})
+    b"rinf", b"schi",
 }
 
 

@@ -233,7 +233,7 @@ class TestBoxWriter:
 
     def test_unknown_format_raises(self):
         with pytest.raises(ValueError):
-            bmff.uncv_sample_entry("RGBx", 4, 4)  # padded component unsupported
+            bmff.uncv_sample_entry("Y210", 4, 4)  # 10-bit packed: no mapping yet
 
     def test_reader_rejects_corrupt(self):
         with pytest.raises(ValueError):
