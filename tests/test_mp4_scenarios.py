@@ -537,3 +537,41 @@ class TestCompressedRaw:
 
     def test_roundtrip_compressed_raw_rgb_brotli(self):
         self._check_roundtrip("rgb_brotli")
+
+
+class TestImageSequence:
+    """encode_uncompressed_image_sequence_{rgb,nv12} (mp4_tests.rs): the
+    image-sequence pad property writes the track with the ISO/IEC 23008-12
+    'pict' handler instead of 'vide'."""
+
+    def _run(self, fmt, size):
+        mux = fx.element_factory_make("isomp4mux")
+        sink = fx.element_factory_make("appsink")
+        p = fx.Pipeline()
+        p.add(mux); p.add(sink)
+        pad = mux.request_sink_pad()
+        pad.set_property("image-sequence", True)
+        mux.pad("src").link(sink.pad("sink"))
+        p.set_state(State.PLAYING)
+        pad.send_event(Event.new_stream_start("s0"))
+        pad.send_event(Event.new_caps(_video_caps(fmt)))
+        pad.send_event(Event.new_segment(Segment()))
+        rng = np.random.default_rng(5)
+        for i in range(3):
+            pad.chain(Buffer(rng.integers(0, 256, size, np.uint8),
+                             pts=i * S, duration=S))
+        pad.send_event(Event.new_eos())
+        data = b"".join(np.asarray(s.buffer.data).tobytes()
+                        for s in sink.samples)
+        tree = reader.parse_boxes(data)
+        moov = next(n for n in tree if n.type == b"moov")
+        hdlr = moov.find(b"trak", b"mdia", b"hdlr")
+        assert hdlr.payload[8:12] == b"pict"  # ver/flags + pre_defined
+        entries = _stsd_entries(data)
+        assert entries[0].type == b"uncv"
+
+    def test_encode_uncompressed_image_sequence_rgb(self):
+        self._run("RGB", 16 * 16 * 3)
+
+    def test_encode_uncompressed_image_sequence_nv12(self):
+        self._run("NV12", 16 * 16 * 3 // 2)
