@@ -404,12 +404,17 @@ def main():
     # 60% of the model's time via 3->128 lane padding)
     img = jnp.asarray(rng.randint(0, 256, (YB, 640, 640, 3), np.uint8))
     variables = model.init(jax.random.PRNGKey(0), img)
-    fwd = jax.jit(lambda im: apply_fast(model, variables, im))
-
+    # the WHOLE step is one jitted graph: the chain dependency is a
+    # scalar folded back into the u8 image in-jit (the previous form did
+    # the chain arithmetic un-jitted: +3 relay dispatches per step, ~3%).
+    # The image MUST be the traced chained state: a closure-constant image
+    # lets XLA hoist the input transform (+20%), and a `*0` chain lets it
+    # dead-code half the model (+80%) — both measured, both invalid
+    # (PERF_NOTES round 5 "bench-form audit").
+    @jax.jit
     def yolox_step(im):
-        out = fwd(im)
-        # chain dependency through a no-op image perturbation
-        return (im.astype(jnp.float32) + 0.0 * jnp.mean(out)).astype(jnp.uint8)
+        out = apply_fast(model, variables, im)
+        return im + (0 * jnp.mean(out)).astype(jnp.uint8)
 
     dt = _bench(yolox_step, img, iters=20)
     results["yolox_tiny_640_fps"] = YB / dt
@@ -417,12 +422,10 @@ def main():
 
     # engine=fast-bf16: bf16 stem+dark2 activations (detection-parity
     # gated in tests/test_yolox_fast.py::test_fast_bf16_stem_detection_parity)
-    fwd_bf16 = jax.jit(lambda im: apply_fast(model, variables, im,
-                                             s2d_dtype=jnp.bfloat16))
-
+    @jax.jit
     def yolox_bf16_step(im):
-        out = fwd_bf16(im)
-        return (im.astype(jnp.float32) + 0.0 * jnp.mean(out)).astype(jnp.uint8)
+        out = apply_fast(model, variables, im, s2d_dtype=jnp.bfloat16)
+        return im + (0 * jnp.mean(out)).astype(jnp.uint8)
 
     dt = _bench(yolox_bf16_step, img, iters=20)
     results["yolox_tiny_640_bf16_fps"] = YB / dt
@@ -432,11 +435,10 @@ def main():
     # VERDICT r3 #5 asked for it alongside tiny)
     model_s = Yolox.from_variant("s")
     variables_s = model_s.init(jax.random.PRNGKey(0), img[:1])
-    fwd_s = jax.jit(lambda im: apply_fast(model_s, variables_s, im))
-
+    @jax.jit
     def yolox_s_step(im):
-        out = fwd_s(im)
-        return (im.astype(jnp.float32) + 0.0 * jnp.mean(out)).astype(jnp.uint8)
+        out = apply_fast(model_s, variables_s, im)
+        return im + (0 * jnp.mean(out)).astype(jnp.uint8)
 
     dt = _bench(yolox_s_step, img, iters=10)
     results["yolox_s_640_fps"] = YB / dt
