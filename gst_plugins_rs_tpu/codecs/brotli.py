@@ -89,7 +89,7 @@ def _c_decompress(data: bytes) -> bytes:
             if res == 3:  # NEEDS_MORE_OUTPUT
                 continue
             if res == 2:  # NEEDS_MORE_INPUT: truncated stream
-                raise ValueError("truncated brotli stream")
+                raise TruncatedStream("truncated brotli stream")
             raise ValueError("corrupt brotli stream")
     finally:
         _DEC.BrotliDecoderDestroyInstance(st)
@@ -154,6 +154,45 @@ def decompress(data: bytes) -> bytes:
     if _load_libs():
         return _c_decompress(data)
     return _decompress_subset(data)
+
+
+class TruncatedStream(ValueError):
+    """The input ends before the stream's ISLAST block — more input may
+    complete it (vs plain ValueError = structural corruption)."""
+
+
+def decompress_stream(data: bytes):
+    """Decode ONE brotli stream from the front of `data`; returns
+    (decoded_bytes, consumed_bytes) so concatenated streams can be split.
+    Raises TruncatedStream when the stream is incomplete."""
+    if not _load_libs():
+        # subset fallback decodes a single whole-buffer stream
+        return _decompress_subset(data), len(data)
+    st = _DEC.BrotliDecoderCreateInstance(None, None, None)
+    if not st:
+        raise MemoryError("BrotliDecoderCreateInstance failed")
+    try:
+        avail_in = ctypes.c_size_t(len(data))
+        next_in = ctypes.c_char_p(data)
+        chunks = []
+        BUF = 1 << 18
+        while True:
+            buf = ctypes.create_string_buffer(BUF)
+            avail_out = ctypes.c_size_t(BUF)
+            next_out = ctypes.c_char_p(ctypes.addressof(buf))
+            res = _DEC.BrotliDecoderDecompressStream(
+                st, ctypes.byref(avail_in), ctypes.byref(next_in),
+                ctypes.byref(avail_out), ctypes.byref(next_out), None)
+            chunks.append(buf.raw[:BUF - avail_out.value])
+            if res == 1:  # SUCCESS
+                return b"".join(chunks), len(data) - avail_in.value
+            if res == 3:  # NEEDS_MORE_OUTPUT
+                continue
+            if res == 2:
+                raise TruncatedStream("truncated brotli stream")
+            raise ValueError("corrupt brotli stream")
+    finally:
+        _DEC.BrotliDecoderDestroyInstance(st)
 
 
 def _compress_stored(data: bytes) -> bytes:

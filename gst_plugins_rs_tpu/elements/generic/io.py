@@ -298,6 +298,19 @@ def _compressed_media_type(fmt: str) -> str:
     return f"application/x-{fmt}-compressed"
 
 
+def _install_seek_refusal(element) -> None:
+    """Compressed streams are not byte-seekable: refuse upstream SEEK
+    events on the src pad (compress/tests test_*_seek_refused)."""
+    from ...core import EventType
+
+    def on_src_event(pad, event):
+        if event.type == EventType.SEEK:
+            return False
+        return element.sinkpad.push_event(event)
+
+    element.srcpad.event_function = on_src_event
+
+
 def _wrap_compressed_caps(media_type, caps, filter_=None):
     """Sink -> src caps: wrap the input caps in an `original-caps` field on
     the compressed media type (reference compress_caps_helper.rs:13-66)."""
@@ -366,6 +379,18 @@ class CompressDec(BaseTransform):
     MODE = TransformMode.NEVER_IN_PLACE
     PROPERTIES = [Prop("format", "zlib", type="enum", choices=_COMPRESS_FORMATS, mutable="ready")]
 
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._obj = None
+        self._partial = b""
+        self._ready: deque = deque()
+        _install_seek_refusal(self)
+
+    def start(self) -> None:
+        self._obj = None
+        self._partial = b""
+        self._ready.clear()
+
     def transform_caps(self, direction, caps, filter_=None):
         from ...core import PadDirection
 
@@ -374,13 +399,42 @@ class CompressDec(BaseTransform):
             return _unwrap_compressed_caps(caps, filter_)
         return _wrap_compressed_caps(media, caps, filter_)
 
-    def transform(self, inbuf: Buffer) -> Buffer:
-        raw = np.asarray(inbuf.data).tobytes()
+    # streaming reassembly: arbitrary-sized input chunks accumulate until a
+    # whole compressed stream decodes; one output buffer per stream, several
+    # streams per input chunk supported (the reference's GstAdapter +
+    # flate2::Decompress boundary detection, compress/tests:260-315)
+    def submit_input_buffer(self, buf: Buffer) -> None:
+        from ...core import Message, MessageType, Structure
+
         wbits = 15 if self.get_property("format") == "zlib" else -15
-        payload = zlib.decompress(raw, wbits)
-        out = Buffer(np.frombuffer(payload, np.uint8))
-        out.copy_metadata_from(inbuf)
-        return out
+        data = np.asarray(buf.data).tobytes()
+        while data:
+            if self._obj is None:
+                self._obj = zlib.decompressobj(wbits)
+                self._partial = b""
+            try:
+                self._partial += self._obj.decompress(data)
+            except zlib.error as e:
+                # integrity failure (zlib adler32 / bad codes): drop the
+                # stream, no output (compress/tests corruption_detected)
+                self.post_message(Message(
+                    MessageType.ERROR,
+                    structure=Structure("error", element=self.name,
+                                        reason=f"corrupt stream: {e}")))
+                self._obj = None
+                self._partial = b""
+                return
+            if not self._obj.eof:
+                return  # stream incomplete: wait for more input
+            out = Buffer(np.frombuffer(self._partial, np.uint8))
+            out.copy_metadata_from(buf)
+            self._ready.append(out)
+            data = self._obj.unused_data
+            self._obj = None
+            self._partial = b""
+
+    def generate_output(self):
+        return self._ready.popleft() if self._ready else None
 
 
 __all__ = ["FileSrc", "FileSink", "InterSink", "InterSrc", "CompressEnc", "CompressDec"]
@@ -446,7 +500,10 @@ class BrotliCompress(BaseTransform):
 @register
 class BrotliDecompress(BaseTransform):
     """Brotli decoder (codecs/brotli.py: libbrotlidec via ctypes, full
-    RFC 7932 incl. entropy coding and the static dictionary)."""
+    RFC 7932 incl. entropy coding and the static dictionary).  Streams
+    split across input buffers reassemble; structural corruption fails
+    the chain with a flow error (compress/tests
+    brotli_structural_corruption_flow_error)."""
 
     SINK_CAPS = Caps.builder("application/x-brotli-compressed")
     ELEMENT_NAME = "brotlidecompress"
@@ -454,10 +511,42 @@ class BrotliDecompress(BaseTransform):
     ELEMENT_DESCRIPTION = "Decompresses brotli streams"
     MODE = TransformMode.NEVER_IN_PLACE
 
-    def transform(self, inbuf: Buffer) -> Buffer:
-        from ...codecs import brotli
+    def __init__(self, name=None):
+        super().__init__(name)
+        self._pending = b""
+        self._ready: deque = deque()
+        _install_seek_refusal(self)
 
-        out = Buffer(np.frombuffer(
-            brotli.decompress(np.asarray(inbuf.data).tobytes()), np.uint8))
-        out.copy_metadata_from(inbuf)
-        return out
+    def start(self) -> None:
+        self._pending = b""
+        self._ready.clear()
+
+    def transform_caps(self, direction, caps, filter_=None):
+        from ...core import PadDirection
+
+        if direction == PadDirection.SINK:
+            return _unwrap_compressed_caps(caps, filter_)
+        return _wrap_compressed_caps(
+            "application/x-brotli-compressed", caps, filter_)
+
+    def submit_input_buffer(self, buf: Buffer) -> None:
+        from ...codecs import brotli
+        from ...core.element import FlowError, FlowReturn
+
+        self._pending += np.asarray(buf.data).tobytes()
+        while self._pending:
+            try:
+                payload, consumed = brotli.decompress_stream(self._pending)
+            except brotli.TruncatedStream:
+                return  # incomplete: wait for more input
+            except ValueError as e:
+                self._pending = b""
+                raise FlowError(FlowReturn.ERROR,
+                                f"{self.name}: corrupt brotli stream: {e}")
+            out = Buffer(np.frombuffer(payload, np.uint8))
+            out.copy_metadata_from(buf)
+            self._ready.append(out)
+            self._pending = self._pending[consumed:]
+
+    def generate_output(self):
+        return self._ready.popleft() if self._ready else None
