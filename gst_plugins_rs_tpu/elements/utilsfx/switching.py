@@ -90,6 +90,7 @@ class FallbackSwitch(Aggregator):
         self._sent_caps_for: Optional[FallbackSinkPad] = None
         self._flow_lock = threading.RLock()
         self._timeout_id = None
+        self._eos_sent = False
 
     def get_property(self, name: str):
         if name == "active-pad":
@@ -217,6 +218,12 @@ class FallbackSwitch(Aggregator):
             new_active = self._active if not self._active.is_inactive() else self._pick_active()
         if new_active is not self._active:
             self._active = new_active
+            if new_active is not None:
+                # only the newest frame held while inactive is output on a
+                # switch; older ones were consumed un-output at each cycle
+                # (fallbackswitch.rs test_long_drop_and_eos)
+                while len(new_active.queue) > 1:
+                    new_active.queue.popleft()
             self.post_message(
                 Message(
                     MessageType.ELEMENT,
@@ -236,7 +243,13 @@ class FallbackSwitch(Aggregator):
                 while pad.queue:
                     ret = self.finish_buffer(pad.pop_buffer())
             else:
-                pad.queue.clear()  # drop inactive inputs
+                # inactive inputs keep their NEWEST frame so a switch can
+                # output it immediately (the reference aggregator holds one
+                # pending buffer per pad; fallbackswitch.rs
+                # test_long_drop_and_eos outputs the fallback frame queued
+                # just before the timeout fired)
+                while len(pad.queue) > 1:
+                    pad.queue.popleft()
         return ret
 
     def _try_aggregate(self) -> FlowReturn:
@@ -245,16 +258,23 @@ class FallbackSwitch(Aggregator):
         pads = self.agg_pads()
         if not pads:
             return ret
-        # stop-on-eos: the active pad's EOS ends the stream instead of
-        # falling back to a lower-priority input (fallbackswitch/imp.rs)
-        if self.get_property("stop-on-eos") and self._active is not None \
-                and self._active.is_inactive():
-            self.srcpad.push_event(Event.new_eos())
+        # events (incl. EOS) forward from the ACTIVE pad only: its EOS ends
+        # the stream regardless of other inputs (imp.rs:1110-1147; the
+        # reference tests never require EOS on the fallback).  stop-on-eos
+        # strengthens this to ANY pad's EOS (imp.rs:660-663).
+        any_eos = any(p.is_inactive() for p in pads)
+        if (self._active is not None and self._active.is_inactive()) or (
+                self.get_property("stop-on-eos") and any_eos):
+            if not self._eos_sent:
+                self._eos_sent = True
+                self.srcpad.push_event(Event.new_eos())
             return ret
         active = self._pick_active() if self.get_property("auto-switch") or self._active is None else self._active
         if active is None:
             if all(p.is_inactive() for p in pads):
-                self.srcpad.push_event(Event.new_eos())
+                if not self._eos_sent:
+                    self._eos_sent = True
+                    self.srcpad.push_event(Event.new_eos())
             return ret
         if active.has_buffer() or active is not self._active:
             ret = self.aggregate(timeout=False)
