@@ -51,7 +51,9 @@ class ReqwestHttpSrc(BaseSrc):
              doc="request gzip transfer-compression (Accept-Encoding)"),
         Prop("keep-alive", True, type="bool",
              doc="send Connection: keep-alive (false = close)"),
-        Prop("proxy", None, type="str", doc="HTTP proxy URI"),
+        Prop("proxy", None, type="str",
+             doc="HTTP proxy URI; a bare host:port gets an http:// scheme "
+                 "(souphttpsrc compatibility, reqwesthttpsrc.rs test_proxy_prop)"),
         Prop("proxy-id", None, type="str", doc="proxy user id"),
         Prop("proxy-pw", None, type="str", doc="proxy password"),
         Prop("iradio-mode", False, type="bool",
@@ -61,6 +63,12 @@ class ReqwestHttpSrc(BaseSrc):
 
     #: icy-* headers collected when iradio-mode is set
     iradio_info: dict
+
+    def set_property(self, name: str, value) -> None:
+        if name == "proxy" and value and "://" not in str(value):
+            # souphttpsrc compatibility: bare host:port means http://
+            value = f"http://{value}"
+        super().set_property(name, value)
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -192,7 +200,25 @@ class ReqwestHttpSrc(BaseSrc):
     def fixate(self, caps: Caps) -> Caps:
         if not caps.is_any():
             return caps.fixate()
-        ct = (self.content_type or "application/octet-stream").split(";")[0]
+        ct_full = self.content_type or "application/octet-stream"
+        ct = ct_full.split(";")[0].strip()
+        if ct.lower() == "audio/l16":
+            # raw network-order PCM (RFC 2586): surface rate/channels like
+            # souphttpsrc (reqwesthttpsrc.rs test_audio_l16)
+            params = dict(
+                p.strip().partition("=")[::2]
+                for p in ct_full.split(";")[1:] if "=" in p)
+            return Caps.builder(
+                "audio/x-unaligned-raw", format="S16BE",
+                rate=int(params.get("rate", 44100)),
+                channels=int(params.get("channels", 2)),
+                layout="interleaved")
+        if self.get_property("iradio-mode") and getattr(self, "iradio_info", None) \
+                and self.iradio_info.get("icy-metaint"):
+            # interleaved ICY metadata stream (test_iradio_mode)
+            return Caps.builder(
+                "application/x-icy",
+                **{"metadata-interval": int(self.iradio_info["icy-metaint"])})
         return Caps.builder(ct if "/" in ct else "application/octet-stream")
 
     def create(self) -> Optional[Buffer]:

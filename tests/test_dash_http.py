@@ -237,3 +237,137 @@ def test_dashsink2_media_named_request_pads(tmp_path):
     capsf.pad("src").link(pad)
     p.play_until_eos()
     assert "manifest.mpd" in os.listdir(tmp_path)
+
+
+class _ScenarioHandler(BaseHTTPRequestHandler):
+    """Server for the reqwesthttpsrc scenario matrix
+    (net/reqwest/tests/reqwesthttpsrc.rs): header echo, ICY, L16, error
+    codes and proxying (absolute-URI GETs)."""
+
+    payload = b"abcdefghij" * 100
+    seen = {}
+
+    def do_GET(self):
+        path = self.path
+        if path.startswith("http://"):  # proxied absolute-URI request
+            _ScenarioHandler.seen["proxied"] = path
+            path = "/" + path.split("/", 3)[3]
+        _ScenarioHandler.seen["headers"] = dict(self.headers)
+        if path == "/404":
+            self.send_response(404); self.end_headers(); return
+        if path == "/403":
+            self.send_response(403); self.end_headers(); return
+        ct = "application/x-test"
+        extra = []
+        if path == "/icy":
+            extra = [("icy-name", "Scenario Radio"), ("icy-genre", "tests"),
+                     ("icy-metaint", "8192")]
+        if path == "/l16":
+            ct = "audio/L16;rate=48000;channels=2"
+        self.send_response(200)
+        self.send_header("Content-Type", ct)
+        self.send_header("Content-Length", str(len(self.payload)))
+        for k, v in extra:
+            self.send_header(k, v)
+        self.end_headers()
+        self.wfile.write(self.payload)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture()
+def scenario_server():
+    srv = HTTPServer(("127.0.0.1", 0), _ScenarioHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _fetch(location, **props):
+    src = fx.element_factory_make("reqwesthttpsrc")
+    src.set_property("location", location)
+    for k, v in props.items():
+        src.set_property(k, v)
+    sink = fx.element_factory_make("appsink")
+    p = fx.Pipeline()
+    p.add(src); p.add(sink)
+    src.link(sink)
+    p.play_until_eos()
+    data = b"".join(np.asarray(s.buffer.data).tobytes()
+                    for s in sink.samples)
+    return data, sink, src
+
+
+class TestReqwestHttpSrcScenarios:
+    """Named mirrors of net/reqwest/tests/reqwesthttpsrc.rs (the seek /
+    auth / content-length scenarios live in TestReqwestHttpSrc above)."""
+
+    def test_basic_request(self, scenario_server):
+        data, sink, _ = _fetch(f"{scenario_server}/file")
+        assert data == _ScenarioHandler.payload
+        assert sink.caps.structure(0).name == "application/x-test"
+
+    def test_basic_request_inverted_defaults(self, scenario_server):
+        data, _, _ = _fetch(f"{scenario_server}/file", compress=True,
+                            **{"keep-alive": False, "iradio-mode": False})
+        assert data == _ScenarioHandler.payload
+
+    def test_extra_headers(self, scenario_server):
+        _fetch(f"{scenario_server}/file",
+               **{"extra-headers": {"X-Custom": "1", "X-Two": "b"}})
+        seen = _ScenarioHandler.seen["headers"]
+        assert seen.get("X-Custom") == "1" and seen.get("X-Two") == "b"
+
+    def test_cookies_property(self, scenario_server):
+        _fetch(f"{scenario_server}/file",
+               cookies=["foo=1", "bar=2"])
+        assert _ScenarioHandler.seen["headers"].get("Cookie") == "foo=1; bar=2"
+
+    test_cookies = test_cookies_property  # the reference's pipeline variant
+
+    def test_iradio_mode(self, scenario_server):
+        data, sink, src = _fetch(f"{scenario_server}/icy",
+                                 **{"iradio-mode": True})
+        # Icy-MetaData: 1 requested, icy-* headers surfaced, ICY caps
+        assert _ScenarioHandler.seen["headers"].get("Icy-Metadata") == "1" \
+            or _ScenarioHandler.seen["headers"].get("Icy-MetaData") == "1"
+        assert src.iradio_info["icy-name"] == "Scenario Radio"
+        assert src.iradio_info["icy-genre"] == "tests"
+        s = sink.caps.structure(0)
+        assert s.name == "application/x-icy"
+        assert s.get("metadata-interval") == 8192
+
+    def test_audio_l16(self, scenario_server):
+        data, sink, _ = _fetch(f"{scenario_server}/l16")
+        s = sink.caps.structure(0)
+        assert s.name == "audio/x-unaligned-raw"
+        assert s.get("format") == "S16BE"
+        assert s.get("rate") == 48000 and s.get("channels") == 2
+
+    def test_404_error(self, scenario_server):
+        with pytest.raises(Exception):
+            _fetch(f"{scenario_server}/404")
+
+    def test_403_error(self, scenario_server):
+        with pytest.raises(Exception):
+            _fetch(f"{scenario_server}/403")
+
+    def test_network_error(self):
+        # a port nothing listens on: connection refused surfaces as error
+        with pytest.raises(Exception):
+            _fetch("http://127.0.0.1:1/file", timeout=1)
+
+    def test_proxy(self, scenario_server):
+        port = int(scenario_server.rsplit(":", 1)[1])
+        data, _, _ = _fetch("http://example.invalid/file",
+                            proxy=f"http://127.0.0.1:{port}")
+        assert data == _ScenarioHandler.payload
+        assert _ScenarioHandler.seen["proxied"].startswith(
+            "http://example.invalid/")
+
+    def test_proxy_prop_souphttpsrc_compatibility(self):
+        src = fx.element_factory_make("reqwesthttpsrc")
+        src.set_property("proxy", "127.0.0.1:8080")
+        assert src.get_property("proxy") == "http://127.0.0.1:8080"
