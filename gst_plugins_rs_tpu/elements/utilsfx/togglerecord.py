@@ -299,12 +299,35 @@ class ToggleRecord(Element):
                     # up to last_stop then go EOS (imp.rs:116)
                     if self._rec_state == RECORDING and self._last_stop is None:
                         self._last_stop = stream.current_rt_end
+                    if all(s.eos for s in self._others):
+                        # every stream has ended: recording stops
+                        # (check_and_update_eos, imp.rs:1230-1266;
+                        # togglerecord tests test_*_secondary_eos_first)
+                        self._rec_state = STOPPED
                 self._cond.notify_all()
             return stream.srcpad.push_event(event)
         if et == EventType.STREAM_START:
             with self._cond:
                 stream.eos = False
             return stream.srcpad.push_event(event)
+        if et == EventType.GAP:
+            # gaps ride the record machine like keyframe buffers: they
+            # advance positions, are dropped while stopped, and come out
+            # re-timestamped onto the recording timeline (imp.rs gap
+            # handling; togglerecord tests test_one_stream_gaps_open /
+            # test_two_stream_open_close_open_gaps)
+            g = Buffer(None, pts=event.get("pts"),
+                       duration=event.get("duration"), flags=BufferFlags.GAP)
+            upstream_live = self._upstream_live(stream)
+            handler = (self._handle_main if stream is self._main
+                       else self._handle_secondary)
+            kind, payload = handler(stream, g, upstream_live)
+            if kind == "eos":
+                stream.srcpad.push_event(Event.new_eos())
+                return True
+            if kind == "pass":
+                self._push_out(stream, payload, upstream_live)
+            return True
         # other serialized events wait for a pending segment (imp.rs:1664-1676)
         with self._cond:
             if stream.segment_pending:
@@ -350,6 +373,10 @@ class ToggleRecord(Element):
             out.set_flag(BufferFlags.DISCONT)
         for ev in pending:
             stream.srcpad.push_event(ev)
+        if out.data is None and out.has_flag(BufferFlags.GAP):
+            # re-timestamped gap events stay events downstream
+            stream.srcpad.push_event(Event.new_gap(out.pts, out.duration))
+            return FlowReturn.OK
         return stream.srcpad.push(out)
 
     # -- chain --------------------------------------------------------------------
