@@ -131,15 +131,14 @@ class FileSink(BaseSink):
 # ---------------------------------------------------------------------------
 # inter: in-process bridge between pipelines (generic/inter)
 # ---------------------------------------------------------------------------
-class InterChannel:
-    """Named producer→consumer channel with byte/time/buffer accounting —
-    the StreamProducer analog (generic/inter/src/sink/mod.rs:9).  Limits
-    are set by the consuming intersrc; when exceeded the OLDEST buffer is
-    dropped (a slow consumer must not stall the producing pipeline)."""
+class InterSubscription:
+    """One consumer's view of an InterChannel: its own queue, levels and
+    eviction limits (the StreamProducer consumer slot,
+    generic/inter/src/sink/mod.rs:9).  When limits are exceeded the OLDEST
+    buffer is dropped — a slow consumer must never stall the producer."""
 
     def __init__(self):
         self.items: deque = deque()
-        self.caps: Optional[Caps] = None
         self.level_bytes = 0
         self.level_time = 0
         self.n_buffers = 0
@@ -185,6 +184,61 @@ class InterChannel:
         item = self.items.popleft()
         self._account(item, -1)
         return item
+
+
+class InterChannel:
+    """Named producer→consumers broadcast channel (the StreamProducer
+    analog).  Every subscription receives every buffer/event from its
+    subscribe time on — N intersrc consumers fan out from one intersink
+    (threadshare/tests/inter.rs one_to_many_up_first).  The first
+    subscriber adopts the channel's default subscription, which also
+    buffers anything produced before any consumer existed (the
+    down-first/up-first startup orders both work)."""
+
+    def __init__(self):
+        self.caps: Optional[Caps] = None
+        self._default = InterSubscription()
+        self.subs = [self._default]
+        self._default_claimed = False
+
+    def push(self, kind, payload) -> None:
+        for sub in list(self.subs):
+            sub.push(kind, payload)
+
+    def subscribe(self) -> InterSubscription:
+        if not self._default_claimed:
+            self._default_claimed = True
+            return self._default
+        sub = InterSubscription()
+        self.subs.append(sub)
+        return sub
+
+    def unsubscribe(self, sub: InterSubscription) -> None:
+        if sub in self.subs and sub is not self._default:
+            self.subs.remove(sub)
+
+    # -- legacy single-consumer surface (delegates to the default sub) -----
+    def pop(self):
+        return self._default.pop()
+
+    def _prop(name):
+        def get(self):
+            return getattr(self._default, name)
+
+        def set_(self, v):
+            setattr(self._default, name, v)
+
+        return property(get, set_)
+
+    items = _prop("items")
+    level_bytes = _prop("level_bytes")
+    level_time = _prop("level_time")
+    n_buffers = _prop("n_buffers")
+    max_buffers = _prop("max_buffers")
+    max_bytes = _prop("max_bytes")
+    max_time = _prop("max_time")
+    dropped = _prop("dropped")
+    del _prop
 
 
 _CHANNELS: Dict[str, InterChannel] = {}
@@ -262,11 +316,31 @@ class InterSrc(BaseSrc):
              doc="Maximum number of nanoseconds to queue (0=unlimited)"),
     ]
 
+    _sub: Optional[InterSubscription] = None
+    _sub_for: Optional[str] = None
+
+    def _limits(self):
+        return (int(self.get_property("max-buffers")),
+                int(self.get_property("max-bytes")),
+                int(self.get_property("max-time")))
+
+    def _ensure_sub(self) -> InterSubscription:
+        """Each intersrc holds its OWN channel subscription so several
+        consumers fan out from one producer; switching producer-name (or
+        the ts inter-context alias) re-subscribes to the new channel
+        (threadshare/tests/inter.rs changing_inter_ctx)."""
+        name = self.get_property("producer-name")
+        if self._sub is None or self._sub_for != name:
+            if self._sub is not None and self._sub_for is not None:
+                _channel(self._sub_for).unsubscribe(self._sub)
+            self._sub = _channel(name).subscribe()
+            self._sub_for = name
+            (self._sub.max_buffers, self._sub.max_bytes,
+             self._sub.max_time) = self._limits()
+        return self._sub
+
     def start(self) -> None:
-        ch = _channel(self.get_property("producer-name"))
-        ch.max_buffers = int(self.get_property("max-buffers"))
-        ch.max_bytes = int(self.get_property("max-bytes"))
-        ch.max_time = int(self.get_property("max-time"))
+        self._ensure_sub()
 
     def negotiate(self) -> Caps:
         caps = _channel(self.get_property("producer-name")).caps
@@ -275,8 +349,7 @@ class InterSrc(BaseSrc):
         return super().negotiate()
 
     def create(self):
-        ch = _channel(self.get_property("producer-name"))
-        item = ch.pop()
+        item = self._ensure_sub().pop()
         if item is None:
             return BaseSrc.RETRY
         kind, payload = item

@@ -162,9 +162,12 @@ class TsInterSrc(InterSrc):
     ELEMENT_NAME = "ts-intersrc"
     ELEMENT_DESCRIPTION = "Inter-pipeline source over a named context channel"
     PROPERTIES = InterSrc.PROPERTIES + _CTX_PROPS + [
-        Prop("inter-context", "", type="str",
+        Prop("producer-name", "default", type="str", mutable="playing"),
+        Prop("inter-context", "", type="str", mutable="playing",
              doc="context name shared with ts-intersink (alias of "
-                 "producer-name, kept in sync)"),
+                 "producer-name, kept in sync); switching it mid-run "
+                 "re-subscribes to the new producer (threadshare "
+                 "inter.rs changing_inter_ctx)"),
         Prop("max-size-buffers", 200, type="uint",
              doc="Maximum number of buffers to queue (0=unlimited)"),
         Prop("max-size-bytes", 1_048_576, type="uint",
@@ -189,22 +192,20 @@ class TsInterSrc(InterSrc):
         elif name == "producer-name":
             self._props["inter-context"] = value
 
-    def start(self) -> None:
-        from .io import _channel
-
-        ch = _channel(self.get_property("producer-name"))
-        ch.max_buffers = int(self.get_property("max-size-buffers"))
-        ch.max_bytes = int(self.get_property("max-size-bytes"))
-        ch.max_time = int(self.get_property("max-size-time"))
+    def _limits(self):
+        return (int(self.get_property("max-size-buffers")),
+                int(self.get_property("max-size-bytes")),
+                int(self.get_property("max-size-time")))
 
     def get_property(self, name: str):
         if name.startswith("current-level-"):
             from .io import _channel
 
-            ch = _channel(super().get_property("producer-name"))
-            return {"current-level-buffers": ch.n_buffers,
-                    "current-level-bytes": ch.level_bytes,
-                    "current-level-time": ch.level_time}[name]
+            sub = self._sub if self._sub is not None else \
+                _channel(super().get_property("producer-name"))
+            return {"current-level-buffers": sub.n_buffers,
+                    "current-level-bytes": sub.level_bytes,
+                    "current-level-time": sub.level_time}[name]
         return super().get_property(name)
 
 
