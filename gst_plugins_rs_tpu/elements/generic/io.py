@@ -214,7 +214,15 @@ class InterChannel:
         return sub
 
     def unsubscribe(self, sub: InterSubscription) -> None:
-        if sub in self.subs and sub is not self._default:
+        if sub is self._default:
+            # the default slot becomes claimable again with a FRESH backlog;
+            # without this the departed consumer's queue would keep
+            # accumulating every future buffer as a ghost subscriber
+            self._default_claimed = False
+            self.subs.remove(self._default)
+            self._default = InterSubscription()
+            self.subs.append(self._default)
+        elif sub in self.subs:
             self.subs.remove(sub)
 
     # -- legacy single-consumer surface (delegates to the default sub) -----

@@ -27,6 +27,7 @@ Behavioral notes vs the reference:
 """
 from __future__ import annotations
 
+import threading
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -733,6 +734,9 @@ class FMP4Mux(_MuxBase):
         self._total_dur_ts: Dict[int, int] = {}
         self._timeout_id = None
         self._armed_deadline: Optional[int] = None
+        # guards muxer state between the streaming thread (aggregate/drain)
+        # and the clock callback thread (_on_timeout)
+        self._flow_lock = threading.RLock()
 
     def on_ready_to_paused(self) -> None:
         # header-update-mode semantics: none/rewrite never re-send the
@@ -888,6 +892,21 @@ class FMP4Mux(_MuxBase):
             self._arm_timeout()  # live deadline rolls to the new fragment
         return ret
 
+    def _consume_pad_queue(self, st: _Stream) -> None:
+        """Drain a pad's queued buffers into the GOP queue, honoring the
+        caps-event serialization (pending_caps applies only to buffers
+        pushed AFTER the caps event)."""
+        while st.pad.has_buffer():
+            buf = st.pad.pop_buffer()
+            if st.pending_caps is not None and st.pending_caps_after > 0:
+                st.pending_caps_after -= 1
+            elif st.pending_caps is not None:
+                self._apply_caps_change(st, buf)
+            data, dur, sync = st.to_sample(buf)
+            pts_ts = None if buf.pts is None else \
+                buf.pts * st.timescale // SECOND
+            st.queue_sample(data, dur, sync, pts_ts=pts_ts)
+
     # -- live timeout (aggregate(timeout=true), fmp4mux test_live_timeout) --
     def on_playing_to_paused(self) -> None:
         self._unarm_timeout()
@@ -916,19 +935,18 @@ class FMP4Mux(_MuxBase):
         cid.wait_async(self._on_timeout)
 
     def _on_timeout(self, cid) -> None:
-        if cid is not self._timeout_id or cid._unscheduled:
-            return
-        self._timeout_id = None
-        self._armed_deadline = None
+        with self._flow_lock:
+            if cid is not self._timeout_id or cid._unscheduled:
+                return
+            self._timeout_id = None
+            self._armed_deadline = None
+            self._timeout_cut()
+
+    def _timeout_cut(self) -> None:
         # the regular aggregate path only runs when EVERY pad has data; on
         # deadline the lagging pads stop gating — consume what's queued
         for st in self.active_streams():
-            while st.pad.has_buffer():
-                buf = st.pad.pop_buffer()
-                data, dur, sync = st.to_sample(buf)
-                pts_ts = None if buf.pts is None else \
-                    buf.pts * st.timescale // SECOND
-                st.queue_sample(data, dur, sync, pts_ts=pts_ts)
+            self._consume_pad_queue(st)
         live = [s for s in self.active_streams()
                 if not s.pad.is_inactive() or s.pending or s.gops]
         if live and self._header_sent:
@@ -1030,6 +1048,10 @@ class FMP4Mux(_MuxBase):
         return super().sink_event(pad, event)
 
     def aggregate(self, timeout: bool) -> FlowReturn:
+        with self._flow_lock:
+            return self._aggregate_locked(timeout)
+
+    def _aggregate_locked(self, timeout: bool) -> FlowReturn:
         if not self._ensure_configured():
             return FlowReturn.OK
         if not self._header_sent:
@@ -1050,7 +1072,13 @@ class FMP4Mux(_MuxBase):
         frag_dur = self.get_property("fragment-duration")
         if self._first_pts is None:
             self._first_pts = buf.pts or 0
-            self._frag_start_ns = 0
+            # the fragment grid starts at the EARLIEST PTS, not zero: a
+            # stream starting at/after the first boundary would otherwise
+            # never fill a fragment and queue GOPs unboundedly (the
+            # reference bases the grid on the first buffer; write-edts-mode
+            # auto records the nonzero start in the elst)
+            self._frag_start_ns = self._first_pts
+            self._chunk_start_ns = self._first_pts
             # earliest PTS known -> announce the SECOND fragment's start to
             # upstream encoders (fmp4mux/imp.rs:2085-2103)
             if not manual:
@@ -1207,10 +1235,6 @@ class FMP4Mux(_MuxBase):
             return frag_end_ns
         return None
 
-    def _queued_ns(self, st: _Stream) -> int:
-        """ns of data queued beyond what has already been cut."""
-        return (st.queued_end_ts - st.decode_ts - st.pending_dur) * SECOND // st.timescale
-
     def _stream_fragment_filled(self, st: _Stream, frag_end_ns: int) -> bool:
         """fmp4mux/imp.rs:1655-1729: a stream has enough data for the
         current fragment once a FINALIZED GOP ends at/after the fragment
@@ -1249,6 +1273,10 @@ class FMP4Mux(_MuxBase):
         return min(cuts) if cuts else frag_end_ns
 
     def drain(self) -> None:
+        with self._flow_lock:
+            self._drain_locked()
+
+    def _drain_locked(self) -> None:
         self._unarm_timeout()
         if not self._header_sent:
             if not self._ensure_configured():
@@ -1256,12 +1284,7 @@ class FMP4Mux(_MuxBase):
             self._send_header()
         # consume anything still queued (EOS arrived with partial queues)
         for st in self.active_streams():
-            while st.pad.has_buffer():
-                buf = st.pad.pop_buffer()
-                data, dur, sync = st.to_sample(buf)
-                pts_ts = None if buf.pts is None else \
-                    buf.pts * st.timescale // SECOND
-                st.queue_sample(data, dur, sync, pts_ts=pts_ts)
+            self._consume_pad_queue(st)
             st.finalize_gops()
         # emit complete fragments first (the reference's drain keeps the
         # fragment grid: fmp4_tests.rs test_caps_change_within_gop expects
@@ -1413,6 +1436,24 @@ class MP4Mux(_MuxBase):
         st.configure(new_caps, first_frame=first)
         new_entry = st.track.sample_entry
         new_ts, new_dur = st.timescale, st.frame_dur_ts
+        new_ainfo = st.ainfo
+        if keep["kind"] == "audio" and (
+                new_ts != keep["timescale"]
+                or (new_ainfo is not None and keep["ainfo"] is not None
+                    and (new_ainfo.bpf != keep["ainfo"].bpf
+                         or new_ainfo.format != keep["ainfo"].format))):
+            # an audio rate/format change cannot be represented in ONE mp4
+            # track: the mdhd timescale and the sample byte layout are
+            # per-track, so the already-written samples would contradict
+            # the new entry.  Reject instead of writing garbage.
+            from ...core.element import FlowError
+
+            for k, v in keep.items():
+                setattr(st, k, v)
+            raise FlowError(
+                FlowReturn.ERROR,
+                f"{self.name}: raw-audio rate/format changes are not "
+                "representable in a single mp4 track")
         for k, v in keep.items():
             setattr(st, k, v)
         st.configured_caps = new_caps

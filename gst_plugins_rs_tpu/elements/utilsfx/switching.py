@@ -80,8 +80,10 @@ class FallbackSwitch(Aggregator):
              doc="floor for the upstream latency used in the timeout "
                  "bookkeeping"),
         Prop("stop-on-eos", False, type="bool", mutable="playing",
-             doc="forward EOS from the active pad instead of switching to "
-                 "a healthy lower-priority input"),
+             doc="stop for good as soon as ANY input is EOS; when false "
+                 "(default) the active pad's EOS forwards downstream but a "
+                 "healthy lower-priority input can still take over once "
+                 "the timeout retires the ended input"),
     ]
 
     def __init__(self, name: Optional[str] = None):
@@ -199,7 +201,12 @@ class FallbackSwitch(Aggregator):
     def _pick_active(self) -> Optional[FallbackSinkPad]:
         candidates = [
             p for p in self.agg_pads()
-            if p.is_healthy and not p.is_inactive() and not p.timed_out  # type: ignore[attr-defined]
+            if p.is_healthy and not p.timed_out
+            # an EOS'd input cannot TAKE OVER, but the current active stays
+            # active through its own EOS until the timeout machinery
+            # declares it stalled (the reference switches on timeout, not
+            # on EOS: fallbackswitch/imp.rs handle_buffer cases 1-4)
+            and (not p.is_inactive() or p is self._active)
         ]
         if not candidates:
             return None
@@ -224,6 +231,17 @@ class FallbackSwitch(Aggregator):
                 # (fallbackswitch.rs test_long_drop_and_eos)
                 while len(new_active.queue) > 1:
                     new_active.queue.popleft()
+                if self._eos_sent:
+                    # taking over after the previous active EOS'd: restart
+                    # the downstream stream (the reference re-pushes the new
+                    # pad's sticky events on a switch, imp.rs:1126-1144)
+                    self._eos_sent = False
+                    self.srcpad.push_event(
+                        Event.new_stream_start(new_active.name))
+                    from ...core import Segment as _Segment
+
+                    self.srcpad.push_event(Event.new_segment(_Segment()))
+                    self._sent_caps_for = None
             self.post_message(
                 Message(
                     MessageType.ELEMENT,
@@ -258,17 +276,22 @@ class FallbackSwitch(Aggregator):
         pads = self.agg_pads()
         if not pads:
             return ret
-        # events (incl. EOS) forward from the ACTIVE pad only: its EOS ends
-        # the stream regardless of other inputs (imp.rs:1110-1147; the
-        # reference tests never require EOS on the fallback).  stop-on-eos
-        # strengthens this to ANY pad's EOS (imp.rs:660-663).
+        # events (incl. EOS) forward from the ACTIVE pad only: its EOS is
+        # pushed downstream (imp.rs:1110-1147; the reference tests never
+        # require EOS on the fallback), but the element keeps running — a
+        # healthy lower-priority input can still take over when the
+        # timeout machinery retires the EOS'd active pad.  stop-on-eos
+        # strengthens to ANY pad's EOS ending the stream for good
+        # (imp.rs:660-663).
         any_eos = any(p.is_inactive() for p in pads)
         if (self._active is not None and self._active.is_inactive()) or (
                 self.get_property("stop-on-eos") and any_eos):
             if not self._eos_sent:
                 self._eos_sent = True
                 self.srcpad.push_event(Event.new_eos())
-            return ret
+            if self.get_property("stop-on-eos") or all(
+                    p.is_inactive() for p in pads):
+                return ret  # no input can take over: the stream is done
         active = self._pick_active() if self.get_property("auto-switch") or self._active is None else self._active
         if active is None:
             if all(p.is_inactive() for p in pads):

@@ -357,3 +357,44 @@ def test_manual_switch_live():
 
 def test_manual_switch_not_live():
     _manual_switch(False)
+
+
+def test_failover_after_active_eos():
+    """With stop-on-eos=false, the active input's EOS forwards downstream
+    but the element keeps running: once the timeout retires the ended
+    input, a healthy lower-priority input takes over and the stream
+    restarts (review finding r5: EOS used to latch the element shut)."""
+    from gst_plugins_rs_tpu.core import EventType
+
+    c = Ctx()
+    c.push(0)
+    c.push_fallback(0)
+    c.set_time(LATENCY)
+    assert_buffer(c.pull(), 0)
+
+    c.push_eos()  # the active (main) input ends
+    assert any(e.type == EventType.EOS for e in c.events)
+
+    # the timeout retires the EOS'd input; the fallback takes over and the
+    # downstream stream restarts (stream-start + segment re-pushed); the
+    # frame it held while inactive flushes first, then fresh ones flow
+    c.set_time(TIMEOUT + SECOND)
+    assert_fallback_buffer(c.pull(), 0)
+    c.push_fallback(4 * SECOND)
+    assert_fallback_buffer(c.pull(), 4 * SECOND)
+    types = [e.type for e in c.events]
+    eos_at = types.index(EventType.EOS)
+    assert EventType.STREAM_START in types[eos_at:]
+
+
+def test_stop_on_eos_stops_for_good():
+    c = Ctx()
+    c.fs.set_property("stop-on-eos", True)
+    c.push(0)
+    c.push_fallback(0)
+    c.set_time(LATENCY)
+    assert_buffer(c.pull(), 0)
+    c.push_eos()
+    c.set_time(TIMEOUT + SECOND)
+    c.push_fallback(4 * SECOND)
+    assert c.no_more_buffers()  # nothing may take over

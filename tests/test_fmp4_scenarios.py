@@ -1197,3 +1197,21 @@ class TestLateKeyFrameSparse:
 
     def test_multi_stream_late_key_frame_sparse_on_frag_boundary_gap(self):
         self._check(2 * S, True, True)
+
+
+class TestLateStartStream:
+    def test_fragment_grid_starts_at_first_pts(self):
+        """A stream whose first PTS is past the nominal first boundary must
+        still fragment on schedule (review finding r5: the grid anchored at
+        0 never filled a fragment and queued GOPs unboundedly)."""
+        h = MuxHarness("isofmp4mux", 1, 5 * S)
+        h.set_caps(0, video_caps())
+        # 20 s of 1 s keyframes starting at pts=10 s
+        for i in range(20):
+            h.push(0, (10 + i) * S, dur=S, key=True, dts=(10 + i) * S)
+        # fragments cut on the 5 s grid anchored at 10 s, well before EOS
+        assert len(h.frags()) >= 3
+        h.eos()
+        frags = h.frags()
+        assert [f.pts for f in frags] == [10 * S, 15 * S, 20 * S, 25 * S]
+        assert all(f.duration == 5 * S for f in frags)
