@@ -17,8 +17,11 @@ Behavioral notes vs the reference:
   fragment-duration boundary (the reference cuts at the first keyframe after
   the boundary, fmp4mux/imp.rs; raw streams are all-keyframe so the rule
   degenerates to the same thing).
-- header-update-mode supports none/update (update re-sends the final header
-  with real durations at EOS, mod.rs HeaderUpdateMode); rewrite/caps raise.
+- header-update-mode: none/rewrite never re-send the header mid-stream
+  (incompatible caps changes are ignored); caps re-sends a fresh init
+  segment on incompatible changes at GOP boundaries; update re-pushes the
+  finalized header (real durations) at EOS, and rewrite is approximated the
+  same way (push-only downstreams cannot seek back).
 - The non-fragmented muxer assembles in memory and emits the whole file at
   EOS (the reference instead rewrites the mdat size via seekable downstream;
   byte-identical layout, different streaming behavior).
