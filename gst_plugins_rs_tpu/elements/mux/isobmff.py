@@ -13,10 +13,13 @@ Behavioral notes vs the reference:
   uncompressed.rs:256-318), and compressed streams get avc1+avcC /
   av01+av1C / vp09+vpcC / mp4a+esds / Opus+dOps entries from their caps
   (boxes.rs get_audio_fourcc/get_video_fourcc).
-- Fragments cut at buffer granularity once every stream has crossed the
-  fragment-duration boundary (the reference cuts at the first keyframe after
-  the boundary, fmp4mux/imp.rs; raw streams are all-keyframe so the rule
-  degenerates to the same thing).
+- Fragments follow the reference's GOP-queue strategy (fmp4mux/imp.rs
+  ChunkStrategy): whole GOPs queue per stream and fragments cut only at
+  finalized-GOP boundaries — late keyframes extend the previous fragment,
+  sparse streams start GOPs at their true PTS (tfdt jumps holes), chunked
+  mode emits fragment-interior chunks on the chunk clock, and a clock-armed
+  `latency` deadline cuts with the data on hand when a stream lags
+  (tests/test_fmp4_scenarios.py mirrors the reference suite 1:1).
 - header-update-mode: none/rewrite never re-send the header mid-stream
   (incompatible caps changes are ignored); caps re-sends a fresh init
   segment on incompatible changes at GOP boundaries; update re-pushes the
