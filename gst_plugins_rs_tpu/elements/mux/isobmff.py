@@ -690,7 +690,10 @@ class FMP4Mux(_MuxBase):
         Prop("write-mehd", False, type="bool"),
         Prop("movie-timescale", 0, type="uint", doc="0 = auto (1000)"),
         Prop("start-fragment-sequence-number", 1, type="uint", minimum=1),
-        Prop("offset-to-zero", False, type="bool"),
+        Prop("offset-to-zero", False, type="bool",
+             doc="shift all timestamps so the stream starts at zero "
+                 "(recording use; suppresses the edit list the nonzero "
+                 "start would otherwise get)"),
         # GstFMP4Mux base surface (reference isobmff other-types;
         # fmp4mux/imp.rs:160-199 defaults)
         Prop("chunk-mode", "none", type="enum",
@@ -778,7 +781,8 @@ class FMP4Mux(_MuxBase):
         for st in streams:
             if st.track is None:
                 continue
-            start = self._first_pts or 0
+            start = 0 if self.get_property("offset-to-zero") \
+                else (self._first_pts or 0)
             if mode == "always" or (mode == "auto" and start > 0):
                 media_time = start * st.timescale // SECOND
                 st.track.elst = [(0, media_time)]
@@ -1082,14 +1086,28 @@ class FMP4Mux(_MuxBase):
             # stream starting at/after the first boundary would otherwise
             # never fill a fragment and queue GOPs unboundedly (the
             # reference bases the grid on the first buffer; write-edts-mode
-            # auto records the nonzero start in the elst)
-            self._frag_start_ns = self._first_pts
-            self._chunk_start_ns = self._first_pts
+            # auto records the nonzero start in the elst).  With
+            # offset-to-zero the timestamps themselves shift to zero.
+            if self.get_property("offset-to-zero"):
+                self._frag_start_ns = 0
+                self._chunk_start_ns = 0
+            else:
+                self._frag_start_ns = self._first_pts
+                self._chunk_start_ns = self._first_pts
             # earliest PTS known -> announce the SECOND fragment's start to
             # upstream encoders (fmp4mux/imp.rs:2085-2103)
             if not manual:
                 self._request_keyunit(self._frag_start_ns)
             self._arm_timeout()
+        if self.get_property("offset-to-zero") and self._first_pts:
+            shift = self._first_pts
+            out = Buffer(buf.data,
+                         pts=None if buf.pts is None else buf.pts - shift,
+                         dts=None if buf.dts is None else buf.dts - shift,
+                         duration=buf.duration, offset=buf.offset,
+                         offset_end=buf.offset_end, flags=buf.flags)
+            out.metas = list(buf.metas)
+            buf = out
         if st.pending_caps is not None and st.pending_caps_after > 0:
             st.pending_caps_after -= 1  # pre-event buffer: old caps still apply
         elif st.pending_caps is not None:

@@ -1215,3 +1215,19 @@ class TestLateStartStream:
         frags = h.frags()
         assert [f.pts for f in frags] == [10 * S, 15 * S, 20 * S, 25 * S]
         assert all(f.duration == 5 * S for f in frags)
+
+    def test_offset_to_zero(self):
+        """offset-to-zero shifts a late-starting stream onto a zero-based
+        timeline and suppresses the edit list (fmp4mux offset-to-zero)."""
+        h = MuxHarness("isofmp4mux", 1, 5 * S,
+                       props={"offset-to-zero": True})
+        h.set_caps(0, video_caps())
+        for i in range(10):
+            h.push(0, (10 + i) * S, dur=S, key=True, dts=(10 + i) * S)
+        h.eos()
+        frags = h.frags()
+        assert [f.pts for f in frags] == [0, 5 * S]
+        runs = MuxHarness.runs(frags[0])
+        assert runs[0].decode_time == 0
+        hdr = np.asarray(h.headers()[0].data).tobytes()
+        assert b"elst" not in hdr  # zeroed start needs no edit list
