@@ -78,18 +78,28 @@ def _bench(step, state, iters=200, repeats=3):
 # vs 0.577 ms/frame on different days).  The kernel is pure MXU work at a
 # fixed shape so its runtime tracks the device+relay state, not the code
 # under test.
-_DRIFT_NOMINAL_S = 1.632e-4  # measured 2026-08-19 (BENCH_r04 capture day)
+_DRIFT_NOMINAL_S = 1.274e-4  # median-of-5, 2026-08-19 evening relay
 
 
 def _measure_drift(jax, jnp):
-    """Time the pinned reference matmul; returns (dt, drift_factor)."""
-    a = jnp.ones((2048, 2048), jnp.float32)
+    """Time the pinned reference matmul; returns (dt, drift_factor).
+
+    The constant operand is PSEUDO-RANDOM, not ones: `x @ ones` is
+    algebraically a broadcast row-sum and XLA may simplify it away from
+    the MXU entirely (the bench-form audit in PERF_NOTES; an all-ones
+    kernel measured anywhere from 41 to 170 "TFLOP/s" across runs)."""
+    a = ((jnp.arange(2048 * 2048, dtype=jnp.uint32)
+          * jnp.uint32(2654435761) % jnp.uint32(1024))
+         .reshape(2048, 2048).astype(jnp.float32) * 1e-3)
 
     @jax.jit
     def ref_step(x):
         return jnp.tanh(x @ a * 1e-4)
 
-    dt = _bench(ref_step, a, iters=50, repeats=3)
+    # median-of-5: post-outage relay timing swings 2x between runs
+    vals = sorted(_bench(ref_step, a, iters=50, repeats=3)
+                  for _ in range(5))
+    dt = vals[2]
     return dt, dt / _DRIFT_NOMINAL_S
 
 

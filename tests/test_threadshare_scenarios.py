@@ -47,6 +47,11 @@ def _nominal_scenario(p, src, sink, n=5):
         src.push_buffer(_buf(i))
     src.end_of_stream()
     p.run()
+    # a context worker (ts-queue) may still be flushing to the sink when
+    # run() returns: wait for the drain
+    deadline = time.monotonic() + 5
+    while len(sink.samples) < n and time.monotonic() < deadline:
+        time.sleep(0.005)
     vals = [int(np.asarray(s.buffer.data)[0]) for s in sink.samples]
     assert vals == list(range(n))
     p.set_state(State.NULL)
