@@ -1,5 +1,11 @@
 """Round-5 same-process A/B: fused C3 Pallas kernel vs the XLA s2d path.
 
+WARNING (bench-form audit, PERF_NOTES round 5): bench_full's step chains
+through `out[0,0,0] * 0` with a closure-constant image — BOTH invalid
+(XLA dead-codes / constant-hoists; numbers are inflated 20-80%).  The
+STAGE A/B (bench_stage) chains full tensors and remains valid; for full-
+model numbers use bench.py's audited steps instead.
+
 Measures (tiny/s @640, batch 8, scan-amortized like bench.py's yolox
 config):
   1. isolated stem+dark2 stage: XLA _c3_s2d vs pallas c3_s2d_fused,
