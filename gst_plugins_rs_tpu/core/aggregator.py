@@ -30,6 +30,7 @@ class AggregatorPad(Pad):
         self.queue: deque = deque()
         self.eos = False
         self.segment: Optional[Segment] = None
+        self.stream_id: Optional[str] = None
 
     def peek_buffer(self) -> Optional[Buffer]:
         return self.queue[0] if self.queue else None
@@ -47,6 +48,9 @@ class AggregatorPad(Pad):
 class Aggregator(Element):
     SINK_TEMPLATE_CAPS: Caps = Caps.new_any()
     SRC_TEMPLATE_CAPS: Caps = Caps.new_any()
+    # subclasses that push their own segment downstream (analyticscombiner)
+    # set this False so the first pad's segment is not forwarded verbatim
+    FORWARD_SINK_SEGMENT = True
 
     def __init__(self, name: Optional[str] = None):
         super().__init__(name)
@@ -142,6 +146,7 @@ class Aggregator(Element):
     def _sink_event(self, pad: Pad, event: Event) -> bool:
         assert isinstance(pad, AggregatorPad)
         if event.type == EventType.STREAM_START:
+            pad.stream_id = event.get("stream_id")
             self._maybe_forward_stream_start(pad, event)
             return True
         if event.type == EventType.CAPS:
@@ -150,7 +155,7 @@ class Aggregator(Element):
             return True
         if event.type == EventType.SEGMENT:
             pad.segment = event.get("segment")
-            if pad is self.agg_pads()[0]:
+            if self.FORWARD_SINK_SEGMENT and pad is self.agg_pads()[0]:
                 return self.srcpad.push_event(event)
             return True
         if event.type == EventType.EOS:
