@@ -126,6 +126,14 @@ class BaseSrc(Element):
         if buf is BaseSrc.RETRY:
             return FlowReturn.OK
         if buf is None:
+            if getattr(self, "_errored", False):
+                # the source posted an ERROR bus message: stop streaming
+                # WITHOUT fabricating an EOS — in GStreamer an erroring
+                # source halts the stream, it does not end it cleanly
+                # (uriplaylistbin missing_file/missing_http expect eos=false,
+                # reference tests/uriplaylistbin.rs:449-489)
+                self._eos_sent = True
+                return FlowReturn.EOS
             self.srcpad.push_event(Event.new_eos())
             self._eos_sent = True
             return FlowReturn.EOS

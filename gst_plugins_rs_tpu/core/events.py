@@ -169,6 +169,11 @@ class MessageType(enum.Enum):
     STATE_CHANGED = "state-changed"
     LATENCY = "latency"
     APPLICATION = "application"
+    # decodebin3-analog stream topology messages (uriplaylistbin posts one
+    # pair per media change, like GstMessageStreamCollection /
+    # GstMessageStreamsSelected in the reference's uriplaylistbin tests)
+    STREAM_COLLECTION = "stream-collection"
+    STREAMS_SELECTED = "streams-selected"
 
 
 class Message:

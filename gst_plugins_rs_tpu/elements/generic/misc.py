@@ -280,14 +280,49 @@ class Ac4Parse(BaseTransform):
 class UriPlaylistBin(BaseSrc):
     """Sequential playback over a list of URIs (reference
     utils/uriplaylistbin; this implementation reads file:// byte streams —
-    decodebin-style demux/decode selection is downstream's job here)."""
+    decodebin-style demux/decode selection is downstream's job here).
 
+    Reference behavior contract (utils/uriplaylistbin/src/uriplaylistbin/
+    imp.rs + tests/uriplaylistbin.rs:113-575, mirrored 1:1 by
+    tests/test_uriplaylistbin_scenarios.py):
+
+    - `current-iteration` / `current-uri-index` report the LAST STARTED
+      item (tests/uriplaylistbin.rs:359-425: multi_audio ends at index 2,
+      iterations=2 ends at iteration 1).
+    - one STREAM_COLLECTION + STREAMS_SELECTED message pair per *media
+      change* — consecutive identical URIs post no new pair, the
+      decodebin3 coalescing the reference tests skip duplicates for
+      (tests/uriplaylistbin.rs:214-224,278-302).
+    - a failing item posts an ERROR message whose structure carries the
+      failing `uri` (assert_error, tests/uriplaylistbin.rs:316-327) and
+      ends the stream without advancing the indices.
+    - `iterations` is mutable in PLAYING; the new value is honored at the
+      next wrap (increase_iterations / decrease_iterations /
+      infinite_to_finite, tests/uriplaylistbin.rs:488-553).  Divergence:
+      the reference pre-queues upcoming items, so a decrease can land
+      after extra iterations were already committed (its decrease test
+      expects iteration 2 after setting 1); this bin opens items strictly
+      on demand, so the requested count is exact.  The whole reference
+      suite is #[ignore]d as racy upstream — this synchronous model runs
+      it deterministically.
+    - `cache=true` copies remote URIs to `cache-dir` so later iterations
+      replay locally; single-pass playlists (iterations=1) skip the cache
+      entirely (the reference test expects 0 cached files unless the
+      playlist loops, tests/uriplaylistbin.rs:303-310).
+    - the `item-started` notification signal fires synchronously as each
+      item opens (uri, index, iteration) — the hook the reference tests
+      build from bus StreamStart counting (tests/uriplaylistbin.rs:230-237).
+    """
+
+    SIGNALS = {"item-started": None}
     ELEMENT_NAME = "uriplaylistbin"
     ELEMENT_CLASS = "Generic/Source/Bin"
     ELEMENT_DESCRIPTION = "Sequentially plays a list of URIs"
     PROPERTIES = [
         Prop("uris", "", type="str", doc="comma-separated uri list"),
-        Prop("iterations", 1, type="uint", doc="0 = infinite"),
+        Prop("iterations", 1, type="uint", mutable="playing",
+             doc="0 = infinite; honored at the next playlist wrap when "
+                 "changed in PLAYING (reference imp.rs iterations prop)"),
         Prop("blocksize", 65536, type="uint", minimum=1),
         Prop("current-uri-index", 0, type="uint64",
              doc="(read) index of the URI currently playing"),
@@ -305,12 +340,15 @@ class UriPlaylistBin(BaseSrc):
         self._f = None
         self._uri_index = 0
         self._iteration = 0
+        self._last_started = (0, 0)  # (iteration, uri index) of last item
+        self._last_media: Optional[str] = None
+        self._errored = False
 
     def get_property(self, name: str):
         if name == "current-uri-index":
-            return max(0, self._uri_index - 1)
+            return self._last_started[1]
         if name == "current-iteration":
-            return self._iteration
+            return self._last_started[0]
         return super().get_property(name)
 
     def _cache_path(self, uri: str) -> str:
@@ -336,6 +374,9 @@ class UriPlaylistBin(BaseSrc):
     def start(self) -> None:
         self._uri_index = 0
         self._iteration = 0
+        self._last_started = (0, 0)
+        self._last_media = None
+        self._errored = False
         self._f = None
 
     def stop(self) -> None:
@@ -348,7 +389,7 @@ class UriPlaylistBin(BaseSrc):
 
     def _open_next(self) -> bool:
         uris = self._uris()
-        if not uris:
+        if not uris or self._errored:
             return False
         if self._uri_index >= len(uris):
             self._iteration += 1
@@ -357,28 +398,55 @@ class UriPlaylistBin(BaseSrc):
                 return False
             self._uri_index = 0
         uri = uris[self._uri_index]
-        if uri.startswith(("http://", "https://")):
-            import os
-            import urllib.request
+        try:
+            if uri.startswith(("http://", "https://")):
+                import os
+                import urllib.request
 
-            if self.get_property("cache"):
-                cpath = self._cache_path(uri)
-                if not os.path.exists(cpath):
-                    with urllib.request.urlopen(uri, timeout=30) as resp, \
-                            open(cpath, "wb") as out:
-                        out.write(resp.read())
-                self._f = open(cpath, "rb")
+                # cache only when the playlist will loop: a single pass
+                # never re-reads, so the reference leaves the cache dir
+                # empty for iterations=1 (tests/uriplaylistbin.rs:303-310)
+                if self.get_property("cache") and \
+                        self.get_property("iterations") != 1:
+                    cpath = self._cache_path(uri)
+                    if not os.path.exists(cpath):
+                        with urllib.request.urlopen(uri, timeout=30) as resp, \
+                                open(cpath, "wb") as out:
+                            out.write(resp.read())
+                    self._f = open(cpath, "rb")
+                else:
+                    self._f = urllib.request.urlopen(uri, timeout=30)
             else:
-                self._f = urllib.request.urlopen(uri, timeout=30)
-        else:
-            path = uri[7:] if uri.startswith("file://") else uri
-            self._f = open(path, "rb")
+                path = uri[7:] if uri.startswith("file://") else uri
+                self._f = open(path, "rb")
+        except OSError as e:  # covers IOError + urllib.error.URLError
+            self._errored = True
+            self.post_message(Message(
+                MessageType.ERROR,
+                structure=Structure("error", element=self.name, uri=uri,
+                                    reason=f"failed to open {uri}: {e}")))
+            return False
+        self._last_started = (self._iteration, self._uri_index)
+        # decodebin3 analog: new collection + selection only when the
+        # underlying media actually changes
+        if uri != self._last_media:
+            self._last_media = uri
+            self.post_message(Message(
+                MessageType.STREAM_COLLECTION,
+                structure=Structure("stream-collection", uri=uri,
+                                    n_streams=1)))
+            self.post_message(Message(
+                MessageType.STREAMS_SELECTED,
+                structure=Structure("streams-selected", uri=uri,
+                                    n_streams=1)))
         self.post_message(
             Message(MessageType.ELEMENT,
                     structure=Structure("uri-playlist-item-started",
                                         uri=uri, index=self._uri_index,
                                         iteration=self._iteration))
         )
+        for cb in getattr(self, "_signal_handlers", {}).get("item-started", []):
+            cb(self, uri, self._uri_index, self._iteration)
         self._uri_index += 1
         return True
 
